@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001.
+``queries()[name](spark, sf_dir)`` returns a DataFrame per implemented
+operator from SURVEY.md §2; ``oracle_sql()[name]`` is the DuckDB-
+equivalent ANSI SQL the driver hash-compares against at sf0.01.
+
+Conventions that keep the hash gate deterministic:
+  - every computed column is aliased identically in Spark and SQL;
+  - years/counts are BIGINT on both sides;
+  - double SUM/AVG goes through the exact-decimal discipline
+    (``functions.numeric.dec_sum``) so float ordering can't flip a hash;
+  - session timezone pinned to UTC before any timestamp math.
 """
 
 from __future__ import annotations
@@ -12,27 +18,215 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
+from iconic_data_science_spark.catalog import Catalog
+from iconic_data_science_spark.session import ensure_engine_conf
+from iconic_data_science_spark import magmap
+from iconic_data_science_spark.functions import dec_sum, dec_avg
+from iconic_data_science_spark.operators.coauthor import coauthor_edges
+from iconic_data_science_spark.operators.personal_net import personal_net
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    ensure_engine_conf(spark)
+    return Catalog(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# queries (SURVEY.md §2 inventory, driver star schema per magmap)
+
+def q_g1_coauthor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1+G2: coauthor edge table with weight and first-collab year."""
+    cat = _cat(spark, sf_dir)
+    return coauthor_edges(magmap.paa(cat), magmap.paper_years(cat)).select(
+        "ego", "alter_id", "papers_together", "first_year"
+    )
+
+
+def q_g3_personal_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 flagship: triadic-closure personal nets.
+
+    Truncation knobs (mirroring the reference's cost caps,
+    StaticNet.scala:313-314 / PySparkles PAA year filter): papers
+    restricted to year 1995, edge strength >= 2, focal egos sampled
+    (ego % 10 == 0).
+    """
+    cat = _cat(spark, sf_dir)
+    years = magmap.paper_years(cat).filter(F.col("year") == 1995)
+    edges = coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+    egos = edges.select("ego").filter(F.col("ego") % 10 == 0).distinct()
+    return personal_net(edges.select("ego", "alter_id", "first_year"), egos=egos)
+
+
+def q_a1_papers_per_author(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: group-by count — papers per author (ReplApp.sc:79)."""
+    cat = _cat(spark, sf_dir)
+    return (
+        magmap.paa(cat)
+        .distinct()
+        .groupBy("author")
+        .agg(F.count("*").alias("n_papers"))
+    )
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A7 multi-aggregate (TPC-H Q1 shape) with exact-decimal sums."""
+    cat = _cat(spark, sf_dir)
+    li = cat.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_avg("l_quantity", "avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_p_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P4 + F5: pushed-down projection/filter with computed column."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.lineitem
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 45)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+def q_w1_cumulative_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: running total over a year-ordered window
+    (ProfileConversion.scala:114-115,139-143)."""
+    cat = _cat(spark, sf_dir)
+    per_year = (
+        magmap.paa(cat)
+        .distinct()
+        .join(magmap.paper_years(cat), "paper")
+        .groupBy("author", "year")
+        .agg(F.count("*").alias("papers_in_year"))
+    )
+    w = W.partitionBy("author").orderBy("year").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_year.select(
+        "author",
+        "year",
+        "papers_in_year",
+        F.sum("papers_in_year").over(w).alias("cum_papers"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "g1_coauthor_edges": q_g1_coauthor_edges,
+    "g3_personal_net": q_g3_personal_net,
+    "a1_papers_per_author": q_a1_papers_per_author,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "p_projection_filter": q_p_projection_filter,
+    "w1_cumulative_papers": q_w1_cumulative_papers,
+}
+
+# DuckDB oracle SQL. Views pre-registered: region nation customer supplier
+# part orders lineitem events documents embeddings.
+ORACLES: dict[str, str] = {
+    "g1_coauthor_edges": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year FROM orders)
+        SELECT a.author AS ego, b.author AS alter_id,
+               COUNT(*) AS papers_together, MIN(py.year) AS first_year
+        FROM paa a
+        JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+        JOIN py ON py.paper = a.paper
+        GROUP BY 1, 2
+    """,
+    "g3_personal_net": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year
+               FROM orders WHERE year(o_orderdate) = 1995),
+        co AS (
+            SELECT a.author AS ego, b.author AS alter_id,
+                   COUNT(*) AS papers_together, MIN(py.year) AS first_year
+            FROM paa a
+            JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+            JOIN py ON py.paper = a.paper
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        )
+        SELECT c1.ego AS ego, c1.alter_id AS alter1, c2.alter_id AS alter2,
+               GREATEST(c1.first_year, c2.first_year, ap.first_year) AS year
+        FROM co c1
+        JOIN co c2 ON c1.ego = c2.ego AND c1.alter_id < c2.alter_id
+        JOIN co ap ON ap.ego = c1.alter_id AND ap.alter_id = c2.alter_id
+        WHERE c1.ego % 10 = 0
+    """,
+    "a1_papers_per_author": """
+        SELECT author, COUNT(*) AS n_papers
+        FROM (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem)
+        GROUP BY author
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "p_projection_filter": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_quantity > 45
+    """,
+    "w1_cumulative_papers": """
+        WITH per_year AS (
+            SELECT author, year, COUNT(*) AS papers_in_year
+            FROM (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem) paa
+            JOIN (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year FROM orders) py
+              USING (paper)
+            GROUP BY author, year
+        )
+        SELECT author, year, papers_in_year,
+               CAST(SUM(papers_in_year) OVER (
+                   PARTITION BY author ORDER BY year
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_papers
+        FROM per_year
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (G3 personal net) on /root/testdata/sf0.001."""
+    return q_g3_personal_net(spark, SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

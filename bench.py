@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": sf}.
+
+Each query is forced to full execution with the noop sink (no driver
+collect — measures the distributed plan, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iconic_data_science_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Headline subset: flagship + one per operator family; grows with coverage.
+HEADLINE = [
+    "g3_personal_net",
+    "g1_coauthor_edges",
+    "q1_pricing_summary",
+    "w1_cumulative_papers",
+    "a1_papers_per_author",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="ids-spark-bench")
+
+    all_queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in all_queries]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = all_queries[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Table catalog.
+
+The reference wires tables two ways — a lazy object catalog
+(``/root/reference/src/scala/model/MAG.scala:14-36``) and (global) temp
+views shared across notebooks
+(``/root/reference/src/notebooks/scala/SetUpEnv.scala:119-125``,
+``AddTestData.scala:101-105``). This module is the Spark-first equivalent:
+a lazy path→DataFrame catalog plus view registration, over the driver's
+parquet star schema (TESTDATA.md) and, for MAG-shaped TSV data, the
+readers in ``sources/``.
+
+Scale posture: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; the catalog never materializes or collects. ``cache()``
+is opt-in per table (the reference cached every base table —
+``StaticNet.scala:203-205`` — which at 100 TB would evict constantly; we
+cache only multi-consumer intermediates inside pipelines).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's synthetic star schema (TESTDATA.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Lazy parquet table catalog rooted at a scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._tables: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.sf_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        """DataFrame for a base table (lazy; no job until an action)."""
+        if name not in self._tables:
+            self._tables[name] = self.spark.read.parquet(self.path(name))
+        return self._tables[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TPCH_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = TPCH_TABLES, global_views: bool = False) -> None:
+        """Register temp views (the reference's S11 surface).
+
+        ``global_views=True`` mirrors the reference's cross-notebook
+        ``createGlobalTempView`` (``SetUpEnv.scala:119-125``); plain temp
+        views are session-scoped.
+        """
+        for name in names:
+            df = self.table(name)
+            if global_views:
+                df.createOrReplaceGlobalTempView(name)
+            else:
+                df.createOrReplaceTempView(name)
+
+    def cache(self, *names: str) -> None:
+        """Opt-in caching (S12) for tables consumed by multiple pipelines."""
+        for name in names:
+            self.table(name).cache()
+
+
+def load_catalog(spark: SparkSession, sf_dir: str, register: bool = False) -> Catalog:
+    cat = Catalog(spark, sf_dir)
+    if register:
+        cat.register_views()
+    return cat
