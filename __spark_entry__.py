@@ -131,6 +131,48 @@ def q_w1_cumulative_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pr_citation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4-shape theta self-join: the derived citation-edge table
+    (same-customer temporal pairs; magmap.citation_edges)."""
+    cat = _cat(spark, sf_dir)
+    return magmap.citation_edges(cat)
+
+
+def q_a8_zero_filled_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J9/U1/A8: year spine + union-with-zeros + re-aggregate
+    (ProfileConversion.scala:106,137)."""
+    from iconic_data_science_spark.operators import profiles
+
+    cat = _cat(spark, sf_dir)
+    cit = magmap.citation_edges(cat).groupBy("cited", "cite_year").agg(F.count("*").alias("n_cit"))
+    spine = profiles.paper_year_spine(magmap.paper_years(cat), magmap.years_dim(cat))
+    return profiles.zero_filled_citations(cit, spine)
+
+
+def q_w1_cumulative_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: running citation total per paper (ProfileConversion.scala:114-115)."""
+    from iconic_data_science_spark.operators import profiles
+
+    cat = _cat(spark, sf_dir)
+    cit = magmap.citation_edges(cat).groupBy("cited", "cite_year").agg(F.count("*").alias("n_cit"))
+    spine = profiles.paper_year_spine(magmap.paper_years(cat), magmap.years_dim(cat))
+    return profiles.cumulative_citations(profiles.zero_filled_citations(cit, spine))
+
+
+def q_profile_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 headline: full per-author/year profile with papers_cum,
+    citations_cum and h-index (A5/A7/A9 + W1/W2)."""
+    from iconic_data_science_spark.operators import profiles
+
+    cat = _cat(spark, sf_dir)
+    return profiles.author_profiles(
+        magmap.paa(cat),
+        magmap.paper_years(cat),
+        magmap.citation_edges(cat),
+        magmap.years_dim(cat),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_coauthor_edges": q_g1_coauthor_edges,
     "g3_personal_net": q_g3_personal_net,
@@ -138,6 +180,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "p_projection_filter": q_p_projection_filter,
     "w1_cumulative_papers": q_w1_cumulative_papers,
+    "pr_citation_edges": q_pr_citation_edges,
+    "a8_zero_filled_citations": q_a8_zero_filled_citations,
+    "w1_cumulative_citations": q_w1_cumulative_citations,
+    "profile_conversion": q_profile_conversion,
 }
 
 # DuckDB oracle SQL. Views pre-registered: region nation customer supplier
@@ -212,6 +258,101 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS cum_papers
         FROM per_year
+    """,
+    "pr_citation_edges": """
+        SELECT o2.o_orderkey AS citing, o1.o_orderkey AS cited,
+               CAST(year(o2.o_orderdate) AS BIGINT) AS cite_year
+        FROM orders o1
+        JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+                      AND o2.o_orderdate > o1.o_orderdate
+    """,
+    "a8_zero_filled_citations": """
+        WITH pr AS (
+            SELECT o2.o_orderkey AS citing, o1.o_orderkey AS cited,
+                   CAST(year(o2.o_orderdate) AS BIGINT) AS cite_year
+            FROM orders o1
+            JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+                          AND o2.o_orderdate > o1.o_orderdate
+        ),
+        cit AS (SELECT cited, cite_year, COUNT(*) AS n_cit FROM pr GROUP BY 1, 2),
+        years AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS year FROM orders),
+        spine AS (
+            SELECT o_orderkey AS paper, y.year
+            FROM orders JOIN years y ON y.year >= CAST(year(o_orderdate) AS BIGINT)
+        )
+        SELECT s.paper, s.year, CAST(COALESCE(c.n_cit, 0) AS BIGINT) AS n_cit
+        FROM spine s
+        LEFT JOIN cit c ON c.cited = s.paper AND c.cite_year = s.year
+    """,
+    "w1_cumulative_citations": """
+        WITH pr AS (
+            SELECT o2.o_orderkey AS citing, o1.o_orderkey AS cited,
+                   CAST(year(o2.o_orderdate) AS BIGINT) AS cite_year
+            FROM orders o1
+            JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+                          AND o2.o_orderdate > o1.o_orderdate
+        ),
+        cit AS (SELECT cited, cite_year, COUNT(*) AS n_cit FROM pr GROUP BY 1, 2),
+        years AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS year FROM orders),
+        spine AS (
+            SELECT o_orderkey AS paper, y.year
+            FROM orders JOIN years y ON y.year >= CAST(year(o_orderdate) AS BIGINT)
+        ),
+        filled AS (
+            SELECT s.paper, s.year, COALESCE(c.n_cit, 0) AS n_cit
+            FROM spine s
+            LEFT JOIN cit c ON c.cited = s.paper AND c.cite_year = s.year
+        )
+        SELECT paper, year,
+               CAST(SUM(n_cit) OVER (
+                   PARTITION BY paper ORDER BY year
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cit
+        FROM filled
+    """,
+    "profile_conversion": """
+        WITH pr AS (
+            SELECT o2.o_orderkey AS citing, o1.o_orderkey AS cited,
+                   CAST(year(o2.o_orderdate) AS BIGINT) AS cite_year
+            FROM orders o1
+            JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+                          AND o2.o_orderdate > o1.o_orderdate
+        ),
+        cit AS (SELECT cited, cite_year, COUNT(*) AS n_cit FROM pr GROUP BY 1, 2),
+        years AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS year FROM orders),
+        spine AS (
+            SELECT o_orderkey AS paper, y.year
+            FROM orders JOIN years y ON y.year >= CAST(year(o_orderdate) AS BIGINT)
+        ),
+        filled AS (
+            SELECT s.paper, s.year, COALESCE(c.n_cit, 0) AS n_cit
+            FROM spine s
+            LEFT JOIN cit c ON c.cited = s.paper AND c.cite_year = s.year
+        ),
+        cum AS (
+            SELECT paper, year,
+                   CAST(SUM(n_cit) OVER (
+                       PARTITION BY paper ORDER BY year
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_cit
+            FROM filled
+        ),
+        paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        apy AS (
+            SELECT a.author, c.year, c.paper, c.cum_cit
+            FROM paa a JOIN cum c ON c.paper = a.paper
+        ),
+        ranked AS (
+            SELECT author, year, cum_cit,
+                   ROW_NUMBER() OVER (PARTITION BY author, year ORDER BY cum_cit DESC) AS rn
+            FROM apy
+        )
+        SELECT author, year,
+               COUNT(*) AS papers_cum,
+               CAST(SUM(cum_cit) AS BIGINT) AS citations_cum,
+               CAST(COUNT(CASE WHEN cum_cit >= rn THEN 1 END) AS BIGINT) AS h_index
+        FROM ranked
+        GROUP BY author, year
     """,
 }
 

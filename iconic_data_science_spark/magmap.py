@@ -38,6 +38,32 @@ def paper_years(cat: Catalog) -> DataFrame:
     )
 
 
+def years_dim(cat: Catalog) -> DataFrame:
+    """Tiny year dimension (distinct order years) — broadcast everywhere."""
+    return cat.orders.select(F.year("o_orderdate").cast("long").alias("year")).distinct()
+
+
+def citation_edges(cat: Catalog) -> DataFrame:
+    """pr-shaped citation graph (models.scala:28): a later order of a
+    customer 'cites' each earlier order of the same customer. Temporal
+    direction (citing strictly after cited) makes it a DAG, like real
+    citations. (citing, cited, cite_year)."""
+    o1 = cat.orders.alias("o1")
+    o2 = cat.orders.alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o2.o_orderdate") > F.col("o1.o_orderdate")),
+        )
+        .select(
+            F.col("o2.o_orderkey").alias("citing"),
+            F.col("o1.o_orderkey").alias("cited"),
+            F.year("o2.o_orderdate").cast("long").alias("cite_year"),
+        )
+    )
+
+
 def author_country(cat: Catalog) -> DataFrame:
     """author → country code (the PySparkles country enrichment,
     /root/reference/src/notebooks/python/PySparkles.ipynb cell 41)."""
