@@ -173,6 +173,39 @@ def q_profile_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g7_ego_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7/A2: countDistinct family + domestic split per ego
+    (PySparkles cells 43-47)."""
+    from iconic_data_science_spark.operators import indicators
+
+    cat = _cat(spark, sf_dir)
+    triples = indicators.coauthor_year_triples(magmap.paa(cat), magmap.paper_years(cat))
+    return indicators.ego_indicators(triples, magmap.author_country(cat))
+
+
+def q_g7_alter_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7/A3/A4: sum/max rollups over each ego's distinct alter set
+    (PySparkles cells 48-49, 54-55)."""
+    from iconic_data_science_spark.operators import indicators
+
+    cat = _cat(spark, sf_dir)
+    triples = indicators.coauthor_year_triples(magmap.paa(cat), magmap.paper_years(cat))
+    stats = indicators.author_stats(magmap.paa(cat), magmap.citation_edges(cat))
+    return indicators.ego_alter_rollups(triples, stats)
+
+
+def q_a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB posture variant of A2: approx_count_distinct (HLL sketch).
+    No oracle — sketches don't hash-match exact engines; the driver
+    records the rows-only check."""
+    cat = _cat(spark, sf_dir)
+    return (
+        magmap.paa(cat)
+        .groupBy("author")
+        .agg(F.approx_count_distinct("paper").alias("approx_papers"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_coauthor_edges": q_g1_coauthor_edges,
     "g3_personal_net": q_g3_personal_net,
@@ -184,6 +217,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_zero_filled_citations": q_a8_zero_filled_citations,
     "w1_cumulative_citations": q_w1_cumulative_citations,
     "profile_conversion": q_profile_conversion,
+    "g7_ego_indicators": q_g7_ego_indicators,
+    "g7_alter_rollups": q_g7_alter_rollups,
+    "a2_approx_distinct": q_a2_approx_distinct,
 }
 
 # DuckDB oracle SQL. Views pre-registered: region nation customer supplier
@@ -353,6 +389,59 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(CASE WHEN cum_cit >= rn THEN 1 END) AS BIGINT) AS h_index
         FROM ranked
         GROUP BY author, year
+    """,
+    "g7_ego_indicators": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year FROM orders),
+        tri AS (
+            SELECT DISTINCT a.author AS ego, py.year, b.author AS alter_id
+            FROM paa a
+            JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+            JOIN py ON py.paper = a.paper
+        ),
+        ac AS (
+            SELECT s_suppkey AS author, n_name AS country
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
+        SELECT tri.ego,
+               COUNT(DISTINCT tri.alter_id) AS n_coauthors,
+               COUNT(DISTINCT tri.year) AS years_collaborated,
+               COUNT(DISTINCT ac2.country) AS n_alter_countries,
+               COUNT(DISTINCT CASE WHEN ac2.country = ac1.country THEN tri.alter_id END) AS n_domestic,
+               COUNT(DISTINCT CASE WHEN ac2.country <> ac1.country THEN tri.alter_id END) AS n_foreign
+        FROM tri
+        LEFT JOIN ac ac1 ON ac1.author = tri.ego
+        LEFT JOIN ac ac2 ON ac2.author = tri.alter_id
+        GROUP BY tri.ego
+    """,
+    "g7_alter_rollups": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year FROM orders),
+        tri AS (
+            SELECT DISTINCT a.author AS ego, b.author AS alter_id
+            FROM paa a JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+        ),
+        pr AS (
+            SELECT o2.o_orderkey AS citing, o1.o_orderkey AS cited
+            FROM orders o1
+            JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+                          AND o2.o_orderdate > o1.o_orderdate
+        ),
+        per_paper AS (SELECT cited, COUNT(*) AS n_cit FROM pr GROUP BY cited),
+        stats AS (
+            SELECT a.author,
+                   COUNT(*) AS n_papers,
+                   CAST(SUM(COALESCE(p.n_cit, 0)) AS BIGINT) AS n_citations
+            FROM paa a LEFT JOIN per_paper p ON p.cited = a.paper
+            GROUP BY a.author
+        )
+        SELECT tri.ego,
+               CAST(SUM(s.n_papers) AS BIGINT) AS sum_alter_papers,
+               MAX(s.n_papers) AS max_alter_papers,
+               CAST(SUM(s.n_citations) AS BIGINT) AS sum_alter_citations,
+               MAX(s.n_citations) AS max_alter_citations
+        FROM tri JOIN stats s ON s.author = tri.alter_id
+        GROUP BY tri.ego
     """,
 }
 

@@ -1,0 +1,106 @@
+"""Ego/alter bibliometric indicators — the PySparkles suite (G7).
+
+Reference (/root/reference/src/notebooks/python/PySparkles.ipynb, cells
+38-55): per ego over its coauthor (alter) set — years collaborated
+(cell 45), countries of alters / domestic vs non-domestic split
+(cells 43,46-47), sum of alter citations/papers (cells 48-49),
+max of alter papers/citations (cells 54-55), distinct coauthor count
+(cell 43). Golden outputs for the notebook fixture are recorded in
+FIXTURES.md §3 and asserted in tests/test_indicators.py.
+
+Semantics pinned by those goldens:
+  - alters are DISTINCT per ego (an alter met in 3 papers counts once
+    in sum/max rollups);
+  - years_collaborated counts distinct years in the (ego, year, alter)
+    triple table — any coauthor, any paper;
+  - author citations = total citations received by the author's papers
+    (join through the paa bridge; multi-authored papers count fully).
+
+Scale posture: everything is equi-join + groupBy on author-ish keys.
+``author_stats`` is a small dim (one row per author) → broadcast into
+the rollup join. countDistinct carries exact semantics for the oracle;
+the 100 TB variant swaps in approx_count_distinct (HLL) — exposed as
+the separate ``*_approx`` surface since sketches don't hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .coauthor import coauthor_pairs
+
+
+def coauthor_year_triples(paa: DataFrame, paper_years: DataFrame) -> DataFrame:
+    """The Coauthor(ego, year, alter) table (PersonalNet.scala:55):
+    distinct (ego, year, alter_id)."""
+    return (
+        coauthor_pairs(paa)
+        .join(paper_years, "paper")
+        .select("ego", "year", "alter_id")
+        .distinct()
+    )
+
+
+def author_stats(paa: DataFrame, citation_edges: DataFrame) -> DataFrame:
+    """(author, n_papers, n_citations) — papers authored and citations
+    received by them (the authors-table rollup, models.scala:12-13)."""
+    ap = paa.select("paper", "author").distinct()
+    per_paper = citation_edges.groupBy("cited").agg(F.count("*").alias("n_cit"))
+    return (
+        ap.join(per_paper, ap["paper"] == per_paper["cited"], "left")
+        .groupBy("author")
+        .agg(
+            F.count("*").alias("n_papers"),
+            F.sum(F.coalesce(F.col("n_cit"), F.lit(0))).alias("n_citations"),
+        )
+    )
+
+
+def ego_indicators(triples: DataFrame, author_country: DataFrame) -> DataFrame:
+    """A2 countDistinct family + domestic split per ego.
+
+    (ego, n_coauthors, years_collaborated, n_alter_countries,
+    n_domestic, n_foreign) — PySparkles cells 43-47.
+    """
+    ego_c = author_country.select(F.col("author").alias("ego"), F.col("country").alias("ego_country"))
+    alter_c = author_country.select(
+        F.col("author").alias("alter_id"), F.col("country").alias("alter_country")
+    )
+    t = triples.join(F.broadcast(ego_c), "ego", "left").join(F.broadcast(alter_c), "alter_id", "left")
+    domestic = F.col("alter_country") == F.col("ego_country")
+    return (
+        t.groupBy("ego")
+        .agg(
+            F.countDistinct("alter_id").alias("n_coauthors"),
+            F.countDistinct("year").alias("years_collaborated"),
+            F.countDistinct("alter_country").alias("n_alter_countries"),
+            F.countDistinct(F.when(domestic, F.col("alter_id"))).alias("n_domestic"),
+            F.countDistinct(F.when(~domestic, F.col("alter_id"))).alias("n_foreign"),
+        )
+    )
+
+
+def ego_alter_rollups(triples: DataFrame, stats: DataFrame) -> DataFrame:
+    """A3/A4 rollups over the DISTINCT alter set per ego
+    (PySparkles cells 48-49, 54-55).
+
+    (ego, sum_alter_papers, max_alter_papers, sum_alter_citations,
+    max_alter_citations).
+    """
+    alters = triples.select("ego", "alter_id").distinct()
+    st = stats.select(
+        F.col("author").alias("alter_id"),
+        F.col("n_papers").alias("alter_papers"),
+        F.col("n_citations").alias("alter_citations"),
+    )
+    return (
+        alters.join(st, "alter_id")
+        .groupBy("ego")
+        .agg(
+            F.sum("alter_papers").alias("sum_alter_papers"),
+            F.max("alter_papers").alias("max_alter_papers"),
+            F.sum("alter_citations").alias("sum_alter_citations"),
+            F.max("alter_citations").alias("max_alter_citations"),
+        )
+    )
