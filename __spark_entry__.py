@@ -206,6 +206,136 @@ def q_a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_chain_fc(cat: Catalog) -> DataFrame:
+    """fc-shaped hierarchy (models.scala:30): each order's parent is the
+    customer's previous order (lag over date, orderkey tiebreak) — a
+    per-customer chain, root = first order."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _lag_orders(cat, w)
+        .filter(F.col("parent").isNotNull())
+        .select("child", "parent")
+    )
+
+
+def _lag_orders(cat: Catalog, w) -> DataFrame:
+    return cat.orders.select(
+        F.col("o_orderkey").alias("child"),
+        F.lag("o_orderkey").over(w).alias("parent"),
+    )
+
+
+def q_g5_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: iterative root resolution (pointer-jumping fixpoint) over the
+    order-chain hierarchy. Oracle shortcut: the chain root is the
+    customer's first order."""
+    from iconic_data_science_spark.operators.graph import hierarchy_roots
+
+    cat = _cat(spark, sf_dir)
+    return hierarchy_roots(_order_chain_fc(cat))
+
+
+def q_g4_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: 3-hop BFS from author 0 over the thresholded 1995 coauthor
+    graph (StaticNet BFS rewrite; oracle = recursive CTE)."""
+    from iconic_data_science_spark.operators.graph import bfs
+
+    cat = _cat(spark, sf_dir)
+    years = magmap.paper_years(cat).filter(F.col("year") == 1995)
+    edges = coauthor_edges(magmap.paa(cat), years, min_papers_together=2).select(
+        F.col("ego").alias("src"), F.col("alter_id").alias("dst")
+    )
+    sources = spark.range(1).select(F.lit(0).cast("long").alias("author"))
+    return bfs(edges, sources, max_depth=3)
+
+
+def q_u3_except_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 (diff/except): authors active in 1995 but not 1996."""
+    cat = _cat(spark, sf_dir)
+    by_year = magmap.paa(cat).join(magmap.paper_years(cat), "paper")
+    a95 = by_year.filter(F.col("year") == 1995).select("author").distinct()
+    a96 = by_year.filter(F.col("year") == 1996).select("author").distinct()
+    return a95.subtract(a96)
+
+
+def q_u4_intersect_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (intersect): authors active in both 1995 and 1996."""
+    cat = _cat(spark, sf_dir)
+    by_year = magmap.paa(cat).join(magmap.paper_years(cat), "paper")
+    a95 = by_year.filter(F.col("year") == 1995).select("author").distinct()
+    a96 = by_year.filter(F.col("year") == 1996).select("author").distinct()
+    return a95.intersect(a96)
+
+
+def q_j7_or_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 OR-join rewritten as union-of-equi-joins (MagDwarf.scala:115-120
+    shape): parts matched by either FK column of lineitem."""
+    from iconic_data_science_spark.operators.joins import or_join
+
+    cat = _cat(spark, sf_dir)
+    return or_join(
+        cat.lineitem,
+        cat.part,
+        ["l_partkey", "l_suppkey"],
+        "p_partkey",
+        ["p_partkey", "l_orderkey"],
+    )
+
+
+def q_j12_dwarf_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 FK-closed sampling (MagDwarf dwarfing): lineitems of the
+    sampled order set, via left-semi join."""
+    from iconic_data_science_spark.operators.joins import fk_closure_sample
+
+    cat = _cat(spark, sf_dir)
+    seed = cat.orders.filter(F.col("o_orderkey") % 100 == 0)
+    return fk_closure_sample(seed, "o_orderkey", cat.lineitem, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+
+def q_f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: JSON extraction over the events props column + aggregate."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.events
+        .select(F.get_json_object("props", "$.k").cast("long").alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "sum_value"))
+    )
+
+
+def q_f3_f4_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4/F5 scalar function family: string, date, math expressions."""
+    cat = _cat(spark, sf_dir)
+    return cat.events.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type3"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.length("props").cast("long").alias("props_len"),
+        F.floor(F.col("value") / 10).cast("long").alias("value_bucket"),
+        F.concat_ws("|", "event_type", F.col("user_id").cast("string")).alias("tag"),
+    )
+
+
+def q_g8_gexf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: GEXF serialization of the thresholded 1995 coauthor net.
+    No oracle (XML document, not SQL-expressible) — rows-only check;
+    determinism is pytest-asserted instead."""
+    from iconic_data_science_spark.sources import gexf
+
+    cat = _cat(spark, sf_dir)
+    years = magmap.paper_years(cat).filter(F.col("year") == 1995)
+    edges = coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+    und = edges.filter(F.col("ego") < F.col("alter_id"))
+    nodes = edges.select(F.col("ego").alias("id")).distinct()
+    return gexf.to_gexf(
+        gexf.node_fragments(nodes),
+        gexf.edge_fragments(und, "ego", "alter_id", "papers_together"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_coauthor_edges": q_g1_coauthor_edges,
     "g3_personal_net": q_g3_personal_net,
@@ -220,6 +350,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g7_ego_indicators": q_g7_ego_indicators,
     "g7_alter_rollups": q_g7_alter_rollups,
     "a2_approx_distinct": q_a2_approx_distinct,
+    "g5_hierarchy_roots": q_g5_hierarchy_roots,
+    "g4_bfs": q_g4_bfs,
+    "u3_except_authors": q_u3_except_authors,
+    "u4_intersect_authors": q_u4_intersect_authors,
+    "j7_or_join": q_j7_or_join,
+    "j12_dwarf_lineitem": q_j12_dwarf_lineitem,
+    "f7_json_extract": q_f7_json_extract,
+    "f3_f4_scalar_funcs": q_f3_f4_scalar_funcs,
+    "g8_gexf": q_g8_gexf,
 }
 
 # DuckDB oracle SQL. Views pre-registered: region nation customer supplier
@@ -442,6 +581,84 @@ ORACLES: dict[str, str] = {
                MAX(s.n_citations) AS max_alter_citations
         FROM tri JOIN stats s ON s.author = tri.alter_id
         GROUP BY tri.ego
+    """,
+    "g5_hierarchy_roots": """
+        WITH chain AS (
+            SELECT o_orderkey AS child,
+                   LAG(o_orderkey) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS parent,
+                   FIRST_VALUE(o_orderkey) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS root
+            FROM orders
+        )
+        SELECT child, root FROM chain WHERE parent IS NOT NULL
+    """,
+    "g4_bfs": """
+        WITH RECURSIVE paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (SELECT o_orderkey AS paper FROM orders WHERE year(o_orderdate) = 1995),
+        e AS (
+            SELECT a.author AS src, b.author AS dst
+            FROM paa a
+            JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+            JOIN py ON py.paper = a.paper
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        walk(author, depth) AS (
+            SELECT CAST(0 AS BIGINT) AS author, CAST(0 AS BIGINT) AS depth
+            UNION
+            SELECT e.dst, w.depth + 1
+            FROM walk w JOIN e ON e.src = w.author
+            WHERE w.depth < 3
+        )
+        SELECT author, MIN(depth) AS depth FROM walk GROUP BY author
+    """,
+    "u3_except_authors": """
+        SELECT DISTINCT l_suppkey AS author
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT DISTINCT l_suppkey AS author
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1996
+    """,
+    "u4_intersect_authors": """
+        SELECT DISTINCT l_suppkey AS author
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT DISTINCT l_suppkey AS author
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1996
+    """,
+    "j7_or_join": """
+        SELECT DISTINCT p_partkey, l_orderkey
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey OR l_suppkey = p_partkey
+    """,
+    "j12_dwarf_lineitem": """
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0)
+    """,
+    "f7_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    "f3_f4_scalar_funcs": """
+        SELECT event_id,
+               upper(event_type) AS type_upper,
+               substr(event_type, 1, 3) AS type3,
+               strftime(ts, '%Y-%m-%d') AS event_date,
+               CAST(length(props) AS BIGINT) AS props_len,
+               CAST(floor(value / 10) AS BIGINT) AS value_bucket,
+               concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS tag
+        FROM events
     """,
 }
 

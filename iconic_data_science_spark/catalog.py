@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The driver's synthetic star schema (TESTDATA.md).
 TPCH_TABLES = (
@@ -51,7 +52,15 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         """DataFrame for a base table (lazy; no job until an action)."""
         if name not in self._tables:
-            self._tables[name] = self.spark.read.parquet(self.path(name))
+            df = self.spark.read.parquet(self.path(name))
+            if name == "events":
+                # ts is TIMESTAMP(NANOS) on disk, read as long nanos via
+                # spark.sql.legacy.parquet.nanosAsLong; normalize to a
+                # micros timestamp (same truncation DuckDB applies).
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+            self._tables[name] = df
         return self._tables[name]
 
     def __getattr__(self, name: str) -> DataFrame:

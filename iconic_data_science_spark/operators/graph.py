@@ -1,0 +1,91 @@
+"""Iterative graph operators: hierarchy fixpoint (G5) and k-hop BFS (G4).
+
+The reference implements both as driver-side per-row loops — recursive
+``getRootFos`` lookups (/root/reference/src/scala/App.scala:21-35;
+PySparkles.ipynb cell 15) and a BFS notebook loop over collected frontiers
+(StaticNet.scala:303-420). Both are re-expressed here as **driver loops of
+DataFrame self-joins** (SURVEY.md §4.1): the driver only controls
+iteration count; all data movement stays distributed. ``localCheckpoint``
+cuts lineage each round so plans don't grow exponentially.
+
+Known reference bugs NOT reproduced (SURVEY.md §7): ``rootOfFos`` always
+reading ``dfFc(0).parent`` (StaticNet.scala:277-284) and the nested
+DataFrame-in-map NPE (App.scala:45-52) — hierarchy resolution here is
+data-parallel joins, never per-row subqueries.
+
+Scale posture:
+  - ``hierarchy_roots`` uses pointer jumping (path doubling): O(log depth)
+    rounds instead of O(depth) — 25-deep chains resolve in 5 joins.
+  - BFS frontiers dedupe with left-anti joins against the visited set
+    (the relational form of U3 ``diff``, StaticNet.scala:325,374);
+    per-round state is checkpointed, so lineage stays O(1).
+  - Both take max-iteration knobs mirroring the reference's cost caps
+    (``depth`` StaticNet.scala:313).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hierarchy_roots(parent_child: DataFrame, max_iters: int = 20) -> DataFrame:
+    """G5: resolve every node to its root ancestor by pointer jumping.
+
+    ``parent_child``: (child, parent) edges; a node absent from ``child``
+    is a root. Self-parents (the reference's termination edge case,
+    App.scala:28-31) are treated as roots and dropped from the output.
+    Multi-parent children resolve first-parent-wins (App.scala:27),
+    pinned deterministically as min(parent). Returns (child, root) for
+    every non-root child.
+    """
+    edges = (
+        parent_child.filter(F.col("parent") != F.col("child"))
+        .groupBy("child")
+        .agg(F.min("parent").alias("parent"))
+    )
+    # m: child → current known ancestor
+    m = edges.select("child", F.col("parent").alias("anc")).localCheckpoint()
+    for _ in range(max_iters):
+        hop = m.select(F.col("child").alias("h_child"), F.col("anc").alias("h_anc"))
+        m2 = (
+            m.join(hop, m["anc"] == hop["h_child"], "left")
+            .select(
+                "child",
+                F.coalesce("h_anc", "anc").alias("anc"),
+                F.col("h_anc").isNotNull().alias("_hopped"),
+            )
+        ).localCheckpoint()
+        any_hopped = m2.filter(F.col("_hopped")).limit(1).count() > 0
+        m = m2.select("child", "anc")
+        if not any_hopped:
+            break
+    return m.select("child", F.col("anc").alias("root"))
+
+
+def bfs(edges: DataFrame, sources: DataFrame, max_depth: int = 6) -> DataFrame:
+    """G4: k-hop breadth-first expansion (StaticNet.scala:303-420 rewrite).
+
+    ``edges``: directed (src, dst) — pass both orientations for undirected
+    graphs (the engine's coauthor edges already carry both,
+    StaticNet.scala:299). ``sources``: 1-column (author) seed set.
+    Returns (author, depth) with depth = min #hops (0 for sources).
+    """
+    e = edges.select(F.col("src"), F.col("dst"))
+    visited = sources.select("author").distinct().withColumn("depth", F.lit(0).cast("long"))
+    visited = visited.localCheckpoint()
+    frontier = visited.select("author")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["author"] == e["src"])
+            .select(F.col("dst").alias("author"))
+            .distinct()
+            .join(visited.select("author"), "author", "left_anti")
+        ).localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("depth", F.lit(d).cast("long"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # TIMESTAMP(NANOS) parquet columns (events.ts) read as long nanos;
+        # the catalog normalizes them to micros timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -70,6 +73,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
             spark.conf.set(k, v)

@@ -1,0 +1,64 @@
+"""Fixture tests for the iterative graph operators (G4/G5) and GEXF (G8)."""
+
+from __future__ import annotations
+
+from iconic_data_science_spark import fixtures
+from iconic_data_science_spark.operators.coauthor import coauthor_edges
+from iconic_data_science_spark.operators.graph import bfs, hierarchy_roots
+from iconic_data_science_spark.sources import gexf
+
+from pyspark.sql import functions as F
+
+
+def test_hierarchy_roots_fixture(spark):
+    """FIXTURES.md §4 cases: chains, self-parent termination, multi-parent
+    first-parent-wins."""
+    fc = spark.createDataFrame(
+        [(100, 10), (10, 1), (200, 20), (20, 2), (3, 3),
+         (300, 30), (300, 31), (30, 3), (31, 2)],
+        "child long, parent long",
+    )
+    roots = {r.child: r.root for r in hierarchy_roots(fc).collect()}
+    assert roots[100] == 1 and roots[10] == 1
+    assert roots[200] == 2 and roots[20] == 2
+    # self-parent (3,3) → 3 is a root, dropped from output
+    assert 3 not in roots
+    # multi-parent 300: first-parent-wins (min) → 30 → 3
+    assert roots[300] == 3
+    assert roots[30] == 3 and roots[31] == 2
+
+
+def test_hierarchy_roots_deep_chain(spark):
+    """Pointer jumping must resolve chains deeper than one doubling round."""
+    n = 40
+    fc = spark.createDataFrame([(i, i - 1) for i in range(1, n)], "child long, parent long")
+    roots = {r.child: r.root for r in hierarchy_roots(fc).collect()}
+    assert all(roots[i] == 0 for i in range(1, n))
+
+
+def test_bfs_fixture(spark):
+    edges = (
+        coauthor_edges(fixtures.paa_df(spark), fixtures.paper_years_df(spark))
+        .select(F.col("ego").alias("src"), F.col("alter_id").alias("dst"))
+    )
+    sources = spark.createDataFrame([(1,)], "author long")
+    got = {r.author: r.depth for r in bfs(edges, sources, max_depth=6).collect()}
+    # component of 1: 1-{2,3} direct; 4,5 via 2; 6,7 unreachable
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_gexf_deterministic(spark):
+    edges = coauthor_edges(fixtures.paa_df(spark), fixtures.paper_years_df(spark))
+    und = edges.filter(F.col("ego") < F.col("alter_id"))
+    nodes = edges.select(F.col("ego").alias("id")).distinct()
+    doc = gexf.to_gexf(
+        gexf.node_fragments(nodes),
+        gexf.edge_fragments(und, "ego", "alter_id", "papers_together"),
+    )
+    s1 = doc.collect()[0].gexf
+    s2 = doc.collect()[0].gexf
+    assert s1 == s2
+    assert s1.startswith('<?xml version="1.0"')
+    assert '<node id="1" label="1" />' in s1
+    assert '<edge source="1" target="2" weight="3" />' in s1
+    assert s1.rstrip().endswith("</gexf>")
