@@ -336,6 +336,47 @@ def q_g8_gexf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text md5 with canonical representative."""
+    from iconic_data_science_spark.operators.dedup import exact_dedup
+
+    cat = _cat(spark, sf_dir)
+    return exact_dedup(cat.documents)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (relational inverted-index form)."""
+    from iconic_data_science_spark.operators.dedup import ngram_jaccard_pairs
+
+    cat = _cat(spark, sf_dir)
+    return ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup join, exact-Jaccard verified; oracle replicates
+    the full banding pipeline with identical hash arithmetic."""
+    from iconic_data_science_spark.operators.dedup import minhash_lsh_pairs
+
+    cat = _cat(spark, sf_dir)
+    return minhash_lsh_pairs(cat.documents, n=3, num_perm=16, rows_per_band=4, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    from iconic_data_science_spark.operators.dedup import simhash32
+
+    cat = _cat(spark, sf_dir)
+    return simhash32(cat.documents)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (integer-lattice exact arithmetic)."""
+    from iconic_data_science_spark.operators.dedup import embedding_cosine_pairs
+
+    cat = _cat(spark, sf_dir)
+    return embedding_cosine_pairs(cat.embeddings, threshold=0.4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_coauthor_edges": q_g1_coauthor_edges,
     "g3_personal_net": q_g3_personal_net,
@@ -359,6 +400,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f7_json_extract": q_f7_json_extract,
     "f3_f4_scalar_funcs": q_f3_f4_scalar_funcs,
     "g8_gexf": q_g8_gexf,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
 # DuckDB oracle SQL. Views pre-registered: region nation customer supplier
@@ -660,7 +706,130 @@ ORACLES: dict[str, str] = {
                concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS tag
         FROM events
     """,
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": """
+        WITH sh AS (
+            SELECT DISTINCT doc_id, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+            )
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT * FROM (
+            SELECT id1, id2, i / (z1.sz + z2.sz - i) AS jaccard
+            FROM inter
+            JOIN sz z1 ON z1.doc_id = id1
+            JOIN sz z2 ON z2.doc_id = id2
+        ) WHERE jaccard >= 0.5
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+            )
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_reduce(
+                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                        for c in string_split_regex(substr(md5(shingle), 1, 12), '')],
+                       (a, b) -> a * 16 + b
+                   ) % 2147483647 AS h
+            FROM sh
+        ),
+        perms AS (SELECT * FROM {{PERMS}}),
+        sig AS (
+            SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS minhash
+            FROM h CROSS JOIN perms GROUP BY 1, 2
+        ),
+        bs AS (
+            SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                   string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY i) AS band_sig
+            FROM sig GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+            FROM bs b1 JOIN bs b2 ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+                                  AND b1.doc_id < b2.doc_id
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT * FROM (
+            SELECT c.id1, c.id2, i.i / (z1.sz + z2.sz - i.i) AS jaccard
+            FROM cand c
+            JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+            JOIN sz z1 ON z1.doc_id = c.id1
+            JOIN sz z2 ON z2.doc_id = c.id2
+        ) WHERE jaccard >= 0.5
+    """,
+    "dedup_simhash": """
+        WITH tok AS (
+            SELECT DISTINCT doc_id, t AS tok
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_reduce(
+                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                        for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                       (a, b) -> a * 16 + b
+                   ) AS h
+            FROM tok
+        ),
+        bits AS (
+            SELECT doc_id, b, (h >> b) & 1 AS bit
+            FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+        ),
+        votes AS (SELECT doc_id, b, SUM(bit) AS ones, COUNT(*) AS total FROM bits GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN ones * 2 > total
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "dedup_embedding_cosine": """
+        WITH e AS (
+            SELECT vec_id,
+                   embedding,
+                   list_reduce(
+                       [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0) AS BIGINT)
+                        for x in embedding],
+                       (a, b) -> a + b
+                   ) AS sq
+            FROM embeddings
+        )
+        SELECT * FROM (
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   list_reduce(
+                       [CAST(round(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)
+                        for i in generate_series(1, len(a.embedding))],
+                       (x, y) -> x + y
+                   ) / sqrt(CAST(a.sq AS DOUBLE) * CAST(b.sq AS DOUBLE)) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.4
+    """,
 }
+
+# The MinHash oracle embeds the same (i, a, b) permutation table the Spark
+# pipeline uses, so both engines hash identically.
+from iconic_data_science_spark.operators.dedup import perm_table_sql as _perm_table_sql  # noqa: E402
+
+ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_minhash_lsh"].replace("{PERMS}", _perm_table_sql(16))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,279 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's own surface (it has only row-level
+``distinct``/``dropDuplicates`` — P9, /root/reference/src/notebooks/scala/
+MagDwarf.scala:120,135); these are the spec's LLM-data-pipeline
+extensions, built Spark-first over the ``documents`` / ``embeddings``
+tables:
+
+  - exact dedup: hash-groupBy on normalized text (md5);
+  - n-gram Jaccard similarity join: word-shingle inverted index →
+    shingle equi-join → |A∩B|/|A∪B| — the *relational* form, which
+    scales as Σ postings², not O(n²) over documents;
+  - MinHash+LSH: shingle → K permutation minhashes → banded signatures
+    → bucket join for candidates → EXACT Jaccard verification of
+    candidates (so precision is exact; recall is the LSH guarantee);
+  - SimHash: per-token bit votes → 32-bit fingerprint;
+  - embedding cosine near-dup: pairwise cosine over ``array<float>``.
+
+Determinism discipline (the DuckDB oracle hash gate): every hash is
+arithmetic both engines compute identically — md5 hex prefixes folded to
+integers, universal hashing ``(a·x+b) mod p`` with p=2^31-1 (products
+bounded < 2^62, no overflow), float products widened to double (exact)
+and summed on an exact decimal lattice.
+
+Scale posture: all shuffles key on shingle/band/bucket — high
+cardinality, well-spread. The classic hot key is a stop-shingle shared
+by everything: ``max_shingle_freq`` drops postings above a document-
+frequency cap (standard practice; also what AQE skew-join would
+otherwise fight). Signatures are fixed-width (K minhashes) regardless
+of document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+# Dot products quantize each double product to an integer lattice
+# (×1e12, round, sum as BIGINT): sums are exact and order-independent,
+# so both engines produce identical cosines. 64 dims × |x·y|≲10 →
+# ≤6.4e14, far inside int64.
+DOT_SCALE = 1_000_000_000_000.0
+
+# Fixed universal-hash parameters (a, b) per permutation — literal so the
+# SQL oracle can embed the same table. Generated once from a seeded LCG.
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
+
+
+def _lcg_params(num_perm: int) -> list[tuple[int, int, int]]:
+    x = 42
+    out = []
+    for i in range(num_perm):
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        a = x | 1  # odd, nonzero
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        b = x
+        out.append((i, a, b))
+    return out
+
+
+def perm_table_sql(num_perm: int) -> str:
+    """VALUES clause of (i, a, b) rows for the DuckDB oracle."""
+    rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _lcg_params(num_perm))
+    return f"(VALUES {rows}) AS p(i, a, b)"
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def token_hash48(tok: Column) -> Column:
+    """48-bit integer hash of a token: fold of the first 12 md5 hex chars.
+    DuckDB equivalent: list_reduce over string_split_regex(substr(md5(t),1,12),'')."""
+    return F.conv(F.substring(F.md5(tok), 1, 12), 16, 10).cast("long")
+
+
+def shingle_table(
+    documents: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-gram shingles per document."""
+    toks = words(text_col)
+    # guard: Spark sequence(1, 0) descends ([1,0]) instead of emptying,
+    # unlike DuckDB generate_series — short docs must yield no shingles
+    sh = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    out = (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            out.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        out = out.join(rare, "shingle", "left_semi")
+    return out
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (text_md5, n_docs, canonical_id=min id)."""
+    return (
+        documents.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """(id1, id2, jaccard) for id1<id2 pairs sharing ≥1 shingle (optionally
+    restricted to a candidate ``pairs`` frame)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = shingles.select(F.col("doc_id").alias("id1"), "shingle")
+    s2 = shingles.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id1", "id2"], "left_semi")
+    z1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(z1, "id1")
+        .join(z2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: (id1, id2, jaccard ≥ threshold)."""
+    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
+    """(doc_id, i, minhash) — K universal-hash minima per document."""
+    perms = _lcg_params(num_perm)
+    spark = shingles.sparkSession
+    pdf = spark.createDataFrame(perms, "i int, a long, b long")
+    h = token_hash48(F.col("shingle")) % MERSENNE31
+    hashed = shingles.select("doc_id", h.alias("h"))
+    return (
+        hashed.crossJoin(F.broadcast(pdf))
+        .select("doc_id", "i", ((F.col("a") * F.col("h") + F.col("b")) % MERSENNE31).alias("hv"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature and bucket-join: (id1, id2) candidate pairs."""
+    banded = signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    band_sigs = (
+        banded.groupBy("doc_id", "band")
+        .agg(F.collect_list(F.struct("i", "minhash")).alias("_parts"))
+        .select(
+            "doc_id",
+            "band",
+            F.array_join(
+                F.transform(F.array_sort("_parts"), lambda x: x["minhash"].cast("string")), "-"
+            ).alias("band_sig"),
+        )
+    )
+    b1 = band_sigs.select(F.col("doc_id").alias("id1"), "band", "band_sig")
+    b2 = band_sigs.select(F.col("doc_id").alias("id2"), "band", "band_sig")
+    return (
+        b1.join(b2, ["band", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup join: LSH candidates, exact-Jaccard verified.
+
+    Output (id1, id2, jaccard): precision exact; recall is the banding
+    guarantee (pairs the LSH misses are absent — the scale/accuracy
+    trade every production dedup makes).
+    """
+    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq)
+    sigs = minhash_signatures(sh, num_perm=num_perm)
+    cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
+    return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
+
+
+def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over distinct word tokens.
+
+    Bit b of the fingerprint is set iff more than half the tokens have
+    bit b set in their 48-bit hash (majority vote, unweighted).
+    """
+    toks = (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("tok"))
+        .distinct()
+        .select("doc_id", token_hash48(F.col("tok")).alias("h"))
+    )
+    bits = toks.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+    # shiftright/shiftleft with a column shift amount only exist in SQL form
+    votes = (
+        bits.select("doc_id", "b", F.expr("shiftright(h, b) & 1").alias("bit"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("bit").alias("ones"), F.count("*").alias("total"))
+    )
+    return (
+        votes.select(
+            "doc_id",
+            F.when(F.col("ones") * 2 > F.col("total"), F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("simhash"))
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (id1, id2, cosine ≥ threshold).
+
+    Float elements widen to double (exact, 24+24 < 53 mantissa bits),
+    products quantize to the integer lattice (×DOT_SCALE, round, sum as
+    BIGINT — exact, order-independent), so both engines produce the same
+    cosine, bit for bit. Brute force is the correctness baseline — the
+    scale path is the LSH-bucketed variant in operators/similarity.py.
+    """
+    def _scaled(x: Column, y: Column) -> Column:
+        return F.round(x.cast("double") * y.cast("double") * F.lit(DOT_SCALE)).cast("long")
+
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: _scaled(x, x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sq.alias("sq"))
+    e1 = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("sq").alias("sq1"))
+    e2 = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("sq").alias("sq2"))
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", _scaled),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = e1.join(e2, F.col("id1") < F.col("id2")).select(
+        "id1",
+        "id2",
+        (dot / F.sqrt(F.col("sq1").cast("double") * F.col("sq2").cast("double"))).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
