@@ -377,6 +377,72 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(cat.embeddings, threshold=0.4)
 
 
+def _ann_queries(cat: Catalog) -> DataFrame:
+    return cat.embeddings.filter(F.col("vec_id") % 50 == 0)
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the sampled query set."""
+    from iconic_data_science_spark.operators.similarity import brute_force_topk
+
+    cat = _cat(spark, sf_dir)
+    return brute_force_topk(cat.embeddings, _ann_queries(cat), k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed approximate top-5 (the scale path)."""
+    from iconic_data_science_spark.operators.similarity import lsh_topk
+
+    cat = _cat(spark, sf_dir)
+    return lsh_topk(cat.embeddings, _ann_queries(cat), k=5)
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iconic_data_science_spark.operators.text import language_id
+
+    cat = _cat(spark, sf_dir)
+    return language_id(cat.documents)
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iconic_data_science_spark.operators.text import quality_score
+
+    cat = _cat(spark, sf_dir)
+    return quality_score(cat.documents)
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iconic_data_science_spark.operators.text import token_counts
+
+    cat = _cat(spark, sf_dir)
+    return token_counts(cat.documents)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iconic_data_science_spark.operators.text import fingerprint
+
+    cat = _cat(spark, sf_dir)
+    return fingerprint(cat.documents)
+
+
+def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → Arrow-batched mapInPandas
+    feature extraction. No oracle (pandas UDF over synthetic binary) —
+    rows-only check; determinism asserted in pytest."""
+    from iconic_data_science_spark.operators.multimodal import byte_histogram_features, synth_media
+
+    ensure_engine_conf(spark)
+    return byte_histogram_features(synth_media(spark, 256))
+
+
+def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata rollups (pure relational over binary payloads)."""
+    from iconic_data_science_spark.operators.multimodal import media_stats, synth_media
+
+    ensure_engine_conf(spark)
+    return media_stats(synth_media(spark, 256))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_coauthor_edges": q_g1_coauthor_edges,
     "g3_personal_net": q_g3_personal_net,
@@ -405,6 +471,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_language_id": q_text_language_id,
+    "text_quality_score": q_text_quality_score,
+    "text_token_counts": q_text_token_counts,
+    "text_fingerprint": q_text_fingerprint,
+    "mm_byte_histogram": q_mm_byte_histogram,
+    "mm_media_stats": q_mm_media_stats,
 }
 
 # DuckDB oracle SQL. Views pre-registered: region nation customer supplier
@@ -823,13 +897,131 @@ ORACLES: dict[str, str] = {
             FROM e a JOIN e b ON a.vec_id < b.vec_id
         ) WHERE cosine >= 0.4
     """,
+    "ann_brute_topk": """
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   list_reduce(
+                       [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0) AS BIGINT)
+                        for x in embedding], (a, b) -> a + b) AS sq
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_reduce(
+                       [CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)
+                        for i in generate_series(1, len(q.embedding))], (x, y) -> x + y)
+                   / sqrt(CAST(q.sq AS DOUBLE) * CAST(c.sq AS DOUBLE)) AS cosine
+            FROM q JOIN e c ON q.vec_id <> c.vec_id
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+    """,
+    "ann_lsh_topk": """
+        WITH pl AS (SELECT * FROM {PLANES}),
+        e AS (
+            SELECT vec_id, embedding,
+                   list_reduce(
+                       [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0) AS BIGINT)
+                        for x in embedding], (a, b) -> a + b) AS sq
+            FROM embeddings
+        ),
+        elems AS (
+            SELECT vec_id, i, embedding[i] AS x
+            FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix
+        ),
+        dots AS (
+            SELECT vec_id, plane,
+                   CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(coeff AS DOUBLE)
+                                       * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dot
+            FROM elems JOIN pl USING (i) GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT vec_id,
+                   string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+            FROM dots GROUP BY 1
+        ),
+        eb AS (SELECT e.*, sig.bucket FROM e JOIN sig USING (vec_id)),
+        q AS (SELECT * FROM eb WHERE vec_id % 50 = 0),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_reduce(
+                       [CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)
+                        for i in generate_series(1, len(q.embedding))], (x, y) -> x + y)
+                   / sqrt(CAST(q.sq AS DOUBLE) * CAST(c.sq AS DOUBLE)) AS cosine
+            FROM q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+    """,
+    "text_language_id": """
+        WITH sw AS (SELECT * FROM {STOPWORDS}),
+        toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        hits AS (
+            SELECT doc_id, lang, COUNT(*) AS hits
+            FROM toks JOIN sw USING (word) GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT doc_id, lang, hits,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+            FROM hits
+        )
+        SELECT d.doc_id,
+               COALESCE(r.lang, 'und') AS pred_lang,
+               CAST(COALESCE(r.hits, 0) AS BIGINT) AS hits
+        FROM documents d
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (doc_id)
+    """,
+    "text_quality_score": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+               (CAST(length(text) AS BIGINT) - (CAST(len(string_split(lower(text), ' ')) AS BIGINT) - 1))
+                   / CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS avg_word_len,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                   / CAST(length(text) AS BIGINT) AS alpha_ratio,
+               CAST(LEAST(CAST(len(string_split(lower(text), ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0
+                   * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                      / CAST(length(text) AS BIGINT)) AS score
+        FROM documents
+    """,
+    "text_token_counts": """
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        FROM documents
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(0 AS BIGINT),
+                       [CAST(length(w) AS BIGINT) * 7 + COALESCE(ascii(w), 0)
+                        for w in string_split(lower(text), ' ')]
+                   ),
+                   (a, b) -> (a * 31 + b) % 2147483647
+               ) AS fingerprint
+        FROM documents
+    """,
 }
 
-# The MinHash oracle embeds the same (i, a, b) permutation table the Spark
-# pipeline uses, so both engines hash identically.
+# Oracles that embed literal parameter tables shared with the Spark side,
+# so both engines hash identically.
 from iconic_data_science_spark.operators.dedup import perm_table_sql as _perm_table_sql  # noqa: E402
+from iconic_data_science_spark.operators.similarity import plane_table_sql as _plane_table_sql  # noqa: E402
+from iconic_data_science_spark.operators.text import stopword_table_sql as _stopword_table_sql  # noqa: E402
 
 ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_minhash_lsh"].replace("{PERMS}", _perm_table_sql(16))
+ORACLES["ann_lsh_topk"] = ORACLES["ann_lsh_topk"].replace("{PLANES}", _plane_table_sql())
+ORACLES["text_language_id"] = ORACLES["text_language_id"].replace("{STOPWORDS}", _stopword_table_sql())
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines.
+
+Spec extensions over the ``documents`` table: language identification
+(stopword-hit heuristic), quality scoring (length/ratio features),
+token counting (whitespace + regex word segmentation), and document
+fingerprinting (polynomial rolling hash). The reference's only text
+surface is the abstract inverted index it never queries
+(/root/reference/data/samples/PaperAbstractsInvertedIndex.txt:1 — F7);
+these operators give the engine a real one.
+
+All pure built-in expressions (no UDFs) and oracle-replicable: integer
+hashes, integer counts, and double arithmetic with a fixed operation
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MERSENNE31
+
+# Tiny per-language stopword lists for the heuristic language ID.
+# Deterministic tie-break: highest hit count, then language name asc.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "data", "table"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en", "para", "que"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "他", "这", "中"),
+}
+
+
+def stopword_table_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
+    )
+    return f"(VALUES {rows}) AS sw(lang, word)"
+
+
+def language_id(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, hits) — language with the most stopword hits
+    ('und' when nothing matches)."""
+    spark = documents.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]], "lang string, word string"
+    )
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    )
+    hits = (
+        toks.join(F.broadcast(sw), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
+    ranked = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    scored = ranked.select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+    all_docs = documents.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        )
+    )
+
+
+def quality_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_words, avg_word_len, alpha_ratio, score).
+
+    score = min(n_words, 100)/100 * alpha_ratio — a simple
+    length×cleanliness heuristic; all arithmetic fixed-order doubles.
+    """
+    t = F.col(text_col)
+    toks = F.split(F.lower(t), " ")
+    n_chars = F.length(t).cast("long")
+    n_words = F.size(toks).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
+    avg_word_len = (n_chars - (n_words - 1)) / n_words
+    alpha_ratio = n_alpha / n_chars
+    score = F.least(n_words, F.lit(100)).cast("double") / F.lit(100.0) * alpha_ratio
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("score"),
+    )
+
+
+def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, re_tokens) — whitespace count vs a BPE-ish
+    regex segmentation ([a-z]+ | digits | other-symbol runs)."""
+    t = F.lower(F.col(text_col))
+    ws = F.size(F.split(t, " ")).cast("long")
+    re_tokens = F.size(F.regexp_extract_all(t, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).cast("long")
+    return documents.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws_tokens"), re_tokens.alias("re_tokens")
+    )
+
+
+def fingerprint(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — polynomial rolling hash over words:
+    fp = fold(fp*31 + len(word)*7 + first_char_code) mod p.
+
+    Uses word lengths + first character codes (cheap, content-sensitive,
+    identical in any engine with ascii()/length())."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: (
+            acc * 31 + F.length(w).cast("long") * 7 + F.coalesce(F.ascii(w), F.lit(0)).cast("long")
+        )
+        % MERSENNE31,
+    )
+    return documents.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
