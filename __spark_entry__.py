@@ -443,6 +443,31 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(synth_media(spark, 256))
 
 
+def q_st_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-surface tumbling window agg (batch semantics here; the
+    identical transformation runs as a real stream in tests/test_streaming)."""
+    from iconic_data_science_spark.streaming import events as ev
+
+    cat = _cat(spark, sf_dir)
+    return ev.tumbling_counts(cat.events)
+
+
+def q_st_sliding_hour_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15m window counts."""
+    from iconic_data_science_spark.streaming import events as ev
+
+    cat = _cat(spark, sf_dir)
+    return ev.sliding_counts(cat.events)
+
+
+def q_st_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (end = last event + gap)."""
+    from iconic_data_science_spark.streaming import events as ev
+
+    cat = _cat(spark, sf_dir)
+    return ev.session_windows(cat.events)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_coauthor_edges": q_g1_coauthor_edges,
     "g3_personal_net": q_g3_personal_net,
@@ -479,6 +504,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
+    "st_tumbling_hour": q_st_tumbling_hour,
+    "st_sliding_hour_15m": q_st_sliding_hour_15m,
+    "st_session_5m": q_st_session_5m,
 }
 
 # DuckDB oracle SQL. Views pre-registered: region nation customer supplier
@@ -1010,6 +1038,55 @@ ORACLES: dict[str, str] = {
                    (a, b) -> (a * 31 + b) % 2147483647
                ) AS fingerprint
         FROM documents
+    """,
+    "st_tumbling_hour": """
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "st_sliding_hour_15m": """
+        WITH slid AS (
+            SELECT e.event_type,
+                   time_bucket(INTERVAL '15 minutes', e.ts) - k.k * INTERVAL '15 minutes' AS win_start
+            FROM events e
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+            WHERE e.ts < time_bucket(INTERVAL '15 minutes', e.ts) - k.k * INTERVAL '15 minutes'
+                         + INTERVAL '1 hour'
+        )
+        SELECT epoch_us(win_start) AS window_start_us, event_type, COUNT(*) AS n_events
+        FROM slid GROUP BY 1, 2
+    """,
+    "st_session_5m": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts,
+                   -- Spark merges sessions only while ts < prev_end (prev+gap),
+                   -- so a gap of exactly 5 minutes starts a NEW session: >=
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               epoch_us(MAX(ts) + INTERVAL '5 minutes') AS session_end_us,
+               COUNT(*) AS n_events
+        FROM islands
+        GROUP BY user_id, island
     """,
 }
 

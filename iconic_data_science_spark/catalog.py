@@ -57,9 +57,9 @@ class Catalog:
                 # ts is TIMESTAMP(NANOS) on disk, read as long nanos via
                 # spark.sql.legacy.parquet.nanosAsLong; normalize to a
                 # micros timestamp (same truncation DuckDB applies).
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                )
+                # integer division — ts nanos exceed 2^53, double math
+                # would round and skew micros by ±1
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             self._tables[name] = df
         return self._tables[name]
 

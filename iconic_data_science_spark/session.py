@@ -74,6 +74,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.shuffle.partitions", str(default_parallelism())),
     ):
         try:
             spark.conf.set(k, v)

@@ -1,0 +1,117 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §1.1.5); this is the spec's
+streaming extension. Every transformation here is written once and works
+on BOTH a batch DataFrame and a ``readStream`` DataFrame — the pytest
+suite runs them through a real streaming query (parquet file source →
+memory sink, ``processAllAvailable``) and asserts the result equals the
+batch run, which is exactly Spark's unified-semantics promise.
+
+Operators:
+  - tumbling / sliding window aggregates (``F.window``) with watermark;
+  - session windows per user (``F.session_window``, gap-based);
+  - stateful dedup (``dropDuplicatesWithinWatermark``) — bounded state,
+    the streaming form of P9.
+
+Scale posture: watermarks bound state (late events beyond 10 minutes are
+dropped, the documented policy); window aggs shuffle on (window × key) —
+high cardinality; session windows shuffle on user_id. Timestamps are
+compared as ``unix_micros`` integers so engine string formatting can
+never skew results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import dec_sum
+
+EVENT_SCHEMA_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+WATERMARK = "10 minutes"
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """long nanos → micros timestamp (same truncation the catalog applies).
+    Integer division: nanos exceed 2^53, double math would skew ±1 µs."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (for tests/demos; a
+    production deployment points the same pipeline at Kafka)."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_ts(raw)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = WATERMARK) -> DataFrame:
+    """Per-hour per-type counts and value sums. Works batch or stream."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes", watermark: str = WATERMARK
+) -> DataFrame:
+    """Sliding-window counts (each event lands in width/slide windows)."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes", watermark: str = WATERMARK) -> DataFrame:
+    """Gap-based sessions per user: (user_id, session_start_us,
+    session_end_us, n_events). Session end = last event + gap (Spark
+    session_window semantics)."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Stateful exact dedup on event_id with bounded state (streaming) /
+    plain dropDuplicates (batch) — the two are semantically equal when
+    duplicates arrive within the watermark."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])

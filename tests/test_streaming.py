@@ -1,0 +1,65 @@
+"""Streaming surface tests: the SAME transformations run as a real
+Structured Streaming query (parquet source → memory sink) and as batch,
+and must agree — Spark's unified-semantics contract, verified."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from iconic_data_science_spark.catalog import Catalog
+from iconic_data_science_spark.streaming import events as ev
+
+
+def _run_stream(spark, stream_df, name: str, output_mode: str = "append"):
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf.reindex(cols, axis=1).sort_values(by=cols, ignore_index=True)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    batch = ev.tumbling_counts(Catalog(spark, sf_dir).events)
+    stream = ev.tumbling_counts(ev.read_event_stream(spark, sf_dir))
+    # complete mode: append would hold back windows the final watermark
+    # never closes (file stream ends -> watermark stops advancing)
+    got = _run_stream(spark, stream, "t_tumbling", output_mode="complete")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    batch = ev.session_windows(Catalog(spark, sf_dir).events)
+    stream = ev.session_windows(ev.read_event_stream(spark, sf_dir))
+    got = _run_stream(spark, stream, "t_sessions", output_mode="complete")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_stateful_dedup_removes_stream_duplicates(spark, sf_dir):
+    s1 = ev.read_event_stream(spark, sf_dir)
+    s2 = ev.read_event_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2)  # every event arrives twice
+    deduped = ev.dedup_within_watermark(doubled)
+    got = _run_stream(spark, deduped, "t_dedup", output_mode="append")
+    n_distinct = Catalog(spark, sf_dir).events.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+
+
+def test_sliding_windows_cover_each_event_four_times(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    total = cat.events.count()
+    slid = ev.sliding_counts(cat.events)  # 1h window / 15m slide
+    assert slid.agg(F.sum("n_events")).collect()[0][0] == 4 * total
