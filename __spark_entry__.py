@@ -443,6 +443,59 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(synth_media(spark, 256))
 
 
+def q_o2_topk_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: global sort + limit (top-10 authors by paper count,
+    deterministic tie-break on author id)."""
+    cat = _cat(spark, sf_dir)
+    return (
+        magmap.paa(cat)
+        .distinct()
+        .groupBy("author")
+        .agg(F.count("*").alias("n_papers"))
+        .orderBy(F.col("n_papers").desc(), F.col("author").asc())
+        .limit(10)
+    )
+
+
+def q_a5_coauthor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/F1: deterministic collect_set → array_sort → array_join
+    (the engine's ordered-collect discipline, SURVEY.md §4.3), rendered
+    as a string so the oracle compares exactly."""
+    from iconic_data_science_spark.operators.indicators import coauthor_year_triples
+
+    cat = _cat(spark, sf_dir)
+    triples = coauthor_year_triples(magmap.paa(cat), magmap.paper_years(cat))
+    return (
+        triples.groupBy("ego")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("alter_id")), ",").alias("alters_csv"),
+            F.countDistinct("alter_id").alias("n_alters"),
+        )
+    )
+
+
+def q_j8_element_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: join on an array element — split the source tag, use its
+    numeric element as the key (MagDwarf.scala:77-82 shape)."""
+    cat = _cat(spark, sf_dir)
+    src_num = F.element_at(F.split(F.col("source"), "src"), 2).cast("long")
+    docs = cat.documents.select("doc_id", (src_num % 5).cast("int").alias("rk"))
+    return (
+        docs.join(F.broadcast(cat.region), docs["rk"] == F.col("r_regionkey"))
+        .select("doc_id", "r_name")
+    )
+
+
+def q_p5_p6_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 string-contains + P6 membership (isin) filters."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.part
+        .filter(F.col("p_type").contains("OM") & F.col("p_brand").isin("Brand#1", "Brand#3"))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+    )
+
+
 def q_st_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-surface tumbling window agg (batch semantics here; the
     identical transformation runs as a real stream in tests/test_streaming)."""
@@ -504,6 +557,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
+    "o2_topk_authors": q_o2_topk_authors,
+    "a5_coauthor_list": q_a5_coauthor_list,
+    "j8_element_join": q_j8_element_join,
+    "p5_p6_filters": q_p5_p6_filters,
     "st_tumbling_hour": q_st_tumbling_hour,
     "st_sliding_hour_15m": q_st_sliding_hour_15m,
     "st_session_5m": q_st_session_5m,
@@ -1038,6 +1095,33 @@ ORACLES: dict[str, str] = {
                    (a, b) -> (a * 31 + b) % 2147483647
                ) AS fingerprint
         FROM documents
+    """,
+    "o2_topk_authors": """
+        SELECT author, n_papers FROM (
+            SELECT l_suppkey AS author, COUNT(DISTINCT l_orderkey) AS n_papers
+            FROM lineitem GROUP BY 1
+        ) ORDER BY n_papers DESC, author ASC LIMIT 10
+    """,
+    "a5_coauthor_list": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        tri AS (
+            SELECT DISTINCT a.author AS ego, b.author AS alter_id
+            FROM paa a JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+        )
+        SELECT ego,
+               array_to_string(list_sort(list(DISTINCT alter_id)), ',') AS alters_csv,
+               COUNT(DISTINCT alter_id) AS n_alters
+        FROM tri GROUP BY ego
+    """,
+    "j8_element_join": """
+        SELECT doc_id, r_name
+        FROM documents
+        JOIN region ON CAST(CAST(string_split(source, 'src')[2] AS BIGINT) % 5 AS INT) = r_regionkey
+    """,
+    "p5_p6_filters": """
+        SELECT p_partkey, p_name, p_brand, p_type
+        FROM part
+        WHERE p_type LIKE '%OM%' AND p_brand IN ('Brand#1', 'Brand#3')
     """,
     "st_tumbling_hour": """
         SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,

@@ -21,13 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from iconic_data_science_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
-# Headline subset: flagship + one per operator family; grows with coverage.
+# Headline subset: flagship + one per operator family.
 HEADLINE = [
     "g3_personal_net",
     "g1_coauthor_edges",
     "q1_pricing_summary",
     "w1_cumulative_papers",
     "a1_papers_per_author",
+    "profile_conversion",
+    "g7_ego_indicators",
+    "g5_hierarchy_roots",
+    "g4_bfs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+    "st_session_5m",
+    "f7_json_extract",
 ]
 
 
@@ -39,6 +48,13 @@ def main() -> None:
 
     all_queries = entrymod.queries()
     names = [n for n in HEADLINE if n in all_queries]
+
+    # Warmup: one throwaway action so JVM/codegen startup isn't billed to
+    # the first timed query (we measure query execution, not JVM boot).
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

@@ -41,10 +41,21 @@ TPCH_TABLES = (
 class Catalog:
     """Lazy parquet table catalog rooted at a scale-factor directory."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        overrides: dict[str, DataFrame] | None = None,
+    ):
+        """``overrides`` maps table name → DataFrame and is the engine's
+        debug/prod toggle (P10): the reference swaps fixture views for
+        real MAG views via a notebook widget (PersonalNet.scala:2-6,
+        108-114; StaticNet.scala:186-207) — here a pipeline runs
+        unchanged against fixtures by constructing the catalog with
+        overrides."""
         self.spark = spark
         self.sf_dir = sf_dir
-        self._tables: dict[str, DataFrame] = {}
+        self._tables: dict[str, DataFrame] = dict(overrides or {})
 
     def path(self, name: str) -> str:
         return os.path.join(self.sf_dir, f"{name}.parquet")

@@ -61,6 +61,21 @@ def get_spark(
     return spark
 
 
+def configure_object_store(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
+    """S13: cloud-storage credential/endpoint passthrough.
+
+    The reference hardcodes ADLS OAuth keys in notebooks
+    (/root/reference/src/notebooks/scala/StaticNet.scala:16-39,
+    MagDwarf.scala:41-53); the engine form takes S3A/ABFS/GCS Hadoop
+    conf pairs and applies them to the active context, e.g.
+    ``{"fs.s3a.endpoint": ..., "fs.s3a.access.key": ...}``.
+    """
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k, v)
+    return spark
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable conf on an externally created session.
 

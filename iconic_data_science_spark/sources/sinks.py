@@ -1,0 +1,48 @@
+"""Sinks (S5-S8) with the reference's output shapes.
+
+  S5 parquet (StaticNet.scala:428-429), S6 CSV export
+  (PersonalNet_2.scala:159; ProfileConversion.scala:178), S7 partitioned
+  CSV (PersonalNet_2.scala:157-158 — attempted then abandoned for "too
+  many partitions"; here with a guard), S8 single-file text
+  (jsNets.scala:106; MagDwarf.scala:152-154).
+
+Scale notes: ``coalesce(1)`` single-file writes serialize the job tail —
+only for small exports (GEXF docs, samples). Partitioned writes must key
+on low-cardinality columns; the guard makes the reference's mistake
+(partitionBy author ≈ millions of dirs) loud instead of slow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_partitioned_csv(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_partitions: int = 10_000,
+    mode: str = "overwrite",
+) -> None:
+    """S7 with a cardinality guard (the reference abandoned
+    partitionBy("author") — every author a directory)."""
+    n = df.select(*partition_cols).distinct().count()
+    if n > max_partitions:
+        raise ValueError(
+            f"partitionBy({partition_cols}) would create {n} partitions "
+            f"(> {max_partitions}); pick a lower-cardinality key"
+        )
+    df.write.mode(mode).partitionBy(*partition_cols).option("header", True).csv(path)
+
+
+def write_single_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: one text file (small exports only — serializes the write)."""
+    df.coalesce(1).write.mode(mode).text(path)

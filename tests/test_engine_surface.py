@@ -1,0 +1,59 @@
+"""Engine-surface tests: catalog overrides (P10), pandas-UDAF h-index
+(X2), view registration (S11), cache opt-in (S12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iconic_data_science_spark import fixtures
+from iconic_data_science_spark.catalog import Catalog
+from iconic_data_science_spark.functions import h_index_from_counts
+from iconic_data_science_spark.functions.hindex import h_index_pandas_udaf
+
+
+def test_catalog_overrides_debug_toggle(spark, sf_dir):
+    """The same pipeline code runs against fixture tables when the
+    catalog is constructed with overrides (the reference's debug widget)."""
+    fixture_li = fixtures.paa_df(spark).select(
+        F.col("paper").alias("l_orderkey"), F.col("author").alias("l_suppkey")
+    )
+    cat = Catalog(spark, sf_dir, overrides={"lineitem": fixture_li})
+    assert cat.table("lineitem") is fixture_li
+    # non-overridden tables still come from parquet
+    assert cat.table("region").count() == 5
+
+
+def test_pandas_udaf_h_index_matches_expression(spark):
+    data = [(1, 5), (1, 4), (1, 3), (1, 2), (1, 1), (2, 10), (2, 10), (3, 0)]
+    df = spark.createDataFrame(data, "author long, cit long")
+    udaf = h_index_pandas_udaf()
+    via_udaf = {
+        r.author: r.h for r in df.groupBy("author").agg(udaf("cit").alias("h")).collect()
+    }
+    via_expr = {
+        r.author: r.h
+        for r in df.groupBy("author")
+        .agg(F.collect_list("cit").alias("v"))
+        .select("author", h_index_from_counts("v", alias="h"))
+        .collect()
+    }
+    assert via_udaf == via_expr == {1: 3, 2: 2, 3: 0}
+
+
+def test_view_registration_and_sql(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("region", "nation"))
+    out = spark.sql(
+        "SELECT r_name, count(*) AS n FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    assert out.count() == 5
+    cat.register_views(("region",), global_views=True)
+    assert spark.sql("SELECT count(*) FROM global_temp.region").collect()[0][0] == 5
+
+
+def test_cache_opt_in(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    cat.cache("region")
+    assert cat.table("region").storageLevel.useMemory
+    cat.table("region").unpersist()

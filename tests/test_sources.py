@@ -1,0 +1,74 @@
+"""Source/sink tests: MAG schemas, TSV parsing semantics (S1/S3/S4),
+defaulted casts (P8), JSON abstract index (F7), geocode plumbing (S15)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iconic_data_science_spark import schemas
+from iconic_data_science_spark.sources import sinks, tsv
+from iconic_data_science_spark.sources.enrich import geocode
+
+
+def test_all_mag_schemas_parse(spark):
+    for table in schemas.TABLES:
+        st = schemas.struct_type(table)
+        assert len(st.fields) >= 2, table
+
+
+def test_read_tsv_with_schema(spark, tmp_path):
+    p = str(tmp_path / "pr.tsv")
+    with open(p, "w") as f:
+        f.write("citing\tcited\n1\t2\n3\t4\n")
+    df = tsv.read_tsv(spark, p, schemas.DDL["pr"])
+    assert {(r.citing, r.cited) for r in df.collect()} == {(1, 2), (3, 4)}
+
+
+def test_read_raw_split_defaulted_casts(spark, tmp_path):
+    """P8: malformed numeric -> 0, not null (StaticNet.scala:83-85)."""
+    p = str(tmp_path / "raw.tsv")
+    with open(p, "w") as f:
+        f.write("1\tok\t2.5\n")
+        f.write("oops\tname with space\tNaN-ish\n")  # malformed numerics
+        f.write("3\t\t\n")  # empty trailing fields
+    df = tsv.read_raw_split(spark, p, "id BIGINT, name STRING, score DOUBLE")
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows[1] == ("ok", 2.5)
+    assert rows[0][1] == 0.0  # malformed id -> 0, malformed score -> 0.0
+    assert rows[3] == ("", 0.0)
+
+
+def test_abstract_inverted_index_json(spark):
+    """F7: the PaperAbstractsInvertedIndex JSON shape parses into
+    map<string, array<int>> (data/samples/PaperAbstractsInvertedIndex.txt:1)."""
+    raw = spark.createDataFrame(
+        [(1, '{"IndexLength": 5, "InvertedIndex": {"the": [0, 3], "graph": [1]}}')],
+        schemas.DDL["paper_abstracts"],
+    )
+    parsed = raw.select(
+        "paper", F.from_json("indexed_abstract", schemas.ABSTRACT_INDEX_SCHEMA).alias("a")
+    ).select("paper", "a.IndexLength", F.map_keys("a.InvertedIndex").alias("words"))
+    row = parsed.collect()[0]
+    assert row.IndexLength == 5 and sorted(row.words) == ["graph", "the"]
+
+
+def test_geocode_injected_transport(spark):
+    affs = spark.createDataFrame(
+        [(1, "Str. Academiei 14, Bucharest"), (2, "5th Ave, NYC")], "id long, address string"
+    )
+    out = geocode(affs, lookup_fn=lambda a: ("RO", "Bucharest") if "Bucharest" in a else ("US", "NYC"))
+    rows = {r.id: (r.country_code, r.city) for r in out.collect()}
+    assert rows == {1: ("RO", "Bucharest"), 2: ("US", "NYC")}
+    with pytest.raises(NotImplementedError):
+        geocode(affs)  # no transport -> loud
+
+
+def test_partitioned_sink_guard(spark, tmp_path):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    sinks.write_partitioned_csv(df, str(tmp_path / "ok"), ["k"])
+    assert os.path.isdir(str(tmp_path / "ok"))
+    with pytest.raises(ValueError):
+        sinks.write_partitioned_csv(df, str(tmp_path / "bad"), ["id"], max_partitions=50)
