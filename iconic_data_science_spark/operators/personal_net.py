@@ -36,6 +36,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def personal_net_flatmap_form(edges: DataFrame, egos: DataFrame | None = None) -> DataFrame:
+    """The reference's OTHER formulation (PersonalNet.scala:143-201):
+    collect each ego's alters, cross the pairs per ego, then check
+    closure. The flatMap+RowEncoder UDTF (X4) becomes an explode over a
+    built-in pair-expression — no Python row loop, but the per-ego alter
+    array materializes in memory, so the relational ``personal_net`` is
+    the scale default. Kept for parity (and as the A5 discipline demo:
+    collect_list(struct) + array_sort, never zip of two collect_lists —
+    the reference's order-dependence bug, PersonalNet.scala:143-145).
+
+    Returns the same (ego, alter1, alter2, year) as ``personal_net``.
+    """
+    e = edges.select("ego", "alter_id", "first_year")
+    focal = e if egos is None else e.join(egos.select("ego").distinct(), "ego", "left_semi")
+    per_ego = focal.groupBy("ego").agg(
+        F.array_sort(F.collect_list(F.struct("alter_id", "first_year"))).alias("alters")
+    )
+    # UDTF-equivalent: explode the triangular index pairs (i < j)
+    n = F.size("alters")
+    idx_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.transform(F.sequence(F.lit(1), n), lambda j: F.struct(i.alias("i"), j.alias("j"))),
+            )
+        ),
+        lambda p: p["i"] < p["j"],
+    )
+    pairs = (
+        per_ego.select("ego", "alters", F.explode(idx_pairs).alias("p"))
+        .select(
+            "ego",
+            F.element_at("alters", F.col("p.i"))["alter_id"].alias("alter1"),
+            F.element_at("alters", F.col("p.i"))["first_year"].alias("y1"),
+            F.element_at("alters", F.col("p.j"))["alter_id"].alias("alter2"),
+            F.element_at("alters", F.col("p.j"))["first_year"].alias("y2"),
+        )
+    )
+    ap = e.select(
+        F.col("ego").alias("alter1"),
+        F.col("alter_id").alias("alter2"),
+        F.col("first_year").alias("y3"),
+    )
+    return (
+        pairs.join(ap, ["alter1", "alter2"])
+        .select("ego", "alter1", "alter2", F.greatest("y1", "y2", "y3").alias("year"))
+    )
+
+
 def personal_net(edges: DataFrame, egos: DataFrame | None = None) -> DataFrame:
     """Triadic-closure personal networks from a coauthor edge table.
 

@@ -1,0 +1,78 @@
+"""Scale-posture assertions: the plans the engine promises are the plans
+Catalyst actually produces (pushdown, pruning, broadcasts, bounded
+shuffles). Run at sf0.01 so AQE/broadcast thresholds behave realistically."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from iconic_data_science_spark.catalog import Catalog
+from iconic_data_science_spark.plans import inspect
+
+
+@pytest.fixture(scope="module")
+def sf01():
+    return "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf01):
+    df = entrymod.queries()["p_projection_filter"](spark, sf01)
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_returnflag" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning_narrow_read(spark, sf01):
+    df = entrymod.queries()["p_projection_filter"](spark, sf01)
+    schemas = inspect.read_schemas(df)
+    # 11-column lineitem must be read as only the 7 needed columns
+    # (2 projected keys + 2 revenue inputs + 3 filter columns)
+    assert len(schemas) == 1
+    assert schemas[0].count(":") == 7
+    assert "l_partkey" not in schemas[0] and "l_suppkey" not in schemas[0]
+
+
+def test_q1_single_shuffle(spark, sf01):
+    """Partial+final hash agg: exactly one exchange, no more."""
+    df = entrymod.queries()["q1_pricing_summary"](spark, sf01)
+    assert inspect.shuffle_count(df) == 1
+    # partial + final hash aggregation (map-side combine before the shuffle);
+    # count the numbered operator headers, not tree echoes
+    assert inspect.formatted_plan(df).count(") HashAggregate") == 2
+
+
+def test_country_enrichment_broadcasts(spark, sf01):
+    """The nation/supplier dims must broadcast into the indicator join."""
+    df = entrymod.queries()["g7_ego_indicators"](spark, sf01)
+    assert inspect.has_broadcast_join(df)
+
+
+def test_dwarf_semi_join_pushes_only_keys(spark, sf01):
+    df = entrymod.queries()["j12_dwarf_lineitem"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_or_join_avoids_nested_loop(spark, sf01):
+    """J7's union-of-equi-joins rewrite must produce hash joins, never a
+    BroadcastNestedLoopJoin over the disjunction."""
+    df = entrymod.queries()["j7_or_join"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_year_spine_is_broadcast_not_shuffle(spark, sf01):
+    from iconic_data_science_spark import magmap
+    from iconic_data_science_spark.operators.profiles import paper_year_spine
+
+    cat = Catalog(spark, sf01)
+    df = paper_year_spine(magmap.paper_years(cat), magmap.years_dim(cat))
+    assert inspect.has_broadcast_join(df)
+
+
+def test_flagship_uses_hash_joins_not_cartesian(spark, sf01):
+    df = entrymod.queries()["g3_personal_net"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for operator invariants, plus
+equality of the two personal-net formulations and skew-utility results."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from iconic_data_science_spark import fixtures
+from iconic_data_science_spark.functions import h_index_from_counts
+from iconic_data_science_spark.operators.coauthor import coauthor_edges
+from iconic_data_science_spark.operators.personal_net import personal_net, personal_net_flatmap_form
+from iconic_data_science_spark.operators.skew import salt_join_skewed_left, salted_aggregate
+
+
+def _h_index_py(v: list[int]) -> int:
+    s = sorted(v, reverse=True)
+    return sum(1 for i, x in enumerate(s, 1) if x >= i)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=1000), max_size=30), min_size=1, max_size=8))
+def test_h_index_matches_model(spark, vectors):
+    rows = [(i, v) for i, v in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "id long, vec array<bigint>")
+    got = {r.id: r.h for r in df.select("id", h_index_from_counts("vec", alias="h")).collect()}
+    for i, v in enumerate(vectors):
+        assert got[i] == _h_index_py(v)
+
+
+def test_personal_net_formulations_agree(spark):
+    """The relational (PersonalNet_2) and flatMap (PersonalNet) forms
+    must produce identical triangles — the reference implemented both."""
+    edges = coauthor_edges(fixtures.paa_df(spark), fixtures.paper_years_df(spark)).select(
+        "ego", "alter_id", "first_year"
+    )
+    a = {tuple(r) for r in personal_net(edges).collect()}
+    b = {tuple(r) for r in personal_net_flatmap_form(edges).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_personal_net_year_property(spark):
+    """Triangle year == max of the three pairwise first-collab years
+    (the invariant stated in PersonalNet.scala:118-124)."""
+    edges = coauthor_edges(fixtures.paa_df(spark), fixtures.paper_years_df(spark)).select(
+        "ego", "alter_id", "first_year"
+    )
+    first = {(r.ego, r.alter_id): r.first_year for r in edges.collect()}
+    for r in personal_net(edges).collect():
+        expect = max(first[(r.ego, r.alter1)], first[(r.ego, r.alter2)], first[(r.alter1, r.alter2)])
+        assert r.year == expect
+
+
+def test_salted_aggregate_equals_plain(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 13).cast("double").alias("v")
+    )
+    plain = {
+        (r.k): (r.n, r.s, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, r.s, r.mx)
+        for r in salted_aggregate(df, ["k"], {"n": "count(*)", "s": "sum(v)", "mx": "max(v)"}).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    left = spark.range(0, 2000).select((F.col("id") % 5).alias("key"), F.col("id").alias("lv"))
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(5)], "key long, rv string")
+    plain = {(r.key, r.lv, r.rv) for r in left.join(right, "key").collect()}
+    salted = {(r.key, r.lv, r.rv) for r in salt_join_skewed_left(left, right, "key").collect()}
+    assert plain == salted
