@@ -443,6 +443,101 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(synth_media(spark, 256))
 
 
+def q_g6_edge_citation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 (DynamicNet): per coauthor edge, per year — cumulative citations
+    of the papers the pair shares. The reference encoded this as nested
+    mutable maps on edges (DLink, DynamicNet.scala:251) and couldn't make
+    it work; the relational form is (pair, paper) ⋈ cumulative-citations
+    rows (SURVEY.md §2.10 G6). Egos sampled (%25) to bound output."""
+    from iconic_data_science_spark.operators.coauthor import coauthor_pairs
+    from iconic_data_science_spark.operators import profiles
+
+    cat = _cat(spark, sf_dir)
+    pairs = coauthor_pairs(magmap.paa(cat)).filter(F.col("ego") % 25 == 0)
+    cit = magmap.citation_edges(cat).groupBy("cited", "cite_year").agg(F.count("*").alias("n_cit"))
+    spine = profiles.paper_year_spine(magmap.paper_years(cat), magmap.years_dim(cat))
+    cum = profiles.cumulative_citations(profiles.zero_filled_citations(cit, spine))
+    return (
+        pairs.join(cum, "paper")
+        .groupBy("ego", "alter_id", "year")
+        .agg(F.sum("cum_cit").alias("shared_cum_citations"))
+    )
+
+
+def q_g9_year_keyed_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 (personal_network.py:29-68): the ego's network keyed by year —
+    per (ego, year) the sorted alter list (egos sampled %25)."""
+    from iconic_data_science_spark.operators.indicators import coauthor_year_triples
+
+    cat = _cat(spark, sf_dir)
+    triples = coauthor_year_triples(magmap.paa(cat), magmap.paper_years(cat)).filter(
+        F.col("ego") % 25 == 0
+    )
+    return (
+        triples.groupBy("ego", "year")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("alter_id")), ",").alias("alters_csv"),
+            F.countDistinct("alter_id").alias("n_alters"),
+        )
+    )
+
+
+def q_a6_flatten_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/X1: agg-of-arrays + flatten-distinct — per-paper author arrays
+    collected per ego, flattened, deduped (the reference's flatten UDF,
+    PersonalNet.scala:94-96, as pure built-ins), ego removed."""
+    cat = _cat(spark, sf_dir)
+    paa = magmap.paa(cat).distinct()
+    per_paper = paa.groupBy("paper").agg(F.array_sort(F.collect_list("author")).alias("authors"))
+    ego_papers = paa.select(F.col("author").alias("ego"), "paper").join(per_paper, "paper")
+    return (
+        ego_papers.groupBy("ego")
+        .agg(F.flatten(F.collect_list("authors")).alias("_nested"))
+        .select(
+            "ego",
+            F.array_join(
+                F.array_sort(F.array_remove(F.array_distinct("_nested"), F.col("ego"))), ","
+            ).alias("coauthors_csv"),
+        )
+    )
+
+
+def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join analytics (TPC-H Q5 shape): revenue by nation where
+    customer and supplier share the nation — J1/J2 chain + broadcast dims
+    + exact-decimal agg."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k (TPC-H Q3 shape): top 10 urgent orders by
+    pre-ship revenue, deterministic tie-break."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("l_shipdate") > F.col("o_orderdate"))
+        )
+        .groupBy("o_orderkey")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 def q_o2_topk_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O2: global sort + limit (top-10 authors by paper count,
     deterministic tie-break on author id)."""
@@ -557,6 +652,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
+    "g6_edge_citation_series": q_g6_edge_citation_series,
+    "g9_year_keyed_network": q_g9_year_keyed_network,
+    "a6_flatten_distinct": q_a6_flatten_distinct,
+    "q5_nation_revenue": q_q5_nation_revenue,
+    "q3_shipping_priority": q_q3_shipping_priority,
     "o2_topk_authors": q_o2_topk_authors,
     "a5_coauthor_list": q_a5_coauthor_list,
     "j8_element_join": q_j8_element_join,
@@ -1095,6 +1195,88 @@ ORACLES: dict[str, str] = {
                    (a, b) -> (a * 31 + b) % 2147483647
                ) AS fingerprint
         FROM documents
+    """,
+    "g6_edge_citation_series": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        pairs AS (
+            SELECT a.paper, a.author AS ego, b.author AS alter_id
+            FROM paa a JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+            WHERE a.author % 25 = 0
+        ),
+        pr AS (
+            SELECT o2.o_orderkey AS citing, o1.o_orderkey AS cited,
+                   CAST(year(o2.o_orderdate) AS BIGINT) AS cite_year
+            FROM orders o1
+            JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o2.o_orderdate > o1.o_orderdate
+        ),
+        cit AS (SELECT cited, cite_year, COUNT(*) AS n_cit FROM pr GROUP BY 1, 2),
+        years AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS year FROM orders),
+        spine AS (
+            SELECT o_orderkey AS paper, y.year
+            FROM orders JOIN years y ON y.year >= CAST(year(o_orderdate) AS BIGINT)
+        ),
+        filled AS (
+            SELECT s.paper, s.year, COALESCE(c.n_cit, 0) AS n_cit
+            FROM spine s LEFT JOIN cit c ON c.cited = s.paper AND c.cite_year = s.year
+        ),
+        cum AS (
+            SELECT paper, year,
+                   CAST(SUM(n_cit) OVER (
+                       PARTITION BY paper ORDER BY year
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_cit
+            FROM filled
+        )
+        SELECT p.ego, p.alter_id, c.year,
+               CAST(SUM(c.cum_cit) AS BIGINT) AS shared_cum_citations
+        FROM pairs p JOIN cum c ON c.paper = p.paper
+        GROUP BY 1, 2, 3
+    """,
+    "g9_year_keyed_network": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year FROM orders),
+        tri AS (
+            SELECT DISTINCT a.author AS ego, py.year, b.author AS alter_id
+            FROM paa a
+            JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+            JOIN py ON py.paper = a.paper
+            WHERE a.author % 25 = 0
+        )
+        SELECT ego, year,
+               array_to_string(list_sort(list(DISTINCT alter_id)), ',') AS alters_csv,
+               COUNT(DISTINCT alter_id) AS n_alters
+        FROM tri GROUP BY ego, year
+    """,
+    "a6_flatten_distinct": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        co AS (
+            SELECT a.author AS ego, b.author AS coauthor
+            FROM paa a JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+        )
+        SELECT ego,
+               array_to_string(list_sort(list(DISTINCT coauthor)), ',') AS coauthors_csv
+        FROM co GROUP BY ego
+    """,
+    "q5_nation_revenue": """
+        SELECT n_name AS nation,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND l_shipdate > o_orderdate
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
     """,
     "o2_topk_authors": """
         SELECT author, n_papers FROM (
