@@ -59,9 +59,18 @@ def q_g3_personal_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = _cat(spark, sf_dir)
     years = magmap.paper_years(cat).filter(F.col("year") == 1995)
-    edges = coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+    # The edge table is referenced 4x downstream (both pair sides, the
+    # closure probe, the ego sample); materialize it once — it is small
+    # (SF-proportional pairs), while re-deriving it would rescan lineitem
+    # ~10x. At cluster scale this is the canonical cache-the-reduced-
+    # intermediate pattern (SURVEY §4: "cache only multi-consumer frames").
+    edges = (
+        coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+        .select("ego", "alter_id", "first_year")
+        .localCheckpoint()
+    )
     egos = edges.select("ego").filter(F.col("ego") % 10 == 0).distinct()
-    return personal_net(edges.select("ego", "alter_id", "first_year"), egos=egos)
+    return personal_net(edges, egos=egos)
 
 
 def q_a1_papers_per_author(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,8 +251,12 @@ def q_g4_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = _cat(spark, sf_dir)
     years = magmap.paper_years(cat).filter(F.col("year") == 1995)
-    edges = coauthor_edges(magmap.paa(cat), years, min_papers_together=2).select(
-        F.col("ego").alias("src"), F.col("alter_id").alias("dst")
+    # materialize the edge table once — BFS references it every round,
+    # and re-deriving means re-running the paa self-join per depth
+    edges = (
+        coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+        .select(F.col("ego").alias("src"), F.col("alter_id").alias("dst"))
+        .localCheckpoint()
     )
     sources = spark.range(1).select(F.lit(0).cast("long").alias("author"))
     return bfs(edges, sources, max_depth=3)
@@ -441,6 +454,55 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_engine_conf(spark)
     return media_stats(synth_media(spark, 256))
+
+
+def q_a_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (grouping-sets family — engine built-in beyond reference
+    parity, SURVEY §2.4 note): order counts by (year, priority) with
+    subtotal rows; nulls coalesced so the hash gate is type-stable."""
+    cat = _cat(spark, sf_dir)
+    base = cat.orders.select(
+        F.year("o_orderdate").cast("long").alias("year"), F.col("o_orderpriority").alias("prio")
+    )
+    return (
+        base.rollup("year", "prio")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("year"), F.lit(-1)).alias("year"),
+            F.coalesce(F.col("prio"), F.lit("ALL")).alias("prio"),
+            "n_orders",
+        )
+    )
+
+
+def q_a_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: lineitem counts by returnflag pivoted on linestatus
+    (oracle = conditional aggregation, the relational equivalent)."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        )
+    )
+
+
+def q_a_median_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (percentile) over integer-valued counts — interpolation
+    lands on exact halves, so both engines agree bit-for-bit."""
+    cat = _cat(spark, sf_dir)
+    per_author = (
+        magmap.paa(cat).distinct().groupBy("author").agg(F.count("*").alias("n_papers"))
+    )
+    return per_author.agg(
+        F.expr("percentile(n_papers, 0.5)").alias("median_papers"),
+        F.expr("percentile(n_papers, 0.25)").alias("p25_papers"),
+        F.max("n_papers").alias("max_papers"),
+    )
 
 
 def q_g6_edge_citation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +714,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
+    "a_rollup_orders": q_a_rollup_orders,
+    "a_pivot_returnflag": q_a_pivot_returnflag,
+    "a_median_papers": q_a_median_papers,
     "g6_edge_citation_series": q_g6_edge_citation_series,
     "g9_year_keyed_network": q_g9_year_keyed_network,
     "a6_flatten_distinct": q_a6_flatten_distinct,
@@ -1195,6 +1260,31 @@ ORACLES: dict[str, str] = {
                    (a, b) -> (a * 31 + b) % 2147483647
                ) AS fingerprint
         FROM documents
+    """,
+    "a_rollup_orders": """
+        SELECT COALESCE(year, -1) AS year,
+               COALESCE(prio, 'ALL') AS prio,
+               COUNT(*) AS n_orders
+        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderpriority AS prio FROM orders)
+        GROUP BY ROLLUP (year, prio)
+    """,
+    "a_pivot_returnflag": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) FILTER (l_linestatus = 'O') AS BIGINT) AS n_open,
+               CAST(COUNT(*) FILTER (l_linestatus = 'F') AS BIGINT) AS n_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "a_median_papers": """
+        WITH per_author AS (
+            SELECT author, COUNT(*) AS n_papers
+            FROM (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem)
+            GROUP BY author
+        )
+        SELECT quantile_cont(n_papers, 0.5) AS median_papers,
+               quantile_cont(n_papers, 0.25) AS p25_papers,
+               MAX(n_papers) AS max_papers
+        FROM per_author
     """,
     "g6_edge_citation_series": """
         WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),

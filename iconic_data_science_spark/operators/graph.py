@@ -44,8 +44,12 @@ def hierarchy_roots(parent_child: DataFrame, max_iters: int = 20) -> DataFrame:
         .groupBy("child")
         .agg(F.min("parent").alias("parent"))
     )
-    # m: child → current known ancestor
-    m = edges.select("child", F.col("parent").alias("anc")).localCheckpoint()
+    # m: child → current known ancestor. One persisted frame per round,
+    # one job per round (count materializes the cache AND answers the
+    # convergence question); the previous round's cache is dropped as
+    # soon as the new one is live.
+    m = edges.select("child", F.col("parent").alias("anc")).persist()
+    m.count()
     for _ in range(max_iters):
         hop = m.select(F.col("child").alias("h_child"), F.col("anc").alias("h_anc"))
         m2 = (
@@ -55,10 +59,11 @@ def hierarchy_roots(parent_child: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.coalesce("h_anc", "anc").alias("anc"),
                 F.col("h_anc").isNotNull().alias("_hopped"),
             )
-        ).localCheckpoint()
-        any_hopped = m2.filter(F.col("_hopped")).limit(1).count() > 0
+        ).persist()
+        hopped = m2.filter(F.col("_hopped")).count()
+        m.unpersist()
         m = m2.select("child", "anc")
-        if not any_hopped:
+        if hopped == 0:
             break
     return m.select("child", F.col("anc").alias("root"))
 
@@ -73,19 +78,22 @@ def bfs(edges: DataFrame, sources: DataFrame, max_depth: int = 6) -> DataFrame:
     """
     e = edges.select(F.col("src"), F.col("dst"))
     visited = sources.select("author").distinct().withColumn("depth", F.lit(0).cast("long"))
-    visited = visited.localCheckpoint()
+    visited = visited.persist()
+    visited.count()
     frontier = visited.select("author")
+    # Each frontier is persisted and counted (one job per depth); the
+    # visited set stays a lazy union over the persisted frontiers, so no
+    # per-round re-materialization of the whole set is needed.
     for d in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier["author"] == e["src"])
             .select(F.col("dst").alias("author"))
             .distinct()
             .join(visited.select("author"), "author", "left_anti")
-        ).localCheckpoint()
-        if nxt.limit(1).count() == 0:
+        ).persist()
+        if nxt.count() == 0:
+            nxt.unpersist()
             break
-        visited = visited.unionByName(
-            nxt.withColumn("depth", F.lit(d).cast("long"))
-        ).localCheckpoint()
-        frontier = nxt
+        visited = visited.unionByName(nxt.withColumn("depth", F.lit(d).cast("long")))
+        frontier = nxt.select("author")
     return visited
