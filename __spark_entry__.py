@@ -653,6 +653,26 @@ def q_p5_p6_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_signup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal): each purchase event picks up the user's
+    most recent prior-or-same signup value (DuckDB native ASOF JOIN is
+    the oracle; Spark side is the union+window formulation)."""
+    from iconic_data_science_spark.operators.asof import asof_join
+
+    cat = _cat(spark, sf_dir)
+    ev = cat.events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), F.col("ts")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    return asof_join(
+        purchases, signups, key="user_id", left_time="ts", right_time="ts",
+        value_cols=["signup_value"],
+    ).select("event_id", "user_id", "ts_us", "signup_value")
+
+
 def q_st_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-surface tumbling window agg (batch semantics here; the
     identical transformation runs as a real stream in tests/test_streaming)."""
@@ -726,6 +746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_coauthor_list": q_a5_coauthor_list,
     "j8_element_join": q_j8_element_join,
     "p5_p6_filters": q_p5_p6_filters,
+    "asof_signup_value": q_asof_signup_value,
     "st_tumbling_hour": q_st_tumbling_hour,
     "st_sliding_hour_15m": q_st_sliding_hour_15m,
     "st_session_5m": q_st_session_5m,
@@ -1394,6 +1415,15 @@ ORACLES: dict[str, str] = {
         SELECT p_partkey, p_name, p_brand, p_type
         FROM part
         WHERE p_type LIKE '%OM%' AND p_brand IN ('Brand#1', 'Brand#3')
+    """,
+    "asof_signup_value": """
+        WITH s AS (
+            SELECT user_id, ts, MAX(value) AS signup_value
+            FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+        )
+        SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, s.signup_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN s ON l.user_id = s.user_id AND l.ts >= s.ts
     """,
     "st_tumbling_hour": """
         SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,

@@ -1,0 +1,69 @@
+"""As-of (temporal) join — an operator Spark lacks natively.
+
+``asof_join(left, right)``: for every left row, the right row with the
+largest ``right_time <= left_time`` within the same key (the standard
+backward as-of join; DuckDB/kdb/pandas ``merge_asof`` semantics).
+
+Spark-first formulation (no per-group pandas, no range explosion):
+union both sides tagged, sort each key partition by (time, side) with
+the right side first on ties, and carry right values forward with
+``last(ignorenulls)`` over an unbounded-preceding window, then keep the
+left rows. One shuffle on the key, one window pass — scales like any
+windowed aggregation, regardless of how asymmetric the two sides are.
+
+The per-group ``pd.merge_asof`` alternative (applyInPandas) materializes
+whole groups in memory; the union-window form streams. (The pyspark
+guide lists both; this is the scalable one.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join; ties (equal times) match (<= semantics).
+
+    Right rows are first deduped to one per (key, time) — max per value
+    column — so the match is deterministic. Returns all left columns
+    plus ``value_cols`` (null when no earlier right row exists).
+    """
+    r = right.groupBy(F.col(key), F.col(right_time).alias("_t")).agg(
+        *[F.max(c).alias(c) for c in value_cols]
+    )
+    left_cols = left.columns
+    l_tagged = left.select(
+        *left_cols,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+    )
+    u = l_tagged.unionByName(
+        r.select(
+            *[
+                (F.col(key) if c == key else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+                for c in left_cols
+            ],
+            "_t",
+            F.lit(0).alias("_side"),
+            *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        )
+    )
+    w = W.partitionBy(key).orderBy("_t", "_side").rowsBetween(W.unboundedPreceding, W.currentRow)
+    filled = u.select(
+        *left_cols,
+        "_side",
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

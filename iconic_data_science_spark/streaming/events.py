@@ -108,6 +108,43 @@ def session_windows(events: DataFrame, gap: str = "5 minutes", watermark: str = 
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value) maintained in explicit state across
+    micro-batches — the ``GroupState`` surface for operators the built-in
+    aggregations can't express. Update-mode output: one row per user per
+    batch with the running totals."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("total_value", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("total", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     """Stateful exact dedup on event_id with bounded state (streaming) /
     plain dropDuplicates (batch) — the two are semantically equal when

@@ -1,0 +1,64 @@
+"""As-of join goldens (hand-checkable timeline) + stateful streaming
+operator equality with batch."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from iconic_data_science_spark.catalog import Catalog
+from iconic_data_science_spark.operators.asof import asof_join
+from iconic_data_science_spark.streaming import events as ev
+
+
+def test_asof_join_golden(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 35, 102), (2, 5, 200), (3, 9, 300)],
+        "k long, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 25, 2.5), (2, 6, 9.0), (4, 1, 7.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        r.lid: r.v
+        for r in asof_join(left, right, key="k", left_time="t", right_time="t", value_cols=["v"]).collect()
+    }
+    assert out[100] == 1.0   # tie: right at t=10 matches (<= semantics)
+    assert out[101] == 1.0   # t=20: latest right is t=10
+    assert out[102] == 2.5   # t=35: latest right is t=25
+    assert out[200] is None  # right exists only at t=6 > 5 → no match
+    assert out[300] is None  # key 3 has no right rows
+
+
+def test_stateful_running_totals_stream_equals_batch(spark, sf_dir):
+    stream = ev.running_user_totals(ev.read_event_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM t_state")
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    want = (
+        Catalog(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    # update-mode with a single availableNow batch: one final row per user
+    assert list(got.user_id) == list(want.user_id)
+    assert list(got.n_events) == list(want.n_events)
+    pd.testing.assert_series_equal(
+        got.total_value, want.total_value, rtol=1e-9, check_names=False
+    )
