@@ -153,18 +153,26 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
-    """(doc_id, i, minhash) — K universal-hash minima per document."""
+    """(doc_id, i, minhash) — K universal-hash minima per document.
+
+    One wide aggregation: K ``min((a_i·h+b_i) mod p)`` expressions in a
+    single groupBy pass (map-side combined), then an unpivot — instead of
+    cross-joining a K-row permutation table (which multiplies the shuffle
+    by K). Same results, 1/K the shuffled rows.
+    """
     perms = _lcg_params(num_perm)
-    spark = shingles.sparkSession
-    pdf = spark.createDataFrame(perms, "i int, a long, b long")
     h = token_hash48(F.col("shingle")) % MERSENNE31
     hashed = shingles.select("doc_id", h.alias("h"))
-    return (
-        hashed.crossJoin(F.broadcast(pdf))
-        .select("doc_id", "i", ((F.col("a") * F.col("h") + F.col("b")) % MERSENNE31).alias("hv"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("minhash"))
+    wide = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"_m{i}")
+            for i, a, b in perms
+        ]
     )
+    stack_expr = "stack({n}, {args}) as (i, minhash)".format(
+        n=num_perm, args=", ".join(f"{i}, _m{i}" for i, _, _ in perms)
+    )
+    return wide.select("doc_id", F.expr(stack_expr))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
@@ -264,7 +272,11 @@ def embedding_cosine_pairs(
         lambda acc, x: acc + x,
     )
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sq.alias("sq"))
-    e1 = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("sq").alias("sq1"))
+    # The triangular pair join is a nested-loop; a single-file parquet
+    # table arrives as ONE partition, which would serialize the whole
+    # O(n²) fan-out onto one core. Spread the streamed side explicitly.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    e1 = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("sq").alias("sq1")).repartition(par)
     e2 = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("sq").alias("sq2"))
     dot = F.aggregate(
         F.zip_with("v1", "v2", _scaled),

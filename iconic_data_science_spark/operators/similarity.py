@@ -88,7 +88,10 @@ def brute_force_topk(
     ``queries``: frame with the same (id_col, vec_col) schema.
     Returns (query_id, neighbor_id, cosine, rank).
     """
-    corpus = _with_sqnorm(embeddings, id_col, vec_col).alias("c")
+    # spread the corpus side — a single-file table would otherwise run
+    # the whole query×corpus nested loop in one task
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    corpus = _with_sqnorm(embeddings, id_col, vec_col).repartition(par).alias("c")
     qs = _with_sqnorm(queries, id_col, vec_col).alias("q")
     dot = F.aggregate(
         F.zip_with(F.col("q.v"), F.col("c.v"), _scaled_prod),
