@@ -394,6 +394,16 @@ def _ann_queries(cat: Catalog) -> DataFrame:
     return cat.embeddings.filter(F.col("vec_id") % 50 == 0)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (min-label fixpoint) over
+    the exact Jaccard pairs; cluster_id = canonical (min) member."""
+    from iconic_data_science_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    cat = _cat(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5).select("id1", "id2").localCheckpoint()
+    return dedup_clusters(pairs)
+
+
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the sampled query set."""
     from iconic_data_science_spark.operators.similarity import brute_force_topk
@@ -726,6 +736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_clusters": q_dedup_clusters,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_language_id": q_text_language_id,
@@ -1167,6 +1178,40 @@ ORACLES: dict[str, str] = {
                    ) / sqrt(CAST(a.sq AS DOUBLE) * CAST(b.sq AS DOUBLE)) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
         ) WHERE cosine >= 0.4
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+            )
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id1, id2 FROM (
+                SELECT id1, id2, i / (z1.sz + z2.sz - i) AS jaccard
+                FROM inter
+                JOIN sz z1 ON z1.doc_id = id1
+                JOIN sz z2 ON z2.doc_id = id2
+            ) WHERE jaccard >= 0.5
+        ),
+        und AS (
+            SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs
+        ),
+        reach(node, lab) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT u.a, r.lab FROM und u JOIN reach r ON r.node = u.b
+        )
+        SELECT node AS doc_id, MIN(lab) AS cluster_id
+        FROM reach GROUP BY node
     """,
     "ann_brute_topk": """
         WITH e AS (

@@ -219,6 +219,57 @@ def minhash_lsh_pairs(
     return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    ``pairs``: (id1, id2) undirected near-duplicate edges (from the
+    Jaccard / LSH / cosine joins). ``cluster_id`` is the minimum doc id
+    in the component — the canonical representative, so "keep one per
+    cluster" is a filter on ``doc_id == cluster_id``.
+
+    Min-label propagation to fixpoint (driver loop of distributed joins,
+    like operators/graph.py): each node repeatedly adopts the smallest
+    label among itself and its neighbors. Near-dup components are tiny
+    (pairs/triples), so this converges in 2-3 rounds; the loop caps at
+    ``max_iters`` regardless.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias("_changed"),
+            )
+            .persist()
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels.unpersist()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over distinct word tokens.
 
