@@ -37,6 +37,9 @@ HEADLINE = [
     "ann_lsh_topk",
     "st_session_5m",
     "f7_json_extract",
+    "asof_signup_value",
+    "q5_nation_revenue",
+    "dedup_clusters",
 ]
 
 

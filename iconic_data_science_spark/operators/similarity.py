@@ -140,6 +140,74 @@ def lsh_signature(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = 
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) — IVF cell assignment against fixed pseudo-centroids.
+
+    Centroids are the vectors with the ``n_cells`` smallest ids — fixed
+    and data-deterministic, so both engines (and successive runs) agree.
+    A real deployment would k-means these; the *assignment/search*
+    machinery (argmin over broadcast centroids, cell-restricted probe)
+    is identical either way, and that is the part that must scale.
+    """
+    e = _with_sqnorm(embeddings, id_col, vec_col)
+    centroids = e.orderBy("id").limit(n_cells).select(
+        F.col("id").alias("c_id"), F.col("v").alias("c_v"), F.col("sq").alias("c_sq")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c_v"), _scaled_prod),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / F.sqrt(F.col("sq").cast("double") * F.col("c_sq").cast("double"))
+    scored = e.crossJoin(F.broadcast(centroids)).select("id", F.col("c_id"), sim.alias("sim"))
+    w = W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("c_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the query's cell (nprobe=1).
+
+    Cost drops by ~n_cells vs brute force; recall is bounded by how often
+    true neighbors share the query's cell (high for clustered data)."""
+    assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    corpus = _with_sqnorm(embeddings, id_col, vec_col).join(assign, "id").alias("c")
+    qs = (
+        _with_sqnorm(queries, id_col, vec_col)
+        .join(ivf_assign(embeddings, n_cells, id_col, vec_col), "id")
+        .alias("q")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q.v"), F.col("c.v"), _scaled_prod),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        qs.join(corpus, (F.col("q.cell") == F.col("c.cell")) & (F.col("q.id") != F.col("c.id")))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            _cosine(dot).alias("cosine"),
+        )
+    )
+    return _topk(pairs, k)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

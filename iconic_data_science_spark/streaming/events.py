@@ -108,6 +108,29 @@ def session_windows(events: DataFrame, gap: str = "5 minutes", watermark: str = 
     )
 
 
+def write_stream_exactly_once(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "exactly_once_sink",
+):
+    """foreachBatch exactly-once parquet sink: each micro-batch writes to
+    an epoch-keyed subdirectory, so a replayed epoch (failure/restart)
+    overwrites its own output instead of duplicating it — idempotent
+    writes + the checkpoint's exactly-once batch tracking."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (n_events, total_value) maintained in explicit state across

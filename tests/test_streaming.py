@@ -58,6 +58,22 @@ def test_stateful_dedup_removes_stream_duplicates(spark, sf_dir):
     assert got.count() == n_distinct
 
 
+def test_foreach_batch_exactly_once_sink(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = ev.write_stream_exactly_once(ev.read_event_stream(spark, sf_dir), out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(out)
+    n_src = Catalog(spark, sf_dir).events.count()
+    assert written.count() == n_src
+    # restart with the same checkpoint: no new data -> no duplicates
+    q2 = ev.write_stream_exactly_once(ev.read_event_stream(spark, sf_dir), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == n_src
+
+
 def test_sliding_windows_cover_each_event_four_times(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     total = cat.events.count()
