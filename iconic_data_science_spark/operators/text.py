@@ -105,6 +105,41 @@ def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def parse_country_tuple(col: Column | str) -> Column:
+    """Parse the reference's stringified affiliation tuple
+    ``"('CAN', 'Grande Prairie')"`` into struct(countryCode, city)
+    (/root/reference/src/notebooks/python/Geocoding.ipynb cell 12, which
+    strips and splits by hand in pandas). Handles unicode city names
+    (``"('TWN', '三芝區')"``, FIXTURES.md §5). Pure built-ins: regex
+    extraction of the two quoted fields."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.regexp_extract(c, r"^\('([^']*)'", 1).alias("countryCode"),
+        F.regexp_extract(c, r",\s*'([^']*)'\)$", 1).alias("city"),
+    )
+
+
+def reconstruct_abstract(indexed: Column | str) -> Column:
+    """Rebuild abstract text from the MAG inverted index JSON
+    (``{"IndexLength":N,"InvertedIndex":{word:[pos...]}}`` —
+    /root/reference/data/samples/PaperAbstractsInvertedIndex.txt:1, a
+    format the reference ships but never queries; F7). Pure built-ins:
+    from_json → explode map to (word, positions) → position-sorted
+    word array → join. Unfilled positions are simply absent."""
+    from ..schemas import ABSTRACT_INDEX_SCHEMA
+
+    c = F.col(indexed) if isinstance(indexed, str) else indexed
+    parsed = F.from_json(c, ABSTRACT_INDEX_SCHEMA)
+    # map<word, array<pos>> → array<struct<pos, word>> → sort → words
+    entries = F.flatten(
+        F.transform(
+            F.map_entries(parsed["InvertedIndex"]),
+            lambda e: F.transform(e["value"], lambda p: F.struct(p.alias("pos"), e["key"].alias("word"))),
+        )
+    )
+    return F.array_join(F.transform(F.array_sort(entries), lambda s: s["word"]), " ")
+
+
 def fingerprint(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint) — polynomial rolling hash over words:
     fp = fold(fp*31 + len(word)*7 + first_char_code) mod p.

@@ -55,6 +55,29 @@ def test_abstract_inverted_index_json(spark):
     assert row.IndexLength == 5 and sorted(row.words) == ["graph", "the"]
 
 
+def test_parse_country_tuple_unicode(spark):
+    from iconic_data_science_spark.operators.text import parse_country_tuple
+
+    df = spark.createDataFrame(
+        [(1, "('CAN', 'Grande Prairie')"), (2, "('TWN', '三芝區')"), (3, "garbage")],
+        "id long, raw string",
+    ).select("id", parse_country_tuple("raw").alias("t"))
+    rows = {r.id: (r.t.countryCode, r.t.city) for r in df.collect()}
+    assert rows[1] == ("CAN", "Grande Prairie")
+    assert rows[2] == ("TWN", "三芝區")
+    assert rows[3] == ("", "")  # malformed → empty fields, not error
+
+
+def test_reconstruct_abstract(spark):
+    from iconic_data_science_spark.operators.text import reconstruct_abstract
+
+    raw = '{"IndexLength": 5, "InvertedIndex": {"the": [0, 3], "graph": [1], "of": [2], "spark": [4]}}'
+    df = spark.createDataFrame([(1, raw)], "paper long, idx string").select(
+        reconstruct_abstract("idx").alias("text")
+    )
+    assert df.collect()[0].text == "the graph of the spark"
+
+
 def test_geocode_injected_transport(spark):
     affs = spark.createDataFrame(
         [(1, "Str. Academiei 14, Bucharest"), (2, "5th Ave, NYC")], "id long, address string"
