@@ -672,6 +672,72 @@ def q_p5_p6_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greatest-n-per-group (ranking window): top-3 suppliers by account
+    balance per nation, deterministic tie-break."""
+    cat = _cat(spark, sf_dir)
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        cat.supplier.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_acctbal", "rank")
+    )
+
+
+def q_w_lag_citation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window family: year-over-year delta of the cumulative
+    citation profile per author."""
+    from iconic_data_science_spark.operators import profiles
+
+    cat = _cat(spark, sf_dir)
+    prof = profiles.author_profiles(
+        magmap.paa(cat), magmap.paper_years(cat), magmap.citation_edges(cat), magmap.years_dim(cat)
+    )
+    w = W.partitionBy("author").orderBy("year")
+    return prof.select(
+        "author",
+        "year",
+        "citations_cum",
+        (F.col("citations_cum") - F.coalesce(F.lag("citations_cum").over(w), F.lit(0))).alias(
+            "citations_delta"
+        ),
+    )
+
+
+def q_w_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as gaps-and-islands (lag + cumulative sum) — the
+    batch formulation of st_session_5m; must equal the session_window
+    form, so it shares that oracle's semantics."""
+    cat = _cat(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts")
+    # compare in microseconds — a seconds-granularity cast would truncate
+    # sub-second gaps and disagree with session_window semantics
+    flagged = cat.events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros("ts")
+            - F.coalesce(F.unix_micros(F.lag("ts").over(w)), F.lit(-(10**18)))
+            >= 300_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            (F.unix_micros(F.max("ts")) + F.lit(300_000_000)).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("island")
+    )
+
+
 def q_asof_signup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (temporal): each purchase event picks up the user's
     most recent prior-or-same signup value (DuckDB native ASOF JOIN is
@@ -767,6 +833,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_coauthor_list": q_a5_coauthor_list,
     "j8_element_join": q_j8_element_join,
     "p5_p6_filters": q_p5_p6_filters,
+    "w_top_supplier_per_nation": q_w_top_supplier_per_nation,
+    "w_lag_citation_delta": q_w_lag_citation_delta,
+    "w_sessionize_lag": q_w_sessionize_lag,
     "asof_signup_value": q_asof_signup_value,
     "st_tumbling_hour": q_st_tumbling_hour,
     "st_sliding_hour_15m": q_st_sliding_hour_15m,
@@ -1514,6 +1583,78 @@ ORACLES: dict[str, str] = {
         SELECT p_partkey, p_name, p_brand, p_type
         FROM part
         WHERE p_type LIKE '%OM%' AND p_brand IN ('Brand#1', 'Brand#3')
+    """,
+    "w_top_supplier_per_nation": """
+        SELECT s_nationkey, s_suppkey, s_acctbal, rank FROM (
+            SELECT s_nationkey, s_suppkey, s_acctbal,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                   ) AS BIGINT) AS rank
+            FROM supplier
+        ) WHERE rank <= 3
+    """,
+    "w_lag_citation_delta": """
+        WITH pr AS (
+            SELECT o2.o_orderkey AS citing, o1.o_orderkey AS cited,
+                   CAST(year(o2.o_orderdate) AS BIGINT) AS cite_year
+            FROM orders o1
+            JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o2.o_orderdate > o1.o_orderdate
+        ),
+        cit AS (SELECT cited, cite_year, COUNT(*) AS n_cit FROM pr GROUP BY 1, 2),
+        years AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS year FROM orders),
+        spine AS (
+            SELECT o_orderkey AS paper, y.year
+            FROM orders JOIN years y ON y.year >= CAST(year(o_orderdate) AS BIGINT)
+        ),
+        filled AS (
+            SELECT s.paper, s.year, COALESCE(c.n_cit, 0) AS n_cit
+            FROM spine s LEFT JOIN cit c ON c.cited = s.paper AND c.cite_year = s.year
+        ),
+        cum AS (
+            SELECT paper, year,
+                   CAST(SUM(n_cit) OVER (
+                       PARTITION BY paper ORDER BY year
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_cit
+            FROM filled
+        ),
+        paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        prof AS (
+            SELECT a.author, c.year, CAST(SUM(c.cum_cit) AS BIGINT) AS citations_cum
+            FROM paa a JOIN cum c ON c.paper = a.paper
+            GROUP BY 1, 2
+        )
+        SELECT author, year, citations_cum,
+               CAST(citations_cum - COALESCE(LAG(citations_cum) OVER (
+                   PARTITION BY author ORDER BY year), 0) AS BIGINT) AS citations_delta
+        FROM prof
+    """,
+    "w_sessionize_lag": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               epoch_us(MAX(ts) + INTERVAL '5 minutes') AS session_end_us,
+               COUNT(*) AS n_events
+        FROM islands
+        GROUP BY user_id, island
     """,
     "asof_signup_value": """
         WITH s AS (
