@@ -71,6 +71,46 @@ def to_gexf(nodes_frag: DataFrame, edges_frag: DataFrame) -> DataFrame:
     )
 
 
+def to_d3_json(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """One-row DataFrame [d3: string] — the jsNets surface
+    (/root/reference/src/notebooks/scala/jsNets.scala renders GEXF nets
+    with embedded D3): ``{"nodes":[{"id":...}],"links":[{"source":...,
+    "target":...,"value":...}]}``, deterministically ordered.
+
+    ``nodes``: (id); ``edges``: (src, dst, weight).
+    """
+    node_json = nodes.agg(
+        F.concat_ws(
+            ",",
+            F.array_sort(F.collect_list(F.format_string('{"id":%s}', F.col("id").cast("string")))),
+        ).alias("nodes_json")
+    )
+    edge_json = edges.agg(
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(
+                    F.format_string(
+                        '{"source":%s,"target":%s,"value":%s}',
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                        F.col("weight").cast("string"),
+                    )
+                )
+            ),
+        ).alias("links_json")
+    )
+    return node_json.crossJoin(edge_json).select(
+        F.concat(
+            F.lit('{"nodes":['),
+            F.col("nodes_json"),
+            F.lit('],"links":['),
+            F.col("links_json"),
+            F.lit("]}"),
+        ).alias("d3")
+    )
+
+
 def write_gexf_single_file(gexf_df: DataFrame, path: str) -> None:
     """S8 single-file text sink (coalesce(1), jsNets.scala:106)."""
     gexf_df.select(F.col("gexf").alias("value")).coalesce(1).write.mode("overwrite").text(path)

@@ -47,6 +47,20 @@ def test_bfs_fixture(spark):
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
 
 
+def test_d3_json_export(spark):
+    import json
+
+    edges = coauthor_edges(fixtures.paa_df(spark), fixtures.paper_years_df(spark))
+    und = edges.filter(F.col("ego") < F.col("alter_id")).select(
+        F.col("ego").alias("src"), F.col("alter_id").alias("dst"),
+        F.col("papers_together").alias("weight"),
+    )
+    nodes = edges.select(F.col("ego").alias("id")).distinct()
+    doc = json.loads(gexf.to_d3_json(nodes, und).collect()[0].d3)
+    assert {n["id"] for n in doc["nodes"]} == {1, 2, 3, 4, 5, 6, 7}
+    assert {"source": 1, "target": 2, "value": 3} in doc["links"]
+
+
 def test_gexf_deterministic(spark):
     edges = coauthor_edges(fixtures.paa_df(spark), fixtures.paper_years_df(spark))
     und = edges.filter(F.col("ego") < F.col("alter_id"))
