@@ -394,6 +394,27 @@ def _ann_queries(cat: Catalog) -> DataFrame:
     return cat.embeddings.filter(F.col("vec_id") % 50 == 0)
 
 
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle document-frequency cap — THE skew knob for text dedup
+    at scale — proven semantically against an oracle that applies the
+    same cap (df <= 40)."""
+    from iconic_data_science_spark.operators.dedup import ngram_jaccard_pairs
+
+    cat = _cat(spark, sf_dir)
+    return ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5, max_shingle_freq=40)
+
+
+def q_a1_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (skew toolkit) — same answer as the
+    plain groupBy, same oracle as a1_papers_per_author."""
+    from iconic_data_science_spark.operators.skew import salted_aggregate
+
+    cat = _cat(spark, sf_dir)
+    return salted_aggregate(
+        magmap.paa(cat).distinct(), ["author"], {"n_papers": "count(*)"}, buckets=16
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components (min-label fixpoint) over
     the exact Jaccard pairs; cluster_id = canonical (min) member."""
@@ -812,6 +833,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_ngram_capped": q_dedup_ngram_capped,
+    "a1_salted": q_a1_salted,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1257,6 +1280,34 @@ ORACLES: dict[str, str] = {
                    ) / sqrt(CAST(a.sq AS DOUBLE) * CAST(b.sq AS DOUBLE)) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
         ) WHERE cosine >= 0.4
+    """,
+    "a1_salted": """
+        SELECT author, COUNT(*) AS n_papers
+        FROM (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem)
+        GROUP BY author
+    """,
+    "dedup_ngram_capped": """
+        WITH sh0 AS (
+            SELECT DISTINCT doc_id, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+            )
+        ),
+        rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 40),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT * FROM (
+            SELECT id1, id2, i / (z1.sz + z2.sz - i) AS jaccard
+            FROM inter
+            JOIN sz z1 ON z1.doc_id = id1
+            JOIN sz z2 ON z2.doc_id = id2
+        ) WHERE jaccard >= 0.5
     """,
     "dedup_clusters": """
         WITH RECURSIVE sh AS (
