@@ -478,6 +478,15 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(cat.documents)
 
 
+def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split (reproducible
+    sampling — the rand()/TABLESAMPLE replacement for data pipelines)."""
+    from iconic_data_science_spark.operators.text import train_val_test_split
+
+    cat = _cat(spark, sf_dir)
+    return train_val_test_split(cat.documents)
+
+
 def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → Arrow-batched mapInPandas
     feature extraction. No oracle (pandas UDF over synthetic binary) —
@@ -842,6 +851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": q_text_quality_score,
     "text_token_counts": q_text_token_counts,
     "text_fingerprint": q_text_fingerprint,
+    "text_train_split": q_text_train_split,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
     "a_rollup_orders": q_a_rollup_orders,
@@ -1715,6 +1725,22 @@ ORACLES: dict[str, str] = {
         SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, s.signup_value
         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         ASOF LEFT JOIN s ON l.user_id = s.user_id AND l.ts >= s.ts
+    """,
+    "text_train_split": """
+        WITH b AS (
+            SELECT doc_id,
+                   list_reduce(
+                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                        for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                       (a, b) -> a * 16 + b
+                   ) % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
     """,
     "st_tumbling_hour": """
         SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,

@@ -105,6 +105,37 @@ def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from a stable content hash
+    (md5-prefix fold — identical in any engine). The reproducible-
+    sampling primitive: the same row lands in the same bucket on every
+    run, every engine, every partitioning — unlike TABLESAMPLE/rand()."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    return h % buckets
+
+
+def train_val_test_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """(doc_id, bucket, split) — deterministic train/val/test assignment
+    by hash bucket: [0,train) → train, [train,train+val) → val, rest →
+    test. Stable under reruns and engine changes; stratification is a
+    groupBy away."""
+    b = hash_bucket(id_col)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        b.alias("bucket"),
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def parse_country_tuple(col: Column | str) -> Column:
     """Parse the reference's stringified affiliation tuple
     ``"('CAN', 'Grande Prairie')"`` into struct(countryCode, city)
