@@ -9,8 +9,6 @@ before the driver sees them.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pandas as pd
 

@@ -4,9 +4,6 @@ repeated joins on the same key (SURVEY §4 partitioned-layout row)."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
-
 from iconic_data_science_spark.catalog import Catalog
 from iconic_data_science_spark.operators.skew import write_bucketed
 from iconic_data_science_spark.plans import inspect

@@ -5,7 +5,6 @@ shuffles). Run at sf0.01 so AQE/broadcast thresholds behave realistically."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from iconic_data_science_spark.catalog import Catalog
