@@ -262,6 +262,33 @@ def q_g4_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs(edges, sources, max_depth=3)
 
 
+def q_g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the thresholded 1995 coauthor graph."""
+    from iconic_data_science_spark.operators.graph import triangle_count
+
+    cat = _cat(spark, sf_dir)
+    years = magmap.paper_years(cat).filter(F.col("year") == 1995)
+    edges = coauthor_edges(magmap.paa(cat), years, min_papers_together=2).select(
+        F.col("ego").alias("src"), F.col("alter_id").alias("dst")
+    )
+    return triangle_count(edges)
+
+
+def q_g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the citation DAG (10 iterations). No oracle —
+    float power iteration doesn't hash across engines; verified against
+    analytic fixtures in tests/test_graph.py. Output rounded for a
+    stable rows-only record."""
+    from iconic_data_science_spark.operators.graph import pagerank
+
+    cat = _cat(spark, sf_dir)
+    edges = magmap.citation_edges(cat).select(
+        F.col("citing").alias("src"), F.col("cited").alias("dst")
+    )
+    pr = pagerank(edges, damping=0.85, iterations=10)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
 def q_u3_except_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 (diff/except): authors active in 1995 but not 1996."""
     cat = _cat(spark, sf_dir)
@@ -829,6 +856,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_approx_distinct": q_a2_approx_distinct,
     "g5_hierarchy_roots": q_g5_hierarchy_roots,
     "g4_bfs": q_g4_bfs,
+    "g_triangle_count": q_g_triangle_count,
+    "g_pagerank": q_g_pagerank,
     "u3_except_authors": q_u3_except_authors,
     "u4_intersect_authors": q_u4_intersect_authors,
     "j7_or_join": q_j7_or_join,
@@ -1128,6 +1157,23 @@ ORACLES: dict[str, str] = {
             WHERE w.depth < 3
         )
         SELECT author, MIN(depth) AS depth FROM walk GROUP BY author
+    """,
+    "g_triangle_count": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (SELECT o_orderkey AS paper FROM orders WHERE year(o_orderdate) = 1995),
+        co AS (
+            SELECT a.author AS ego, b.author AS alter_id
+            FROM paa a
+            JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+            JOIN py ON py.paper = a.paper
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        canon AS (SELECT DISTINCT ego AS s, alter_id AS d FROM co WHERE ego < alter_id)
+        SELECT COUNT(*) AS n_triangles
+        FROM canon e1
+        JOIN canon e2 ON e1.d = e2.s
+        JOIN canon e3 ON e3.s = e1.s AND e3.d = e2.d
     """,
     "u3_except_authors": """
         SELECT DISTINCT l_suppkey AS author

@@ -68,6 +68,80 @@ def hierarchy_roots(parent_child: DataFrame, max_iters: int = 20) -> DataFrame:
     return m.select("child", F.col("anc").alias("root"))
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected edge table (src, dst)
+    carrying both orientations: one row ``(n_triangles)``.
+
+    Canonicalize to a<b, then the standard two-join motif: (a<b) ⋈ (b<c)
+    ⋈ (a,c) — each triangle counted exactly once. The closure shape of
+    G3, as a whole-graph statistic.
+    """
+    canon = edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    e1 = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge table (src, dst) — the concept
+    behind MAG's own ``rank`` columns (models.scala:6,12: Microsoft's
+    static rank per paper/author).
+
+    Fixed-iteration power method as a driver loop of distributed joins
+    (dangling mass redistributed uniformly). Returns (node, rank) with
+    Σrank = 1. Floating-point sums make exact cross-engine hashes
+    unreliable, so this op is fixture-verified (analytic solutions)
+    rather than oracle-hashed; at 100 TB each iteration is one shuffle
+    on dst plus a broadcast of two scalars.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # ranks MUST localCheckpoint (not just persist) every iteration: the
+    # plan references the previous ranks 2-3x per round, so uncut lineage
+    # grows exponentially — 20 rounds OOMs merely *formatting* the plan.
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("recv"))
+        )
+        # dangling nodes (no outgoing edges) leak their mass; redistribute
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    return ranks
+
+
 def bfs(edges: DataFrame, sources: DataFrame, max_depth: int = 6) -> DataFrame:
     """G4: k-hop breadth-first expansion (StaticNet.scala:303-420 rewrite).
 

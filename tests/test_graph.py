@@ -47,6 +47,30 @@ def test_bfs_fixture(spark):
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
 
 
+def test_triangle_count_fixture(spark):
+    from iconic_data_science_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} plus pendant 5: C(4,3)=4 triangles
+    und = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b] + [(4, 5), (5, 4)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    assert triangle_count(edges).collect()[0].n_triangles == 4
+
+
+def test_pagerank_analytic_fixtures(spark):
+    from iconic_data_science_spark.operators.graph import pagerank
+
+    # symmetric 2-cycle: ranks must be exactly 0.5/0.5 at any damping
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    r = {x.node: x.rank for x in pagerank(cyc, iterations=5).collect()}
+    assert abs(r[1] - 0.5) < 1e-12 and abs(r[2] - 0.5) < 1e-12
+
+    # star 2,3,4 -> 1 (1 is dangling): rank(1) > rank(leaf); Σ = 1
+    star = spark.createDataFrame([(2, 1), (3, 1), (4, 1)], "src long, dst long")
+    rs = {x.node: x.rank for x in pagerank(star, iterations=20).collect()}
+    assert abs(sum(rs.values()) - 1.0) < 1e-9
+    assert rs[1] > rs[2] and abs(rs[2] - rs[3]) < 1e-12 and abs(rs[3] - rs[4]) < 1e-12
+
+
 def test_d3_json_export(spark):
     import json
 
