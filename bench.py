@@ -40,6 +40,7 @@ HEADLINE = [
     "asof_signup_value",
     "q5_nation_revenue",
     "dedup_clusters",
+    "g_triangle_count",
 ]
 
 
