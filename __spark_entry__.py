@@ -442,6 +442,30 @@ def q_a1_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: Levenshtein
+    over the Jaccard candidate pairs (exact integer in both engines) —
+    the character-level confirmation pass after token-level candidates."""
+    from iconic_data_science_spark.operators.dedup import ngram_jaccard_pairs
+
+    cat = _cat(spark, sf_dir)
+    cand = ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5).select("id1", "id2")
+    d1 = cat.documents.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    d2 = cat.documents.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    return (
+        cand.join(d1, "id1")
+        .join(d2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.levenshtein("t1", "t2").cast("long").alias("edit_distance"),
+            (F.levenshtein("t1", "t2") / F.greatest(F.length("t1"), F.length("t2"))).alias(
+                "edit_ratio"
+            ),
+        )
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components (min-label fixpoint) over
     the exact Jaccard pairs; cluster_id = canonical (min) member."""
@@ -872,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_capped": q_dedup_ngram_capped,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "a1_salted": q_a1_salted,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1341,6 +1366,35 @@ ORACLES: dict[str, str] = {
         SELECT author, COUNT(*) AS n_papers
         FROM (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem)
         GROUP BY author
+    """,
+    "dedup_edit_distance": """
+        WITH sh AS (
+            SELECT DISTINCT doc_id, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+            )
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT id1, id2 FROM (
+                SELECT id1, id2, i / (z1.sz + z2.sz - i) AS jaccard
+                FROM inter
+                JOIN sz z1 ON z1.doc_id = id1
+                JOIN sz z2 ON z2.doc_id = id2
+            ) WHERE jaccard >= 0.5
+        )
+        SELECT c.id1, c.id2,
+               CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_distance,
+               levenshtein(d1.text, d2.text) / GREATEST(length(d1.text), length(d2.text)) AS edit_ratio
+        FROM cand c
+        JOIN documents d1 ON d1.doc_id = c.id1
+        JOIN documents d2 ON d2.doc_id = c.id2
     """,
     "dedup_ngram_capped": """
         WITH sh0 AS (
