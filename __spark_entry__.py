@@ -864,6 +864,68 @@ def q_st_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.session_windows(cat.events)
 
 
+def q_lh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE (upsert) emulation — anti-join + union rewrite.
+
+    Target = each customer's latest pre-1997 order snapshot; source = the
+    latest 1997+ order. MERGE keeps unmatched target rows, replaces
+    matched ones, inserts new customers. (Delta/Iceberg jars absent; this
+    is the relational plan those formats compile MERGE into.)
+    """
+    from iconic_data_science_spark.operators.lakehouse import merge_upsert
+
+    cat = _cat(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority",
+                # parquet stores o_orderdate as TIMESTAMP_NTZ; session TZ is
+                # pinned UTC, so the LTZ cast is value-preserving
+                F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz")).alias("order_ts_us"),
+            )
+        )
+
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    base = latest(cat.orders.filter(F.col("o_orderdate") < cutoff))
+    updates = latest(cat.orders.filter(F.col("o_orderdate") >= cutoff))
+    return merge_upsert(base, updates, keys=["o_custkey"])
+
+
+def q_lh_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history: per-customer order-priority change intervals.
+
+    The order stream is the change log; consecutive orders with the same
+    priority collapse into one validity interval (lag change-detect →
+    lead interval close). valid_to is NULL on the current row.
+    """
+    from iconic_data_science_spark.operators.lakehouse import scd2_history
+
+    cat = _cat(spark, sf_dir)
+    changes = cat.orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    hist = scd2_history(
+        changes,
+        key="o_custkey",
+        order_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("valid_from").cast("timestamp_ltz")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp_ltz")).alias("valid_to_us"),
+        "is_current",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_coauthor_edges": q_g1_coauthor_edges,
     "g3_personal_net": q_g3_personal_net,
@@ -927,6 +989,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_tumbling_hour": q_st_tumbling_hour,
     "st_sliding_hour_15m": q_st_sliding_hour_15m,
     "st_session_5m": q_st_session_5m,
+    "lh_merge_upsert": q_lh_merge_upsert,
+    "lh_scd2_priority": q_lh_scd2_priority,
 }
 
 # DuckDB oracle SQL. Views pre-registered: region nation customer supplier
@@ -1890,6 +1954,60 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM islands
         GROUP BY user_id, island
+    """,
+    "lh_merge_upsert": """
+        WITH base AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+                   epoch_us(o_orderdate) AS order_ts_us
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            ) WHERE rn = 1
+        ),
+        upd AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+                   epoch_us(o_orderdate) AS order_ts_us
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            ) WHERE rn = 1
+        )
+        SELECT * FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_custkey = b.o_custkey)
+        UNION ALL
+        SELECT * FROM upd
+    """,
+    "lh_scd2_priority": """
+        WITH ordered AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+                   LAG(o_orderpriority) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders
+        ),
+        points AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+            FROM ordered
+            WHERE prev IS NULL OR o_orderpriority <> prev
+        ),
+        hist AS (
+            SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+                   LEAD(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS valid_to
+            FROM points
+        )
+        SELECT o_custkey, o_orderpriority,
+               epoch_us(valid_from) AS valid_from_us,
+               epoch_us(valid_to) AS valid_to_us,
+               valid_to IS NULL AS is_current
+        FROM hist
     """,
 }
 

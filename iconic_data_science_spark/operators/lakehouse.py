@@ -1,0 +1,97 @@
+"""Lakehouse-style mutation operators emulated on plain DataFrames.
+
+The reference never mutates data in place (its sinks are write-once CSV /
+Parquet snapshots — PersonalNet_2.scala:159, StaticNet.scala:428-429), but
+an engine serving the same workloads at 100 TB needs the lakehouse update
+patterns: MERGE (upsert) and slowly-changing-dimension history. Delta /
+Iceberg jars are absent in this environment, so these are expressed as the
+canonical relational rewrites every table format compiles MERGE into —
+anti-join + union for upsert, window functions for SCD2 — which also makes
+them DuckDB-oracle checkable.
+
+Scale posture:
+  - ``merge_upsert`` is one shuffle on the merge keys (the anti join and
+    the union are key-partitioned together under AQE); with a real table
+    format the same plan gains file pruning, nothing else changes.
+  - ``scd2_history`` is a per-key window (one shuffle + sort on
+    (key, order)); change-collapse and interval assignment happen in the
+    same sort, so it is a single stage after the shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """MERGE emulation: source rows update matching target rows (matched →
+    replace), unmatched source rows insert, remaining target rows carry
+    over. ``deletes`` (key-only frame), when given, removes those keys
+    from the target before the upsert (WHEN MATCHED ... THEN DELETE).
+
+    Both sides must be unique on ``keys`` (MERGE's own precondition —
+    Delta raises on multi-match; we inherit that contract rather than
+    silently picking a row). Schemas must match; union is by name.
+    """
+    keys = list(keys)
+    kept = target
+    if deletes is not None:
+        kept = kept.join(deletes.select(*keys).distinct(), keys, "left_anti")
+    kept = kept.join(source.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(source)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    order_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log.
+
+    ``changes``: one row per observed version (key, order_col, attrs).
+    Consecutive rows whose ``attr_cols`` are all unchanged are collapsed
+    into one validity interval (classic SCD2 change detection via lag).
+    Returns one row per value interval:
+
+        key, *attr_cols, valid_from, valid_to, is_current
+
+    ``valid_from`` = first order_col at which the value held;
+    ``valid_to`` = order_col of the next change (null while current);
+    ``is_current`` = valid_to is null. ``tiebreak_cols`` pins a total
+    order when order_col ties (determinism at the hash gate).
+    """
+    attr_cols = list(attr_cols)
+    order_exprs = [F.col(order_col)] + [F.col(c) for c in tiebreak_cols]
+    w = W.partitionBy(key).orderBy(*order_exprs)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(c).over(w)
+        changed = changed | prev.isNull() | (F.col(c) != prev) | (
+            F.col(c).isNull() & prev.isNotNull()
+        )
+    # First row per key has lag NULL on every attr → changed (interval
+    # opener). Rows equal to their predecessor are dropped, then validity
+    # intervals come from lead() over the surviving change points.
+    points = changes.withColumn("_chg", changed).filter(F.col("_chg")).drop("_chg")
+    w2 = W.partitionBy(key).orderBy(*order_exprs)
+    return (
+        points.withColumn("valid_to", F.lead(order_col).over(w2))
+        .select(
+            key,
+            *attr_cols,
+            F.col(order_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

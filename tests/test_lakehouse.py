@@ -1,0 +1,95 @@
+"""Lakehouse mutation emulation: MERGE upsert semantics and SCD2 history.
+
+Micro-fixtures with hand-computed expected outputs (the AddTestData
+methodology, SURVEY.md §5); the sf-scale oracle check lives in
+test_oracle_parity via the lh_* queries.
+"""
+
+from __future__ import annotations
+
+from iconic_data_science_spark.operators.lakehouse import merge_upsert, scd2_history
+
+
+def test_merge_upsert_update_insert_carryover(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "k int, v string, n int"
+    )
+    got = {r["k"]: (r["v"], r["n"]) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10),    # carry-over (unmatched target)
+        2: ("B", 200),   # matched -> updated
+        3: ("c", 30),    # carry-over
+        4: ("d", 40),    # unmatched source -> insert
+    }
+
+
+def test_merge_upsert_with_deletes(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    source = spark.createDataFrame([(3, "C")], "k int, v string")
+    deletes = spark.createDataFrame([(1,)], "k int")
+    got = {r["k"]: r["v"] for r in
+           merge_upsert(target, source, ["k"], deletes=deletes).collect()}
+    assert got == {2: "b", 3: "C"}
+
+
+def test_merge_upsert_composite_key(spark):
+    target = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")], "k1 int, k2 int, v string")
+    source = spark.createDataFrame([(1, 2, "B"), (2, 1, "x")], "k1 int, k2 int, v string")
+    got = {(r["k1"], r["k2"]): r["v"] for r in
+           merge_upsert(target, source, ["k1", "k2"]).collect()}
+    assert got == {(1, 1): "a", (1, 2): "B", (2, 1): "x"}
+
+
+def test_scd2_collapses_unchanged_runs(spark):
+    # key 1: P1 P1 P2 P1 -> three intervals; key 2: single row -> current
+    changes = spark.createDataFrame(
+        [
+            (1, 10, 100, "P1"),
+            (1, 20, 101, "P1"),
+            (1, 30, 102, "P2"),
+            (1, 40, 103, "P1"),
+            (2, 15, 104, "P9"),
+        ],
+        "k int, t int, seq int, attr string",
+    )
+    hist = scd2_history(changes, key="k", order_col="t",
+                        attr_cols=["attr"], tiebreak_cols=["seq"])
+    rows = {(r["k"], r["valid_from"]): (r["attr"], r["valid_to"], r["is_current"])
+            for r in hist.collect()}
+    assert rows == {
+        (1, 10): ("P1", 30, False),   # run of two P1 rows collapsed
+        (1, 30): ("P2", 40, False),
+        (1, 40): ("P1", None, True),
+        (2, 15): ("P9", None, True),
+    }
+
+
+def test_scd2_tiebreak_pins_same_timestamp_order(spark):
+    # two changes at the same t: seq decides which one opens/closes
+    changes = spark.createDataFrame(
+        [(1, 10, 1, "A"), (1, 10, 2, "B"), (1, 20, 3, "B")],
+        "k int, t int, seq int, attr string",
+    )
+    hist = scd2_history(changes, key="k", order_col="t",
+                        attr_cols=["attr"], tiebreak_cols=["seq"])
+    rows = sorted((r["attr"], r["valid_from"], r["is_current"]) for r in hist.collect())
+    # A opens at t=10 (seq 1), B replaces it at t=10 (seq 2) and the
+    # t=20 B row collapses into that run, staying current.
+    assert rows == [("A", 10, False), ("B", 10, True)]
+
+
+def test_scd2_multi_attr_change_detection(spark):
+    changes = spark.createDataFrame(
+        [(1, 10, 1, "A", 5), (1, 20, 2, "A", 6), (1, 30, 3, "A", 6)],
+        "k int, t int, seq int, a string, b int",
+    )
+    hist = scd2_history(changes, key="k", order_col="t",
+                        attr_cols=["a", "b"], tiebreak_cols=["seq"])
+    rows = {r["valid_from"]: (r["a"], r["b"], r["is_current"]) for r in hist.collect()}
+    # b changing alone must open a new interval; the unchanged t=30 row must not
+    assert rows == {10: ("A", 5, False), 20: ("A", 6, True)}
