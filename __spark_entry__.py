@@ -241,7 +241,9 @@ def q_g5_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iconic_data_science_spark.operators.graph import hierarchy_roots
 
     cat = _cat(spark, sf_dir)
-    return hierarchy_roots(_order_chain_fc(cat))
+    # lag() yields exactly one parent per child — skip the multi-parent
+    # resolve shuffle
+    return hierarchy_roots(_order_chain_fc(cat), children_unique=True)
 
 
 def q_g4_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -147,8 +147,13 @@ def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFr
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.5, max_shingle_freq: int | None = None
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: (id1, id2, jaccard ≥ threshold)."""
-    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq)
+    """Exact n-gram Jaccard similarity join: (id1, id2, jaccard ≥ threshold).
+
+    The shingle table feeds three consumers (both join sides + the size
+    dim); materialize it once instead of re-running explode+distinct per
+    consumer (the multi-consumer rule, SURVEY §4 caching row).
+    """
+    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq).localCheckpoint()
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -213,13 +218,19 @@ def minhash_lsh_pairs(
     guarantee (pairs the LSH misses are absent — the scale/accuracy
     trade every production dedup makes).
     """
-    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq)
+    # sh feeds 4 consumers (signature agg + _pair_jaccard's three);
+    # materialize once — re-deriving means 4x explode+distinct shuffles
+    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq).localCheckpoint()
     sigs = minhash_signatures(sh, num_perm=num_perm)
     cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
     return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    broadcast_threshold_rows: int = 5_000_000,
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 
     ``pairs``: (id1, id2) undirected near-duplicate edges (from the
@@ -232,6 +243,12 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     label among itself and its neighbors. Near-dup components are tiny
     (pairs/triples), so this converges in 2-3 rounds; the loop caps at
     ``max_iters`` regardless.
+
+    Join strategy: near-dup node sets are far smaller than the corpus
+    (only docs that matched something), so when the node count — known
+    exactly from the materializing count — is under
+    ``broadcast_threshold_rows``, both per-round joins run broadcast-hash
+    with no shuffle; web-scale edge sets fall back to shuffle joins.
     """
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
@@ -245,13 +262,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
-    labels.count()
+    small = labels.count() <= broadcast_threshold_rows
     for _ in range(max_iters):
+        lab = F.broadcast(labels) if small else labels
         neighbor_min = (
-            edges.join(labels, edges["b"] == labels["node"])
+            edges.join(lab, edges["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
+        if small:
+            neighbor_min = F.broadcast(neighbor_min)
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(

@@ -100,3 +100,23 @@ def test_gexf_deterministic(spark):
     assert '<node id="1" label="1" />' in s1
     assert '<edge source="1" target="2" weight="3" />' in s1
     assert s1.rstrip().endswith("</gexf>")
+
+
+def test_graphframes_bridge_gated(spark):
+    """The optional GraphFrames bridge: parity when installed, clean
+    ImportError contract when not (this container has no jar)."""
+    from iconic_data_science_spark.operators.graph import (
+        graphframes_available,
+        to_graphframe,
+    )
+
+    vertices = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    if not graphframes_available():
+        import pytest
+
+        with pytest.raises(ImportError):
+            to_graphframe(vertices, edges)
+        return
+    g = to_graphframe(vertices, edges)
+    assert g.edges.count() == 1
