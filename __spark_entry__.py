@@ -928,6 +928,108 @@ def q_lh_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape): yearly
+    revenue lost if small-quantity lineitems (below 20% of the part's
+    average quantity) weren't shipped. The per-row correlated AVG becomes
+    a grouped pre-aggregate joined back — the engine rule from SURVEY §4
+    ("write decorrelated joins directly"); the reference's per-row-
+    subquery antipattern is App.scala:45-52.
+    """
+    cat = _cat(spark, sf_dir)
+    li = cat.lineitem
+    # l_quantity is integer-valued (1..50): its double AVG is exact and
+    # order-independent, so the threshold compare can't flip across engines
+    avgq = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("lim")
+    )
+    return (
+        li.join(avgq, li["l_partkey"] == avgq["p"])
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg((dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → join rewrite (TPC-H Q18 shape): orders whose total
+    quantity exceeds 300, with customer attribution. The HAVING-filtered
+    aggregate is tiny relative to lineitem, so it drives a selective join
+    instead of a membership probe.
+    """
+    cat = _cat(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(cat.orders, big["l_orderkey"] == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            # integer-valued quantities: the double sum is exact
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join + scalar aggregate threshold (TPC-H Q22 shape): per
+    nation, wealthy customers (balance above the positive-balance average)
+    with no 1998 orders. The scalar lands as a broadcast cross join — one
+    row, no driver collect; the NOT EXISTS is a left-anti join.
+    """
+    cat = _cat(spark, sf_dir)
+    thr = cat.customer.filter(F.col("c_acctbal") > 0).agg(
+        dec_avg("c_acctbal", "thr")
+    )
+    recent = cat.orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        cat.customer.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), dec_sum("c_acctbal", "total_bal"))
+    )
+
+
+def q_j_full_outer_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (declared-but-unused in the reference, SURVEY §2.3
+    note): per-customer revenue in 1997 H1 vs H2, zero-filled on both
+    sides — one-sided customers (~380 each way at sf0.01) exercise both
+    null legs.
+    """
+    cat = _cat(spark, sf_dir)
+
+    def half_rev(lo: str, hi: str, alias: str) -> DataFrame:
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            cat.orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .join(cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("o_custkey").alias("c"))
+            .agg(dec_sum(rev, alias))
+        )
+
+    h1 = half_rev("1997-01-01", "1997-07-01", "rev_h1")
+    h2 = half_rev("1997-07-01", "1998-01-01", "rev_h2")
+    return (
+        h1.join(h2, "c", "full_outer")
+        .select(
+            F.col("c").alias("c_custkey"),
+            F.coalesce("rev_h1", F.lit(0.0)).alias("rev_h1"),
+            F.coalesce("rev_h2", F.lit(0.0)).alias("rev_h2"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_coauthor_edges": q_g1_coauthor_edges,
     "g3_personal_net": q_g3_personal_net,
@@ -993,6 +1095,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_session_5m": q_st_session_5m,
     "lh_merge_upsert": q_lh_merge_upsert,
     "lh_scd2_priority": q_lh_scd2_priority,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q18_large_volume_orders": q_q18_large_volume_orders,
+    "q22_idle_customers": q_q22_idle_customers,
+    "j_full_outer_halves": q_j_full_outer_halves,
 }
 
 # DuckDB oracle SQL. Views pre-registered: region nation customer supplier
@@ -2010,6 +2116,66 @@ ORACLES: dict[str, str] = {
                epoch_us(valid_to) AS valid_to_us,
                valid_to IS NULL AS is_current
         FROM hist
+    """,
+    "q17_small_quantity_revenue": """
+        WITH avgq AS (
+            SELECT l_partkey AS p, 0.2 * AVG(l_quantity) AS lim
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN avgq ON l_partkey = p
+        WHERE l_quantity < lim
+    """,
+    "q18_large_volume_orders": """
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 300
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(total_qty AS BIGINT) AS total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q22_idle_customers": """
+        WITH thr AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                   / COUNT(c_acctbal) AS thr
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+        FROM customer, thr
+        WHERE c_acctbal > thr.thr
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        GROUP BY c_nationkey
+    """,
+    "j_full_outer_halves": """
+        WITH h1 AS (
+            SELECT o_custkey AS c,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS rev_h1
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+            GROUP BY o_custkey
+        ),
+        h2 AS (
+            SELECT o_custkey AS c,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS rev_h2
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_custkey
+        )
+        SELECT COALESCE(h1.c, h2.c) AS c_custkey,
+               COALESCE(rev_h1, 0.0) AS rev_h1,
+               COALESCE(rev_h2, 0.0) AS rev_h2
+        FROM h1 FULL OUTER JOIN h2 ON h1.c = h2.c
     """,
 }
 
