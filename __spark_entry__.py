@@ -866,6 +866,63 @@ def q_st_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.session_windows(cat.events)
 
 
+def q_st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch semantics here; the identical
+    plan runs as a real two-stream join with watermark-bounded state in
+    tests/test_streaming.py)."""
+    from iconic_data_science_spark.streaming.events import purchase_signup_interval_join
+
+    cat = _cat(spark, sf_dir)
+    ev = cat.events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    return purchase_signup_interval_join(purchases, signups)
+
+
+def q_ts_multi_grain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: event counts at
+    minute/hour/day grains in one scan (explode of (grain,bucket) pairs
+    → single grouped count)."""
+    from iconic_data_science_spark.operators.timeseries import multi_grain_counts
+
+    cat = _cat(spark, sf_dir)
+    return multi_grain_counts(cat.events)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-mktsegment keep rates via
+    content-hash buckets (reproducible across runs/engines, unlike
+    sampleBy/TABLESAMPLE)."""
+    from iconic_data_science_spark.operators.sampling import stratified_hash_sample
+
+    cat = _cat(spark, sf_dir)
+    return stratified_hash_sample(
+        cat.customer.select("c_custkey", "c_mktsegment", "c_nationkey"),
+        key_col="c_custkey",
+        strata_col="c_mktsegment",
+        rates_pct={"BUILDING": 50, "AUTOMOBILE": 20},
+        default_pct=5,
+    )
+
+
+def q_range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: each order tagged with the price tier whose
+    [lo, hi) interval contains its total — broadcast nested loop over a
+    3-row dimension, no shuffle of the fact side."""
+    from iconic_data_science_spark.operators.asof import range_join
+
+    cat = _cat(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, None)],
+        "tier string, lo double, hi double",
+    )
+    return range_join(
+        cat.orders.select("o_orderkey", "o_totalprice"), bands, value_col="o_totalprice"
+    ).select("o_orderkey", "o_totalprice", "tier")
+
+
 def q_lh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse MERGE (upsert) emulation — anti-join + union rewrite.
 
@@ -1093,6 +1150,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_tumbling_hour": q_st_tumbling_hour,
     "st_sliding_hour_15m": q_st_sliding_hour_15m,
     "st_session_5m": q_st_session_5m,
+    "st_stream_stream_join": q_st_stream_stream_join,
+    "range_join_price_tiers": q_range_join_price_tiers,
+    "ts_multi_grain_counts": q_ts_multi_grain_counts,
+    "sample_stratified": q_sample_stratified,
     "lh_merge_upsert": q_lh_merge_upsert,
     "lh_scd2_priority": q_lh_scd2_priority,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
@@ -2116,6 +2177,56 @@ ORACLES: dict[str, str] = {
                epoch_us(valid_to) AS valid_to_us,
                valid_to IS NULL AS is_current
         FROM hist
+    """,
+    "range_join_price_tiers": """
+        SELECT o_orderkey, o_totalprice, tier
+        FROM orders
+        LEFT JOIN (VALUES ('low', 0.0, 100000.0),
+                          ('mid', 100000.0, 300000.0),
+                          ('high', 300000.0, NULL)) AS bands(tier, lo, hi)
+          ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
+    """,
+    "ts_multi_grain_counts": """
+        WITH g AS (
+            SELECT 'minute' AS grain, epoch_us(date_trunc('minute', ts)) AS bucket_us, event_type FROM events
+            UNION ALL
+            SELECT 'hour', epoch_us(date_trunc('hour', ts)), event_type FROM events
+            UNION ALL
+            SELECT 'day', epoch_us(date_trunc('day', ts)), event_type FROM events
+        )
+        SELECT grain, bucket_us, event_type, COUNT(*) AS n_events
+        FROM g GROUP BY grain, bucket_us, event_type
+    """,
+    "sample_stratified": """
+        WITH b AS (
+            SELECT c_custkey, c_mktsegment, c_nationkey,
+                   list_reduce(
+                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                        for c in string_split_regex(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12), '')],
+                       (a, b) -> a * 16 + b
+                   ) % 100 AS bucket
+            FROM customer
+        )
+        SELECT c_custkey, c_mktsegment, c_nationkey
+        FROM b
+        WHERE bucket < CASE c_mktsegment
+                           WHEN 'BUILDING' THEN 50
+                           WHEN 'AUTOMOBILE' THEN 20
+                           ELSE 5 END
+    """,
+    "st_stream_stream_join": """
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS ts_us,
+               epoch_us(s.ts) AS signup_ts_us,
+               p.value AS amount,
+               s.value AS signup_value
+        FROM events p
+        JOIN events s
+          ON p.user_id = s.user_id
+         AND p.event_type = 'purchase'
+         AND s.event_type = 'signup'
+         AND s.ts <= p.ts
+         AND s.ts >= p.ts - INTERVAL '1 hour'
     """,
     "q17_small_quantity_revenue": """
         WITH avgq AS (

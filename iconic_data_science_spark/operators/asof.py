@@ -67,3 +67,27 @@ def asof_join(
         *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band/range join: attach to each fact row the band whose
+    ``[lo, hi)`` interval contains ``value_col`` (hi null = unbounded).
+
+    ``bands`` is a dimension (a handful of rows — tier tables, histogram
+    bins, SLA buckets), so the non-equi condition runs as a broadcast
+    nested loop over a dimension of size B: cost ≈ |facts|·B map-side,
+    no shuffle of the fact table — the plan you want at 100 TB, where
+    shuffling facts on a range key would be the bottleneck. For
+    band-vs-band (both sides large) interval joins, pre-bucket both
+    sides to a common grid and equi-join on the bucket instead.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (
+        F.col(hi_col).isNull() | (F.col(value_col) < F.col(hi_col))
+    )
+    return facts.join(F.broadcast(bands), cond, "left")

@@ -168,6 +168,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_signup_interval_join(
+    purchases: DataFrame,
+    signups: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to every signup
+    by the same user within ``lookback`` before (or at) the purchase.
+
+    Batch and streaming take the identical plan; in streaming BOTH sides
+    carry watermarks and the time-range predicate bounds the join state
+    (Spark evicts signup state older than watermark+lookback — without
+    the range condition the state would grow forever). Inner join only:
+    that is the unconditional stream-stream support matrix; outer
+    variants need the same watermark bounds.
+
+    Inputs must already be type-filtered frames with columns
+    (event_id, user_id, ts, value) for purchases / (user_id, ts, value)
+    for signups — see ``q_st_stream_stream_join`` for the canonical
+    slicing of the events table.
+    """
+    p = purchases.select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("amount")
+    )
+    s = signups.select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if s.isStreaming:
+        s = s.withWatermark("s_ts", watermark)
+    cond = (
+        (p["user_id"] == s["s_user_id"])
+        & (s["s_ts"] <= p["p_ts"])
+        & (s["s_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return (
+        p.join(s, cond, "inner")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("p_ts").alias("ts_us"),
+            F.unix_micros("s_ts").alias("signup_ts_us"),
+            "amount",
+            "signup_value",
+        )
+    )
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """Same running per-user totals as :func:`running_user_totals`, on the
     Spark 4 ``transformWithStateInPandas`` API (StatefulProcessor +

@@ -62,3 +62,19 @@ def test_stateful_running_totals_stream_equals_batch(spark, sf_dir):
     pd.testing.assert_series_equal(
         got.total_value, want.total_value, rtol=1e-9, check_names=False
     )
+
+
+def test_range_join_bands_and_misses(spark):
+    from iconic_data_science_spark.operators.asof import range_join
+
+    facts = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 99.0), (4, -1.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, None)], "tier string, lo double, hi double"
+    )
+    got = {r.id: r.tier for r in range_join(facts, bands, "v").collect()}
+    assert got == {
+        1: "a",    # inside [0,10)
+        2: "b",    # boundary: lo inclusive, hi exclusive
+        3: "b",    # open-ended band
+        4: None,   # below every band -> left-join null
+    }

@@ -79,3 +79,28 @@ def test_sliding_windows_cover_each_event_four_times(spark, sf_dir):
     total = cat.events.count()
     slid = ev.sliding_counts(cat.events)  # 1h window / 15m slide
     assert slid.agg(F.sum("n_events")).collect()[0][0] == 4 * total
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+
+    def slices(src):
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        signups = src.filter(F.col("event_type") == "signup").select(
+            "user_id", "ts", "value"
+        )
+        return purchases, signups
+
+    batch = ev.purchase_signup_interval_join(*slices(cat.events))
+    stream = ev.purchase_signup_interval_join(
+        *(
+            slices(ev.read_event_stream(spark, sf_dir))[0],
+            slices(ev.read_event_stream(spark, sf_dir))[1],
+        )
+    )
+    # inner stream-stream join emits in append mode as matches arrive;
+    # availableNow drains the whole file source so all matches surface
+    got = _run_stream(spark, stream, "t_ssj", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
