@@ -226,10 +226,43 @@ def minhash_lsh_pairs(
     return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
 
 
+def _local_union_find(pairs: DataFrame) -> DataFrame:
+    """Driver-side connected components for small edge sets: collected
+    union-find with path compression, min-id canonical labels.
+
+    Near-dup edge sets are orders of magnitude smaller than the corpus
+    (only docs that matched something appear); when the pair table fits
+    on the driver — the broadcast-join decision — one collect beats a
+    multi-round distributed fixpoint of fixed per-job overhead.
+    """
+    pdf = pairs.toPandas()
+    up: dict = {}
+
+    def find(x):
+        r = x
+        while up.get(r, r) != r:
+            r = up[r]
+        while up.get(x, x) != x:
+            up[x], x = r, up[x]
+        return r
+
+    for a, b in zip(pdf["id1"], pdf["id2"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            up[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(pdf["id1"]) | set(pdf["id2"]))
+    out = [(n, find(n)) for n in nodes]
+    id_type = pairs.schema["id1"].dataType.simpleString()
+    return pairs.sparkSession.createDataFrame(
+        out, f"doc_id {id_type}, cluster_id {id_type}"
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     max_iters: int = 20,
     broadcast_threshold_rows: int = 5_000_000,
+    local_solve_rows: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 
@@ -238,18 +271,21 @@ def dedup_clusters(
     in the component — the canonical representative, so "keep one per
     cluster" is a filter on ``doc_id == cluster_id``.
 
-    Min-label propagation to fixpoint (driver loop of distributed joins,
-    like operators/graph.py): each node repeatedly adopts the smallest
-    label among itself and its neighbors. Near-dup components are tiny
-    (pairs/triples), so this converges in 2-3 rounds; the loop caps at
-    ``max_iters`` regardless.
+    Min-label propagation with shortcutting (driver loop of distributed
+    joins, like operators/graph.py): each round every node adopts the
+    smallest label among itself and its neighbors, then pointer-jumps
+    through the label map (label ← label's label), giving O(log
+    diameter) convergence. Near-dup components are tiny (pairs/triples:
+    2-3 rounds); the loop caps at ``max_iters`` regardless.
 
-    Join strategy: near-dup node sets are far smaller than the corpus
-    (only docs that matched something), so when the node count — known
-    exactly from the materializing count — is under
-    ``broadcast_threshold_rows``, both per-round joins run broadcast-hash
-    with no shuffle; web-scale edge sets fall back to shuffle joins.
+    Three-tier strategy: a pair table ≤ ``local_solve_rows`` is solved
+    on the driver with path-compressed union-find (one collect, no loop
+    — ``_local_union_find``); larger sets run the distributed fixpoint,
+    broadcast-hash per round under ``broadcast_threshold_rows`` and
+    shuffle joins at web scale.
     """
+    if pairs.count() <= local_solve_rows:
+        return _local_union_find(pairs)
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
@@ -272,17 +308,30 @@ def dedup_clusters(
         )
         if small:
             neighbor_min = F.broadcast(neighbor_min)
+        merged = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("mid"),
+        )
+        # shortcut step (pointer jump on the label map): label ← label's
+        # label. Turns O(diameter) rounds into O(log diameter) — a long
+        # chain converges in ~5 rounds, not ~n.
+        hop = merged.select(F.col("node").alias("h_node"), F.col("mid").alias("h_label"))
+        if small:
+            hop = F.broadcast(hop)
+        # localCheckpoint (not persist): the loop references the previous
+        # state 3x per round; persist keeps lineage and the logical plan
+        # grows exponentially (plan *formatting* alone OOMs ~20 rounds in)
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            merged.join(hop, merged["mid"] == hop["h_node"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias("_changed"),
+                "old",
+                F.least(F.col("mid"), F.coalesce(F.col("h_label"), F.col("mid"))).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels.unpersist()
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
             break

@@ -29,11 +29,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _local_root_closure(m: DataFrame) -> DataFrame:
+    """Driver-side root resolution for dimension-sized hierarchies:
+    path-compressed walk over a collected (child, anc) mapping.
+
+    The same decision Catalyst makes for broadcast joins — a side known
+    to be small is collected rather than shuffled. A fixpoint loop costs
+    O(log depth) full Spark jobs of fixed overhead each; for a mapping
+    that fits on the driver (MAG fos ≈ 6×10^5 rows, models.scala:16)
+    one collect + one parallelize beats any number of rounds.
+    """
+    pdf = m.toPandas()
+    parent = dict(zip(pdf["child"], pdf["anc"]))
+    root: dict = {}
+
+    def find(x):
+        path = []
+        while x in parent and x not in root:
+            path.append(x)
+            x = parent[x]
+        r = root.get(x, x)
+        for p in path:
+            root[p] = r
+        return r
+
+    pdf["anc"] = [find(c) for c in pdf["child"]]
+    return m.sparkSession.createDataFrame(pdf, schema=m.schema)
+
+
 def hierarchy_roots(
     parent_child: DataFrame,
     max_iters: int = 20,
     broadcast_threshold_rows: int = 5_000_000,
     children_unique: bool = False,
+    local_solve_rows: int = 2_000_000,
 ) -> DataFrame:
     """G5: resolve every node to its root ancestor by pointer jumping.
 
@@ -44,10 +73,12 @@ def hierarchy_roots(
     pinned deterministically as min(parent). Returns (child, root) for
     every non-root child.
 
-    Join strategy: the hop lookup is the whole current mapping, so when
-    the node count (known exactly from the materializing count) is under
-    ``broadcast_threshold_rows`` every round runs as a broadcast-hash
-    join — no shuffle at all in the loop, ~2x faster wall-clock. Real
+    Three-tier strategy by exact node count (from the materializing
+    count): ≤ ``local_solve_rows`` → driver-side path-compressed closure
+    (one collect + one parallelize, no loop at all — see
+    ``_local_root_closure``); else the distributed pointer-jumping loop,
+    where under ``broadcast_threshold_rows`` every round runs as a
+    broadcast-hash join — no shuffle in the loop. Real
     hierarchies are dimension-sized (MAG fos ≈ 6×10^5 nodes,
     models.scala:16), so the broadcast path is the common case; a
     billion-node mapping falls back to shuffle joins automatically.
@@ -59,12 +90,15 @@ def hierarchy_roots(
     edges = parent_child.filter(F.col("parent") != F.col("child"))
     if not children_unique:
         edges = edges.groupBy("child").agg(F.min("parent").alias("parent"))
-    # m: child → current known ancestor. One persisted frame per round,
-    # one job per round (count materializes the cache AND answers the
-    # convergence question); the previous round's cache is dropped as
-    # soon as the new one is live.
-    m = edges.select("child", F.col("parent").alias("anc")).persist()
+    # m: child → current known ancestor. One localCheckpoint per round:
+    # it materializes the state (the count answers convergence for free)
+    # AND cuts lineage — the loop references m twice per round, so a
+    # persist-only loop doubles the logical plan every round and dies on
+    # deep hierarchies before any data is touched.
+    m = edges.select("child", F.col("parent").alias("anc")).localCheckpoint()
     n_nodes = m.count()
+    if n_nodes <= local_solve_rows:
+        return _local_root_closure(m).select("child", F.col("anc").alias("root"))
     small = n_nodes <= broadcast_threshold_rows
     for _ in range(max_iters):
         hop = m.select(F.col("child").alias("h_child"), F.col("anc").alias("h_anc"))
@@ -77,9 +111,8 @@ def hierarchy_roots(
                 F.coalesce("h_anc", "anc").alias("anc"),
                 F.col("h_anc").isNotNull().alias("_hopped"),
             )
-        ).persist()
+        ).localCheckpoint()
         hopped = m2.filter(F.col("_hopped")).count()
-        m.unpersist()
         m = m2.select("child", "anc")
         if hopped == 0:
             break

@@ -38,3 +38,24 @@ def test_dedup_clusters_fixture(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_dedup_clusters_local_equals_distributed(spark):
+    """Union-find fast path vs min-label fixpoint (local_solve_rows=0
+    forces the distributed loop): identical labels, including on a
+    star, a long chain, and merged components."""
+    from iconic_data_science_spark.operators.dedup import dedup_clusters
+
+    edges = (
+        [(0, i) for i in range(1, 8)]              # star at 0
+        + [(100 + i, 101 + i) for i in range(20)]  # chain
+        + [(7, 100)]                               # merge star into chain
+        + [(500, 501), (502, 501)]                 # separate triple
+    )
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    local = {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(pairs, local_solve_rows=0).collect()
+    }
+    assert local == dist

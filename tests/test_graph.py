@@ -36,6 +36,21 @@ def test_hierarchy_roots_deep_chain(spark):
     assert all(roots[i] == 0 for i in range(1, n))
 
 
+def test_hierarchy_roots_local_equals_distributed(spark):
+    """The driver-side closure fast path and the pointer-jumping loop
+    must produce identical mappings (local_solve_rows=0 forces the
+    distributed loop)."""
+    fc = spark.createDataFrame(
+        [(100, 10), (10, 1), (200, 20), (20, 2), (3, 3),
+         (300, 30), (300, 31), (30, 3), (31, 2)]
+        + [(1000 + i, 1000 + i - 1) for i in range(1, 30)],
+        "child long, parent long",
+    )
+    local = {(r.child, r.root) for r in hierarchy_roots(fc).collect()}
+    dist = {(r.child, r.root) for r in hierarchy_roots(fc, local_solve_rows=0).collect()}
+    assert local == dist
+
+
 def test_bfs_fixture(spark):
     edges = (
         coauthor_edges(fixtures.paa_df(spark), fixtures.paper_years_df(spark))
