@@ -188,7 +188,11 @@ def q_g7_ego_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iconic_data_science_spark.operators import indicators
 
     cat = _cat(spark, sf_dir)
-    triples = indicators.coauthor_year_triples(magmap.paa(cat), magmap.paper_years(cat))
+    # distinct=False: ego_indicators' aggs are duplicate-insensitive, so
+    # the triple-level dedup shuffle is pure overhead here
+    triples = indicators.coauthor_year_triples(
+        magmap.paa(cat), magmap.paper_years(cat), distinct=False
+    )
     return indicators.ego_indicators(triples, magmap.author_country(cat))
 
 
@@ -198,7 +202,10 @@ def q_g7_alter_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iconic_data_science_spark.operators import indicators
 
     cat = _cat(spark, sf_dir)
-    triples = indicators.coauthor_year_triples(magmap.paa(cat), magmap.paper_years(cat))
+    # distinct=False: ego_alter_rollups dedups to the alter set itself
+    triples = indicators.coauthor_year_triples(
+        magmap.paa(cat), magmap.paper_years(cat), distinct=False
+    )
     stats = indicators.author_stats(magmap.paa(cat), magmap.citation_edges(cat))
     return indicators.ego_alter_rollups(triples, stats)
 

@@ -31,15 +31,23 @@ from pyspark.sql import functions as F
 from .coauthor import coauthor_pairs
 
 
-def coauthor_year_triples(paa: DataFrame, paper_years: DataFrame) -> DataFrame:
+def coauthor_year_triples(
+    paa: DataFrame, paper_years: DataFrame, distinct: bool = True
+) -> DataFrame:
     """The Coauthor(ego, year, alter) table (PersonalNet.scala:55):
-    distinct (ego, year, alter_id)."""
-    return (
+    distinct (ego, year, alter_id).
+
+    ``distinct=False`` skips the dedup shuffle and returns the raw
+    multiset — correct (and one full-width shuffle cheaper) when the
+    consumer re-aggregates with duplicate-insensitive aggs, as
+    ``ego_indicators`` / ``ego_alter_rollups`` do.
+    """
+    t = (
         coauthor_pairs(paa)
         .join(paper_years, "paper")
         .select("ego", "year", "alter_id")
-        .distinct()
     )
+    return t.distinct() if distinct else t
 
 
 def author_stats(paa: DataFrame, citation_edges: DataFrame) -> DataFrame:
@@ -69,15 +77,37 @@ def ego_indicators(triples: DataFrame, author_country: DataFrame) -> DataFrame:
     )
     t = triples.join(F.broadcast(ego_c), "ego", "left").join(F.broadcast(alter_c), "alter_id", "left")
     domestic = F.col("alter_country") == F.col("ego_country")
-    return (
-        t.groupBy("ego")
-        .agg(
-            F.countDistinct("alter_id").alias("n_coauthors"),
-            F.countDistinct("year").alias("years_collaborated"),
-            F.countDistinct("alter_country").alias("n_alter_countries"),
-            F.countDistinct(F.when(domestic, F.col("alter_id"))).alias("n_domestic"),
-            F.countDistinct(F.when(~domestic, F.col("alter_id"))).alias("n_foreign"),
-        )
+    # Five countDistincts in one agg would Expand the triple table 5x
+    # before the shuffle. Instead: dedup to alter level first (each
+    # alter carries exactly one country, so every remaining indicator is
+    # a plain agg or single-distinct there), years in a separate
+    # single-distinct agg (no Expand either), broadcast-join the two
+    # ego-level results. Shuffled volume drops from 5x|triples| to
+    # ~2x|triples| narrow rows; also makes the aggregation
+    # duplicate-insensitive, so the input can skip its own distinct.
+    alter_level = t.groupBy("ego", "alter_id").agg(
+        F.max("alter_country").alias("alter_country"),
+        F.max("ego_country").alias("ego_country"),
+    )
+    per_alter = alter_level.groupBy("ego").agg(
+        F.count("*").alias("n_coauthors"),
+        F.countDistinct("alter_country").alias("n_alter_countries"),
+        F.count(F.when(domestic, 1)).alias("n_domestic"),
+        F.count(F.when(~domestic, 1)).alias("n_foreign"),
+    )
+    years = triples.groupBy("ego").agg(
+        F.countDistinct("year").alias("years_collaborated")
+    )
+    # both sides leave their aggs hash-partitioned on ego — the join
+    # reuses that partitioning (no extra shuffle; AQE may still
+    # broadcast the smaller side)
+    return per_alter.join(years, "ego").select(
+        "ego",
+        "n_coauthors",
+        "years_collaborated",
+        "n_alter_countries",
+        "n_domestic",
+        "n_foreign",
     )
 
 
