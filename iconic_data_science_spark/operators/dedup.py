@@ -91,9 +91,11 @@ def shingle_table(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )).otherwise(F.array().cast("array<string>"))
-    out = (
-        documents.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
+    # dedup inside the array (map-side, per doc) instead of a global
+    # .distinct(): rows (doc_id, shingle) are then unique by
+    # construction, saving a full shuffle of the shingle table
+    out = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
     )
     if max_shingle_freq is not None:
         rare = (
@@ -145,16 +147,30 @@ def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFr
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5, max_shingle_freq: int | None = None
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: (id1, id2, jaccard ≥ threshold).
 
     The shingle table feeds three consumers (both join sides + the size
     dim); materialize it once instead of re-running explode+distinct per
     consumer (the multi-consumer rule, SURVEY §4 caching row).
+
+    ``hash_shingles=True`` is the 100 TB posture: replace the shingle
+    string (~25 bytes) with its 48-bit hash before the self-join, ~3x
+    narrower shuffle on the widest exchange of the pipeline. 48-bit
+    collisions are ~B²/2^49 per bucket — vanishing at any real corpus's
+    per-shingle bucket sizes — but counts are no longer bit-identical
+    to a string-keyed oracle, so it's opt-in (default keeps exact
+    string semantics; the fixture test proves pair-set equality).
     """
-    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq).localCheckpoint()
-    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq)
+    if hash_shingles:
+        sh = sh.select("doc_id", token_hash48(F.col("shingle")).alias("shingle"))
+    return _pair_jaccard(sh.localCheckpoint()).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:

@@ -40,6 +40,28 @@ def test_dedup_clusters_fixture(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
 
 
+def test_ngram_jaccard_hashed_shingles_same_pairs(spark):
+    """hash_shingles=True (the narrow-shuffle scale path) must produce
+    the same pair set and jaccard values as string shingles."""
+    from iconic_data_science_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different sentence with no overlap at all"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda df: {
+        (r.id1, r.id2): round(r.jaccard, 9) for r in df.collect()
+    }
+    assert key(ngram_jaccard_pairs(docs, threshold=0.3)) == key(
+        ngram_jaccard_pairs(docs, threshold=0.3, hash_shingles=True)
+    )
+
+
 def test_dedup_clusters_local_equals_distributed(spark):
     """Union-find fast path vs min-label fixpoint (local_solve_rows=0
     forces the distributed loop): identical labels, including on a
