@@ -46,3 +46,30 @@ def write_partitioned_csv(
 def write_single_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S8: one text file (small exports only — serializes the write)."""
     df.coalesce(1).write.mode(mode).text(path)
+
+
+def write_curated_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_partitions: int = 10_000,
+    mode: str = "overwrite",
+) -> None:
+    """Curated parquet layout for 100 TB base tables (SURVEY §4): hive
+    partitioning on low-cardinality keys (year, region) so reads with a
+    partition-key predicate skip whole directories (partition pruning —
+    asserted in tests/test_plans.py), plus optional
+    ``sortWithinPartitions`` so parquet row-group min/max stats make
+    point/range predicates skip pages within each file. Cardinality
+    guard as in ``write_partitioned_csv`` (the reference's
+    partitionBy("author") mistake, PersonalNet_2.scala:157-158)."""
+    n = df.select(*partition_cols).distinct().count()
+    if n > max_partitions:
+        raise ValueError(
+            f"partitionBy({partition_cols}) would create {n} partitions "
+            f"(> {max_partitions}); pick a lower-cardinality key"
+        )
+    if sort_cols:
+        df = df.repartition(*[df[c] for c in partition_cols]).sortWithinPartitions(*sort_cols)
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -75,3 +75,24 @@ def test_flagship_uses_hash_joins_not_cartesian(spark, sf01):
     plan = inspect.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_curated_layout_partition_pruning(spark, sf01, tmp_path):
+    """A year-partitioned curated table read with a year predicate must
+    prune partitions at the scan (directory skipping), and row-group
+    sorting must not change results."""
+    from iconic_data_science_spark.sources.sinks import write_curated_parquet
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, sf01)
+    orders = cat.orders.withColumn("o_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_by_year")
+    write_curated_parquet(orders, path, ["o_year"], sort_cols=["o_custkey"])
+
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = inspect.formatted_plan(back)
+    # partition-key predicate appears as PartitionFilters on the scan,
+    # not as a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    want = cat.orders.filter(F.year("o_orderdate") == 1995).count()
+    assert back.count() == want
