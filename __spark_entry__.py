@@ -253,6 +253,16 @@ def q_g5_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hierarchy_roots(_order_chain_fc(cat), children_unique=True)
 
 
+def q_g5_hierarchy_roots_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 via the Spark 4 recursive CTE (SPARK-24497): same hierarchy,
+    same output, recursion planned by Catalyst (UnionLoop) instead of a
+    driver loop — the declarative twin of g5_hierarchy_roots."""
+    from iconic_data_science_spark.operators.graph import hierarchy_roots_sql
+
+    cat = _cat(spark, sf_dir)
+    return hierarchy_roots_sql(_order_chain_fc(cat), children_unique=True)
+
+
 def q_g4_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: 3-hop BFS from author 0 over the thresholded 1995 coauthor
     graph (StaticNet BFS rewrite; oracle = recursive CTE)."""
@@ -1109,6 +1119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g7_alter_rollups": q_g7_alter_rollups,
     "a2_approx_distinct": q_a2_approx_distinct,
     "g5_hierarchy_roots": q_g5_hierarchy_roots,
+    "g5_hierarchy_roots_sql": q_g5_hierarchy_roots_sql,
     "g4_bfs": q_g4_bfs,
     "g_triangle_count": q_g_triangle_count,
     "g_pagerank": q_g_pagerank,
@@ -1391,6 +1402,19 @@ ORACLES: dict[str, str] = {
         GROUP BY tri.ego
     """,
     "g5_hierarchy_roots": """
+        WITH chain AS (
+            SELECT o_orderkey AS child,
+                   LAG(o_orderkey) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS parent,
+                   FIRST_VALUE(o_orderkey) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS root
+            FROM orders
+        )
+        SELECT child, root FROM chain WHERE parent IS NOT NULL
+    """,
+    "g5_hierarchy_roots_sql": """
         WITH chain AS (
             SELECT o_orderkey AS child,
                    LAG(o_orderkey) OVER (

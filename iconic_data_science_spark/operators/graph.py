@@ -271,3 +271,60 @@ def bfs(
         visited = visited.unionByName(nxt.withColumn("depth", F.lit(d).cast("long")))
         frontier = nxt.select("author")
     return visited
+
+
+def hierarchy_roots_sql(parent_child: DataFrame, children_unique: bool = False) -> DataFrame:
+    """G5 as a Spark 4 recursive CTE (SPARK-24497) — the declarative twin
+    of :func:`hierarchy_roots`, same output contract.
+
+    Catalyst plans the recursion itself (UnionLoop), so there is no
+    driver loop at all; semantics (self-parents are roots, multi-parent
+    min-parent-wins) match the operator and are pinned by the
+    equivalence test. Kept alongside the loop form: the loop offers the
+    three-tier size strategy and an iteration cap, the CTE offers
+    single-statement SQL access (e.g. through the SQL frontend).
+    """
+    spark = parent_child.sparkSession
+    edges = parent_child.filter(F.col("parent") != F.col("child"))
+    if not children_unique:
+        edges = edges.groupBy("child").agg(F.min("parent").alias("parent"))
+    edges.createOrReplaceTempView("_hr_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE r(child, anc) AS (
+            SELECT child, parent FROM _hr_edges
+            UNION ALL
+            SELECT r.child, e.parent FROM r JOIN _hr_edges e ON r.anc = e.child
+        )
+        SELECT child, anc AS root
+        FROM r
+        WHERE anc NOT IN (SELECT child FROM _hr_edges)
+        """
+    )
+
+
+def bfs_sql(edges: DataFrame, sources: DataFrame, max_depth: int = 6) -> DataFrame:
+    """G4 k-hop BFS as a Spark 4 recursive CTE — declarative twin of
+    :func:`bfs`, same (author, depth = min hops) contract.
+
+    The CTE expands all paths up to ``max_depth`` and takes min(depth)
+    per author; the loop form instead anti-joins the visited set per
+    round, which prunes revisits *during* traversal — on cyclic graphs
+    the CTE's path count can blow up combinatorially, so the loop stays
+    the scale path (this is SQL-surface parity, depth-capped).
+    """
+    spark = edges.sparkSession
+    edges.select("src", "dst").createOrReplaceTempView("_bfs_edges")
+    sources.select("author").createOrReplaceTempView("_bfs_sources")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(author, depth) AS (
+            SELECT author, CAST(0 AS BIGINT) AS depth FROM _bfs_sources
+            UNION ALL
+            SELECT e.dst AS author, w.depth + 1 AS depth
+            FROM walk w JOIN _bfs_edges e ON w.author = e.src
+            WHERE w.depth < {int(max_depth)}
+        )
+        SELECT author, MIN(depth) AS depth FROM walk GROUP BY author
+        """
+    )

@@ -135,3 +135,31 @@ def test_graphframes_bridge_gated(spark):
         return
     g = to_graphframe(vertices, edges)
     assert g.edges.count() == 1
+
+
+def test_hierarchy_roots_sql_equals_operator(spark):
+    """The Spark 4 recursive-CTE formulation must match the loop
+    operator on the fixture (chains, self-parent, multi-parent)."""
+    from iconic_data_science_spark.operators.graph import hierarchy_roots_sql
+
+    fc = spark.createDataFrame(
+        [(100, 10), (10, 1), (200, 20), (20, 2), (3, 3),
+         (300, 30), (300, 31), (30, 3), (31, 2)],
+        "child long, parent long",
+    )
+    loop = {(r.child, r.root) for r in hierarchy_roots(fc).collect()}
+    sql = {(r.child, r.root) for r in hierarchy_roots_sql(fc).collect()}
+    assert loop == sql
+
+
+def test_bfs_sql_equals_operator(spark):
+    from iconic_data_science_spark.operators.graph import bfs_sql
+
+    edges = (
+        coauthor_edges(fixtures.paa_df(spark), fixtures.paper_years_df(spark))
+        .select(F.col("ego").alias("src"), F.col("alter_id").alias("dst"))
+    )
+    sources = spark.createDataFrame([(1,)], "author long")
+    loop = {(r.author, r.depth) for r in bfs(edges, sources, max_depth=6).collect()}
+    sql = {(r.author, r.depth) for r in bfs_sql(edges, sources, max_depth=6).collect()}
+    assert loop == sql
