@@ -557,6 +557,35 @@ def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_test_split(cat.documents)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the flagship composition of
+    the LLM-pipeline operators in one plan: English language gate →
+    quality-score gate → exact-dup removal (keep the canonical min id)
+    → deterministic train/val/test assignment. Every stage is a
+    doc_id-keyed semi/inner join, so Catalyst fuses the gates into one
+    pass over documents with broadcast/shuffled hash joins; nothing
+    leaves the executors."""
+    from iconic_data_science_spark.operators.dedup import exact_dedup
+    from iconic_data_science_spark.operators.text import (
+        language_id,
+        quality_score,
+        train_val_test_split,
+    )
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    lang = language_id(docs).filter(F.col("pred_lang") == "en").select("doc_id")
+    qual = quality_score(docs).filter(F.col("score") >= 0.3).select("doc_id", "score")
+    canon = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    split = train_val_test_split(docs).select("doc_id", "split")
+    return (
+        qual.join(lang, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+        .join(split, "doc_id")
+        .select("doc_id", "score", "split")
+    )
+
+
 def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → Arrow-batched mapInPandas
     feature extraction. No oracle (pandas UDF over synthetic binary) —
@@ -1147,6 +1176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_text_token_counts,
     "text_fingerprint": q_text_fingerprint,
     "text_train_split": q_text_train_split,
+    "curation_pipeline": q_curation_pipeline,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
     "a_rollup_orders": q_a_rollup_orders,
@@ -2106,6 +2136,49 @@ ORACLES: dict[str, str] = {
                     ELSE 'test' END AS split
         FROM b
     """,
+    "curation_pipeline": """
+        WITH sw AS (SELECT * FROM {STOPWORDS}),
+        toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        hits AS (
+            SELECT doc_id, lang, COUNT(*) AS hits
+            FROM toks JOIN sw USING (word) GROUP BY 1, 2
+        ),
+        lang AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+                FROM hits
+            ) WHERE rn = 1 AND lang = 'en'
+        ),
+        qual AS (
+            SELECT doc_id,
+                   CAST(LEAST(CAST(len(string_split(lower(text), ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0
+                       * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                          / CAST(length(text) AS BIGINT)) AS score
+            FROM documents
+        ),
+        canon AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        sp AS (
+            SELECT doc_id,
+                   list_reduce(
+                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                        for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                       (a, b) -> a * 16 + b
+                   ) % 100 AS bucket
+            FROM documents
+        )
+        SELECT q.doc_id, q.score,
+               CASE WHEN sp.bucket < 80 THEN 'train'
+                    WHEN sp.bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM qual q
+        JOIN lang USING (doc_id)
+        JOIN canon USING (doc_id)
+        JOIN sp USING (doc_id)
+        WHERE q.score >= 0.3
+    """,
     "st_tumbling_hour": """
         SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
                event_type,
@@ -2330,6 +2403,7 @@ from iconic_data_science_spark.operators.text import stopword_table_sql as _stop
 ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_minhash_lsh"].replace("{PERMS}", _perm_table_sql(16))
 ORACLES["ann_lsh_topk"] = ORACLES["ann_lsh_topk"].replace("{PLANES}", _plane_table_sql())
 ORACLES["text_language_id"] = ORACLES["text_language_id"].replace("{STOPWORDS}", _stopword_table_sql())
+ORACLES["curation_pipeline"] = ORACLES["curation_pipeline"].replace("{STOPWORDS}", _stopword_table_sql())
 
 
 # ---------------------------------------------------------------------------
