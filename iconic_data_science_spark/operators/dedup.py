@@ -122,6 +122,18 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """(id1, id2, jaccard) for id1<id2 pairs sharing ≥1 shingle (optionally
     restricted to a candidate ``pairs`` frame)."""
+    if pairs is not None:
+        # restrict the shingle table to candidate docs BEFORE the
+        # self-join — otherwise the verify step enumerates every
+        # co-shingle pair in the corpus (Σ df²) and the LSH candidate
+        # generation saved nothing. A candidate doc keeps its full
+        # shingle set, so sizes (the union denominator) are unchanged.
+        cand_docs = (
+            pairs.select(F.col("id1").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id2").alias("doc_id")))
+            .distinct()
+        )
+        shingles = shingles.join(cand_docs, "doc_id", "left_semi")
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     s1 = shingles.select(F.col("doc_id").alias("id1"), "shingle")
     s2 = shingles.select(F.col("doc_id").alias("id2"), "shingle")
