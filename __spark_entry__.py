@@ -520,6 +520,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(cat.embeddings, _ann_queries(cat), k=5, n_cells=8)
 
 
+def q_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-5 (nprobe=2): each query probes its two
+    nearest cells — the recall/cost dial every IVF deployment turns."""
+    from iconic_data_science_spark.operators.similarity import ivf_topk
+
+    cat = _cat(spark, sf_dir)
+    return ivf_topk(cat.embeddings, _ann_queries(cat), k=5, n_cells=8, nprobe=2)
+
+
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iconic_data_science_spark.operators.text import language_id
 
@@ -1171,6 +1180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
     "text_token_counts": q_text_token_counts,
@@ -1841,6 +1851,53 @@ ORACLES: dict[str, str] = {
         ),
         eb AS (SELECT e.*, a.cell FROM e JOIN assign a ON a.id = e.vec_id),
         q AS (SELECT * FROM eb WHERE vec_id % 50 = 0),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_reduce(
+                       [CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)
+                        for i in generate_series(1, len(q.embedding))], (x, y) -> x + y)
+                   / sqrt(CAST(q.sq AS DOUBLE) * CAST(c.sq AS DOUBLE)) AS cosine
+            FROM q JOIN eb c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+    """,
+    "ann_ivf_nprobe2": """
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   list_reduce(
+                       [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0) AS BIGINT)
+                        for x in embedding], (a, b) -> a + b) AS sq
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS c_id, embedding AS c_v, sq AS c_sq
+            FROM e ORDER BY vec_id LIMIT 8
+        ),
+        scored AS (
+            SELECT e.vec_id AS id, c.c_id,
+                   list_reduce(
+                       [CAST(round(CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_v[i] AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)
+                        for i in generate_series(1, len(e.embedding))], (x, y) -> x + y)
+                   / sqrt(CAST(e.sq AS DOUBLE) * CAST(c.c_sq AS DOUBLE)) AS sim
+            FROM e CROSS JOIN cent c
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, c_id) AS rn
+            FROM scored
+        ),
+        assign1 AS (SELECT id, c_id AS cell FROM ranked WHERE rn = 1),
+        assign2 AS (SELECT id, c_id AS cell FROM ranked WHERE rn <= 2),
+        eb AS (SELECT e.*, a.cell FROM e JOIN assign1 a ON a.id = e.vec_id),
+        q AS (
+            SELECT e.*, a.cell FROM e JOIN assign2 a ON a.id = e.vec_id
+            WHERE e.vec_id % 50 = 0
+        ),
         pairs AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    list_reduce(

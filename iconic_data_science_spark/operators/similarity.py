@@ -145,6 +145,7 @@ def ivf_assign(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_assign: int = 1,
 ) -> DataFrame:
     """(id, cell) — IVF cell assignment against fixed pseudo-centroids.
 
@@ -153,6 +154,9 @@ def ivf_assign(
     A real deployment would k-means these; the *assignment/search*
     machinery (argmin over broadcast centroids, cell-restricted probe)
     is identical either way, and that is the part that must scale.
+
+    ``n_assign > 1`` returns each vector's top-n nearest cells (one row
+    per cell) — the multi-probe side of ``ivf_topk(nprobe=...)``.
     """
     e = _with_sqnorm(embeddings, id_col, vec_col)
     centroids = e.orderBy("id").limit(n_cells).select(
@@ -168,7 +172,7 @@ def ivf_assign(
     w = W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_assign)
         .select("id", F.col("c_id").alias("cell"))
     )
 
@@ -180,16 +184,20 @@ def ivf_topk(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: probe only the query's cell (nprobe=1).
+    """IVF approximate top-k: probe the query's ``nprobe`` nearest cells.
 
-    Cost drops by ~n_cells vs brute force; recall is bounded by how often
-    true neighbors share the query's cell (high for clustered data)."""
+    Cost drops by ~n_cells/nprobe vs brute force; recall is bounded by
+    how often true neighbors land in a probed cell — nprobe is the
+    standard recall/cost dial (each +1 probes one more cell's posting
+    list). Corpus vectors keep a single cell, so multi-probe cannot
+    duplicate (query, neighbor) pairs."""
     assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
     corpus = _with_sqnorm(embeddings, id_col, vec_col).join(assign, "id").alias("c")
     qs = (
         _with_sqnorm(queries, id_col, vec_col)
-        .join(ivf_assign(embeddings, n_cells, id_col, vec_col), "id")
+        .join(ivf_assign(embeddings, n_cells, id_col, vec_col, n_assign=nprobe), "id")
         .alias("q")
     )
     dot = F.aggregate(
