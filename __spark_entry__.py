@@ -128,6 +128,10 @@ def q_w1_cumulative_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
         magmap.paa(cat)
         .distinct()
         .join(magmap.paper_years(cat), "paper")
+        # hash(author) satisfies both the groupBy(author, year)
+        # clustering and the window's partitionBy(author): one shuffle
+        # instead of hash(author, year) + a re-exchange for the window
+        .repartition("author")
         .groupBy("author", "year")
         .agg(F.count("*").alias("papers_in_year"))
     )

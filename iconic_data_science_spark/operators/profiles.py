@@ -56,6 +56,12 @@ def zero_filled_citations(citations_by_year: DataFrame, spine: DataFrame) -> Dat
     )
     return (
         zeros.unionByName(observed)
+        # partition on paper alone: hash(paper) satisfies the
+        # groupBy(paper, year) clustering requirement AND the
+        # downstream window's partitionBy(paper) — one shuffle where
+        # Catalyst's default hash(paper, year) would force a second
+        # exchange before the cumulative window
+        .repartition("paper")
         .groupBy("paper", "year")
         .agg(F.sum("n_cit").alias("n_cit"))
     )
