@@ -80,13 +80,30 @@ def coauthor_edges(
     ``min_papers_together`` thresholds edge strength — the scale knob that
     keeps dense graphs tractable.
     """
-    pairs = coauthor_pairs(paa, max_authors_per_paper=max_authors_per_paper)
+    pa = paper_authors(paa)
+    if max_authors_per_paper is not None:
+        small = (
+            pa.groupBy("paper")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_authors_per_paper)
+            .select("paper")
+        )
+        pa = pa.join(small, "paper", "left_semi")
+    # Attach the year BEFORE the self-join: when paper_years is filtered
+    # (e.g. BFS restricts to one year), the pairing input shrinks by the
+    # selectivity *before* the O(k²) pair fan-out — the join key is the
+    # same paper on both sides, so restricting one side restricts the
+    # pair table identically to joining years after pairing. The year-
+    # joined side is already hash(paper) partitioned, so the self-join
+    # adds no exchange for it.
+    a = pa.join(paper_years, "paper").alias("a")
+    b = pa.alias("b")
     edges = (
-        pairs.join(paper_years, "paper")
-        .groupBy("ego", "alter_id")
+        a.join(b, (F.col("a.paper") == F.col("b.paper")) & (F.col("a.author") != F.col("b.author")))
+        .groupBy(F.col("a.author").alias("ego"), F.col("b.author").alias("alter_id"))
         .agg(
             F.count("*").alias("papers_together"),
-            F.min("year").alias("first_year"),
+            F.min("a.year").alias("first_year"),
         )
     )
     if min_papers_together > 1:
