@@ -1,0 +1,73 @@
+"""Property tests for the reproducible-sampling and time-series rollup
+operators (the newest scale-toolkit entries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iconic_data_science_spark.catalog import Catalog
+from iconic_data_science_spark.operators.sampling import stratified_hash_sample
+from iconic_data_science_spark.operators.timeseries import multi_grain_counts
+
+
+def test_stratified_sample_nesting_and_determinism(spark, sf_dir):
+    """Raising a stratum's rate must keep every previously sampled row
+    (hash-bucket nesting), never resample; and two runs are identical."""
+    cust = Catalog(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    lo = stratified_hash_sample(cust, "c_custkey", "c_mktsegment", {"BUILDING": 20})
+    hi = stratified_hash_sample(cust, "c_custkey", "c_mktsegment", {"BUILDING": 60})
+    lo_ids = {r.c_custkey for r in lo.collect()}
+    hi_ids = {r.c_custkey for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    assert lo_ids == {r.c_custkey for r in lo.collect()}  # rerun identical
+
+
+def test_stratified_sample_stratum_isolation(spark, sf_dir):
+    """Changing one stratum's rate must not affect which rows of another
+    stratum are kept."""
+    cust = Catalog(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    a = stratified_hash_sample(
+        cust, "c_custkey", "c_mktsegment", {"BUILDING": 30, "MACHINERY": 10}
+    )
+    b = stratified_hash_sample(
+        cust, "c_custkey", "c_mktsegment", {"BUILDING": 30, "MACHINERY": 90}
+    )
+    keep = lambda df: {
+        r.c_custkey for r in df.filter(F.col("c_mktsegment") == "BUILDING").collect()
+    }
+    assert keep(a) == keep(b)
+
+
+def test_multi_grain_counts_conserve_totals(spark, sf_dir):
+    """Every grain partitions the event stream: per-grain event sums must
+    each equal the table row count."""
+    events = Catalog(spark, sf_dir).events
+    total = events.count()
+    sums = {
+        r.grain: r.s
+        for r in multi_grain_counts(events)
+        .groupBy("grain")
+        .agg(F.sum("n_events").alias("s"))
+        .collect()
+    }
+    assert sums == {"minute": total, "hour": total, "day": total}
+
+
+def test_multi_grain_buckets_align(spark, sf_dir):
+    """Coarser buckets must contain their finer buckets' counts: summing
+    minute buckets up to the hour reproduces the hour rows."""
+    events = Catalog(spark, sf_dir).events
+    g = multi_grain_counts(events)
+    minute_up = (
+        g.filter(F.col("grain") == "minute")
+        .withColumn(
+            "h", F.unix_micros(F.date_trunc("hour", F.timestamp_micros(F.col("bucket_us"))))
+        )
+        .groupBy("h", "event_type")
+        .agg(F.sum("n_events").alias("n"))
+    )
+    hour = g.filter(F.col("grain") == "hour").select(
+        F.col("bucket_us").alias("h"), "event_type", F.col("n_events").alias("n")
+    )
+    assert minute_up.exceptAll(hour).count() == 0
+    assert hour.exceptAll(minute_up).count() == 0
