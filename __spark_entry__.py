@@ -73,6 +73,24 @@ def q_g3_personal_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personal_net(edges, egos=egos)
 
 
+def q_g3_personal_net_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 in the reference's OTHER formulation (X4: flatMap/UDTF →
+    explode of a triangular pair expression, PersonalNet.scala:143-201)
+    — same semantics, same oracle as the relational flagship; kept as a
+    first-class contract query so the driver gate pins both forms."""
+    from iconic_data_science_spark.operators.personal_net import personal_net_flatmap_form
+
+    cat = _cat(spark, sf_dir)
+    years = magmap.paper_years(cat).filter(F.col("year") == 1995)
+    edges = (
+        coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+        .select("ego", "alter_id", "first_year")
+        .localCheckpoint()
+    )
+    egos = edges.select("ego").filter(F.col("ego") % 10 == 0).distinct()
+    return personal_net_flatmap_form(edges, egos=egos)
+
+
 def q_a1_papers_per_author(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: group-by count — papers per author (ReplApp.sc:79)."""
     cat = _cat(spark, sf_dir)
@@ -1149,6 +1167,7 @@ def q_j_full_outer_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_coauthor_edges": q_g1_coauthor_edges,
     "g3_personal_net": q_g3_personal_net,
+    "g3_personal_net_flatmap": q_g3_personal_net_flatmap,
     "a1_papers_per_author": q_a1_papers_per_author,
     "q1_pricing_summary": q_q1_pricing_summary,
     "p_projection_filter": q_p_projection_filter,
@@ -1238,6 +1257,26 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "g3_personal_net": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year
+               FROM orders WHERE year(o_orderdate) = 1995),
+        co AS (
+            SELECT a.author AS ego, b.author AS alter_id,
+                   COUNT(*) AS papers_together, MIN(py.year) AS first_year
+            FROM paa a
+            JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+            JOIN py ON py.paper = a.paper
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        )
+        SELECT c1.ego AS ego, c1.alter_id AS alter1, c2.alter_id AS alter2,
+               GREATEST(c1.first_year, c2.first_year, ap.first_year) AS year
+        FROM co c1
+        JOIN co c2 ON c1.ego = c2.ego AND c1.alter_id < c2.alter_id
+        JOIN co ap ON ap.ego = c1.alter_id AND ap.alter_id = c2.alter_id
+        WHERE c1.ego % 10 = 0
+    """,
+    "g3_personal_net_flatmap": """
         WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
         py AS (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year
                FROM orders WHERE year(o_orderdate) = 1995),
