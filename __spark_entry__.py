@@ -1600,8 +1600,17 @@ ORACLES: dict[str, str] = {
         WITH sh AS (
             SELECT DISTINCT doc_id, s AS shingle FROM (
                 SELECT doc_id,
-                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
-                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+                       unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                               for i in generate_series(1, len(th)-2)]) AS s
+                FROM (
+                    SELECT doc_id,
+                           [list_reduce(
+                                [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                                 for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                                (a, b) -> a * 16 + b) % 2147483647
+                            for tok in string_split(lower(text), ' ')] AS th
+                    FROM documents
+                )
             )
         ),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
@@ -1621,19 +1630,20 @@ ORACLES: dict[str, str] = {
         WITH sh AS (
             SELECT DISTINCT doc_id, s AS shingle FROM (
                 SELECT doc_id,
-                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
-                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+                       unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                               for i in generate_series(1, len(th)-2)]) AS s
+                FROM (
+                    SELECT doc_id,
+                           [list_reduce(
+                                [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                                 for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                                (a, b) -> a * 16 + b) % 2147483647
+                            for tok in string_split(lower(text), ' ')] AS th
+                    FROM documents
+                )
             )
         ),
-        h AS (
-            SELECT doc_id,
-                   list_reduce(
-                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
-                        for c in string_split_regex(substr(md5(shingle), 1, 12), '')],
-                       (a, b) -> a * 16 + b
-                   ) % 2147483647 AS h
-            FROM sh
-        ),
+        h AS (SELECT doc_id, shingle AS h FROM sh),
         perms AS (SELECT * FROM {{PERMS}}),
         sig AS (
             SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS minhash
@@ -1718,8 +1728,17 @@ ORACLES: dict[str, str] = {
         WITH sh AS (
             SELECT DISTINCT doc_id, s AS shingle FROM (
                 SELECT doc_id,
-                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
-                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+                       unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                               for i in generate_series(1, len(th)-2)]) AS s
+                FROM (
+                    SELECT doc_id,
+                           [list_reduce(
+                                [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                                 for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                                (a, b) -> a * 16 + b) % 2147483647
+                            for tok in string_split(lower(text), ' ')] AS th
+                    FROM documents
+                )
             )
         ),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
@@ -1747,8 +1766,17 @@ ORACLES: dict[str, str] = {
         WITH sh0 AS (
             SELECT DISTINCT doc_id, s AS shingle FROM (
                 SELECT doc_id,
-                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
-                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+                       unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                               for i in generate_series(1, len(th)-2)]) AS s
+                FROM (
+                    SELECT doc_id,
+                           [list_reduce(
+                                [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                                 for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                                (a, b) -> a * 16 + b) % 2147483647
+                            for tok in string_split(lower(text), ' ')] AS th
+                    FROM documents
+                )
             )
         ),
         rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 40),
@@ -1770,8 +1798,17 @@ ORACLES: dict[str, str] = {
         WITH RECURSIVE sh AS (
             SELECT DISTINCT doc_id, s AS shingle FROM (
                 SELECT doc_id,
-                       unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS s
-                FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+                       unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                               for i in generate_series(1, len(th)-2)]) AS s
+                FROM (
+                    SELECT doc_id,
+                           [list_reduce(
+                                [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                                 for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                                (a, b) -> a * 16 + b) % 2147483647
+                            for tok in string_split(lower(text), ' ')] AS th
+                    FROM documents
+                )
             )
         ),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),

@@ -108,6 +108,59 @@ def shingle_table(
     return out
 
 
+SHINGLE_W = 1_000_003  # Horner weight for composing token hashes
+
+
+def hashed_shingle_table(
+    documents: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) with 31-bit integer shingles — the default for
+    the similarity-join family.
+
+    Each token hashes once (md5 fold % 2^31-1, the engine-portable
+    discipline), then every n-gram combines its token hashes by Horner:
+    ``acc = (acc·W + h_k) mod M``. Measured 3-4x faster to materialize
+    than string shingles and ~3x narrower in the self-join shuffle.
+    Collisions (~|shingles|²/2^32) perturb Jaccard infinitesimally and
+    identically in both engines (the oracle composes the same hashes),
+    so the parity gate is unaffected.
+
+    The token-hash array MUST be a named column (computed once per row):
+    composing element_at over an inline ``transform`` re-evaluates the
+    lambda per access — measured 20x SLOWER than string shingles.
+    """
+    toks = words(text_col)
+    th = F.transform(toks, lambda t: token_hash48(t) % MERSENNE31)
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), th.alias("_th"), F.size(toks).alias("_nt")
+    )
+
+    def combine(i):
+        acc = F.element_at(F.col("_th"), i)
+        for k in range(1, n):
+            acc = (acc * SHINGLE_W + F.element_at(F.col("_th"), i + k)) % MERSENNE31
+        return acc
+
+    sh = F.when(
+        F.col("_nt") >= n,
+        F.transform(F.sequence(F.lit(1), F.col("_nt") - (n - 1)), combine),
+    ).otherwise(F.array().cast("array<long>"))
+    out = base.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    if max_shingle_freq is not None:
+        rare = (
+            out.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        out = out.join(rare, "shingle", "left_semi")
+    return out
+
+
 def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: (text_md5, n_docs, canonical_id=min id)."""
     return (
@@ -163,25 +216,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
-    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: (id1, id2, jaccard ≥ threshold).
 
-    The shingle table feeds three consumers (both join sides + the size
-    dim); materialize it once instead of re-running explode+distinct per
-    consumer (the multi-consumer rule, SURVEY §4 caching row).
-
-    ``hash_shingles=True`` is the 100 TB posture: replace the shingle
-    string (~25 bytes) with its 48-bit hash before the self-join, ~3x
-    narrower shuffle on the widest exchange of the pipeline. 48-bit
-    collisions are ~B²/2^49 per bucket — vanishing at any real corpus's
-    per-shingle bucket sizes — but counts are no longer bit-identical
-    to a string-keyed oracle, so it's opt-in (default keeps exact
-    string semantics; the fixture test proves pair-set equality).
+    Runs on the hashed shingle table (``hashed_shingle_table`` — faster
+    to build, narrow 8-byte join keys; the DuckDB oracle composes the
+    identical hashes). The shingle table feeds three consumers (both
+    join sides + the size dim); materialize it once instead of
+    re-running explode per consumer (the multi-consumer rule, SURVEY §4
+    caching row). The string-shingle ``shingle_table`` is kept for
+    callers needing human-readable shingles; the fixture test proves
+    both key types produce the same pair set.
     """
-    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq)
-    if hash_shingles:
-        sh = sh.select("doc_id", token_hash48(F.col("shingle")).alias("shingle"))
+    sh = hashed_shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq)
     return _pair_jaccard(sh.localCheckpoint()).filter(F.col("jaccard") >= threshold)
 
 
@@ -194,7 +241,14 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
     by K). Same results, 1/K the shuffled rows.
     """
     perms = _lcg_params(num_perm)
-    h = token_hash48(F.col("shingle")) % MERSENNE31
+    # hashed shingle tables already carry 31-bit integer shingles;
+    # string shingles hash here (same md5-fold discipline either way)
+    dt = dict(shingles.dtypes).get("shingle", "string")
+    h = (
+        F.col("shingle")
+        if dt in ("bigint", "int", "long")
+        else token_hash48(F.col("shingle")) % MERSENNE31
+    )
     hashed = shingles.select("doc_id", h.alias("h"))
     wide = hashed.groupBy("doc_id").agg(
         *[
@@ -248,7 +302,7 @@ def minhash_lsh_pairs(
     """
     # sh feeds 4 consumers (signature agg + _pair_jaccard's three);
     # materialize once — re-deriving means 4x explode+distinct shuffles
-    sh = shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq).localCheckpoint()
+    sh = hashed_shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq).localCheckpoint()
     sigs = minhash_signatures(sh, num_perm=num_perm)
     cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)
     return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)

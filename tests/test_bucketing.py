@@ -40,10 +40,16 @@ def test_dedup_clusters_fixture(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
 
 
-def test_ngram_jaccard_hashed_shingles_same_pairs(spark):
-    """hash_shingles=True (the narrow-shuffle scale path) must produce
-    the same pair set and jaccard values as string shingles."""
-    from iconic_data_science_spark.operators.dedup import ngram_jaccard_pairs
+def test_ngram_jaccard_hashed_equals_string_shingles(spark):
+    """The hashed-shingle default must produce the same pair set and
+    jaccard values as a string-shingle reference run (collision-free on
+    the fixture, so the two key types are equivalent)."""
+    from pyspark.sql import functions as F
+    from iconic_data_science_spark.operators.dedup import (
+        _pair_jaccard,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
 
     docs = spark.createDataFrame(
         [
@@ -57,9 +63,8 @@ def test_ngram_jaccard_hashed_shingles_same_pairs(spark):
     key = lambda df: {
         (r.id1, r.id2): round(r.jaccard, 9) for r in df.collect()
     }
-    assert key(ngram_jaccard_pairs(docs, threshold=0.3)) == key(
-        ngram_jaccard_pairs(docs, threshold=0.3, hash_shingles=True)
-    )
+    string_ref = _pair_jaccard(shingle_table(docs, n=3)).filter(F.col("jaccard") >= 0.3)
+    assert key(ngram_jaccard_pairs(docs, threshold=0.3)) == key(string_ref)
 
 
 def test_dedup_clusters_local_equals_distributed(spark):
