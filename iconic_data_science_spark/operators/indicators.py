@@ -42,10 +42,18 @@ def coauthor_year_triples(
     consumer re-aggregates with duplicate-insensitive aggs, as
     ``ego_indicators`` / ``ego_alter_rollups`` do.
     """
-    t = (
-        coauthor_pairs(paa)
-        .join(paper_years, "paper")
-        .select("ego", "year", "alter_id")
+    from .coauthor import paper_authors
+
+    # join the year onto one side BEFORE the self-join (same paper key
+    # on both sides, so one-side restriction/enrichment is equivalent to
+    # joining after pairing — at 1/k² the row count)
+    pa = paper_authors(paa)
+    a = pa.join(paper_years, "paper").alias("a")
+    b = pa.alias("b")
+    t = a.join(
+        b, (F.col("a.paper") == F.col("b.paper")) & (F.col("a.author") != F.col("b.author"))
+    ).select(
+        F.col("a.author").alias("ego"), F.col("a.year").alias("year"), F.col("b.author").alias("alter_id")
     )
     return t.distinct() if distinct else t
 
