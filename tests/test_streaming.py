@@ -104,3 +104,59 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     # availableNow drains the whole file source so all matches surface
     got = _run_stream(spark, stream, "t_ssj", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """The 10-minute watermark policy, observed for real: batch 1
+    advances the watermark past a window's end; a batch-2 event behind
+    the watermark must be EXCLUDED from that window's append-mode
+    emission (and the stream-final window never emits at all)."""
+    import time as _time
+
+    base = 1704103200  # 2024-01-01 10:00:00 UTC (hour-aligned)
+    NS = 1_000_000_000
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    d = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    out_dir = str(tmp_path / "out")
+
+    def run(name):
+        raw = (
+            spark.readStream.format("parquet").schema(ev.EVENT_SCHEMA_RAW).load(d)
+        )
+        q = (
+            ev.tumbling_counts(ev.normalize_ts(raw))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # run 1: 10:00 and 12:00 -> watermark persisted at 11:50
+    spark.createDataFrame(
+        [(1, base * NS, 1, "click", 1.0, "{}"),
+         (2, (base + 7200) * NS, 1, "click", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    run("t_late1")
+    _time.sleep(1.1)
+    # run 2 (same checkpoint): 10:30 is behind the restored 11:50
+    # watermark -> dropped; 14:00 advances it to 13:50, closing 12:00
+    spark.createDataFrame(
+        [(3, (base + 1800) * NS, 1, "click", 1.0, "{}"),
+         (4, (base + 14400) * NS, 1, "click", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    run("t_late2")
+
+    got = spark.read.parquet(out_dir).toPandas()
+    by_window = dict(zip(got.window_start_us, got.n_events))
+    US = 1_000_000
+    assert by_window.get(base * US) == 1          # late 10:30 event dropped
+    assert by_window.get((base + 7200) * US) == 1
+    assert (base + 14400) * US not in by_window   # watermark never closes it
