@@ -222,11 +222,40 @@ def to_graphframe(vertices: DataFrame, edges: DataFrame):
     return GraphFrame(vertices, edges)
 
 
+def _local_bfs(edges: DataFrame, sources: DataFrame, max_depth: int) -> DataFrame:
+    """Driver-side BFS for edge tables under the local-solve threshold:
+    one collect of the (already materialized) edge table, adjacency-list
+    expansion, one parallelize back. A distributed round costs 2 fixed-
+    overhead jobs; a 50k-row personal-net graph never justifies 2×depth
+    of them."""
+    pdf = edges.toPandas()
+    adj: dict = {}
+    for s, t in zip(pdf["src"], pdf["dst"]):
+        adj.setdefault(s, []).append(t)
+    depth = {r.author: 0 for r in sources.select("author").distinct().collect()}
+    frontier = list(depth)
+    for d in range(1, max_depth + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = d
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    t = dict(edges.dtypes)["src"]
+    return edges.sparkSession.createDataFrame(
+        list(depth.items()), f"author {t}, depth bigint"
+    )
+
+
 def bfs(
     edges: DataFrame,
     sources: DataFrame,
     max_depth: int = 6,
     broadcast_threshold_rows: int = 5_000_000,
+    local_solve_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """G4: k-hop breadth-first expansion (StaticNet.scala:303-420 rewrite).
 
@@ -244,6 +273,13 @@ def bfs(
     (dense-graph explosion) falls back to shuffle joins mid-loop.
     """
     e = edges.select(F.col("src"), F.col("dst"))
+    # three-tier, like hierarchy_roots/dedup_clusters: tiny edge tables
+    # solve on the driver (the gate's count() is one cheap job when the
+    # caller has materialized edges — pass local_solve_rows=None to skip
+    # the gate entirely for a huge lazy edge table, where counting would
+    # be a full scan)
+    if local_solve_rows is not None and e.count() <= local_solve_rows:
+        return _local_bfs(e, sources, max_depth)
     visited = sources.select("author").distinct().withColumn("depth", F.lit(0).cast("long"))
     visited = visited.persist()
     n_visited = visited.count()

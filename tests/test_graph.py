@@ -163,3 +163,17 @@ def test_bfs_sql_equals_operator(spark):
     loop = {(r.author, r.depth) for r in bfs(edges, sources, max_depth=6).collect()}
     sql = {(r.author, r.depth) for r in bfs_sql(edges, sources, max_depth=6).collect()}
     assert loop == sql
+
+
+def test_bfs_local_equals_distributed(spark):
+    edges = (
+        coauthor_edges(fixtures.paa_df(spark), fixtures.paper_years_df(spark))
+        .select(F.col("ego").alias("src"), F.col("alter_id").alias("dst"))
+    )
+    sources = spark.createDataFrame([(1,)], "author long")
+    local = {(r.author, r.depth) for r in bfs(edges, sources, max_depth=6).collect()}
+    dist = {
+        (r.author, r.depth)
+        for r in bfs(edges, sources, max_depth=6, local_solve_rows=0).collect()
+    }
+    assert local == dist
