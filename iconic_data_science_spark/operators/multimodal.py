@@ -134,6 +134,56 @@ def frame_sample(media: DataFrame, every_s: float = 1.0, require_codecs: bool = 
     )
 
 
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, require_codecs: bool = True
+) -> DataFrame:
+    """Image resize stub (plumbing real, codec gated): the production
+    body decodes each payload, resamples to (width, height) and
+    re-encodes inside the same ``mapInPandas`` shape as
+    ``byte_histogram_features``. Without codecs, the deterministic fake
+    keeps the Arrow batch contract honest: payload truncates/repeats to
+    the target pixel budget (3 bytes/pixel) and meta gets the new
+    dimensions — so downstream schema, partitioning and batch-shape
+    behavior are fully testable."""
+    if require_codecs:
+        raise NotImplementedError(
+            "image resize requires Pillow, not present in this environment; "
+            "pass require_codecs=False for the deterministic fake path"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    budget = width * height * 3
+
+    def fake_resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                reps = -(-budget // max(len(payload), 1))  # ceil
+                out.append((bytes(payload) * reps)[:budget])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(fake_resize, out_schema)
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata/payload rollups per kind — pure relational, no UDF."""
     return (

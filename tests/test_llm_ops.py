@@ -48,6 +48,23 @@ def test_multimodal_decode_stub_gated(spark):
         multimodal.frame_sample(media)
 
 
+def test_multimodal_resize_stub(spark):
+    media = multimodal.synth_media(spark, 12)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media)
+    out = multimodal.resize_images(media, width=8, height=8, require_codecs=False)
+    rows = out.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+    # every payload exactly the pixel budget; dims rewritten
+    assert all(len(r.payload) == 8 * 8 * 3 for r in rows)
+    assert all(r.width == 8 and r.height == 8 for r in rows)
+    # deterministic: same ids -> same bytes on rerun
+    again = {r.media_id: r.payload for r in multimodal.resize_images(
+        media, width=8, height=8, require_codecs=False).collect()}
+    assert {r.media_id: r.payload for r in rows} == again
+
+
 def test_media_stats_schema(spark):
     stats = multimodal.media_stats(multimodal.synth_media(spark, 32)).collect()
     kinds = {r.kind for r in stats}
