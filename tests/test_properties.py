@@ -75,3 +75,31 @@ def test_salted_join_equals_plain(spark):
     plain = {(r.key, r.lv, r.rv) for r in left.join(right, "key").collect()}
     salted = {(r.key, r.lv, r.rv) for r in salt_join_skewed_left(left, right, "key").collect()}
     assert plain == salted
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_invariants(spark, texts):
+    """Jaccard similarity-join invariants on arbitrary small corpora:
+    0 < jaccard <= 1, id1 < id2 canonical order, identical texts with
+    >= n tokens always pair at jaccard 1.0."""
+    from iconic_data_science_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.id1 < r.id2
+    got = {(r.id1, r.id2): r.jaccard for r in rows}
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts[i + 1:], i + 1):
+            if a == b and len(a.split(" ")) >= 3:
+                assert got.get((i, j)) == 1.0
