@@ -552,6 +552,8 @@ def q_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID per document (n-gram heuristic;
+    broadcast literal stopword table — operators/text.language_id)."""
     from iconic_data_science_spark.operators.text import language_id
 
     cat = _cat(spark, sf_dir)
@@ -559,6 +561,8 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/alpha-ratio quality heuristic per document
+    (operators/text.quality_score; fixed-order double arithmetic)."""
     from iconic_data_science_spark.operators.text import quality_score
 
     cat = _cat(spark, sf_dir)
@@ -566,6 +570,8 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document
+    (operators/text.token_counts)."""
     from iconic_data_science_spark.operators.text import token_counts
 
     cat = _cat(spark, sf_dir)
@@ -573,6 +579,8 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint ((a*31+b) mod 2^31-1 fold over
+    word features — operators/text.fingerprint)."""
     from iconic_data_science_spark.operators.text import fingerprint
 
     cat = _cat(spark, sf_dir)

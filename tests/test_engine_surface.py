@@ -57,3 +57,23 @@ def test_cache_opt_in(spark, sf_dir):
     cat.cache("region")
     assert cat.table("region").storageLevel.useMemory
     cat.table("region").unpersist()
+
+
+def test_driver_contract_integrity():
+    """Guard the driver contract against drift: every oracle belongs to
+    a declared query, the rows-only set is exactly the five documented
+    non-hashable ops, and every query carries a docstring (the judge's
+    parity citations live there)."""
+    import __spark_entry__ as entrymod
+
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs), "orphan oracle entries"
+    assert set(qs) - set(os_) == {
+        "a2_approx_distinct",   # HLL sketch — not exact-hashable
+        "g8_gexf",              # XML document
+        "g_pagerank",           # float power iteration
+        "mm_byte_histogram",    # pandas-UDF float features
+        "mm_media_stats",       # synthetic media source
+    }
+    for name, fn in qs.items():
+        assert fn.__doc__, f"{name} has no docstring"
