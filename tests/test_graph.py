@@ -79,9 +79,11 @@ def test_pagerank_analytic_fixtures(spark):
     r = {x.node: x.rank for x in pagerank(cyc, iterations=5).collect()}
     assert abs(r[1] - 0.5) < 1e-12 and abs(r[2] - 0.5) < 1e-12
 
-    # star 2,3,4 -> 1 (1 is dangling): rank(1) > rank(leaf); Σ = 1
+    # star 2,3,4 -> 1 (1 is dangling): rank(1) > rank(leaf); Σ = 1.
+    # 8 iterations: the asserted properties hold from iteration 2 on;
+    # each iteration is a full checkpointed job, so 20 was pure test time
     star = spark.createDataFrame([(2, 1), (3, 1), (4, 1)], "src long, dst long")
-    rs = {x.node: x.rank for x in pagerank(star, iterations=20).collect()}
+    rs = {x.node: x.rank for x in pagerank(star, iterations=8).collect()}
     assert abs(sum(rs.values()) - 1.0) < 1e-9
     assert rs[1] > rs[2] and abs(rs[2] - rs[3]) < 1e-12 and abs(rs[3] - rs[4]) < 1e-12
 
