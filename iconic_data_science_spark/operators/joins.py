@@ -53,3 +53,38 @@ def fk_closure_sample(seed: DataFrame, seed_key: str, related: DataFrame, fk: st
     id-set filters, StaticNet.scala:250-256)."""
     keys = seed.select(F.col(seed_key).alias(fk)).distinct()
     return related.join(keys, fk, "left_semi")
+
+
+def dwarf_star(cat, pct: int = 10) -> dict:
+    """Full-star dwarf (the reference's whole-fileset MagDwarf,
+    MagDwarf.scala:63-147, over the driver's TPC-H-ish schema): sample
+    orders by deterministic content-hash bucket, then close every
+    FK-linked table with left-semi joins so the dwarf is referentially
+    consistent — sampled lineitems' orders exist, their customers and
+    suppliers exist, dims are restricted to what is referenced.
+
+    Unlinked corpora (documents, embeddings) sample independently by
+    their own key at the same rate; tiny dims (nation, region) pass
+    through whole, as the reference keeps the fos hierarchy intact.
+    Deterministic (hash buckets, not rand()): two runs, or two engines,
+    produce the same dwarf.
+    """
+    from .text import hash_bucket
+
+    orders = cat.orders.filter(hash_bucket("o_orderkey") < pct)
+    lineitem = fk_closure_sample(orders, "o_orderkey", cat.lineitem, "l_orderkey")
+    customer = fk_closure_sample(orders, "o_custkey", cat.customer, "c_custkey")
+    supplier = fk_closure_sample(lineitem, "l_suppkey", cat.supplier, "s_suppkey")
+    part = fk_closure_sample(lineitem, "l_partkey", cat.part, "p_partkey")
+    return {
+        "orders": orders,
+        "lineitem": lineitem,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+        "nation": cat.nation,
+        "region": cat.region,
+        "events": cat.events.filter(hash_bucket("event_id") < pct),
+        "documents": cat.documents.filter(hash_bucket("doc_id") < pct),
+        "embeddings": cat.embeddings.filter(hash_bucket("vec_id") < pct),
+    }

@@ -95,3 +95,22 @@ def test_partitioned_sink_guard(spark, tmp_path):
     assert os.path.isdir(str(tmp_path / "ok"))
     with pytest.raises(ValueError):
         sinks.write_partitioned_csv(df, str(tmp_path / "bad"), ["id"], max_partitions=50)
+
+
+def test_dwarf_star_fk_consistent(spark, sf_dir):
+    """The full-star dwarf must be referentially closed and
+    deterministic (MagDwarf semantics, engine-level)."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.joins import dwarf_star
+
+    d = dwarf_star(Catalog(spark, sf_dir), pct=20)
+    li, o = d["lineitem"], d["orders"]
+    assert li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti").count() == 0
+    c = d["customer"]
+    assert o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").count() == 0
+    s = d["supplier"]
+    assert li.join(s, li["l_suppkey"] == s["s_suppkey"], "left_anti").count() == 0
+    assert 0 < o.count() < Catalog(spark, sf_dir).orders.count()
+    # deterministic across constructions
+    d2 = dwarf_star(Catalog(spark, sf_dir), pct=20)
+    assert d2["orders"].count() == o.count()
