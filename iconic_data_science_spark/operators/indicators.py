@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .coauthor import coauthor_pairs
+from .coauthor import paper_authors
 
 
 def coauthor_year_triples(
@@ -42,8 +42,6 @@ def coauthor_year_triples(
     consumer re-aggregates with duplicate-insensitive aggs, as
     ``ego_indicators`` / ``ego_alter_rollups`` do.
     """
-    from .coauthor import paper_authors
-
     # join the year onto one side BEFORE the self-join (same paper key
     # on both sides, so one-side restriction/enrichment is equivalent to
     # joining after pairing — at 1/k² the row count)
