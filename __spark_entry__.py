@@ -1070,6 +1070,56 @@ def q_lh_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part group with a NOT IN
+    exclusion — the anti-join + countDistinct composition (suppliers in
+    the exclusion set never reach the aggregation)."""
+    cat = _cat(spark, sf_dir)
+    bad = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = cat.lineitem.join(
+        bad, cat.lineitem["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    p = cat.part.filter(
+        (F.col("p_size") <= 20) & ~F.col("p_type").startswith("MEDIUM")
+    ).select("p_partkey", "p_type", "p_size")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q20_top_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested semi-join with a correlated per-part scalar,
+    decorrelated as a grouped join — suppliers shipping > 30% of a
+    focus part's total quantity, then a left-semi back to supplier."""
+    cat = _cat(spark, sf_dir)
+    li_a = cat.lineitem.join(
+        cat.part.filter(F.col("p_name").contains("gear")).select("p_partkey"),
+        cat.lineitem["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_ps = li_a.groupBy("l_partkey", "l_suppkey").agg(
+        dec_sum("l_quantity", "ps_qty")
+    )
+    per_p = li_a.groupBy("l_partkey").agg(
+        dec_sum("l_quantity", "p_qty"),
+        F.countDistinct("l_suppkey").alias("ns"),
+    )
+    # "ships more than 2x the average supplier's share of this part" —
+    # SF-robust unlike a fixed share threshold (supplier counts per part
+    # grow with scale and dilute every share)
+    strong = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("ps_qty") > 2.0 * F.col("p_qty") / F.col("ns"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return cat.supplier.join(
+        strong, cat.supplier["s_suppkey"] == strong["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery, decorrelated (TPC-H Q17 shape): yearly
     revenue lost if small-quantity lineitems (below 20% of the part's
@@ -1245,6 +1295,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "lh_merge_upsert": q_lh_merge_upsert,
     "lh_scd2_priority": q_lh_scd2_priority,
+    "q16_part_supplier_counts": q_q16_part_supplier_counts,
+    "q20_top_part_suppliers": q_q20_top_part_suppliers,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q18_large_volume_orders": q_q18_large_volume_orders,
     "q22_idle_customers": q_q22_idle_customers,
@@ -2476,6 +2528,37 @@ ORACLES: dict[str, str] = {
          AND s.event_type = 'signup'
          AND s.ts <= p.ts
          AND s.ts >= p.ts - INTERVAL '1 hour'
+    """,
+    "q16_part_supplier_counts": """
+        SELECT p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 20 AND p_type NOT LIKE 'MEDIUM%'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_type, p_size
+    """,
+    "q20_top_part_suppliers": """
+        WITH li_a AS (
+            SELECT l.* FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_name LIKE '%gear%'
+        ),
+        per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS ps_qty
+            FROM li_a GROUP BY 1, 2
+        ),
+        per_p AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS p_qty,
+                   COUNT(DISTINCT l_suppkey) AS ns
+            FROM li_a GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN (SELECT DISTINCT l_suppkey FROM per_ps
+              JOIN per_p USING (l_partkey) WHERE ps_qty > 2.0 * p_qty / ns) t
+          ON s.s_suppkey = t.l_suppkey
     """,
     "q17_small_quantity_revenue": """
         WITH avgq AS (
