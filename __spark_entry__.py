@@ -190,6 +190,28 @@ def q_w1_cumulative_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiles.cumulative_citations(profiles.zero_filled_citations(cit, spine))
 
 
+def q_w_moving_3yr_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the frame variant W1's rowsBetween form
+    doesn't exercise): per-paper moving 3-year citation sum —
+    rangeBetween(-2, current) over the year VALUE, so gap years
+    naturally fall out of the frame."""
+    cat = _cat(spark, sf_dir)
+    cit = (
+        magmap.citation_edges(cat)
+        .groupBy("cited", "cite_year")
+        .agg(F.count("*").alias("n_cit"))
+    )
+    w = (
+        W.partitionBy("cited").orderBy("cite_year").rangeBetween(-2, W.currentRow)
+    )
+    return cit.select(
+        F.col("cited").alias("paper"),
+        F.col("cite_year").alias("year"),
+        "n_cit",
+        F.sum("n_cit").over(w).alias("cit_3yr"),
+    )
+
+
 def q_profile_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 headline: full per-author/year profile with papers_cum,
     citations_cum and h-index (A5/A7/A9 + W1/W2)."""
@@ -1233,6 +1255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pr_citation_edges": q_pr_citation_edges,
     "a8_zero_filled_citations": q_a8_zero_filled_citations,
     "w1_cumulative_citations": q_w1_cumulative_citations,
+    "w_moving_3yr_citations": q_w_moving_3yr_citations,
     "profile_conversion": q_profile_conversion,
     "g7_ego_indicators": q_g7_ego_indicators,
     "g7_alter_rollups": q_g7_alter_rollups,
@@ -1420,6 +1443,22 @@ ORACLES: dict[str, str] = {
         SELECT s.paper, s.year, CAST(COALESCE(c.n_cit, 0) AS BIGINT) AS n_cit
         FROM spine s
         LEFT JOIN cit c ON c.cited = s.paper AND c.cite_year = s.year
+    """,
+    "w_moving_3yr_citations": """
+        WITH pr AS (
+            SELECT o2.o_orderkey AS citing, o1.o_orderkey AS cited,
+                   CAST(year(o2.o_orderdate) AS BIGINT) AS cite_year
+            FROM orders o1
+            JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+                          AND o2.o_orderdate > o1.o_orderdate
+        ),
+        cit AS (SELECT cited, cite_year, CAST(COUNT(*) AS BIGINT) AS n_cit FROM pr GROUP BY 1, 2)
+        SELECT cited AS paper, cite_year AS year, n_cit,
+               CAST(SUM(n_cit) OVER (
+                   PARTITION BY cited ORDER BY cite_year
+                   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cit_3yr
+        FROM cit
     """,
     "w1_cumulative_citations": """
         WITH pr AS (
