@@ -684,6 +684,25 @@ def q_a_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube (all 4 grouping sets of (year, priority) — completes the
+    rollup/cube/grouping-sets family, SURVEY §2.4 note); nulls coalesced
+    so the hash gate is type-stable."""
+    cat = _cat(spark, sf_dir)
+    base = cat.orders.select(
+        F.year("o_orderdate").cast("long").alias("year"), F.col("o_orderpriority").alias("prio")
+    )
+    return (
+        base.cube("year", "prio")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("year"), F.lit(-1)).alias("year"),
+            F.coalesce(F.col("prio"), F.lit("ALL")).alias("prio"),
+            "n_orders",
+        )
+    )
+
+
 def q_a_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: lineitem counts by returnflag pivoted on linestatus
     (oracle = conditional aggregation, the relational equivalent)."""
@@ -1294,6 +1313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
     "a_rollup_orders": q_a_rollup_orders,
+    "a_cube_orders": q_a_cube_orders,
     "a_pivot_returnflag": q_a_pivot_returnflag,
     "a_median_papers": q_a_median_papers,
     "g6_edge_citation_series": q_g6_edge_citation_series,
@@ -2147,6 +2167,13 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_orders
         FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderpriority AS prio FROM orders)
         GROUP BY ROLLUP (year, prio)
+    """,
+    "a_cube_orders": """
+        SELECT COALESCE(year, -1) AS year,
+               COALESCE(prio, 'ALL') AS prio,
+               COUNT(*) AS n_orders
+        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderpriority AS prio FROM orders)
+        GROUP BY CUBE (year, prio)
     """,
     "a_pivot_returnflag": """
         SELECT l_returnflag,
