@@ -472,6 +472,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash32(cat.documents)
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup join: byte-banded candidates (pigeonhole over
+    the 32-bit fingerprint) verified by exact Hamming distance ≤ 3 —
+    the candidate→verify architecture over bit-sketches."""
+    from iconic_data_science_spark.operators.dedup import simhash_near_pairs
+
+    cat = _cat(spark, sf_dir)
+    return simhash_near_pairs(cat.documents, max_hamming=3)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs (integer-lattice exact arithmetic)."""
     from iconic_data_science_spark.operators.dedup import embedding_cosine_pairs
@@ -1295,6 +1305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_capped": q_dedup_ngram_capped,
@@ -1815,6 +1826,43 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CASE WHEN ones * 2 > total
                              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id
+    """,
+    "dedup_simhash_pairs": """
+        WITH fp AS (
+        WITH tok AS (
+            SELECT DISTINCT doc_id, t AS tok
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_reduce(
+                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                        for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                       (a, b) -> a * 16 + b
+                   ) AS h
+            FROM tok
+        ),
+        bits AS (
+            SELECT doc_id, b, (h >> b) & 1 AS bit
+            FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+        ),
+        votes AS (SELECT doc_id, b, SUM(bit) AS ones, COUNT(*) AS total FROM bits GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN ones * 2 > total
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS bv
+            FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2,
+                            b1.simhash AS s1, b2.simhash AS s2
+            FROM bands b1 JOIN bands b2 ON b1.band = b2.band AND b1.bv = b2.bv
+                                        AND b1.doc_id < b2.doc_id
+        )
+        SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(s1, s2)) <= 3
     """,
     "dedup_embedding_cosine": """
         WITH e AS (

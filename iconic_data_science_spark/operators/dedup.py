@@ -491,3 +491,52 @@ def embedding_cosine_pairs(
         (dot / F.sqrt(F.col("sq1").cast("double") * F.col("sq2").cast("double"))).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def simhash_near_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup join: (id1, id2, hamming ≤ max_hamming).
+
+    The classic completion of the fingerprint: band the 32-bit simhash
+    into 4 bytes — any pair within Hamming distance 3 must agree on at
+    least one whole byte (pigeonhole), so an equi-join per band finds
+    every candidate without an O(n²) comparison — then verify with
+    exact ``bit_count(xor)``. Same candidate→verify architecture as
+    MinHash-LSH, over bit-sketches instead of shingle sets; shuffle
+    keys are (band index, byte value) — 1024 buckets spread by content.
+    """
+    fp = simhash32(documents, id_col=id_col, text_col=text_col)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.expr(f"(simhash >> {8 * i}) & 255").alias("bv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    b1 = bands.select(
+        F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), "band", "bv"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), "band", "bv"
+    )
+    cands = (
+        b1.join(b2, ["band", "bv"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+    )
+    return cands.select(
+        "id1",
+        "id2",
+        F.bit_count(F.expr("s1 ^ s2")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
