@@ -2749,6 +2749,558 @@ ORACLES["curation_pipeline"] = ORACLES["curation_pipeline"].replace("{STOPWORDS}
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shape suite (the classic decision-support operator shapes the
+# reference never wrote but the engine must cover: EXISTS / NOT EXISTS,
+# disjunctive predicate joins, decorrelated correlated-MIN, left-join
+# distributions, case-when ratio aggregates). Adapted to the driver star
+# schema: no partsupp table, no commit/receipt dates — lateness is
+# l_shipdate > o_orderdate + 365 days; part value is quantity*retailprice.
+
+_TS = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+
+
+def _vol():
+    "Revenue expression; built lazily (Columns need an active session)."
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side scalar aggregate. All three
+    predicates push to the parquet scan (PushedFilters); nothing shuffles
+    — at 100 TB this is the I/O-bound floor and the plan must show it."""
+    cat = _cat(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= _TS("1997-01-01"))
+        & (F.col("l_shipdate") < _TS("1998-01-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (never a row-multiplying
+    inner join + distinct). Lateness predicate lives in the join condition
+    so the semi join short-circuits per order."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= _TS("1996-01-01"))
+        & (F.col("o_orderdate") < _TS("1997-01-01"))
+    )
+    sel = o.join(
+        cat.lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by ship year.
+    Scale posture: restrict supplier/customer to the two nations BEFORE
+    touching the fact table (selective broadcast inner joins cut lineitem
+    to ~2/25 early); the pair-direction filter runs on the tiny joined
+    residue, not inside a BNL."""
+    cat = _cat(spark, sf_dir)
+    nations = ["NATION_3", "NATION_9"]
+    n = cat.nation.filter(F.col("n_name").isin(nations))
+    s_sel = (
+        cat.supplier.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c_sel = (
+        cat.customer.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    df = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= _TS("1996-01-01"))
+            & (F.col("l_shipdate") < _TS("1998-01-01"))
+        )
+        .join(F.broadcast(s_sel), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c_sel), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return df.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(dec_sum(_vol(), "revenue"))
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold into
+    ASIA customers, per order year. Numerator/denominator are both exact
+    decimal sums; the share is a single IEEE division (hash-stable)."""
+    cat = _cat(spark, sf_dir)
+    asia_c = (
+        cat.customer.join(
+            cat.nation.filter(F.col("n_regionkey") == 2),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    df = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_c), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    flagged = F.when(F.col("s_nationkey") == 3, _vol()).otherwise(F.lit(0.0))
+    return (
+        df.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dec_sum(flagged, "nation_rev"), dec_sum(_vol(), "total_rev"))
+        .select(
+            "o_year",
+            (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+        )
+    )
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name substring. Cost side adapted (no partsupp):
+    0.5*p_retailprice*l_quantity. Dim joins broadcast; the only shuffle
+    is lineitem⋈orders plus the final 2-key aggregation."""
+    cat = _cat(spark, sf_dir)
+    profit = _vol() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    df = (
+        cat.lineitem.join(
+            F.broadcast(
+                cat.part.filter(F.col("p_name").contains("widget")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return df.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(dec_sum(profit, "sum_profit"))
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a quarter.
+    Orders are date-filtered before the fact join (partition-prunable at
+    scale); customer/nation dims broadcast onto the aggregated residue."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= _TS("1997-01-01"))
+        & (F.col("o_orderdate") < _TS("1997-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cat.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dec_sum(_vol(), "revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped inventory value exceeds 0.1%
+    of the global total. The scalar total rides a one-row broadcast cross
+    join — no driver collect; the per-part aggregate is reused for both
+    sides (exchange reuse)."""
+    cat = _cat(spark, sf_dir)
+    val = (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(28,4)")
+    per_part = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey")
+        .agg(F.sum(val).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("total_dec").cast("double") * 0.001)
+        .select("p_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+def q_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix by lateness bucket (case-when counts
+    inside one aggregation — a single pass, no per-bucket scans)."""
+    cat = _cat(spark, sf_dir)
+    j = cat.lineitem.filter(
+        (F.col("l_shipdate") >= _TS("1997-01-01"))
+        & (F.col("l_shipdate") < _TS("1998-01-01"))
+    ).join(
+        cat.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"), "LATE"
+    ).otherwise("ONTIME")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("ship_bucket")).agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+def q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer including the
+    zero bucket — the left outer join + double aggregation composition."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(~F.col("o_orderpriority").startswith("4")).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_c = (
+        cat.customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_c.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO share of one month's revenue as a percent —
+    conditional aggregate over a broadcast dim join, one output row."""
+    cat = _cat(spark, sf_dir)
+    j = cat.lineitem.filter(
+        (F.col("l_shipdate") >= _TS("1997-09-01"))
+        & (F.col("l_shipdate") < _TS("1997-10-01"))
+    ).join(
+        F.broadcast(cat.part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _vol()).otherwise(F.lit(0.0))
+    return j.agg(dec_sum(promo, "promo_rev"), dec_sum(_vol(), "total_rev")).select(
+        (100.0 * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct")
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The max
+    comparison runs on the exact DECIMAL aggregate (not double), so ties
+    and the argmax are engine-independent; the revenue frame is computed
+    once and self-compared via a one-row broadcast."""
+    cat = _cat(spark, sf_dir)
+    rev = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= _TS("1997-01-01"))
+            & (F.col("l_shipdate") < _TS("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_vol().cast("decimal(28,4)")).alias("rev_dec"))
+    )
+    best = rev.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions over a part equi-join. The
+    disjunction shares one equi-join key, so it stays a single broadcast
+    hash join with a residual filter — never a BNL (SURVEY §2.3 J7)."""
+    cat = _cat(spark, sf_dir)
+    j = cat.lineitem.join(
+        F.broadcast(cat.part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 5) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 10) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15) & (q >= 20) & (q <= 30))
+    )
+    return j.filter(cond).agg(dec_sum(_vol(), "revenue"))
+
+
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order. EXISTS → left-semi, NOT EXISTS →
+    left-anti, both at distinct (order, supplier) granularity so lineitem
+    row multiplicity can't inflate the count."""
+    cat = _cat(spark, sf_dir)
+    fo = cat.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    base = cat.lineitem.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+    all_pairs = base.select("l_orderkey", "l_suppkey").distinct()
+    late_pairs = (
+        base.filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    w = late_pairs.select(
+        F.col("l_orderkey").alias("w_ok"), F.col("l_suppkey").alias("w_sk")
+    )
+    has_other = w.join(
+        all_pairs,
+        (F.col("l_orderkey") == F.col("w_ok")) & (F.col("l_suppkey") != F.col("w_sk")),
+        "left_semi",
+    )
+    sole_late = has_other.join(
+        late_pairs,
+        (F.col("l_orderkey") == F.col("w_ok")) & (F.col("l_suppkey") != F.col("w_sk")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy("w_sk")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(cat.supplier), F.col("w_sk") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+def q_q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the minimum-balance EUROPE supplier that
+    ships it (correlated MIN decorrelated into a grouped pre-aggregate +
+    equality join back — the SURVEY §4 rule; ties keep all rows). The
+    'offers' bridge is distinct (part, supplier) from lineitem."""
+    cat = _cat(spark, sf_dir)
+    eu_supp = (
+        cat.supplier.join(
+            F.broadcast(cat.nation.filter(F.col("n_regionkey") == 3)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    parts = cat.part.filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 20) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey")
+    offers = cat.lineitem.select("l_partkey", "l_suppkey").distinct()
+    cand = offers.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")).join(
+        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    minb = cand.groupBy(F.col("p_partkey").alias("mb_pk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            minb,
+            (F.col("p_partkey") == F.col("mb_pk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "nation")
+    )
+
+
+QUERIES.update({
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q4_order_priority": q_q4_order_priority,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q9_product_profit": q_q9_product_profit,
+    "q10_returned_items": q_q10_returned_items,
+    "q11_important_parts": q_q11_important_parts,
+    "q12_late_lines": q_q12_late_lines,
+    "q13_order_distribution": q_q13_order_distribution,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    "q2_min_balance_supplier": q_q2_min_balance_supplier,
+})
+
+ORACLES.update({
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 365 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    "q7_volume_shipping": """
+        WITH n AS (SELECT n_nationkey, n_name FROM nation WHERE n_name IN ('NATION_3', 'NATION_9')),
+        s_sel AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier JOIN n ON s_nationkey = n_nationkey),
+        c_sel AS (SELECT c_custkey, n_name AS cust_nation FROM customer JOIN n ON c_nationkey = n_nationkey)
+        SELECT supp_nation, cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN s_sel ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN c_sel ON o_custkey = c_custkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND supp_nation <> cust_nation
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        WITH asia_c AS (
+            SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey = 2
+        )
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(CASE WHEN s_nationkey = 3
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+               AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (SELECT c_custkey FROM asia_c)
+        GROUP BY 1
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity
+                             AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1, 2, 3, 4
+    """,
+    "q11_important_parts": """
+        WITH per_part AS (
+            SELECT p_partkey, SUM(CAST(l_quantity * p_retailprice AS DECIMAL(28,4))) AS value_dec
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_partkey
+        )
+        SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE CAST(value_dec AS DOUBLE) >
+              (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM per_part) * 0.001
+    """,
+    "q12_late_lines": """
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                    THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q13_order_distribution": """
+        WITH per_c AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '4%'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_c
+        GROUP BY c_count
+    """,
+    "q14_promo_revenue": """
+        SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+               AS promo_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        FROM rev
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size <= 5  AND l_quantity >= 1  AND l_quantity <= 11)
+           OR (p_brand = 'Brand#22' AND p_size <= 10 AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3'  AND p_size <= 15 AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    "q21_waiting_suppliers": """
+        WITH base AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        all_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM base),
+        late_pairs AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM base
+            WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late_pairs w
+        JOIN supplier ON w.l_suppkey = s_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM all_pairs a
+            WHERE a.l_orderkey = w.l_orderkey AND a.l_suppkey <> w.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM late_pairs l2
+            WHERE l2.l_orderkey = w.l_orderkey AND l2.l_suppkey <> w.l_suppkey
+        )
+        GROUP BY s_name
+    """,
+    "q2_min_balance_supplier": """
+        WITH eu_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey = 3
+        ),
+        parts AS (
+            SELECT p_partkey FROM part
+            WHERE p_size >= 10 AND p_size <= 20 AND p_type = 'LARGE'
+        ),
+        offers AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        cand AS (
+            SELECT p_partkey, s_suppkey, s_name, s_acctbal, nation
+            FROM offers
+            JOIN parts ON l_partkey = p_partkey
+            JOIN eu_supp ON l_suppkey = s_suppkey
+        )
+        SELECT c.p_partkey, s_suppkey, s_name, s_acctbal, nation
+        FROM cand c
+        JOIN (SELECT p_partkey, MIN(s_acctbal) AS min_bal FROM cand GROUP BY p_partkey) m
+          ON c.p_partkey = m.p_partkey AND c.s_acctbal = m.min_bal
+    """,
+})
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 def entry(spark: SparkSession) -> DataFrame:
