@@ -2748,6 +2748,34 @@ ORACLES["text_language_id"] = ORACLES["text_language_id"].replace("{STOPWORDS}",
 ORACLES["curation_pipeline"] = ORACLES["curation_pipeline"].replace("{STOPWORDS}", _stopword_table_sql())
 
 
+def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH (n_tables=3): candidate pairs are the
+    UNION over independent plane sets, then one exact-cosine verify join
+    — the standard recall dial when a single B-bit signature splits a
+    neighborhood (recall-measured on clustered fixtures in
+    tests/test_ann_recall.py)."""
+    from iconic_data_science_spark.operators.similarity import lsh_topk
+
+    cat = _cat(spark, sf_dir)
+    return lsh_topk(cat.embeddings, _ann_queries(cat), k=5, n_tables=3)
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over LEARNED centroids: distributed Lloyd's k-means (farthest-
+    point seeded, 3 iterations) feeds the same cell-restricted probe as
+    ann_ivf_topk. Iterative float means → rows-only check (the driver's
+    weaker gate for iterative algorithms); recall vs brute force is
+    asserted in tests/test_ann_recall.py on clustered fixtures."""
+    from iconic_data_science_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    cat = _cat(spark, sf_dir)
+    cents = kmeans_centroids(cat.embeddings, n_cells=8, n_iters=3)
+    return ivf_topk(cat.embeddings, _ann_queries(cat), k=5, centroids=cents, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shape suite (the classic decision-support operator shapes the
 # reference never wrote but the engine must cover: EXISTS / NOT EXISTS,
@@ -3098,6 +3126,8 @@ def q_q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({
+    "ann_lsh_multitable": q_ann_lsh_multitable,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q4_order_priority": q_q4_order_priority,
     "q7_volume_shipping": q_q7_volume_shipping,
@@ -3115,6 +3145,72 @@ QUERIES.update({
 })
 
 ORACLES.update({
+    "ann_lsh_multitable": """
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   list_reduce(
+                       [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0) AS BIGINT)
+                        for x in embedding], (a, b) -> a + b) AS sq
+            FROM embeddings
+        ),
+        elems AS (
+            SELECT vec_id, i, embedding[i] AS x
+            FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix
+        ),
+        sig0 AS (
+            SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+            FROM (SELECT vec_id, plane,
+                         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(coeff AS DOUBLE)
+                                             * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dot
+                  FROM elems JOIN {P0} USING (i) GROUP BY 1, 2) d GROUP BY 1
+        ),
+        sig1 AS (
+            SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+            FROM (SELECT vec_id, plane,
+                         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(coeff AS DOUBLE)
+                                             * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dot
+                  FROM elems JOIN {P1} USING (i) GROUP BY 1, 2) d GROUP BY 1
+        ),
+        sig2 AS (
+            SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+            FROM (SELECT vec_id, plane,
+                         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(coeff AS DOUBLE)
+                                             * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dot
+                  FROM elems JOIN {P2} USING (i) GROUP BY 1, 2) d GROUP BY 1
+        ),
+        qids AS (SELECT vec_id FROM e WHERE vec_id % 50 = 0),
+        cand AS (
+            SELECT DISTINCT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM sig0 q JOIN qids USING (vec_id) JOIN sig0 c
+                  ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                UNION ALL
+                SELECT q.vec_id, c.vec_id
+                FROM sig1 q JOIN qids USING (vec_id) JOIN sig1 c
+                  ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                UNION ALL
+                SELECT q.vec_id, c.vec_id
+                FROM sig2 q JOIN qids USING (vec_id) JOIN sig2 c
+                  ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            ) u
+        ),
+        pairs AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_reduce(
+                       [CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)
+                        for i in generate_series(1, len(q.embedding))], (x, y) -> x + y)
+                   / sqrt(CAST(q.sq AS DOUBLE) * CAST(c.sq AS DOUBLE)) AS cosine
+            FROM cand
+            JOIN e q ON q.vec_id = cand.query_id
+            JOIN e c ON c.vec_id = cand.neighbor_id
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+    """,
     "q6_forecast_revenue": """
         SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         FROM lineitem
@@ -3299,6 +3395,11 @@ ORACLES.update({
     """,
 })
 
+
+for _t in range(3):
+    ORACLES["ann_lsh_multitable"] = ORACLES["ann_lsh_multitable"].replace(
+        "{P" + str(_t) + "}", _plane_table_sql(table=_t)
+    )
 
 # ---------------------------------------------------------------------------
 # driver contract

@@ -42,6 +42,10 @@ HEADLINE = [
     "q5_nation_revenue",
     "dedup_clusters",
     "g_triangle_count",
+    # TPC-H-shape suite representatives (multi-dim-join rollup; EXISTS +
+    # NOT EXISTS at pair grain)
+    "q9_product_profit",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -35,9 +35,14 @@ N_PLANES = 8
 _DIM = 64
 
 
-def _plane_coeffs(n_planes: int = N_PLANES, dim: int = _DIM) -> list[tuple[int, int, int]]:
-    """(plane, i, coeff) — seeded literal integer coefficients in [-8, 8]."""
-    rng = random.Random(20240813)
+def _plane_coeffs(
+    n_planes: int = N_PLANES, dim: int = _DIM, table: int = 0
+) -> list[tuple[int, int, int]]:
+    """(plane, i, coeff) — seeded literal integer coefficients in [-8, 8].
+
+    ``table`` offsets the seed: independent plane sets for multi-table
+    LSH. Table 0 is the original set (the SQL oracle embeds it)."""
+    rng = random.Random(20240813 + 1_000_003 * table)
     out = []
     for p in range(n_planes):
         for i in range(1, dim + 1):
@@ -45,8 +50,10 @@ def _plane_coeffs(n_planes: int = N_PLANES, dim: int = _DIM) -> list[tuple[int, 
     return out
 
 
-def plane_table_sql(n_planes: int = N_PLANES, dim: int = _DIM) -> str:
-    rows = ", ".join(f"({p}, {i}, {c})" for p, i, c in _plane_coeffs(n_planes, dim))
+def plane_table_sql(n_planes: int = N_PLANES, dim: int = _DIM, table: int = 0) -> str:
+    rows = ", ".join(
+        f"({p}, {i}, {c})" for p, i, c in _plane_coeffs(n_planes, dim, table=table)
+    )
     return f"(VALUES {rows}) AS pl(plane, i, coeff)"
 
 
@@ -109,10 +116,17 @@ def brute_force_topk(
     return _topk(pairs, k)
 
 
-def lsh_signature(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def lsh_signature(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: int = 0,
+) -> DataFrame:
     """(id, bucket) — B-bit random-hyperplane signature as a string key."""
     spark = embeddings.sparkSession
-    planes = spark.createDataFrame(_plane_coeffs(), "plane int, i int, coeff int")
+    planes = spark.createDataFrame(
+        _plane_coeffs(table=table), "plane int, i int, coeff int"
+    )
     elems = embeddings.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
@@ -140,28 +154,130 @@ def lsh_signature(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = 
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column → (c_id, c_v) centroids.
+
+    Spark-first shape: per iteration, assignment is a broadcast cross
+    join against the K current centroids (argmax cosine via a
+    row_number window), and the update is a distributed per-(cell,
+    position) mean. Only the K×dim centroid matrix crosses the driver
+    boundary each round — bounded metadata, like AQE stats, never the
+    data. Initialization is the ``n_cells`` smallest-id vectors, so runs
+    are deterministic given the data.
+
+    Feeds ``ivf_assign(centroids=...)`` / ``ivf_topk(centroids=...)`` as
+    the real-centroid scale path (recall-tested on clustered fixtures in
+    tests/test_ann_recall.py).
+    """
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    nrm0 = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    # Farthest-point (k-center greedy) seeding: start from the smallest
+    # id, then repeatedly take the point least similar to its nearest
+    # chosen seed (ties → smallest id). Deterministic, and unlike
+    # smallest-K-ids init it cannot start with K points from one cluster
+    # (which makes Lloyd's collapse cells together).
+    seeds = [list(e.orderBy("id").limit(1).collect()[0].v)]
+    for _ in range(n_cells - 1):
+        cdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(seeds)], "c_id int, c_v array<double>"
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        far = (
+            e.crossJoin(F.broadcast(cdf))
+            .select("id", "v", (dot / (nrm0(F.col("v")) * nrm0(F.col("c_v")))).alias("sim"))
+            .groupBy("id")
+            .agg(F.max("sim").alias("nearest_sim"), F.first("v").alias("v"))
+            .orderBy(F.col("nearest_sim").asc(), F.col("id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append(list(far.v))
+    cents = list(enumerate(seeds))
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(cents, "c_id int, c_v array<double>")
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+        w = W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("c_id"))
+        assign = (
+            e.crossJoin(F.broadcast(cdf))
+            .select("id", "v", "c_id", (dot / (nrm(F.col("v")) * nrm(F.col("c_v")))).alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assign.select("c_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("c_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("c_v")
+            )
+            .collect()
+        )
+        updated = {r.c_id: list(r.c_v) for r in means}
+        # empty cells keep their previous centroid
+        cents = [(cid, updated.get(cid, v)) for cid, v in cents]
+    return spark.createDataFrame(cents, "c_id int, c_v array<double>")
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_assign: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell) — IVF cell assignment against fixed pseudo-centroids.
 
-    Centroids are the vectors with the ``n_cells`` smallest ids — fixed
-    and data-deterministic, so both engines (and successive runs) agree.
-    A real deployment would k-means these; the *assignment/search*
-    machinery (argmin over broadcast centroids, cell-restricted probe)
-    is identical either way, and that is the part that must scale.
+    Centroids default to the vectors with the ``n_cells`` smallest ids —
+    fixed and data-deterministic, so both engines (and successive runs)
+    agree; the DuckDB oracles replicate exactly this. Pass
+    ``centroids=kmeans_centroids(...)`` (schema ``c_id, c_v``) for real
+    learned cells — same assignment/search machinery (argmin over
+    broadcast centroids, cell-restricted probe), which is the part that
+    must scale.
 
     ``n_assign > 1`` returns each vector's top-n nearest cells (one row
     per cell) — the multi-probe side of ``ivf_topk(nprobe=...)``.
     """
     e = _with_sqnorm(embeddings, id_col, vec_col)
-    centroids = e.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("c_id"), F.col("v").alias("c_v"), F.col("sq").alias("c_sq")
-    )
+    if centroids is not None:
+        csq = F.aggregate(
+            F.transform(F.col("c_v"), lambda x: _scaled_prod(x, x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        centroids = centroids.select(
+            F.col("c_id"), F.col("c_v").cast("array<float>").alias("c_v"), csq.alias("c_sq")
+        )
+    else:
+        centroids = e.orderBy("id").limit(n_cells).select(
+            F.col("id").alias("c_id"), F.col("v").alias("c_v"), F.col("sq").alias("c_sq")
+        )
     dot = F.aggregate(
         F.zip_with(F.col("v"), F.col("c_v"), _scaled_prod),
         F.lit(0).cast("long"),
@@ -185,6 +301,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's ``nprobe`` nearest cells.
 
@@ -192,12 +309,29 @@ def ivf_topk(
     how often true neighbors land in a probed cell — nprobe is the
     standard recall/cost dial (each +1 probes one more cell's posting
     list). Corpus vectors keep a single cell, so multi-probe cannot
-    duplicate (query, neighbor) pairs."""
-    assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    duplicate (query, neighbor) pairs. ``centroids`` (from
+    ``kmeans_centroids``) switches to learned cells."""
+    if centroids is None:
+        # pin the default pseudo-centroids to the CORPUS here, so query
+        # vectors outside the corpus still assign against corpus cells
+        centroids = (
+            embeddings.select(
+                F.col(id_col).alias("c_id"),
+                F.col(vec_col).cast("array<double>").alias("c_v"),
+            )
+            .orderBy("c_id")
+            .limit(n_cells)
+        )
+    assign = ivf_assign(embeddings, n_cells, id_col, vec_col, centroids=centroids)
     corpus = _with_sqnorm(embeddings, id_col, vec_col).join(assign, "id").alias("c")
     qs = (
         _with_sqnorm(queries, id_col, vec_col)
-        .join(ivf_assign(embeddings, n_cells, id_col, vec_col, n_assign=nprobe), "id")
+        .join(
+            ivf_assign(
+                queries, n_cells, id_col, vec_col, n_assign=nprobe, centroids=centroids
+            ),
+            "id",
+        )
         .alias("q")
     )
     dot = F.aggregate(
@@ -222,29 +356,60 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share the query's
-    hyperplane bucket; exact cosine + top-k within the bucket."""
+    hyperplane bucket; exact cosine + top-k within the bucket.
+
+    ``n_tables > 1`` is the standard recall dial: candidates are the
+    UNION over independent plane sets (a single B-bit signature splits a
+    cluster whose center sits near a hyperplane; an independent table
+    re-rolls the planes). Candidate generation stays id-pairs-only —
+    vectors are re-joined once for the exact-cosine verify, which is the
+    scale-correct shape (tiny candidate shuffle, one verify join)."""
     corpus = _with_sqnorm(embeddings, id_col, vec_col)
-    sig = lsh_signature(embeddings, id_col, vec_col)
-    corpus_b = corpus.join(sig, "id").alias("c")
-    qs = _with_sqnorm(queries, id_col, vec_col).join(
-        lsh_signature(queries, id_col, vec_col), "id"
-    ).alias("q")
+    qs0 = _with_sqnorm(queries, id_col, vec_col)
+    if n_tables == 1:
+        corpus_b = corpus.join(lsh_signature(embeddings, id_col, vec_col), "id").alias("c")
+        qs = qs0.join(lsh_signature(queries, id_col, vec_col), "id").alias("q")
+        dot = F.aggregate(
+            F.zip_with(F.col("q.v"), F.col("c.v"), _scaled_prod),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        pairs = (
+            qs.join(
+                corpus_b,
+                (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.id") != F.col("c.id")),
+            )
+            .select(
+                F.col("q.id").alias("query_id"),
+                F.col("c.id").alias("neighbor_id"),
+                _cosine(dot).alias("cosine"),
+            )
+        )
+        return _topk(pairs, k)
+    cand = None
+    for t in range(n_tables):
+        cs = lsh_signature(embeddings, id_col, vec_col, table=t).alias("cs")
+        qsig = lsh_signature(queries, id_col, vec_col, table=t).alias("qs")
+        p = qsig.join(
+            cs,
+            (F.col("qs.bucket") == F.col("cs.bucket")) & (F.col("qs.id") != F.col("cs.id")),
+        ).select(F.col("qs.id").alias("query_id"), F.col("cs.id").alias("neighbor_id"))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    qv = qs0.select(F.col("id").alias("query_id"), F.col("v").alias("q_v"), F.col("sq").alias("q_sq"))
+    cv = corpus.select(F.col("id").alias("neighbor_id"), F.col("v").alias("c_v"), F.col("sq").alias("c_sq"))
     dot = F.aggregate(
-        F.zip_with(F.col("q.v"), F.col("c.v"), _scaled_prod),
+        F.zip_with(F.col("q_v"), F.col("c_v"), _scaled_prod),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    cos = dot / F.sqrt(F.col("q_sq").cast("double") * F.col("c_sq").cast("double"))
     pairs = (
-        qs.join(
-            corpus_b,
-            (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.id") != F.col("c.id")),
-        )
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            _cosine(dot).alias("cosine"),
-        )
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     return _topk(pairs, k)

@@ -1,0 +1,122 @@
+"""ANN recall on CLUSTERED vectors (NOTES_r1 weak spot #1).
+
+The driver's `embeddings` table is uniform random (max cosine ~0.5), so
+oracle parity proves the LSH/IVF *machinery* but says nothing about
+retrieval quality. These tests build a deterministic clustered corpus
+(well-separated centers + small noise — the regime ANN indexes exist
+for) and measure recall@k against the brute-force oracle:
+
+  - k-means IVF beats pseudo-centroid IVF on clustered data;
+  - nprobe monotonicity: recall(nprobe=2) >= recall(nprobe=1);
+  - hyperplane-LSH recall is high when clusters are separated;
+  - k-means assignment recovers the ground-truth clustering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from iconic_data_science_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_topk,
+)
+
+N_CLUSTERS = 6
+DIM = 16
+PER_CLUSTER = 40
+N_QUERIES = 18
+K = 5
+
+
+def _clustered(rng: np.random.Generator, n_clusters: int, per_cluster: int):
+    """Unit-norm cluster centers with noise sigma small vs separation."""
+    centers = rng.normal(size=(n_clusters, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(scale=0.08, size=(per_cluster, DIM))
+        rows.extend((c, pts[i]) for i in range(per_cluster))
+    return centers, rows
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    rng = np.random.default_rng(20260813)
+    _, rows = _clustered(rng, N_CLUSTERS, PER_CLUSTER)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v], c) for i, (c, v) in enumerate(rows)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    # queries: perturbed members of each cluster, ids disjoint from corpus
+    q_rows = []
+    for qi in range(N_QUERIES):
+        c, v = rows[(qi * 37) % len(rows)]
+        q_rows.append((10_000 + qi, [float(x) for x in v + rng.normal(scale=0.02, size=DIM)], c))
+    queries = spark.createDataFrame(
+        q_rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(corpus, queries, k=K).collect()
+    }
+    return corpus, queries, exact
+
+
+def _recall(approx_df, exact: set) -> float:
+    got = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    return len(got & exact) / len(exact)
+
+
+def test_kmeans_recovers_clusters(spark, corpora):
+    corpus, _, _ = corpora
+    cents = kmeans_centroids(corpus, n_cells=N_CLUSTERS, n_iters=5)
+    from iconic_data_science_spark.operators.similarity import ivf_assign
+
+    assign = ivf_assign(corpus, centroids=cents).withColumnRenamed("id", "vec_id")
+    joined = corpus.select("vec_id", "label").join(assign, "vec_id").collect()
+    # purity: within each learned cell, the dominant true label covers
+    # nearly everything (clusters are well separated at sigma=0.08)
+    from collections import Counter, defaultdict
+
+    by_cell = defaultdict(list)
+    for r in joined:
+        by_cell[r.cell].append(r.label)
+    pure = sum(Counter(labs).most_common(1)[0][1] for labs in by_cell.values())
+    assert pure / len(joined) >= 0.95
+
+
+def test_ivf_kmeans_recall_and_nprobe_monotonicity(spark, corpora):
+    corpus, queries, exact = corpora
+    cents = kmeans_centroids(corpus, n_cells=N_CLUSTERS, n_iters=5)
+    r1 = _recall(ivf_topk(corpus, queries, k=K, centroids=cents, nprobe=1), exact)
+    r2 = _recall(ivf_topk(corpus, queries, k=K, centroids=cents, nprobe=2), exact)
+    # queries sit inside a cluster; with learned centroids the home cell
+    # holds essentially all true neighbors
+    assert r1 >= 0.9
+    assert r2 >= r1
+
+
+def test_ivf_kmeans_beats_pseudo_centroids(spark, corpora):
+    corpus, queries, exact = corpora
+    cents = kmeans_centroids(corpus, n_cells=N_CLUSTERS, n_iters=5)
+    r_kmeans = _recall(ivf_topk(corpus, queries, k=K, centroids=cents, nprobe=1), exact)
+    r_pseudo = _recall(ivf_topk(corpus, queries, k=K, n_cells=N_CLUSTERS, nprobe=1), exact)
+    # pseudo-centroids are the 6 smallest-id vectors — all from cluster 0
+    # on this fixture, so most queries probe a cell with few/no true
+    # neighbors; learned centroids must strictly dominate
+    assert r_kmeans > r_pseudo
+
+
+def test_lsh_multi_table_recall(spark, corpora):
+    """A single 8-bit signature splits clusters whose center sits near a
+    hyperplane (measured ~0.5-0.6 recall on this fixture); unioning
+    candidates over independent tables is the standard fix and must
+    push recall up substantially."""
+    corpus, queries, exact = corpora
+    r1 = _recall(lsh_topk(corpus, queries, k=K), exact)
+    r3 = _recall(lsh_topk(corpus, queries, k=K, n_tables=3), exact)
+    assert r3 >= r1
+    assert r3 >= 0.8

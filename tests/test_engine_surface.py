@@ -61,7 +61,7 @@ def test_cache_opt_in(spark, sf_dir):
 
 def test_driver_contract_integrity():
     """Guard the driver contract against drift: every oracle belongs to
-    a declared query, the rows-only set is exactly the five documented
+    a declared query, the rows-only set is exactly the six documented
     non-hashable ops, and every query carries a docstring (the judge's
     parity citations live there)."""
     import __spark_entry__ as entrymod
@@ -70,6 +70,7 @@ def test_driver_contract_integrity():
     assert set(os_) <= set(qs), "orphan oracle entries"
     assert set(qs) - set(os_) == {
         "a2_approx_distinct",   # HLL sketch — not exact-hashable
+        "ann_ivf_kmeans",       # learned float centroids — iterative means
         "g8_gexf",              # XML document
         "g_pagerank",           # float power iteration
         "mm_byte_histogram",    # pandas-UDF float features
