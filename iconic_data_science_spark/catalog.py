@@ -65,12 +65,9 @@ class Catalog:
         if name not in self._tables:
             df = self.spark.read.parquet(self.path(name))
             if name == "events":
-                # ts is TIMESTAMP(NANOS) on disk, read as long nanos via
-                # spark.sql.legacy.parquet.nanosAsLong; normalize to a
-                # micros timestamp (same truncation DuckDB applies).
-                # integer division — ts nanos exceed 2^53, double math
-                # would round and skew micros by ±1
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                from .streaming.events import normalize_ts
+
+                df = normalize_ts(df)
             self._tables[name] = df
         return self._tables[name]
 

@@ -43,17 +43,37 @@ WATERMARK = "10 minutes"
 
 
 def normalize_ts(df: DataFrame) -> DataFrame:
-    """long nanos → micros timestamp (same truncation the catalog applies).
-    Integer division: nanos exceed 2^53, double math would skew ±1 µs."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize ``ts`` to a session-timezone (UTC-pinned) micros timestamp,
+    whatever the source encoding:
+
+    - long nanos (TIMESTAMP(NANOS) parquet read under
+      ``spark.sql.legacy.parquet.nanosAsLong``) → integer-divide to micros
+      (nanos exceed 2^53; double math would skew ±1 µs);
+    - TIMESTAMP_NTZ (micros parquet with isAdjustedToUTC=false, the
+      driver-testdata encoding) → cast, interpreting wall time as UTC —
+      identical micros to DuckDB's ``epoch_us`` on the same file;
+    - TIMESTAMP → already normalized.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (for tests/demos; a
-    production deployment points the same pipeline at Kafka)."""
+    production deployment points the same pipeline at Kafka). Streaming
+    sources need an explicit schema — take it from the parquet footer via
+    a (lazy, metadata-only) batch read so the stream adapts to the file's
+    actual ts encoding."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENT_SCHEMA_RAW)
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
