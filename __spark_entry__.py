@@ -628,6 +628,54 @@ def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_test_split(cat.documents)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (top-token / top-bigram
+    fractions, integer-decided repetitive flag —
+    operators/text.repetition_stats)."""
+    from iconic_data_science_spark.operators.text import repetition_stats
+
+    cat = _cat(spark, sf_dir)
+    return repetition_stats(cat.documents)
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-flavored keyword extraction: top-3 distinctive terms per
+    document, integer-scaled weight = tf·10⁶ div df (no float log — libm
+    rounding is engine-dependent; operators/text.top_terms)."""
+    from iconic_data_science_spark.operators.text import top_terms
+
+    cat = _cat(spark, sf_dir)
+    return top_terms(cat.documents, k=3)
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/SSN/phone/IPv4 regex counts + redacted text)
+    — map-only regexp built-ins; patterns chosen to behave identically
+    under Java regex and RE2 (operators/text.pii_redact). The synthetic
+    corpus carries no PII, so the oracle verifies the no-op end-to-end
+    (counts 0, text unchanged); real redaction behavior is pinned by the
+    fixture tests in tests/test_llm_ops.py."""
+    from iconic_data_science_spark.operators.text import pii_redact
+
+    cat = _cat(spark, sf_dir)
+    return pii_redact(cat.documents)
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥1 word 5-gram
+    with the (deterministic doc_id%10==0) benchmark split — the
+    eval-leakage scan every training pipeline runs; benchmark shingles
+    broadcast, train corpus never shuffled
+    (operators/dedup.decontaminate)."""
+    from iconic_data_science_spark.operators.dedup import decontaminate
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, bench, n=5)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation — the flagship composition of
     the LLM-pipeline operators in one plan: English language gate →
@@ -1320,6 +1368,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_text_token_counts,
     "text_fingerprint": q_text_fingerprint,
     "text_train_split": q_text_train_split,
+    "text_repetition": q_text_repetition,
+    "text_top_terms": q_text_top_terms,
+    "text_pii_redact": q_text_pii_redact,
+    "decontaminate_ngram": q_decontaminate_ngram,
     "curation_pipeline": q_curation_pipeline,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
@@ -2209,6 +2261,85 @@ ORACLES: dict[str, str] = {
                ) AS fingerprint
         FROM documents
     """,
+    "text_repetition": """
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        tc AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(l) AS tok FROM t) GROUP BY 1, 2
+        ),
+        td AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+                   CAST(MAX(c) AS BIGINT) AS top_token_count
+            FROM tc GROUP BY 1
+        ),
+        bc AS (
+            SELECT doc_id, bg, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         unnest([l[i] || ' ' || l[i+1] for i in generate_series(1, len(l)-1)]) AS bg
+                  FROM t)
+            GROUP BY 1, 2
+        ),
+        bd AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(MAX(c) AS BIGINT) AS top_bigram_count
+            FROM bc GROUP BY 1
+        )
+        SELECT td.doc_id, n_tokens, distinct_tokens, top_token_count,
+               CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+               top_token_count / n_tokens AS top_token_ratio,
+               CASE WHEN COALESCE(n_bigrams, 0) > 0
+                    THEN top_bigram_count / n_bigrams ELSE 0.0 END AS top_bigram_ratio,
+               (top_token_count * 5 > n_tokens)
+                   OR (COALESCE(top_bigram_count, 0) * 50 > COALESCE(n_bigrams, 0) * 9) AS repetitive
+        FROM td LEFT JOIN bd ON td.doc_id = bd.doc_id
+    """,
+    "text_top_terms": """
+        WITH tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+            GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        r AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   CAST(tf.tf * 1000000 // dfreq.df AS BIGINT) AS weight,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * 1000000 // dfreq.df DESC, tf.term ASC
+                   ) AS BIGINT) AS rn
+            FROM tf JOIN dfreq USING (term)
+        )
+        SELECT doc_id, term, tf, df, weight, rn FROM r WHERE rn <= 3
+    """,
+    "text_pii_redact": "{PII_SQL}",
+    "decontaminate_ngram": """
+        WITH th AS (
+            SELECT doc_id,
+                   [list_reduce(
+                        [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                         for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                        (a, b) -> a * 16 + b) % 2147483647
+                    for tok in string_split(lower(text), ' ')] AS th
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest([((((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647 * 1000003 + th[i+3]) % 2147483647 * 1000003 + th[i+4]) % 2147483647
+                               for i in generate_series(1, len(th)-4)]) AS s
+                FROM th
+            )
+        ),
+        tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 10 = 0)
+        SELECT tr.doc_id,
+               CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared_ngrams,
+               CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+        FROM tr JOIN b ON tr.shingle = b.shingle
+        GROUP BY 1
+    """,
     "a_rollup_orders": """
         SELECT COALESCE(year, -1) AS year,
                COALESCE(prio, 'ALL') AS prio,
@@ -2746,6 +2877,31 @@ ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_minhash_lsh"].replace("{PERMS}", _
 ORACLES["ann_lsh_topk"] = ORACLES["ann_lsh_topk"].replace("{PLANES}", _plane_table_sql())
 ORACLES["text_language_id"] = ORACLES["text_language_id"].replace("{STOPWORDS}", _stopword_table_sql())
 ORACLES["curation_pipeline"] = ORACLES["curation_pipeline"].replace("{STOPWORDS}", _stopword_table_sql())
+
+
+def _pii_oracle_sql() -> str:
+    """Build the PII oracle from the same PII_PATTERNS literals the Spark
+    operator applies (single source of truth for the regexes). DuckDB
+    single-quoted strings take backslashes literally, so the patterns
+    embed verbatim; regexp_replace needs the 'g' flag for global."""
+    from iconic_data_science_spark.operators.text import PII_PATTERNS
+
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, rep in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {counts},
+               {clean} AS clean_text
+        FROM documents
+    """
+
+
+ORACLES["text_pii_redact"] = _pii_oracle_sql()
 
 
 def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -421,6 +421,43 @@ def dedup_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least one word ``n``-gram with any benchmark/eval document → (doc_id,
+    n_shared_ngrams, n_benchmark_docs).
+
+    The standard eval-leakage scan every LLM training pipeline runs
+    (GPT-3 used 13-gram overlap; the synthetic corpus's short docs get
+    n=5 by default). Relational form: hashed shingle tables on both
+    sides, equi-join on the 31-bit shingle key, per-train-doc distinct
+    counts. The benchmark side is an eval suite — tiny next to a 100 TB
+    corpus — so it broadcasts by default and the train corpus is never
+    shuffled; pass ``broadcast_benchmark=False`` if the benchmark side
+    is itself corpus-sized.
+    """
+    sh_t = hashed_shingle_table(train, n=n, id_col=id_col, text_col=text_col)
+    sh_b = hashed_shingle_table(benchmark, n=n, id_col=id_col, text_col=text_col).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    if broadcast_benchmark:
+        sh_b = F.broadcast(sh_b)
+    return (
+        sh_t.join(sh_b, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").cast("long").alias("n_benchmark_docs"),
+        )
+    )
+
+
 def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over distinct word tokens.
 

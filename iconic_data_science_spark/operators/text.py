@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import MERSENNE31
+from .dedup import MERSENNE31, words
 
 # Tiny per-language stopword lists for the heuristic language ID.
 # Deterministic tie-break: highest hit count, then language name asc.
@@ -133,6 +133,156 @@ def train_val_test_split(
         .when(b < train_pct + val_pct, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+def repetition_stats(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    repetition filters, re-expressed relationally): (doc_id, n_tokens,
+    distinct_tokens, top_token_count, n_bigrams, top_bigram_count,
+    top_token_ratio, top_bigram_ratio, repetitive).
+
+    ``repetitive`` is decided in exact integer arithmetic (top token
+    fraction > 0.2, or top bigram fraction > 0.18) so both engines agree
+    bit-for-bit; the ratio columns are single IEEE divisions (exact-order
+    discipline). The fractions presume documents past a length gate
+    (Gopher applies repetition filters alongside min-length rules; a
+    5-token doc trivially exceeds the bigram fraction) — compose with
+    ``quality_score``'s n_words. Two token-keyed aggregations —
+    high-cardinality, well-spread shuffle keys; no UDFs.
+    """
+    toks = words(text_col)
+    base = documents.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    tok_counts = (
+        base.select("doc_id", F.explode("_t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    td = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("distinct_tokens"),
+        F.max("c").cast("long").alias("top_token_count"),
+    )
+    # same sequence guard as the shingle builders: Spark sequence(1, 0)
+    # descends instead of emptying, so 1-token docs must yield []
+    bg = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_t")) - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bd = (
+        base.select("doc_id", F.explode(bg).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram_count"),
+        )
+    )
+    j = td.join(bd, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        "top_token_count",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("top_bigram_count", F.lit(0)).cast("long").alias("top_bigram_count"),
+    )
+    return j.select(
+        "*",
+        (F.col("top_token_count") / F.col("n_tokens")).alias("top_token_ratio"),
+        F.when(
+            F.col("n_bigrams") > 0, F.col("top_bigram_count") / F.col("n_bigrams")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+        (
+            (F.col("top_token_count") * 5 > F.col("n_tokens"))
+            | (F.col("top_bigram_count") * 50 > F.col("n_bigrams") * 9)
+        ).alias("repetitive"),
+    )
+
+
+def top_terms(
+    documents: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """TF-IDF-flavored keyword extraction: the top-``k`` most distinctive
+    terms per document → (doc_id, term, tf, df, weight, rn).
+
+    ``weight = tf · 10⁶ div df`` — integer scaling instead of a float
+    ``log`` (libm ``log`` is not guaranteed correctly rounded, so
+    cross-engine hashes could flip; integer division is exact
+    everywhere). Ranking is a greatest-n-per-group window with a full
+    deterministic order (weight desc, term asc). The document-frequency
+    dimension is one small groupBy on the (doc, term) pairs — tf rows
+    are unique by construction, so df is a plain count.
+    """
+    tf = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr("CAST(tf * 1000000 DIV df AS BIGINT)").alias("weight"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+# (category, pattern, replacement) — applied in order; patterns chosen to
+# behave identically under Java regex (Spark) and RE2 (DuckDB): ASCII
+# classes, \b word boundaries, bounded repetition only.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing for training corpora: (doc_id, n_email, n_ssn,
+    n_phone, n_ipv4, clean_text).
+
+    Category counts are taken on the ORIGINAL text (so a match consumed
+    by an earlier replacement still counts once under its own category),
+    then replacements apply in ``PII_PATTERNS`` order — SSN before the
+    3-3-4 phone shape so the 3-2-4 grouping wins, dotted-quad IP last so
+    ``<PHONE>`` replacements can't manufacture quads. Pure
+    regexp_count/regexp_replace built-ins — whole-stage codegen, no
+    UDFs, no shuffle (a map-only operator that composes with any
+    downstream plan).
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = t
+    for _, pat, rep in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, rep)
+    return documents.select(
+        F.col(id_col).alias("doc_id"), *counts, clean.alias("clean_text")
     )
 
 

@@ -70,3 +70,85 @@ def test_media_stats_schema(spark):
     kinds = {r.kind for r in stats}
     assert kinds == {"image", "audio", "video"}
     assert all(r.total_bytes > 0 for r in stats)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pii_redact_fixture(spark):
+    from iconic_data_science_spark.operators.text import pii_redact
+
+    docs = _docs(spark, [
+        (1, "contact bob.smith+spam@example.co.uk or 555-123-4567 now"),
+        (2, "ssn 123-45-6789 from host 192.168.0.1"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.io c@d.org and dotted phone 555.123.4567"),
+    ])
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert (out[1].n_email, out[1].n_phone) == (1, 1)
+    assert out[1].clean_text == "contact <EMAIL> or <PHONE> now"
+    assert (out[2].n_ssn, out[2].n_ipv4, out[2].n_phone) == (1, 1, 0)
+    assert out[2].clean_text == "ssn <SSN> from host <IP>"
+    assert out[3].clean_text == "no pii here at all"
+    assert all(getattr(out[3], c) == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4"))
+    assert (out[4].n_email, out[4].n_phone) == (2, 1)
+    assert out[4].clean_text == "two mails <EMAIL> <EMAIL> and dotted phone <PHONE>"
+
+
+def test_repetition_stats_fixture(spark):
+    from iconic_data_science_spark.operators.text import repetition_stats
+
+    docs = _docs(spark, [
+        (1, "a a a a b"),          # top token 4/5, top bigram "a a" 3/4
+        (2, "a b c d e f g h i j k l"),  # no repetition (past the length gate)
+        (3, "x"),                  # single token: no bigrams, guard path
+    ])
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.distinct_tokens, r1.top_token_count) == (5, 2, 4)
+    assert (r1.n_bigrams, r1.top_bigram_count) == (4, 3)
+    assert r1.repetitive
+    r2 = out[2]
+    assert (r2.top_token_count, r2.top_bigram_count) == (1, 1)
+    assert not r2.repetitive
+    r3 = out[3]
+    assert (r3.n_tokens, r3.n_bigrams, r3.top_bigram_count) == (1, 0, 0)
+    assert r3.top_bigram_ratio == 0.0
+    assert r3.repetitive  # 1 of 1 tokens is the top token
+
+
+def test_top_terms_weights_and_tiebreak(spark):
+    from iconic_data_science_spark.operators.text import top_terms
+
+    # "common" appears in both docs (df=2), the others in one (df=1)
+    docs = _docs(spark, [
+        (1, "common rare1 rare1 zeta alpha"),
+        (2, "common rare2"),
+    ])
+    out = top_terms(docs, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.rn)
+    # rare1 tf=2 df=1 -> 2e6; alpha/zeta tf=1 df=1 -> 1e6 (tie -> term asc)
+    assert [(r.term, r.weight) for r in d1] == [
+        ("rare1", 2_000_000), ("alpha", 1_000_000), ("zeta", 1_000_000)]
+    d2 = sorted(by_doc[2], key=lambda r: r.rn)
+    # rare2 1e6 beats common tf=1 df=2 -> 500_000
+    assert [(r.term, r.weight) for r in d2] == [("rare2", 1_000_000), ("common", 500_000)]
+
+
+def test_decontaminate_fixture(spark):
+    from iconic_data_science_spark.operators.dedup import decontaminate
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    train = _docs(spark, [
+        (1, "prefix the quick brown fox jumps over suffix"),  # shares 5-grams
+        (2, "completely different words entirely here now ok"),
+    ])
+    out = {r.doc_id: r for r in decontaminate(train, bench, n=5).collect()}
+    assert set(out) == {1}
+    # "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert out[1].n_shared_ngrams == 2
+    assert out[1].n_benchmark_docs == 1
