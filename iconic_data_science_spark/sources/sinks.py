@@ -43,6 +43,37 @@ def write_partitioned_csv(
     df.write.mode(mode).partitionBy(*partition_cols).option("header", True).csv(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format LLM-data tooling expects
+    (one JSON object per line; splittable, schema-on-read). Beyond the
+    reference's own sinks; compresses well with the default codec and
+    every line is independently parseable, so downstream tokenizer /
+    filtering jobs can stream it."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan. Pass an explicit ``schema`` in production —
+    schema inference reads the data twice and types drift across shards;
+    with a schema the read is single-pass and columns prune (unneeded
+    JSON fields are never materialized)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (Spark built-in columnar alternative to parquet; same
+    predicate-pushdown / column-pruning behavior via the vectorized ORC
+    reader)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_single_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S8: one text file (small exports only — serializes the write)."""
     df.coalesce(1).write.mode(mode).text(path)

@@ -114,3 +114,25 @@ def test_dwarf_star_fk_consistent(spark, sf_dir):
     # deterministic across constructions
     d2 = dwarf_star(Catalog(spark, sf_dir), pct=20)
     assert d2["orders"].count() == o.count()
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "alpha", [1, 2]), (2, "beta", [])],
+        "id bigint, name string, xs array<bigint>",
+    )
+    p = str(tmp_path / "docs_jsonl")
+    sinks.write_jsonl(df, p)
+    back = sinks.read_jsonl(spark, p, schema=df.schema)
+    assert {(r.id, r.name, tuple(r.xs)) for r in back.collect()} == {
+        (1, "alpha", (1, 2)), (2, "beta", ())}
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id bigint, v string")
+    p = str(tmp_path / "t_orc")
+    sinks.write_orc(df, p)
+    back = sinks.read_orc(spark, p).filter("id = 7")
+    assert [r.v for r in back.collect()] == ["v7"]
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(id,7" in plan
