@@ -46,6 +46,8 @@ HEADLINE = [
     # NOT EXISTS at pair grain)
     "q9_product_profit",
     "q21_waiting_suppliers",
+    # curation v2 (broadcast-benchmark 5-gram overlap scan)
+    "decontaminate_ngram",
 ]
 
 

@@ -103,3 +103,49 @@ def test_ngram_jaccard_invariants(spark, texts):
         for j, b in enumerate(texts[i + 1:], i + 1):
             if a == b and len(a.split(" ")) >= 3:
                 assert got.get((i, j)) == 1.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab @.-0123456789", min_size=0, max_size=40), min_size=1, max_size=6))
+def test_pii_redact_idempotent(spark, texts):
+    """Redacting already-redacted text must be a no-op (the replacement
+    tokens contain no digits/@, so no pattern can re-match)."""
+    from iconic_data_science_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    once = pii_redact(docs).select(F.col("doc_id"), F.col("clean_text").alias("text"))
+    twice = pii_redact(once).collect()
+    first = {r.doc_id: r.clean_text for r in pii_redact(docs).collect()}
+    for r in twice:
+        assert r.clean_text == first[r.doc_id]
+        assert r.n_email == r.n_ssn == r.n_phone == r.n_ipv4 == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12), min_size=1, max_size=5))
+def test_repetition_stats_invariants(spark, docs_tokens):
+    from iconic_data_science_spark.operators.text import repetition_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for r in repetition_stats(docs).collect():
+        toks = docs_tokens[r.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.distinct_tokens == len(set(toks))
+        assert r.top_token_count == max(toks.count(t) for t in set(toks))
+        assert r.n_bigrams == max(0, len(toks) - 1)
+        assert r.top_token_count <= r.n_tokens
+        assert r.top_bigram_count <= max(0, r.n_bigrams)
+
+
+def test_decontaminate_only_flags_train_docs(spark, sf_dir):
+    """Output doc_ids ⊆ train split; a doc sharing no 5-gram is absent."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.dedup import decontaminate
+
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out = decontaminate(train, bench, n=5).collect()
+    assert all(r.doc_id % 10 != 0 for r in out)
+    assert all(r.n_shared_ngrams >= 1 and r.n_benchmark_docs >= 1 for r in out)
