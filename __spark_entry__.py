@@ -705,6 +705,43 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain — every curation operator composed in one
+    fused plan: English gate → quality gate → repetition gate (Gopher) →
+    benchmark-doc exclusion + decontamination (5-gram overlap, broadcast
+    benchmark) → exact-dedup canonical → deterministic split. All gates
+    are doc_id-keyed semi/anti joins over one documents scan family;
+    Catalyst pipelines them into broadcast/shuffled hash joins with no
+    driver materialization."""
+    from iconic_data_science_spark.operators.dedup import decontaminate, exact_dedup
+    from iconic_data_science_spark.operators.text import (
+        language_id,
+        quality_score,
+        repetition_stats,
+        train_val_test_split,
+    )
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    lang = language_id(docs).filter(F.col("pred_lang") == "en").select("doc_id")
+    qual = quality_score(docs).filter(F.col("score") >= 0.3).select("doc_id", "score")
+    nonrep = repetition_stats(docs).filter(~F.col("repetitive")).select("doc_id")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    contaminated = decontaminate(train, bench, n=5).select("doc_id")
+    canon = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    split = train_val_test_split(docs).select("doc_id", "split")
+    return (
+        qual.join(lang, "doc_id", "left_semi")
+        .join(nonrep, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+        .join(train.select("doc_id"), "doc_id", "left_semi")  # eval docs never train
+        .join(contaminated, "doc_id", "left_anti")
+        .join(split, "doc_id")
+        .select("doc_id", "score", "split")
+    )
+
+
 def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → Arrow-batched mapInPandas
     feature extraction. No oracle (pandas UDF over synthetic binary) —
@@ -1373,6 +1410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_redact": q_text_pii_redact,
     "decontaminate_ngram": q_decontaminate_ngram,
     "curation_pipeline": q_curation_pipeline,
+    "curation_pipeline_v2": q_curation_pipeline_v2,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
     "a_rollup_orders": q_a_rollup_orders,
@@ -2562,6 +2600,94 @@ ORACLES: dict[str, str] = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         ASOF LEFT JOIN s ON l.user_id = s.user_id AND l.ts >= s.ts
     """,
+    "curation_pipeline_v2": """
+        WITH sw AS (SELECT * FROM {STOPWORDS}),
+        toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        hits AS (
+            SELECT doc_id, lang, COUNT(*) AS hits
+            FROM toks JOIN sw USING (word) GROUP BY 1, 2
+        ),
+        lang AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+                FROM hits
+            ) WHERE rn = 1 AND lang = 'en'
+        ),
+        qual AS (
+            SELECT doc_id,
+                   CAST(LEAST(CAST(len(string_split(lower(text), ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0
+                       * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                          / CAST(length(text) AS BIGINT)) AS score
+            FROM documents
+        ),
+        t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        tc2 AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(l) AS tok FROM t2) GROUP BY 1, 2
+        ),
+        td2 AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok FROM tc2 GROUP BY 1),
+        bc2 AS (
+            SELECT doc_id, bg, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         unnest([l[i] || ' ' || l[i+1] for i in generate_series(1, len(l)-1)]) AS bg
+                  FROM t2)
+            GROUP BY 1, 2
+        ),
+        bd2 AS (SELECT doc_id, SUM(c) AS n_bg, MAX(c) AS top_bg FROM bc2 GROUP BY 1),
+        nonrep AS (
+            SELECT td2.doc_id
+            FROM td2 LEFT JOIN bd2 ON td2.doc_id = bd2.doc_id
+            WHERE NOT ((top_tok * 5 > n_tokens)
+                       OR (COALESCE(top_bg, 0) * 50 > COALESCE(n_bg, 0) * 9))
+        ),
+        th AS (
+            SELECT doc_id,
+                   [list_reduce(
+                        [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                         for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                        (a, b) -> a * 16 + b) % 2147483647
+                    for tok in string_split(lower(text), ' ')] AS th
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest([((((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647 * 1000003 + th[i+3]) % 2147483647 * 1000003 + th[i+4]) % 2147483647
+                               for i in generate_series(1, len(th)-4)]) AS s
+                FROM th
+            )
+        ),
+        contaminated AS (
+            SELECT DISTINCT tr.doc_id
+            FROM (SELECT * FROM sh WHERE doc_id % 10 <> 0) tr
+            JOIN (SELECT shingle FROM sh WHERE doc_id % 10 = 0) b ON tr.shingle = b.shingle
+        ),
+        canon AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        sp AS (
+            SELECT doc_id,
+                   list_reduce(
+                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                        for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                       (a, b) -> a * 16 + b
+                   ) % 100 AS bucket
+            FROM documents
+        )
+        SELECT q.doc_id, q.score,
+               CASE WHEN sp.bucket < 80 THEN 'train'
+                    WHEN sp.bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM qual q
+        JOIN lang USING (doc_id)
+        JOIN nonrep USING (doc_id)
+        JOIN canon USING (doc_id)
+        JOIN sp USING (doc_id)
+        WHERE q.score >= 0.3
+          AND q.doc_id % 10 <> 0
+          AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
     "text_train_split": """
         WITH b AS (
             SELECT doc_id,
@@ -2877,6 +3003,7 @@ ORACLES["dedup_minhash_lsh"] = ORACLES["dedup_minhash_lsh"].replace("{PERMS}", _
 ORACLES["ann_lsh_topk"] = ORACLES["ann_lsh_topk"].replace("{PLANES}", _plane_table_sql())
 ORACLES["text_language_id"] = ORACLES["text_language_id"].replace("{STOPWORDS}", _stopword_table_sql())
 ORACLES["curation_pipeline"] = ORACLES["curation_pipeline"].replace("{STOPWORDS}", _stopword_table_sql())
+ORACLES["curation_pipeline_v2"] = ORACLES["curation_pipeline_v2"].replace("{STOPWORDS}", _stopword_table_sql())
 
 
 def _pii_oracle_sql() -> str:
