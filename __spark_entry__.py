@@ -705,6 +705,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase with min-timestamp chaining
+    (a later stage counts only after entry into the previous one) —
+    operators/events.funnel; user_id-keyed shuffles, state bounded by
+    users."""
+    from iconic_data_science_spark.operators.events import funnel
+
+    cat = _cat(spark, sf_dir)
+    return funnel(cat.events)
+
+
+def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle from the signup cohort — integer
+    days-div-7 week buckets (engine-portable, unlike date_trunc week
+    conventions); activity dedups to (user, week) before the shuffle
+    (operators/events.retention_cohorts)."""
+    from iconic_data_science_spark.operators.events import retention_cohorts
+
+    cat = _cat(spark, sf_dir)
+    return retention_cohorts(cat.events)
+
+
 def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation chain — every curation operator composed in one
     fused plan: English gate → quality gate → repetition gate (Gopher) →
@@ -1411,6 +1433,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "curation_pipeline": q_curation_pipeline,
     "curation_pipeline_v2": q_curation_pipeline_v2,
+    "ev_funnel": q_ev_funnel,
+    "ev_retention": q_ev_retention,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
     "a_rollup_orders": q_a_rollup_orders,
@@ -2687,6 +2711,44 @@ ORACLES: dict[str, str] = {
         WHERE q.score >= 0.3
           AND q.doc_id % 10 <> 0
           AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    "ev_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+            WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+               CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+    "ev_retention": """
+        WITH f AS (
+            SELECT user_id,
+                   CAST(datediff('day', DATE '2024-01-01', CAST(MIN(ts) AS DATE)) // 7 AS BIGINT) AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT user_id,
+                   CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+            FROM events
+        )
+        SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM act a JOIN f USING (user_id)
+        WHERE a.week >= f.cohort_week
+        GROUP BY 1, 2
     """,
     "text_train_split": """
         WITH b AS (
