@@ -337,6 +337,25 @@ def q_g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the thresholded 1995 coauthor graph (iterative peeling,
+    three-tier strategy — operators/graph.kcore). No SQL oracle: the
+    peel's data-dependent fixpoint isn't a single SQL statement (unlike
+    BFS, unrolling isn't depth-capped); correctness is pinned by the
+    local-vs-distributed tier equivalence and fixture tests in
+    tests/test_graph.py."""
+    from iconic_data_science_spark.operators.graph import kcore
+
+    cat = _cat(spark, sf_dir)
+    years = magmap.paper_years(cat).filter(F.col("year") == 1995)
+    edges = (
+        coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+        .select(F.col("ego").alias("src"), F.col("alter_id").alias("dst"))
+        .localCheckpoint()
+    )
+    return kcore(edges, k=3)
+
+
 def q_g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the citation DAG (10 iterations). No oracle —
     float power iteration doesn't hash across engines; verified against
@@ -1401,6 +1420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g4_bfs": q_g4_bfs,
     "g_triangle_count": q_g_triangle_count,
     "g_pagerank": q_g_pagerank,
+    "g_kcore": q_g_kcore,
     "u3_except_authors": q_u3_except_authors,
     "u4_intersect_authors": q_u4_intersect_authors,
     "j7_or_join": q_j7_or_join,

@@ -364,3 +364,86 @@ def bfs_sql(edges: DataFrame, sources: DataFrame, max_depth: int = 6) -> DataFra
         SELECT author, MIN(depth) AS depth FROM walk GROUP BY author
         """
     )
+
+
+def _local_kcore(edges: DataFrame, k: int) -> DataFrame:
+    """Driver-side peeling for small edge tables: adjacency dict +
+    worklist (each edge processed O(1) times — the textbook linear
+    k-core algorithm)."""
+    pdf = edges.toPandas()
+    adj: dict = {}
+    for a, b in zip(pdf["src"], pdf["dst"]):
+        adj.setdefault(a, set()).add(b)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    queue = [n for n, d in deg.items() if d < k]
+    dead = set()
+    while queue:
+        n = queue.pop()
+        if n in dead:
+            continue
+        dead.add(n)
+        for v in adj.get(n, ()):
+            if v in dead:
+                continue
+            deg[v] -= 1
+            if deg[v] < k:
+                queue.append(v)
+    alive = [(n, deg[n]) for n in sorted(adj) if n not in dead]
+    t = dict(edges.dtypes)["src"]
+    return edges.sparkSession.createDataFrame(alive, f"author {t}, core_degree bigint")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    max_iters: int = 100,
+    broadcast_threshold_rows: int = 5_000_000,
+    local_solve_rows: int | None = 2_000_000,
+) -> DataFrame:
+    """k-core decomposition: the maximal subgraph in which every vertex
+    has degree ≥ k → (author, core_degree) for surviving vertices.
+
+    ``edges``: directed (src, dst) with BOTH orientations for undirected
+    graphs (the engine's coauthor convention, StaticNet.scala:299);
+    degree = count of distinct out-neighbors. The peel is a fixpoint:
+    drop vertices with degree < k, recompute, repeat — the standard
+    dense-subgraph extractor (collaboration-community mining over the
+    coauthor graph; the reference's network notebooks stop at ego nets).
+
+    Three-tier strategy like :func:`bfs` / dedup_clusters: tiny edge
+    tables solve on the driver with the worklist algorithm (one collect,
+    no loop); at scale, a driver loop of distributed rounds — degree
+    groupBy, filter, then two semi-joins restricting the edge table to
+    surviving vertices (broadcast-hash while the survivor set is under
+    ``broadcast_threshold_rows``). Each round ``localCheckpoint``s the
+    shrunk edge table: the loop re-references it three times per round,
+    so carrying lineage would grow the plan exponentially (the PageRank
+    lesson). Rounds are bounded by the peel depth, typically ≪ V; the
+    edge table only ever shrinks.
+    """
+    e = edges.select("src", "dst").distinct()
+    if local_solve_rows is not None and e.count() <= local_solve_rows:
+        return _local_kcore(e, k)
+    e = e.localCheckpoint()
+    n_prev = -1
+    prev_keep = None
+    for _ in range(max_iters):
+        deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
+        keep = deg.filter(F.col("core_degree") >= k).persist()
+        n = keep.count()
+        if prev_keep is not None:
+            prev_keep.unpersist()
+        prev_keep = keep
+        if n == 0 or n == n_prev:
+            return keep.select(F.col("src").alias("author"), "core_degree")
+        n_prev = n
+        ks = keep.select("src")
+        if n <= broadcast_threshold_rows:
+            ks = F.broadcast(ks)
+        e = (
+            e.join(ks, "src", "left_semi")
+            .join(ks.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
+    return deg.filter(F.col("core_degree") >= k).select(F.col("src").alias("author"), "core_degree")

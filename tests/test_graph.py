@@ -179,3 +179,49 @@ def test_bfs_local_equals_distributed(spark):
         for r in bfs(edges, sources, max_depth=6, local_solve_rows=0).collect()
     }
     assert local == dist
+
+
+def test_kcore_fixture_and_tier_equivalence(spark):
+    from iconic_data_science_spark.operators.graph import kcore
+
+    # two triangles bridged by one edge, plus a pendant: both triangles
+    # are the 2-core; nothing is a 3-core
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6), (6, 7)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    local = sorted(tuple(r) for r in kcore(edges, k=2).collect())
+    dist = sorted(tuple(r) for r in kcore(edges, k=2, local_solve_rows=None).collect())
+    assert local == dist
+    assert [a for a, _ in local] == [1, 2, 3, 4, 5, 6]  # pendant 7 peeled
+    # node 4 keeps the bridge to surviving node 3 (degree 3); node 6
+    # loses only the pendant (degree 2)
+    assert dict(local)[4] == 3 and dict(local)[6] == 2
+    assert kcore(edges, k=3).count() == 0
+    # peeling cascade: a chain is entirely 1-core, empty at k=2
+    chain = [(i, i + 1) for i in range(10, 15)]
+    cedges = spark.createDataFrame(
+        [(a, b) for a, b in chain] + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    assert kcore(cedges, k=2).count() == 0
+    assert kcore(cedges, k=2, local_solve_rows=None).count() == 0
+
+
+def test_kcore_on_testdata_tiers_agree(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from iconic_data_science_spark.operators.graph import kcore
+    from iconic_data_science_spark import magmap
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.coauthor import coauthor_edges
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, sf_dir)
+    years = magmap.paper_years(cat).filter(F.col("year") == 1995)
+    edges = (
+        coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+        .select(F.col("ego").alias("src"), F.col("alter_id").alias("dst"))
+        .localCheckpoint()
+    )
+    local = sorted(tuple(r) for r in kcore(edges, k=3).collect())
+    dist = sorted(tuple(r) for r in kcore(edges, k=3, local_solve_rows=None).collect())
+    assert local == dist and len(local) > 0
