@@ -225,3 +225,41 @@ def test_kcore_on_testdata_tiers_agree(spark, sf_dir):
     local = sorted(tuple(r) for r in kcore(edges, k=3).collect())
     dist = sorted(tuple(r) for r in kcore(edges, k=3, local_solve_rows=None).collect())
     assert local == dist and len(local) > 0
+
+
+def test_author_disambiguation_blocking_and_verify(spark):
+    from iconic_data_science_spark.operators.disambiguation import (
+        blocking_key, candidate_author_pairs, normalize_name)
+    import pyspark.sql.functions as F
+
+    authors = spark.createDataFrame([
+        (1, "Alice Smith"),
+        (2, "A. Smith"),          # same block (smith|a), high similarity
+        (3, "alice   SMITH "),    # normalizes identically to 1
+        (4, "Bob Smith"),         # block smith|b -> never paired with 1/2/3
+        (5, "Alina Smithson"),    # different last token -> different block
+    ], "author bigint, name string")
+    pairs = {(r.id1, r.id2): r for r in candidate_author_pairs(authors).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)].edit_distance == 0
+    assert pairs[(1, 3)].token_jaccard == 1.0
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+    # normalization fixture
+    row = authors.filter("author = 3").select(normalize_name("name").alias("n")).first()
+    assert row.n == "alice smith"
+    bk = authors.select(blocking_key(normalize_name("name")).alias("b")).collect()
+    assert {r.b for r in bk} == {"smith|a", "smith|b", "smithson|a"}
+
+
+def test_author_disambiguation_block_cap(spark):
+    from iconic_data_science_spark.operators.disambiguation import candidate_author_pairs
+
+    # 50 'J Lee' clones: one degenerate block; cap drops it entirely
+    authors = spark.createDataFrame(
+        [(i, "J Lee") for i in range(50)] + [(100, "Ann Ray"), (101, "A Ray")],
+        "author bigint, name string",
+    )
+    out = candidate_author_pairs(authors, max_block_size=10).collect()
+    assert {(r.id1, r.id2) for r in out} == {(100, 101)}
+    # without the cap the clone block floods the output
+    assert candidate_author_pairs(authors, max_block_size=None).count() == 50 * 49 // 2 + 1
