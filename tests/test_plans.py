@@ -96,3 +96,28 @@ def test_curated_layout_partition_pruning(spark, sf01, tmp_path):
     assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     want = cat.orders.filter(F.year("o_orderdate") == 1995).count()
     assert back.count() == want
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf01):
+    """The benchmark shingle side must broadcast — the train corpus is
+    never shuffled for the overlap join."""
+    df = entrymod.queries()["decontaminate_ngram"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_terms_window_group_limit(spark, sf01):
+    """Greatest-n-per-group must get the partial top-k pushdown
+    (WindowGroupLimit, Spark 3.5+) so each partition forwards <=k rows
+    per doc to the ranking exchange."""
+    df = entrymod.queries()["text_top_terms"](spark, sf01)
+    assert "WindowGroupLimit" in inspect.formatted_plan(df)
+
+
+def test_funnel_stage_scans_push_event_type(spark, sf01):
+    """Each funnel stage reads only its event_type partition of the scan
+    (predicate pushed to parquet)."""
+    df = entrymod.queries()["ev_funnel"](spark, sf01)
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "event_type" in pushed
