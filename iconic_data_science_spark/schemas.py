@@ -50,12 +50,13 @@ DDL: dict[str, str] = {
     # models.scala:30
     "fc": "parent BIGINT, child BIGINT",
     # data/samples auxiliaries (MagDwarf.scala:143-147)
+    # 15 columns, no rank/lat/long — matches the shipped 2018 sample
+    # (data/samples/ConferenceInstances.txt)
     "conference_instances": (
-        "id BIGINT, rank INT, name STRING, dname STRING, series BIGINT, "
+        "id BIGINT, name STRING, dname STRING, series BIGINT, "
         "location STRING, url STRING, startDate DATE, endDate DATE, "
         "abstractDate DATE, submissionDate DATE, notificationDate DATE, "
-        "finalDate DATE, papers BIGINT, citations BIGINT, lat FLOAT, "
-        "long DOUBLE, createdAt DATE"
+        "finalDate DATE, papers BIGINT, citations BIGINT, createdAt DATE"
     ),
     "conference_series": (
         "id BIGINT, rank INT, name STRING, dname STRING, papers BIGINT, "
@@ -69,8 +70,11 @@ DDL: dict[str, str] = {
     "paper_languages": "paper BIGINT, language STRING",
     "paper_citation_contexts": "citing BIGINT, cited BIGINT, context STRING",
     "paper_recommendations": "paper BIGINT, recommended BIGINT, score DOUBLE",
+    # 7 columns with display names inline — matches the shipped sample
+    # (data/samples/FieldOfStudyRelationship.txt)
     "fos_relationship": (
-        "fos1 BIGINT, type1 STRING, fos2 BIGINT, type2 STRING, relationship STRING"
+        "fos1 BIGINT, name1 STRING, type1 STRING, "
+        "fos2 BIGINT, name2 STRING, type2 STRING, score DOUBLE"
     ),
     # inverted abstract JSON (F7): parsed with ABSTRACT_INDEX_SCHEMA below
     "paper_abstracts": "paper BIGINT, indexed_abstract STRING",

@@ -75,3 +75,36 @@ def test_abstract_sample_reconstructs(spark):
     assert out.count() > 900
     first = out.orderBy("paper").first()
     assert len(first.text.split(" ")) > 3  # real multi-word abstracts
+
+
+# every shipped sample file: (file, DDL key, has header row, a key column
+# that must be fully non-null). Affiliations/Affiliations_FC and the
+# abstract index have dedicated tests above.
+ALL_SAMPLES = [
+    ("Papers.txt", "papers", True, "id"),
+    ("Authors.txt", "authors", True, "id"),
+    ("FieldsOfStudy.txt", "fos", True, "id"),
+    ("PaperAuthorAffiliations.txt", "paa", True, "paper"),
+    ("PaperFieldsOfStudy.txt", "pf", True, "paper"),
+    ("PaperReferences.txt", "pr", True, "citing"),
+    ("FieldOfStudyChildren.txt", "fc", True, "parent"),
+    ("ConferenceInstances.txt", "conference_instances", False, "id"),
+    ("ConferenceSeries.txt", "conference_series", False, "id"),
+    ("Journals.txt", "journals", False, "id"),
+    ("PaperUrls.txt", "paper_urls", False, "paper"),
+    ("PaperLanguages.txt", "paper_languages", False, "paper"),
+    ("PaperCitationContexts.txt", "paper_citation_contexts", False, "citing"),
+    ("PaperRecommandations.txt", "paper_recommendations", False, "paper"),
+    ("FieldOfStudyRelationship.txt", "fos_relationship", False, "fos1"),
+    ("PaperAbstractsInvertedIndex.txt", "paper_abstracts", False, "paper"),
+]
+
+
+@pytest.mark.parametrize("fname,ddl_key,header,key_col", ALL_SAMPLES)
+def test_every_sample_file_parses(spark, fname, ddl_key, header, key_col):
+    """All 17 shipped MAG sample files parse through our schemas with
+    1000 data rows and no null keys — a reference user can point the
+    engine at any MAG file."""
+    df = tsv.read_tsv(spark, f"{SAMPLES}/{fname}", schemas.DDL[ddl_key], header=header)
+    assert df.count() == 1000
+    assert df.filter(F.col(key_col).isNull()).count() == 0
