@@ -72,6 +72,7 @@ def test_driver_contract_integrity():
         "a2_approx_distinct",   # HLL sketch — not exact-hashable
         "ann_ivf_kmeans",       # learned float centroids — iterative means
         "g8_gexf",              # XML document
+        "g_kcore",              # data-dependent fixpoint — not one SQL statement
         "g_pagerank",           # float power iteration
         "mm_byte_histogram",    # pandas-UDF float features
         "mm_media_stats",       # synthetic media source
