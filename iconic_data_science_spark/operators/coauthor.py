@@ -89,15 +89,18 @@ def coauthor_edges(
             .select("paper")
         )
         pa = pa.join(small, "paper", "left_semi")
-    # Attach the year BEFORE the self-join: when paper_years is filtered
-    # (e.g. BFS restricts to one year), the pairing input shrinks by the
-    # selectivity *before* the O(k²) pair fan-out — the join key is the
-    # same paper on both sides, so restricting one side restricts the
-    # pair table identically to joining years after pairing. The year-
-    # joined side is already hash(paper) partitioned, so the self-join
-    # adds no exchange for it.
-    a = pa.join(paper_years, "paper").alias("a")
-    b = pa.alias("b")
+    # Attach the year BEFORE the self-join, and self-join the year-joined
+    # frame with ITSELF: when paper_years is filtered (e.g. BFS restricts
+    # to one year), BOTH pairing inputs shrink by the selectivity before
+    # the O(k²) fan-out — pairs require a.paper == b.paper, so
+    # restricting b identically is semantics-preserving, and an
+    # unrestricted b would shuffle the whole bridge just to drop
+    # non-matching papers at the join. Identical subplans on both sides
+    # also let Catalyst reuse the exchange (one distinct+year join, not
+    # two).
+    ay = pa.join(paper_years, "paper")
+    a = ay.alias("a")
+    b = ay.alias("b")
     edges = (
         a.join(b, (F.col("a.paper") == F.col("b.paper")) & (F.col("a.author") != F.col("b.author")))
         .groupBy(F.col("a.author").alias("ego"), F.col("b.author").alias("alter_id"))
