@@ -680,6 +680,16 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(cat.documents)
 
 
+def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-16 vocabulary coverage / OOV rate per document (deterministic
+    frequency-then-term tie-break; broadcast vocab tally —
+    operators/text.vocab_oov)."""
+    from iconic_data_science_spark.operators.text import vocab_oov
+
+    cat = _cat(spark, sf_dir)
+    return vocab_oov(cat.documents, vocab_size=16)
+
+
 def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing ≥1 word 5-gram
     with the (deterministic doc_id%10==0) benchmark split — the
@@ -1450,6 +1460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_top_terms": q_text_top_terms,
     "text_pii_redact": q_text_pii_redact,
+    "text_vocab_oov": q_text_vocab_oov,
     "decontaminate_ngram": q_decontaminate_ngram,
     "curation_pipeline": q_curation_pipeline,
     "curation_pipeline_v2": q_curation_pipeline_v2,
@@ -2396,6 +2407,24 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, term, tf, df, weight, rn FROM r WHERE rn <= 3
     """,
     "text_pii_redact": "{PII_SQL}",
+    "text_vocab_oov": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+                ORDER BY n DESC, tok ASC LIMIT 16
+            )
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov,
+               CAST(COUNT(*) FILTER (v.tok IS NULL) AS BIGINT)
+                   / CAST(COUNT(*) AS BIGINT) AS oov_ratio
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY 1
+    """,
     "decontaminate_ngram": """
         WITH th AS (
             SELECT doc_id,

@@ -247,6 +247,50 @@ def top_terms(
     )
 
 
+def vocab_oov(
+    documents: DataFrame,
+    vocab_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary coverage: build the top-``vocab_size`` term
+    vocabulary by global frequency (ties broken by term asc — fully
+    deterministic), then per document count tokens outside it →
+    (doc_id, n_tokens, n_oov, oov_ratio).
+
+    The tokenizer-coverage scan every corpus pipeline runs before
+    committing to a vocab/tokenizer: documents with high OOV are
+    mis-languaged, encoding-corrupted, or out-of-domain. Two passes over
+    the token table (global counts, then per-doc tally); the vocabulary
+    is vocab_size rows — broadcast into the tally join, so the second
+    pass is map-side. ``oov_ratio`` is a single IEEE division.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") / F.col("n_tokens")).alias("oov_ratio"),
+        )
+    )
+
+
 # (category, pattern, replacement) — applied in order; patterns chosen to
 # behave identically under Java regex (Spark) and RE2 (DuckDB): ASCII
 # classes, \b word boundaries, bounded repetition only.

@@ -152,3 +152,15 @@ def test_decontaminate_fixture(spark):
     # "the quick brown fox jumps" and "quick brown fox jumps over"
     assert out[1].n_shared_ngrams == 2
     assert out[1].n_benchmark_docs == 1
+
+
+def test_vocab_oov_tiebreak_and_counts(spark):
+    from iconic_data_science_spark.operators.text import vocab_oov
+
+    # global counts: a=3, b=2, c=2, d=1. vocab_size=2 -> {a, b} (c ties
+    # with b on count; term asc keeps b). doc 2's c+d are OOV.
+    docs = _docs(spark, [(1, "a a b c"), (2, "a b c d")])
+    out = {r.doc_id: r for r in vocab_oov(docs, vocab_size=2).collect()}
+    assert (out[1].n_tokens, out[1].n_oov) == (4, 1)
+    assert (out[2].n_tokens, out[2].n_oov) == (4, 2)
+    assert out[2].oov_ratio == 0.5
