@@ -300,3 +300,53 @@ def dedup_within_watermark(events: DataFrame, watermark: str = WATERMARK) -> Dat
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
     return events.dropDuplicates(["event_id"])
+
+
+def funnel_stage_state(events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Streaming twin of ``operators/events.funnel``: a per-user funnel
+    state machine on ``applyInPandasWithState`` → (user_id,
+    stage_reached) with stage_reached = how many ordered stages the user
+    has entered (stage i counts only strictly after entry into stage
+    i-1 — identical min-timestamp chaining).
+
+    State is one entry timestamp (micros) per stage; each micro-batch
+    sorts its rows by ts and advances the machine, so state is O(stages)
+    per user regardless of event volume. Cross-batch late data is the
+    usual streaming caveat: an event older than an already-taken entry
+    can't retract it (batch replay — the backfill path — is the exact
+    form). Update-mode output: one row per user per batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(stages)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("stage_reached", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"t{i}", T.LongType(), False) for i in range(n)]
+    )
+    stage_idx = {s: i for i, s in enumerate(stages)}
+    UNSET = -1
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        entry = list(state.get) if state.exists else [UNSET] * n
+        for pdf in pdf_iter:
+            pdf = pdf[pdf["event_type"].isin(stage_idx)].sort_values("ts")
+            for et, ts in zip(pdf["event_type"], pdf["ts"].astype("int64") // 1000):
+                i = stage_idx[et]
+                if entry[i] != UNSET:
+                    continue
+                if i == 0 or (entry[i - 1] != UNSET and ts > entry[i - 1]):
+                    entry[i] = int(ts)
+        state.update(tuple(entry))
+        reached = sum(1 for t in entry if t != UNSET)
+        yield pd.DataFrame({"user_id": [key[0]], "stage_reached": [reached]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

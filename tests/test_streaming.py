@@ -160,3 +160,16 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert by_window.get(base * US) == 1          # late 10:30 event dropped
     assert by_window.get((base + 7200) * US) == 1
     assert (base + 14400) * US not in by_window   # watermark never closes it
+
+
+def test_streaming_funnel_equals_batch(spark, sf_dir):
+    """The per-user funnel state machine must reproduce the batch
+    funnel's stage counts (same min-timestamp chaining semantics)."""
+    from iconic_data_science_spark.operators.events import funnel
+
+    stream = ev.funnel_stage_state(ev.read_event_stream(spark, sf_dir))
+    got = _run_stream(spark, stream, "t_funnel", output_mode="update").toPandas()
+    batch = {r.stage_idx: r.n_users for r in funnel(Catalog(spark, sf_dir).events).collect()}
+    # stage i's batch count = users whose machine passed stage i
+    for i in sorted(batch):
+        assert (got.stage_reached > i).sum() == batch[i]
