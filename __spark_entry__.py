@@ -734,6 +734,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inc_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the daily event rollup computed as
+    merge_rollup(agg(days < 2024-01-15), agg(days >= 2024-01-15)) — the
+    additive-refresh pattern whose oracle is the FULL recompute, so the
+    hash gate proves incremental == from-scratch
+    (operators/lakehouse.merge_rollup)."""
+    from iconic_data_science_spark.operators.lakehouse import merge_rollup
+
+    cat = _cat(spark, sf_dir)
+    ev = cat.events.select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"), "value"
+    )
+    cut = "2024-01-15"
+
+    def agg(df):
+        return df.groupBy("day").agg(F.count("*").cast("long").alias("n_events"))
+
+    old = agg(ev.filter(F.col("day") < cut))
+    new = agg(ev.filter(F.col("day") >= cut))
+    return merge_rollup(old, new, keys=["day"], sum_cols=["n_events"])
+
+
 def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase with min-timestamp chaining
     (a later stage counts only after entry into the previous one) —
@@ -1464,6 +1486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "curation_pipeline": q_curation_pipeline,
     "curation_pipeline_v2": q_curation_pipeline_v2,
+    "inc_rollup_daily": q_inc_rollup_daily,
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
     "mm_byte_histogram": q_mm_byte_histogram,
@@ -2760,6 +2783,12 @@ ORACLES: dict[str, str] = {
         WHERE q.score >= 0.3
           AND q.doc_id % 10 <> 0
           AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    "inc_rollup_daily": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1
     """,
     "ev_funnel": """
         WITH v AS (

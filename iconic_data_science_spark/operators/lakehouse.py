@@ -95,3 +95,29 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def merge_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta partition's
+    pre-aggregated rows into a materialized rollup — ``unionByName →
+    groupBy(keys) → sum`` (the A8 union+re-aggregate shape applied to
+    view maintenance).
+
+    The incremental-refresh pattern for additive aggregates (counts,
+    sums): instead of recomputing the rollup over the whole history,
+    aggregate only the new partition and merge. Correctness contract —
+    pinned by the self-checking query oracle — is
+    ``merge_rollup(agg(old), agg(new)) == agg(old ∪ new)`` for additive
+    measures; non-additive aggregates (distinct, percentiles) need
+    sketches instead (see `a2_approx_distinct` for the HLL path). The
+    shuffle carries pre-aggregated rows (one per key per input), not
+    events."""
+    merged = existing.select(*keys, *sum_cols).unionByName(delta.select(*keys, *sum_cols))
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+    )

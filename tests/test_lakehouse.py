@@ -93,3 +93,14 @@ def test_scd2_multi_attr_change_detection(spark):
     rows = {r["valid_from"]: (r["a"], r["b"], r["is_current"]) for r in hist.collect()}
     # b changing alone must open a new interval; the unchanged t=30 row must not
     assert rows == {10: ("A", 5, False), 20: ("A", 6, True)}
+
+
+def test_merge_rollup_overlapping_keys(spark):
+    """A key present in both the materialized rollup and the delta must
+    merge additively; keys unique to either side pass through."""
+    from iconic_data_science_spark.operators.lakehouse import merge_rollup
+
+    old = spark.createDataFrame([("a", 10), ("b", 5)], "k string, n long")
+    delta = spark.createDataFrame([("b", 3), ("c", 7)], "k string, n long")
+    got = {r.k: r.n for r in merge_rollup(old, delta, keys=["k"], sum_cols=["n"]).collect()}
+    assert got == {"a": 10, "b": 8, "c": 7}
