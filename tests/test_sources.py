@@ -136,3 +136,50 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert [r.v for r in back.collect()] == ["v7"]
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(id,7" in plan
+
+
+def test_morton_code_matches_model(spark):
+    def model(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 40000) for b in (0, 3, 17, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", sinks.morton_code("a", "b").alias("z")).collect()
+    for r in got:
+        assert r.z == model(r.a, r.b), (r.a, r.b)
+
+
+def test_zordered_write_clusters_both_columns(spark, tmp_path):
+    import itertools
+
+    rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+    p = str(tmp_path / "zorder")
+    sinks.write_zordered_parquet(df, p, ("x", "y"), bits=6, num_files=16)
+    back = spark.read.parquet(p)
+    assert back.count() == 64 * 64
+    # per-file min/max spans must be narrow on BOTH columns: with a
+    # z-curve layout each file covers a tile, not a full-range stripe
+    import os
+    from collections import defaultdict
+
+    spans = []
+    for f in os.listdir(p):
+        if not f.endswith(".parquet"):
+            continue
+        pdf = spark.read.parquet(os.path.join(p, f)).toPandas()
+        if len(pdf) == 0:
+            continue
+        spans.append(((pdf.x.max() - pdf.x.min()), (pdf.y.max() - pdf.y.min())))
+    assert len(spans) >= 4
+    # every file must span less than the full 0..63 range on x AND on y
+    # (a single-column sort would give full-range spans on the trailing
+    # column in every file)
+    assert all(sx < 63 or sy < 63 for sx, sy in spans)
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert avg_x < 48 and avg_y < 48
