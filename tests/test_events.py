@@ -57,3 +57,10 @@ def test_retention_pre_signup_activity_excluded(spark):
     ev = _ev(spark, [(1, 0, 1, "view"), (15, 0, 1, "signup"), (16, 0, 1, "click")])
     got = {(r.cohort_week, r.week_offset): r.n_users for r in retention_cohorts(ev).collect()}
     assert got == {(2, 0): 1}
+
+
+def test_funnel_and_retention_empty_input(spark):
+    ev = _ev(spark, [])
+    assert funnel(ev).count() == 3  # one zero row per stage
+    assert all(r.n_users == 0 for r in funnel(ev).collect())
+    assert retention_cohorts(ev).count() == 0

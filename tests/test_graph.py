@@ -263,3 +263,14 @@ def test_author_disambiguation_block_cap(spark):
     assert {(r.id1, r.id2) for r in out} == {(100, 101)}
     # without the cap the clone block floods the output
     assert candidate_author_pairs(authors, max_block_size=None).count() == 50 * 49 // 2 + 1
+
+
+def test_kcore_empty_and_single_edge(spark):
+    from iconic_data_science_spark.operators.graph import kcore
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert kcore(empty, k=2).count() == 0
+    assert kcore(empty, k=2, local_solve_rows=None).count() == 0
+    one = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    assert {tuple(r) for r in kcore(one, k=1).collect()} == {(1, 1), (2, 1)}
+    assert kcore(one, k=2).count() == 0

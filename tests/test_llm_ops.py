@@ -164,3 +164,22 @@ def test_vocab_oov_tiebreak_and_counts(spark):
     assert (out[1].n_tokens, out[1].n_oov) == (4, 1)
     assert (out[2].n_tokens, out[2].n_oov) == (4, 2)
     assert out[2].oov_ratio == 0.5
+
+
+def test_text_ops_empty_and_degenerate_docs(spark):
+    from iconic_data_science_spark.operators.text import (
+        pii_redact, repetition_stats, top_terms, vocab_oov)
+    from iconic_data_science_spark.operators.dedup import decontaminate
+
+    empty = _docs(spark, [])
+    assert repetition_stats(empty).count() == 0
+    assert top_terms(empty).count() == 0
+    assert vocab_oov(empty).count() == 0
+    assert pii_redact(empty).count() == 0
+    assert decontaminate(empty, empty).count() == 0
+    # empty-string text: split yields one "" token in both engines
+    deg = _docs(spark, [(1, "")])
+    r = repetition_stats(deg).collect()[0]
+    assert (r.n_tokens, r.distinct_tokens, r.n_bigrams) == (1, 1, 0)
+    v = vocab_oov(deg, vocab_size=1).collect()[0]
+    assert (v.n_tokens, v.n_oov) == (1, 0)  # "" IS the vocabulary
