@@ -95,6 +95,39 @@ class Catalog:
         for name in names:
             self.table(name).cache()
 
+    # key columns every pipeline assumes; validate() turns silent
+    # upstream schema drift into one clear error instead of a cascade of
+    # unresolved-column failures deep inside operators
+    REQUIRED_COLUMNS: dict[str, tuple[str, ...]] = {
+        "lineitem": ("l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate"),
+        "orders": ("o_orderkey", "o_custkey", "o_orderdate"),
+        "customer": ("c_custkey", "c_nationkey"),
+        "supplier": ("s_suppkey", "s_nationkey"),
+        "nation": ("n_nationkey", "n_regionkey", "n_name"),
+        "region": ("r_regionkey", "r_name"),
+        "part": ("p_partkey",),
+        "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+        "documents": ("doc_id", "text"),
+        "embeddings": ("vec_id", "embedding"),
+    }
+
+    def validate(self, names: tuple[str, ...] = TPCH_TABLES) -> None:
+        """Check every table exists and carries its assumed key columns;
+        raises one ValueError listing all problems (metadata-only — reads
+        parquet footers, runs no jobs)."""
+        problems: list[str] = []
+        for name in names:
+            try:
+                cols = set(self.table(name).columns)
+            except Exception as exc:  # missing/corrupt file
+                problems.append(f"{name}: unreadable ({str(exc).splitlines()[0][:80]})")
+                continue
+            missing = [c for c in self.REQUIRED_COLUMNS.get(name, ()) if c not in cols]
+            if missing:
+                problems.append(f"{name}: missing columns {missing}")
+        if problems:
+            raise ValueError("catalog validation failed: " + "; ".join(problems))
+
 
 def load_catalog(spark: SparkSession, sf_dir: str, register: bool = False) -> Catalog:
     cat = Catalog(spark, sf_dir)

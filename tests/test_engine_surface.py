@@ -79,3 +79,19 @@ def test_driver_contract_integrity():
     }
     for name, fn in qs.items():
         assert fn.__doc__, f"{name} has no docstring"
+
+
+def test_catalog_validate(spark, sf_dir, tmp_path):
+    import pytest
+
+    Catalog(spark, sf_dir).validate()  # healthy dir passes quietly
+    # missing table -> one clear error naming it
+    with pytest.raises(ValueError, match="lineitem: unreadable"):
+        Catalog(spark, str(tmp_path)).validate(("lineitem",))
+    # schema drift -> names the missing columns
+    bad = Catalog(
+        spark, sf_dir,
+        overrides={"documents": spark.createDataFrame([(1,)], "doc_id bigint")},
+    )
+    with pytest.raises(ValueError, match=r"documents: missing columns \['text'\]"):
+        bad.validate(("documents",))
