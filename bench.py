@@ -59,6 +59,11 @@ def main() -> None:
 
     all_queries = entrymod.queries()
     names = [n for n in HEADLINE if n in all_queries]
+    # perf-iteration convenience: SPARK_GRAFT_BENCH_QUERIES=g4_bfs,g3_personal_net
+    # times just those (any catalog query, not only the headline set)
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip() in all_queries]
 
     # Warmup: one throwaway action so JVM/codegen startup isn't billed to
     # the first timed query (we measure query execution, not JVM boot).
