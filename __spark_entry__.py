@@ -2354,6 +2354,9 @@ ORACLES: dict[str, str] = {
                    / CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS avg_word_len,
                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
                    / CAST(length(text) AS BIGINT) AS alpha_ratio,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> list_contains({SW_ARRAY}, t))) AS BIGINT)
+                   / CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS stopword_ratio,
                CAST(LEAST(CAST(len(string_split(lower(text), ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0
                    * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
                       / CAST(length(text) AS BIGINT)) AS score
@@ -3169,6 +3172,12 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLES["text_pii_redact"] = _pii_oracle_sql()
+
+from iconic_data_science_spark.operators.text import stopword_array_sql as _stopword_array_sql  # noqa: E402
+
+ORACLES["text_quality_score"] = ORACLES["text_quality_score"].replace(
+    "{SW_ARRAY}", _stopword_array_sql()
+)
 
 
 def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,11 +70,29 @@ def language_id(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def all_stopwords() -> list[str]:
+    """Flat sorted union of every language's stopword list (the literal
+    both engines embed — see ``stopword_array_sql``)."""
+    return sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def stopword_array_sql() -> str:
+    """DuckDB list literal of :func:`all_stopwords` for oracle SQL."""
+    return "[" + ", ".join(f"'{w}'" for w in all_stopwords()) + "]"
+
+
 def quality_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, n_chars, n_words, avg_word_len, alpha_ratio, score).
+    """(doc_id, n_chars, n_words, avg_word_len, alpha_ratio,
+    stopword_ratio, score) — the length/punctuation/stopword ratio
+    family (SURVEY §2 quality-scoring spec line).
 
     score = min(n_words, 100)/100 * alpha_ratio — a simple
     length×cleanliness heuristic; all arithmetic fixed-order doubles.
+    ``stopword_ratio`` (stopword token hits / words, any language's
+    list) is the classic natural-language-vs-gibberish signal: real
+    prose sits around 0.3-0.6, keyword spam near 0. Pure per-row
+    expressions — the stopword list is a 50-element literal array
+    filtered JVM-side, no join, no shuffle.
     """
     t = F.col(text_col)
     toks = F.split(F.lower(t), " ")
@@ -83,6 +101,8 @@ def quality_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = 
     n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
     avg_word_len = (n_chars - (n_words - 1)) / n_words
     alpha_ratio = n_alpha / n_chars
+    sw = F.array(*[F.lit(w) for w in all_stopwords()])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long")
     score = F.least(n_words, F.lit(100)).cast("double") / F.lit(100.0) * alpha_ratio
     return documents.select(
         F.col(id_col).alias("doc_id"),
@@ -90,6 +110,7 @@ def quality_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = 
         n_words.alias("n_words"),
         avg_word_len.alias("avg_word_len"),
         alpha_ratio.alias("alpha_ratio"),
+        (n_stop / n_words).alias("stopword_ratio"),
         score.alias("score"),
     )
 
