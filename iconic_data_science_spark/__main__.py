@@ -39,6 +39,29 @@ def _entrymod():
 def _write(df, out: str, fmt: str) -> None:
     from .sources import sinks
 
+    if fmt == "csv":
+        # CSV cannot serialize array/struct/map columns (catalog queries
+        # like text_fingerprint or mm_byte_histogram emit them); encode
+        # complex columns as JSON strings instead of surfacing Spark's
+        # opaque AnalysisException.
+        from pyspark.sql import functions as F
+
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "struct", "map")
+        ]
+        if complex_cols:
+            print(
+                "csv: encoding complex columns as JSON: " + ", ".join(complex_cols),
+                file=sys.stderr,
+            )
+            df = df.select(
+                *[
+                    F.to_json(c).alias(c) if c in complex_cols else F.col(c)
+                    for c in df.columns
+                ]
+            )
     writer = {"parquet": sinks.write_parquet, "csv": sinks.write_csv, "jsonl": sinks.write_jsonl}[fmt]
     writer(df, out)
 

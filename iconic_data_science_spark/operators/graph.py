@@ -435,7 +435,11 @@ def kcore(
             prev_keep.unpersist()
         prev_keep = keep
         if n == 0 or n == n_prev:
-            return keep.select(F.col("src").alias("author"), "core_degree")
+            # Materialize the result then drop the cache: without this every
+            # kcore call leaked a persisted RDD for the session lifetime.
+            out = keep.select(F.col("src").alias("author"), "core_degree").localCheckpoint()
+            keep.unpersist()
+            return out
         n_prev = n
         ks = keep.select("src")
         if n <= broadcast_threshold_rows:
@@ -445,5 +449,7 @@ def kcore(
             .join(ks.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint()
         )
+    if prev_keep is not None:
+        prev_keep.unpersist()
     deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
     return deg.filter(F.col("core_degree") >= k).select(F.col("src").alias("author"), "core_degree")

@@ -118,6 +118,17 @@ def merge_rollup(
     shuffle carries pre-aggregated rows (one per key per input), not
     events."""
     merged = existing.select(*keys, *sum_cols).unionByName(delta.select(*keys, *sum_cols))
+    # Pin integral sums to BIGINT (oracle-hash discipline) but leave
+    # fractional measures in their own type — a blanket long cast would
+    # silently truncate double/decimal sums.
+    integral = {
+        f.name
+        for f in merged.schema.fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    }
     return merged.groupBy(*keys).agg(
-        *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+        *[
+            (F.sum(c).cast("long") if c in integral else F.sum(c)).alias(c)
+            for c in sum_cols
+        ]
     )

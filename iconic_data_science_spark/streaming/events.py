@@ -337,7 +337,12 @@ def funnel_stage_state(events: DataFrame, stages: tuple[str, ...] = ("view", "cl
         entry = list(state.get) if state.exists else [UNSET] * n
         for pdf in pdf_iter:
             pdf = pdf[pdf["event_type"].isin(stage_idx)].sort_values("ts")
-            for et, ts in zip(pdf["event_type"], pdf["ts"].astype("int64") // 1000):
+            # Pin the epoch unit explicitly: pandas may deliver ts as
+            # datetime64[ns] or (Arrow-backed) datetime64[us]; a blind
+            # `astype(int64) // 1000` would yield ms in the latter case and
+            # collapse near-simultaneous events under the strict `>` rule.
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for et, ts in zip(pdf["event_type"], ts_us):
                 i = stage_idx[et]
                 if entry[i] != UNSET:
                     continue

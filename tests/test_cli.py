@@ -23,6 +23,16 @@ def test_cli_unknown_query(capsys):
     assert main(["run", "not_a_query"]) == 2
 
 
+def test_cli_csv_encodes_complex_columns(spark, sf_dir, tmp_path, capsys):
+    """`run --format csv` on a query emitting array columns must succeed
+    by JSON-encoding the complex columns (not raise AnalysisException)."""
+    out = str(tmp_path / "fp")
+    assert main(
+        ["run", "text_fingerprint", "--sf-dir", sf_dir, "--out", out, "--format", "csv"]
+    ) == 0
+    assert spark.read.option("header", True).csv(out).count() > 0
+
+
 def test_cli_sql(capsys, sf_dir):
     assert main(["sql", "SELECT count(*) AS n FROM region", "--sf-dir", sf_dir]) == 0
     assert "5" in capsys.readouterr().out

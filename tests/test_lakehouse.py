@@ -106,6 +106,22 @@ def test_merge_rollup_overlapping_keys(spark):
     assert got == {"a": 10, "b": 8, "c": 7}
 
 
+def test_merge_rollup_preserves_fractional_measures(spark):
+    """Double measures must not be truncated to long; integral measures
+    stay pinned to BIGINT for the oracle-hash discipline."""
+    from iconic_data_science_spark.operators.lakehouse import merge_rollup
+
+    old = spark.createDataFrame([("a", 1.25, 2)], "k string, v double, n long")
+    delta = spark.createDataFrame([("a", 2.5, 3)], "k string, v double, n long")
+    out = merge_rollup(old, delta, keys=["k"], sum_cols=["v", "n"])
+    row = out.collect()[0]
+    assert row.v == 3.75
+    assert row.n == 5
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["v"] == "double"
+    assert types["n"] == "bigint"
+
+
 def test_hll_sketch_merge_equals_full_recompute(spark, sf_dir):
     """The non-additive leg of incremental view maintenance: distinct
     counts refresh via mergeable HLL sketches — estimate(union(sketch(old),
