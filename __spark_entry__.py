@@ -339,11 +339,12 @@ def q_g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the thresholded 1995 coauthor graph (iterative peeling,
-    three-tier strategy — operators/graph.kcore). No SQL oracle: the
-    peel's data-dependent fixpoint isn't a single SQL statement (unlike
-    BFS, unrolling isn't depth-capped); correctness is pinned by the
-    local-vs-distributed tier equivalence and fixture tests in
-    tests/test_graph.py."""
+    three-tier strategy — operators/graph.kcore). Oracled since round 2:
+    the peel is a round-stamped recursive CTE in DuckDB (edges re-emitted
+    with r+1 while both endpoints keep degree ≥ k; the survivor set at
+    the round cap is the k-core — integer output, exact hash). Round cap
+    50 covers the sf0.01 peel depth with wide margin; tier equivalence
+    and fixture tests in tests/test_graph.py pin the uncapped fixpoint."""
     from iconic_data_science_spark.operators.graph import kcore
 
     cat = _cat(spark, sf_dir)
@@ -369,6 +370,21 @@ def q_g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, damping=0.85, iterations=10)
     return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+def q_g_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-lattice PageRank over the citation DAG — the power
+    iteration defined AS integer arithmetic (floor divisions, fixed 10
+    rounds) so ranks hash identically across engines; the float
+    `g_pagerank` twin stays rows-only by nature. Ranking agreement with
+    the float variant is pinned in tests/test_graph.py."""
+    from iconic_data_science_spark.operators.graph import pagerank_int
+
+    cat = _cat(spark, sf_dir)
+    edges = magmap.citation_edges(cat).select(
+        F.col("citing").alias("src"), F.col("cited").alias("dst")
+    )
+    return pagerank_int(edges, damping_pct=85, iterations=10)
 
 
 def q_u3_except_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1456,6 +1472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g4_bfs": q_g4_bfs,
     "g_triangle_count": q_g_triangle_count,
     "g_pagerank": q_g_pagerank,
+    "g_pagerank_int": q_g_pagerank_int,
     "g_kcore": q_g_kcore,
     "u3_except_authors": q_u3_except_authors,
     "u4_intersect_authors": q_u4_intersect_authors,
@@ -1831,6 +1848,63 @@ ORACLES: dict[str, str] = {
             WHERE w.depth < 3
         )
         SELECT author, MIN(depth) AS depth FROM walk GROUP BY author
+    """,
+    "g_kcore": """
+        WITH RECURSIVE paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (SELECT o_orderkey AS paper FROM orders WHERE year(o_orderdate) = 1995),
+        e AS (
+            SELECT a.author AS src, b.author AS dst
+            FROM paa a
+            JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+            JOIN py ON py.paper = a.paper
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        -- round-stamped peel: an edge advances to round r+1 while BOTH
+        -- endpoints keep degree >= k; the survivor set goes stationary at
+        -- the fixpoint, so the rows at the round cap ARE the k-core
+        alive(r, src, dst) AS (
+            SELECT 0, src, dst FROM e
+            UNION ALL
+            SELECT r + 1, src, dst FROM (
+                SELECT r, src, dst,
+                       COUNT(*) OVER (PARTITION BY r, src) AS ds,
+                       COUNT(*) OVER (PARTITION BY r, dst) AS dd
+                FROM alive
+            ) WHERE ds >= 3 AND dd >= 3 AND r < 50
+        )
+        SELECT src AS author, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM alive WHERE r = 50
+        GROUP BY src
+    """,
+    "g_pagerank_int": """
+        WITH RECURSIVE ce AS (
+            SELECT o2.o_orderkey AS citing, o1.o_orderkey AS cited
+            FROM orders o1
+            JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o2.o_orderdate > o1.o_orderdate
+        ),
+        nodes AS (SELECT DISTINCT v FROM (SELECT citing AS v FROM ce UNION ALL SELECT cited FROM ce)),
+        od AS (SELECT citing AS v, COUNT(*) AS deg FROM ce GROUP BY 1),
+        -- zero-weight self rows keep every node (incl. no-in-edge nodes)
+        -- in the recursive join with a single reference to pr
+        aug AS (
+            SELECT citing AS src, cited AS dst, 1 AS w FROM ce
+            UNION ALL
+            SELECT v, v, 0 FROM nodes
+        ),
+        oda AS (SELECT n.v, COALESCE(od.deg, 1) AS deg FROM nodes n LEFT JOIN od ON od.v = n.v),
+        pr(it, v, r) AS (
+            SELECT 0, v, CAST(1000000000 AS BIGINT) FROM nodes
+            UNION ALL
+            SELECT p.it + 1, a.dst,
+                   CAST(150000000 + (85 * SUM((p.r // o.deg) * a.w)) // 100 AS BIGINT)
+            FROM pr p
+            JOIN aug a ON a.src = p.v
+            JOIN oda o ON o.v = p.v
+            WHERE p.it < 10
+            GROUP BY p.it, a.dst
+        )
+        SELECT v AS node, r AS rank_i FROM pr WHERE it = 10
     """,
     "g_triangle_count": """
         WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
@@ -3917,6 +3991,10 @@ _ROUND2_FRONT = [
     # event analytics
     "ev_funnel",
     "ev_retention",
+    # round-2 oracle upgrades: k-core (was rows-only in r1) and the
+    # integer-lattice PageRank twin
+    "g_kcore",
+    "g_pagerank_int",
     # operators already driver-passed via sibling queries
     "o2_topk_authors",
     "a5_coauthor_list",

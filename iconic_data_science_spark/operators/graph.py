@@ -193,6 +193,67 @@ def pagerank(
     return ranks
 
 
+PAGERANK_INT_SCALE = 1_000_000_000  # starting mass per node (10^9)
+
+
+def pagerank_int(
+    edges: DataFrame,
+    damping_pct: int = 85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Integer-lattice PageRank: the power iteration defined *as* integer
+    arithmetic so the result hashes identically across engines (the
+    float `pagerank` cannot — see its docstring).
+
+    The recurrence, exactly as the DuckDB oracle computes it:
+
+        r0(v)   = SCALE
+        r{t+1}(v) = (100-d)·SCALE/100
+                    + d · Σ_{u→v} floor(r_t(u) / outdeg(u)) / 100   (floor)
+
+    Dangling mass is dropped (not redistributed) — deterministic and
+    identical in both engines; rankings are unaffected for DAG-ish
+    citation graphs. Unnormalized by design (no N division): relative
+    order is what the operator contracts. Bounds: Σ mass ≤ N·SCALE, and
+    the d·Σ product stays < 2^63 for N up to ~10^8 per aggregate key;
+    beyond that, shard the sum or lower SCALE.
+
+    Same scale shape as `pagerank`: one shuffle per iteration (contribs
+    keyed on dst) + a broadcast-able outdeg dim; ranks localCheckpoint
+    every round (the lineage lesson).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    base = (100 - damping_pct) * PAGERANK_INT_SCALE // 100
+    ranks = nodes.withColumn("rank_i", F.lit(PAGERANK_INT_SCALE).cast("long")).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank_i div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("recv"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(recv, 0L)) div 100")
+                ).alias("rank_i"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    return ranks
+
+
 def graphframes_available() -> bool:
     """True iff the optional GraphFrames package (+ its jar) is importable.
 

@@ -88,6 +88,30 @@ def test_pagerank_analytic_fixtures(spark):
     assert rs[1] > rs[2] and abs(rs[2] - rs[3]) < 1e-12 and abs(rs[3] - rs[4]) < 1e-12
 
 
+def test_pagerank_int_agrees_with_float_ranking(spark):
+    """The integer-lattice twin must (a) satisfy the same analytic
+    fixtures up to the lattice and (b) order nodes identically to the
+    float power iteration on a small asymmetric graph."""
+    from iconic_data_science_spark.operators.graph import (
+        PAGERANK_INT_SCALE,
+        pagerank,
+        pagerank_int,
+    )
+
+    # symmetric 2-cycle: equal ranks, full mass preserved (no dangling)
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    ri = {x.node: x.rank_i for x in pagerank_int(cyc, iterations=5).collect()}
+    assert ri[1] == ri[2]
+    assert abs(ri[1] - PAGERANK_INT_SCALE) <= 10  # floor-div loss only
+
+    # asymmetric graph: ranking identical to the float variant
+    edges = [(2, 1), (3, 1), (4, 1), (4, 2), (1, 5), (5, 2), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rf = {x.node: x.rank for x in pagerank(df, iterations=10).collect()}
+    rint = {x.node: x.rank_i for x in pagerank_int(df, iterations=10).collect()}
+    assert sorted(rf, key=rf.get) == sorted(rint, key=rint.get)
+
+
 def test_d3_json_export(spark):
     import json
 
