@@ -942,6 +942,30 @@ def q_g6_edge_citation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g6_citation_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 map-type contract query: the G6 per-edge series as an actual
+    ``MAP<BIGINT,BIGINT>`` column (year → shared cumulative citations) —
+    the reference's DLink nested-map edge type (DynamicNet.scala:251)
+    materialized as a first-class Spark map. Entries are sorted before
+    ``map_from_entries`` so ``to_json`` serializes deterministically;
+    ``map_keys`` drives the n_years column. The oracle rebuilds the same
+    compact JSON with an ordered string_agg."""
+    series = q_g6_edge_citation_series(spark, sf_dir)
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("year", "shared_cum_citations")))
+    )
+    return (
+        series.groupBy("ego", "alter_id")
+        .agg(m.alias("m"))
+        .select(
+            "ego",
+            "alter_id",
+            F.size(F.map_keys("m")).cast("long").alias("n_years"),
+            F.to_json("m").alias("series_json"),
+        )
+    )
+
+
 def q_g9_year_keyed_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9 (personal_network.py:29-68): the ego's network keyed by year —
     per (ego, year) the sorted alter list (egos sampled %25)."""
@@ -1517,6 +1541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_pivot_returnflag": q_a_pivot_returnflag,
     "a_median_papers": q_a_median_papers,
     "g6_edge_citation_series": q_g6_edge_citation_series,
+    "g6_citation_map": q_g6_citation_map,
     "g9_year_keyed_network": q_g9_year_keyed_network,
     "a6_flatten_distinct": q_a6_flatten_distinct,
     "q5_nation_revenue": q_q5_nation_revenue,
@@ -3920,6 +3945,16 @@ for _t in range(3):
         "{P" + str(_t) + "}", _plane_table_sql(table=_t)
     )
 
+# F6 map contract: wrap the g6 series oracle; the ordered string_agg
+# rebuilds exactly Spark's compact to_json(map) serialization.
+ORACLES["g6_citation_map"] = f"""
+    SELECT ego, alter_id,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           '{{' || string_agg('"' || year || '":' || shared_cum_citations, ',' ORDER BY year) || '}}' AS series_json
+    FROM ({ORACLES["g6_edge_citation_series"]}) s
+    GROUP BY 1, 2
+"""
+
 # ---------------------------------------------------------------------------
 # Registration order = driver verification order.
 #
@@ -3995,6 +4030,8 @@ _ROUND2_FRONT = [
     # integer-lattice PageRank twin
     "g_kcore",
     "g_pagerank_int",
+    # F6 map-type contract query (round-2 addition)
+    "g6_citation_map",
     # operators already driver-passed via sibling queries
     "o2_topk_authors",
     "a5_coauthor_list",
