@@ -179,34 +179,41 @@ def kmeans_centroids(
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    nrm0 = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
     # Farthest-point (k-center greedy) seeding: start from the smallest
     # id, then repeatedly take the point least similar to its nearest
     # chosen seed (ties → smallest id). Deterministic, and unlike
     # smallest-K-ids init it cannot start with K points from one cluster
     # (which makes Lloyd's collapse cells together).
-    seeds = [list(e.orderBy("id").limit(1).collect()[0].v)]
+    #
+    # ONE deterministic hash-sample pass feeds a local (numpy) greedy:
+    # orderBy(md5(id)).limit(seed_sample) is a single TakeOrdered job —
+    # the earlier formulation ran K-1 sequential full-corpus scans, each
+    # collecting one row, which is needlessly serial at scale. When the
+    # corpus fits in the sample (every test fixture and the sf
+    # testdata), the sample IS the corpus, so results are identical to
+    # the exhaustive greedy.
+    import numpy as np
+
+    seed_sample = max(10_000, 100 * n_cells)
+    samp = (
+        e.select("id", "v", F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10).alias("_h"))
+        .orderBy("_h", "id")
+        .limit(seed_sample)
+        .collect()
+    )
+    samp.sort(key=lambda r: r.id)
+    V = np.array([list(r.v) for r in samp], dtype=np.float64)
+    norms = np.sqrt((V * V).sum(axis=1))
+    norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
+    U = V / norms[:, None]
+    chosen = [0]  # samp sorted by id → index 0 is the smallest id
+    nearest = U @ U[0]
     for _ in range(n_cells - 1):
-        cdf = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(seeds)], "c_id int, c_v array<double>"
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        far = (
-            e.crossJoin(F.broadcast(cdf))
-            .select("id", "v", (dot / (nrm0(F.col("v")) * nrm0(F.col("c_v")))).alias("sim"))
-            .groupBy("id")
-            .agg(F.max("sim").alias("nearest_sim"), F.first("v").alias("v"))
-            .orderBy(F.col("nearest_sim").asc(), F.col("id").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        seeds.append(list(far.v))
+        # argmin nearest_sim, ties → smallest id (samp is id-sorted)
+        nxt = int(np.argmin(nearest))
+        chosen.append(nxt)
+        nearest = np.maximum(nearest, U @ U[nxt])
+    seeds = [[float(x) for x in V[i]] for i in chosen]
     cents = list(enumerate(seeds))
     for _ in range(n_iters):
         cdf = spark.createDataFrame(cents, "c_id int, c_v array<double>")
