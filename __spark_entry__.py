@@ -853,6 +853,20 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(synth_media(spark, 256))
 
 
+def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode: BMP pixel parsing and WAV PCM16 parsing in pure
+    numpy over mapInPandas (exact integer pixel/sample statistics);
+    video payloads pass through format-sniffed with null stats — the
+    codec gate applies only to compressed formats. Rows-only (the
+    payloads are engine-generated, not parquet inputs); decoder
+    correctness is pinned by round-trip and stdlib-wave cross-checks in
+    tests/test_llm_ops.py."""
+    from iconic_data_science_spark.operators.multimodal import decode_media, synth_media_real
+
+    ensure_engine_conf(spark)
+    return decode_media(synth_media_real(spark, 256), require_codecs=False)
+
+
 def q_a_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup (grouping-sets family — engine built-in beyond reference
     parity, SURVEY §2.4 note): order counts by (year, priority) with
@@ -1536,6 +1550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_retention": q_ev_retention,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
+    "mm_decode_stats": q_mm_decode_stats,
     "a_rollup_orders": q_a_rollup_orders,
     "a_cube_orders": q_a_cube_orders,
     "a_pivot_returnflag": q_a_pivot_returnflag,
@@ -4043,6 +4058,7 @@ _ROUND2_FRONT = [
     # rows-only (weakest signal) at the tail of the front block
     "mm_byte_histogram",
     "mm_media_stats",
+    "mm_decode_stats",
     "ann_ivf_kmeans",
 ]
 

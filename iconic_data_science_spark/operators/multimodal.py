@@ -2,15 +2,22 @@
 
 Spec extension: treat media as opaque ``binary`` payload columns with
 typed metadata, and run decode / feature-extraction / frame-sampling as
-Arrow-batched pandas transforms over ``mapInPandas``. The image/audio
-codec libraries are NOT in this container, so the codec step is stubbed
-(``NotImplementedError`` behind ``require_codecs=True``) — but every
-Spark-side piece is real and tested: the schema, the binary payloads,
-the partitioning, the UDF signatures and the batch shapes.
+Arrow-batched pandas transforms over ``mapInPandas``.
 
-What IS fully real without codecs:
-  - ``synth_media`` — deterministic binary payload generation (md5-chain
-    bytes) so the pipeline has honest ``binary`` data to move;
+Decode is REAL for uncompressed container formats — BMP (24-bit
+bottom-up rows, 4-byte padded) and WAV (PCM16) parse in pure
+numpy/struct, no codec library needed: ``decode_media`` returns exact
+integer pixel/sample statistics per payload. Only compressed-codec
+formats (JPEG/PNG/MP3/MP4-class) stay gated behind
+``require_codecs=True`` → ``NotImplementedError``; payloads are
+format-sniffed by magic bytes.
+
+Also fully real without codecs:
+  - ``synth_media`` — deterministic opaque binary payloads (md5-chain
+    bytes) for plumbing tests;
+  - ``synth_media_real`` — deterministic REAL BMP/WAV payloads built
+    distributed (struct-packed in mapInPandas), video kept opaque as
+    the stand-in for a compressed container;
   - ``byte_histogram_features`` — a 16-bin byte histogram per payload,
     normalized; a genuine distributed feature extractor over binary
     columns (shape-identical to an image embedder: binary in,
@@ -24,6 +31,7 @@ payloads, not one partition.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +78,51 @@ def synth_media(spark: SparkSession, n: int = 256) -> DataFrame:
     return base.select("media_id", kind.alias("kind"), payload.alias("payload"), meta.alias("meta"))
 
 
+def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
+    """Deterministic media table with REAL payloads: images are 24-bit
+    BMPs and audio is PCM16 WAV (both arithmetic-pattern content keyed
+    by media_id); video stays an opaque md5-chain payload — the honest
+    stand-in for a compressed container this environment cannot decode.
+    Built distributed (struct-packed inside mapInPandas), same
+    MEDIA_SCHEMA as ``synth_media``."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                k = ("image", "audio", "video")[mid % 3]
+                if k == "image":
+                    w, h = mid % 16 + 4, mid % 12 + 4
+                    idx = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
+                    px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13) % 256).astype(np.uint8)
+                    payload = encode_bmp(w, h, px)
+                    meta = {"width": w, "height": h, "duration_s": None}
+                elif k == "audio":
+                    ns = mid % 500 + 100
+                    i = np.arange(ns, dtype=np.int64)
+                    samples = ((mid * 13 + i * 17) % 4096) - 2048
+                    payload = encode_wav(8000, samples)
+                    meta = {"width": None, "height": None, "duration_s": ns / 8000.0}
+                else:
+                    block = hashlib.md5(str(mid).encode()).digest()
+                    payload = block * (mid % 16 + 1)
+                    meta = {"width": None, "height": None, "duration_s": float(mid % 300) / 10.0}
+                rows.append({"media_id": mid, "kind": k, "payload": payload, "meta": meta})
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(gen, MEDIA_SCHEMA)
+    )
+
+
 def byte_histogram_features(media: DataFrame) -> DataFrame:
     """binary → array<float> feature extraction via mapInPandas.
 
@@ -100,19 +153,170 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(extract, out_schema)
 
 
+# --------------------------------------------------------------------------
+# real uncompressed-format codecs (pure numpy/struct — no external libs)
+
+
+def encode_bmp(width: int, height: int, pixels: "np.ndarray") -> bytes:
+    """24-bit uncompressed BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    bottom-up BGR rows padded to 4 bytes. ``pixels`` is (height, width, 3)
+    uint8 in RGB top-down order (the conventional in-memory layout)."""
+    row_bytes = (width * 3 + 3) & ~3
+    img_size = row_bytes * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (row_bytes - width * 3)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        rows += pixels[y, :, ::-1].tobytes() + pad  # RGB → BGR
+    return header + info + bytes(rows)
+
+
+def decode_bmp(buf: bytes) -> "np.ndarray":
+    """Parse a 24-bit uncompressed BMP into (height, width, 3) uint8 RGB
+    top-down — the inverse of ``encode_bmp``."""
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", buf, 10)
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from("<IiiHHI", buf, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={compression}")
+    row_bytes = (width * 3 + 3) & ~3
+    out = np.empty((abs(height), width, 3), dtype=np.uint8)
+    top_down = height < 0
+    h = abs(height)
+    for i in range(h):
+        row = np.frombuffer(buf, dtype=np.uint8, count=width * 3, offset=offset + i * row_bytes)
+        y = i if top_down else h - 1 - i
+        out[y] = row.reshape(width, 3)[:, ::-1]  # BGR → RGB
+    return out
+
+
+def encode_wav(sample_rate: int, samples: "np.ndarray", channels: int = 1) -> bytes:
+    """PCM16 mono/interleaved WAV (RIFF/WAVE, fmt + data chunks)."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse a PCM16 WAV → (sample_rate, channels, samples int16 array).
+    Walks RIFF chunks (fmt may be followed by LIST/fact before data)."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, channels, bits = 12, None, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", buf, pos)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV variant: fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            if sample_rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            samples = np.frombuffer(buf, dtype="<i2", count=size // 2, offset=pos)
+            return sample_rate, channels, samples
+        pos += size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV payload has no data chunk")
+
+
+def sniff_format(buf: bytes) -> str:
+    """Magic-byte format sniff: 'bmp' / 'wav' (decodable here) or the
+    compressed-codec families ('jpeg', 'png', 'mp3', 'mp4') that need
+    real codec libraries; anything else is 'unknown'."""
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if buf[:3] == b"ID3" or buf[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        return "mp3"
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),  # Σ pixel bytes / Σ|sample|
+        T.StructField("peak", T.IntegerType(), True),  # max byte / max |sample|
+    ]
+)
+
+
 def decode_media(media: DataFrame, require_codecs: bool = True) -> DataFrame:
-    """Decode stub: the real implementation would Pillow/ffmpeg-decode each
-    payload inside ``mapInPandas``. Codec libs are absent in this
-    container — calling with ``require_codecs=True`` (the default)
-    raises; ``require_codecs=False`` routes to the deterministic
-    byte-histogram fake so pipelines can run end to end."""
-    if require_codecs:
-        raise NotImplementedError(
-            "media decode requires image/audio codec libraries (Pillow/ffmpeg) "
-            "not present in this environment; pass require_codecs=False for the "
-            "deterministic fake-feature path"
-        )
-    return byte_histogram_features(media)
+    """Real decode for uncompressed formats: BMP payloads parse to exact
+    pixel statistics and WAV payloads to exact sample statistics (pure
+    numpy — integer outputs, fully deterministic). Compressed formats
+    (JPEG/PNG/MP3/MP4) and unknown payloads raise ``NotImplementedError``
+    under ``require_codecs=True`` (the honest codec gate — those need
+    Pillow/ffmpeg, absent here); with ``require_codecs=False`` they
+    yield a row with format sniffed and null stats, so mixed-corpus
+    pipelines still run end to end."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                fmt = sniff_format(buf)
+                row = {"media_id": mid, "format": fmt}
+                if fmt == "bmp":
+                    px = decode_bmp(buf)
+                    row.update(
+                        width=px.shape[1],
+                        height=px.shape[0],
+                        n_channels=3,
+                        n_pixels=px.shape[0] * px.shape[1],
+                        sum_abs=int(px.astype("int64").sum()),
+                        peak=int(px.max()),
+                    )
+                elif fmt == "wav":
+                    sr, ch, samples = decode_wav(buf)
+                    a = np.abs(samples.astype("int64"))
+                    row.update(
+                        n_channels=ch,
+                        sample_rate=sr,
+                        n_samples=len(samples),
+                        sum_abs=int(a.sum()),
+                        peak=int(a.max()) if len(a) else 0,
+                    )
+                elif require_codecs:
+                    raise NotImplementedError(
+                        f"decoding {fmt!r} payloads requires codec libraries "
+                        "(Pillow/ffmpeg) not present in this environment; pass "
+                        "require_codecs=False to pass them through with null stats"
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(decode, DECODE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_s: float = 1.0, require_codecs: bool = True) -> DataFrame:
@@ -137,19 +341,11 @@ def frame_sample(media: DataFrame, every_s: float = 1.0, require_codecs: bool = 
 def resize_images(
     media: DataFrame, width: int = 64, height: int = 64, require_codecs: bool = True
 ) -> DataFrame:
-    """Image resize stub (plumbing real, codec gated): the production
-    body decodes each payload, resamples to (width, height) and
-    re-encodes inside the same ``mapInPandas`` shape as
-    ``byte_histogram_features``. Without codecs, the deterministic fake
-    keeps the Arrow batch contract honest: payload truncates/repeats to
-    the target pixel budget (3 bytes/pixel) and meta gets the new
-    dimensions — so downstream schema, partitioning and batch-shape
-    behavior are fully testable."""
-    if require_codecs:
-        raise NotImplementedError(
-            "image resize requires Pillow, not present in this environment; "
-            "pass require_codecs=False for the deterministic fake path"
-        )
+    """Image resize — REAL for BMP payloads: decode → nearest-neighbor
+    resample to (width, height) in numpy → re-encode as BMP, all inside
+    one ``mapInPandas`` pass (binary in, binary out — the image-pipeline
+    shape). Compressed formats (JPEG/PNG) still need Pillow: they raise
+    under ``require_codecs=True`` and are dropped under False."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -158,29 +354,41 @@ def resize_images(
             T.StructField("height", T.IntegerType(), False),
         ]
     )
-    budget = width * height * 3
 
-    def fake_resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for payload in pdf["payload"]:
-                reps = -(-budget // max(len(payload), 1))  # ceil
-                out.append((bytes(payload) * reps)[:budget])
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": out,
-                    "width": width,
-                    "height": height,
-                }
-            )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                fmt = sniff_format(buf)
+                if fmt != "bmp":
+                    if require_codecs:
+                        raise NotImplementedError(
+                            f"resizing {fmt!r} payloads requires Pillow, not present "
+                            "in this environment; BMP payloads resize natively"
+                        )
+                    continue
+                px = decode_bmp(buf)
+                ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
+                xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
+                out = px[ys][:, xs]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": encode_bmp(width, height, out),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
 
     return (
         media.filter(F.col("kind") == "image")
         .select("media_id", "payload")
-        .mapInPandas(fake_resize, out_schema)
+        .mapInPandas(resize, out_schema)
     )
 
 

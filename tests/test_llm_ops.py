@@ -39,30 +39,35 @@ def test_multimodal_features_deterministic_and_normalized(spark):
 
 def test_multimodal_decode_stub_gated(spark):
     media = multimodal.synth_media(spark, 8)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media)  # codec libs absent -> must raise
-    # fake path runs end to end
-    out = multimodal.decode_media(media, require_codecs=False)
-    assert out.count() == 8
+    # opaque payloads + codec gate -> the UDF raises (PySpark wraps the
+    # NotImplementedError in PythonException at collect time)
+    with pytest.raises(Exception, match="codec"):
+        multimodal.decode_media(media).collect()
+    # pass-through path runs end to end (format sniffed, null stats)
+    out = multimodal.decode_media(media, require_codecs=False).collect()
+    assert len(out) == 8
+    assert all(r.format == "unknown" and r.n_pixels is None for r in out)
     with pytest.raises(NotImplementedError):
         multimodal.frame_sample(media)
 
 
-def test_multimodal_resize_stub(spark):
-    media = multimodal.synth_media(spark, 12)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media)
-    out = multimodal.resize_images(media, width=8, height=8, require_codecs=False)
+def test_multimodal_resize_real_bmp(spark):
+    # opaque (non-BMP) payloads stay codec-gated (UDF-side raise)
+    with pytest.raises(Exception, match="Pillow"):
+        multimodal.resize_images(multimodal.synth_media(spark, 12)).collect()
+    # BMP payloads resize natively, even with require_codecs=True
+    media = multimodal.synth_media_real(spark, 12)
+    out = multimodal.resize_images(media, width=8, height=8)
     rows = out.collect()
     n_images = media.filter("kind = 'image'").count()
     assert len(rows) == n_images
-    # every payload exactly the pixel budget; dims rewritten
-    assert all(len(r.payload) == 8 * 8 * 3 for r in rows)
-    assert all(r.width == 8 and r.height == 8 for r in rows)
+    for r in rows:
+        px = multimodal.decode_bmp(bytes(r.payload))
+        assert px.shape == (8, 8, 3)
     # deterministic: same ids -> same bytes on rerun
-    again = {r.media_id: r.payload for r in multimodal.resize_images(
-        media, width=8, height=8, require_codecs=False).collect()}
-    assert {r.media_id: r.payload for r in rows} == again
+    again = {r.media_id: bytes(r.payload) for r in multimodal.resize_images(
+        media, width=8, height=8).collect()}
+    assert {r.media_id: bytes(r.payload) for r in rows} == again
 
 
 def test_media_stats_schema(spark):
@@ -221,3 +226,60 @@ def test_ngram_cap_recall_contract(spark):
     assert set(capped) == {(1, 2)}
     assert capped[(1, 2)] == pytest.approx(4 / 6)
     assert uncapped[(1, 2)] == pytest.approx(0.8)
+
+
+def test_bmp_roundtrip_including_row_padding():
+    import numpy as np
+
+    # width 5 -> 15-byte rows padded to 16: exercises the 4-byte padding
+    px = (np.arange(5 * 3 * 3, dtype=np.int64) * 37 % 256).astype(np.uint8).reshape(3, 5, 3)
+    buf = multimodal.encode_bmp(5, 3, px)
+    assert multimodal.sniff_format(buf) == "bmp"
+    assert np.array_equal(multimodal.decode_bmp(buf), px)
+
+
+def test_wav_roundtrip_matches_stdlib_wave():
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = (np.arange(777, dtype=np.int64) * 131 % 4096 - 2048).astype(np.int16)
+    buf = multimodal.encode_wav(8000, samples)
+    assert multimodal.sniff_format(buf) == "wav"
+    sr, ch, got = multimodal.decode_wav(buf)
+    assert (sr, ch) == (8000, 1)
+    assert np.array_equal(got, samples)
+    # independent parse by the stdlib wave reader
+    with wave.open(io.BytesIO(buf)) as w:
+        assert w.getframerate() == 8000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        ref = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert np.array_equal(ref, samples)
+
+
+def test_decode_media_real_stats(spark):
+    import numpy as np
+
+    media = multimodal.synth_media_real(spark, 9)
+    stats = {r.media_id: r for r in multimodal.decode_media(media, require_codecs=False).collect()}
+    assert len(stats) == 9
+    # image id=0: 4x4 BMP, pixel pattern (id*31 + p*7 + c*13) % 256
+    r = stats[0]
+    idx = np.arange(4 * 4 * 3, dtype=np.int64).reshape(4, 4, 3)
+    px = ((0 * 31 + (idx // 3) * 7 + (idx % 3) * 13) % 256).astype(np.int64)
+    assert r.format == "bmp" and (r.width, r.height) == (4, 4)
+    assert r.n_pixels == 16 and r.sum_abs == int(px.sum()) and r.peak == int(px.max())
+    # audio id=1: 101 samples of ((id*13 + i*17) % 4096) - 2048 at 8 kHz
+    r = stats[1]
+    i = np.arange(101, dtype=np.int64)
+    samples = (1 * 13 + i * 17) % 4096 - 2048
+    assert r.format == "wav" and r.sample_rate == 8000 and r.n_samples == 101
+    assert r.sum_abs == int(np.abs(samples).sum()) and r.peak == int(np.abs(samples).max())
+    # video id=2: opaque payload sniffs unknown, null stats
+    r = stats[2]
+    assert r.format == "unknown" and r.n_pixels is None and r.n_samples is None
+    # the codec gate still raises on the opaque rows
+    with pytest.raises(Exception):
+        multimodal.decode_media(media).collect()
