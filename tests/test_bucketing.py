@@ -86,3 +86,28 @@ def test_dedup_clusters_local_equals_distributed(spark):
         for r in dedup_clusters(pairs, local_solve_rows=0).collect()
     }
     assert local == dist
+
+
+def test_bucketed_paa_layout_same_results_fewer_shuffles(spark, sf_dir, monkeypatch):
+    """The bench's bucketed fast path (magmap.prepare_bucketed_tables +
+    SPARK_GRAFT_BUCKETED=1) must return byte-identical g1 results while
+    removing pairing-join exchanges from the plan."""
+    from iconic_data_science_spark import magmap
+    from iconic_data_science_spark.operators.coauthor import coauthor_edges
+
+    cat = Catalog(spark, sf_dir)
+    monkeypatch.delenv("SPARK_GRAFT_BUCKETED", raising=False)
+    plain_df = coauthor_edges(magmap.paa(cat), magmap.paper_years(cat))
+    plain = {(r.ego, r.alter_id): (r.papers_together, r.first_year) for r in plain_df.collect()}
+    plain_shuffles = inspect.shuffle_count(plain_df)
+    try:
+        magmap.prepare_bucketed_tables(cat)
+        monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+        b_df = coauthor_edges(magmap.paa(cat), magmap.paper_years(cat))
+        bucketed = {(r.ego, r.alter_id): (r.papers_together, r.first_year) for r in b_df.collect()}
+        assert bucketed == plain
+        b_shuffles = inspect.shuffle_count(b_df)
+        assert b_shuffles < plain_shuffles, (b_shuffles, plain_shuffles)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {magmap.BUCKETED_PAA}")
+        spark.sql(f"DROP TABLE IF EXISTS {magmap.BUCKETED_PY}")
