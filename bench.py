@@ -87,8 +87,16 @@ def main() -> None:
     # on short iterative queries (noisy-neighbor VM), and a single sample
     # would grade the noise, not the plan.
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    # Warm-cache mode (default on; SPARK_GRAFT_BENCH_WARM=0 for the old
+    # behavior): one untimed run per query before the timed iterations,
+    # so every sample measures the same steady state (OS page cache +
+    # codegen warm) and cross-round deltas are attributable to plan
+    # changes rather than which iteration happened to be cold.
+    warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     timings: dict[str, float] = {}
     for name in names:
+        if warm:
+            all_queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         samples = []
         for _ in range(iters):
             t0 = time.perf_counter()
@@ -105,6 +113,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "iters_per_query": iters,
+        "warm": warm,
     }))
     spark.stop()
 

@@ -31,9 +31,12 @@ def read_jdbc_table(
     upper_bound: int | None = None,
     properties: dict[str, str] | None = None,
 ) -> DataFrame:
-    """S14: partitioned JDBC scan (replaces per-row client SQL). Requires
-    the JDBC driver jar on the classpath — absent in this container, so
-    this surfaces the standard Spark error if actually called."""
+    """S14: partitioned JDBC scan (replaces per-row client SQL). Needs
+    the target database's JDBC driver jar on the classpath; external DB
+    jars (Postgres etc.) are absent here, but Spark's bundled Derby jar
+    serves an in-process database, so the scan — including the
+    partitioned read path — is executably verified
+    (tests/test_sources.py::test_jdbc_roundtrip_embedded_derby)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
         reader = (
@@ -92,3 +95,74 @@ def geocode(
             )
 
     return affiliations.select(id_col, address_col).mapInPandas(run, GEOCODE_SCHEMA)
+
+
+def with_retries(
+    lookup_fn: Callable[[str], tuple[str | None, str | None]],
+    max_attempts: int = 3,
+    backoff_s: float = 0.5,
+    sleep_fn: Callable[[float], None] | None = None,
+) -> Callable[[str], tuple[str | None, str | None]]:
+    """Production transport policy for ``geocode``: bounded retries with
+    exponential backoff around a flaky lookup. After ``max_attempts``
+    failures the address resolves to ``(None, None)`` — an enrichment
+    miss, not a pipeline abort (the batch keeps flowing; misses are
+    retryable later because they stay out of the cache). ``sleep_fn`` is
+    injectable so tests run without wall-clock sleeps."""
+    import time as _time
+
+    do_sleep = sleep_fn if sleep_fn is not None else _time.sleep
+
+    def wrapped(address: str) -> tuple[str | None, str | None]:
+        for attempt in range(max_attempts):
+            try:
+                return lookup_fn(address)
+            except Exception:
+                if attempt + 1 < max_attempts:
+                    do_sleep(backoff_s * (2**attempt))
+        return (None, None)
+
+    return wrapped
+
+
+def geocode_cached(
+    affiliations: DataFrame,
+    cache: DataFrame | None,
+    lookup_fn: Callable[[str], tuple[str | None, str | None]] | None = None,
+    id_col: str = "id",
+    address_col: str = "address",
+) -> tuple[DataFrame, DataFrame]:
+    """Cache-through geocoding: resolve from the cache table first and
+    call the external service only for misses — the batch/cost policy a
+    production enrichment needs (the reference's notebook re-geocodes
+    every run, Geocoding.ipynb cells 12-15).
+
+    ``cache`` is (address, country_code, city), typically a parquet
+    table from previous runs. Returns ``(resolved, new_cache)``:
+    ``resolved`` covers every input row (cache hits + fresh lookups);
+    ``new_cache`` is the union of the old cache and the fresh successful
+    lookups, ready to be written back. Only successful lookups enter the
+    cache, so transient failures are retried on the next run."""
+    from pyspark.sql import functions as F
+
+    rows = affiliations.select(id_col, address_col)
+    if cache is None:
+        cache = rows.sparkSession.createDataFrame(
+            [], "address string, country_code string, city string"
+        )
+    cache = cache.select("address", "country_code", "city")
+    hits = rows.join(F.broadcast(cache), rows[address_col] == cache["address"]).select(
+        rows[id_col].alias("id"),
+        rows[address_col].alias("address"),
+        "country_code",
+        "city",
+    )
+    misses = rows.join(cache, rows[address_col] == cache["address"], "left_anti")
+    fresh = geocode(misses, lookup_fn, id_col=id_col, address_col=address_col)
+    resolved = hits.unionByName(fresh)
+    new_cache = cache.unionByName(
+        fresh.filter(F.col("country_code").isNotNull())
+        .select("address", "country_code", "city")
+        .distinct()
+    ).distinct()
+    return resolved, new_cache

@@ -183,3 +183,71 @@ def test_zordered_write_clusters_both_columns(spark, tmp_path):
     avg_x = sum(s[0] for s in spans) / len(spans)
     avg_y = sum(s[1] for s in spans) / len(spans)
     assert avg_x < 48 and avg_y < 48
+
+
+def test_geocode_retry_policy():
+    from iconic_data_science_spark.sources.enrich import with_retries
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky(addr):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return ("ro", "bucharest")
+
+    fn = with_retries(flaky, max_attempts=3, backoff_s=0.5, sleep_fn=sleeps.append)
+    assert fn("str. x") == ("ro", "bucharest")
+    assert sleeps == [0.5, 1.0]  # exponential backoff, injectable sleep
+    # permanent failure -> enrichment miss, not an abort
+    always = with_retries(lambda a: 1 / 0, max_attempts=2, sleep_fn=sleeps.append)
+    assert always("y") == (None, None)
+
+
+def test_geocode_cached_only_calls_transport_for_misses(spark):
+    from iconic_data_science_spark.sources.enrich import geocode_cached
+
+    def lookup(addr):
+        # runs in executor workers — prove cache hits never reach the
+        # transport by failing loudly on the cached address
+        if addr == "a st":
+            raise AssertionError("cache hit re-fetched")
+        return ("us", addr.upper())
+
+    aff = spark.createDataFrame(
+        [(1, "a st"), (2, "b ave"), (3, "c blvd")], "id long, address string"
+    )
+    cache = spark.createDataFrame(
+        [("a st", "ro", "CACHED")], "address string, country_code string, city string"
+    )
+    resolved, new_cache = geocode_cached(aff, cache, lookup)
+    got = {r.id: (r.country_code, r.city) for r in resolved.collect()}
+    assert got == {1: ("ro", "CACHED"), 2: ("us", "B AVE"), 3: ("us", "C BLVD")}
+    cached_addrs = {r.address for r in new_cache.collect()}
+    assert cached_addrs == {"a st", "b ave", "c blvd"}
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """S14 executable verification: Spark's bundled Derby jar serves an
+    in-process JDBC database — write a table through df.write.jdbc, read
+    it back with read_jdbc_table including a partitioned scan."""
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.sources.enrich import read_jdbc_table
+
+    url = "jdbc:derby:memory:idsjdbc;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(100).select(F.col("id").alias("ID"), (F.col("id") % 7).alias("GRP"))
+    src.write.jdbc(url, "T_SRC", mode="overwrite", properties=props)
+
+    back = read_jdbc_table(spark, url, "T_SRC", properties=props)
+    assert sorted((r[0], r[1]) for r in back.collect()) == [(i, i % 7) for i in range(100)]
+
+    part = read_jdbc_table(
+        spark, url, "T_SRC",
+        partition_column="ID", num_partitions=4, lower_bound=0, upper_bound=100,
+        properties=props,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
