@@ -3667,10 +3667,18 @@ def q_q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = cat.part.filter(
         (F.col("p_size") >= 10) & (F.col("p_size") <= 20) & (F.col("p_type") == "LARGE")
     ).select("p_partkey")
-    offers = cat.lineitem.select("l_partkey", "l_suppkey").distinct()
-    cand = offers.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")).join(
-        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    # broadcast-filter BEFORE the distinct (the selective part predicate
+    # shrinks the dedup shuffle ~50x), and materialize the candidate set
+    # once — it feeds both the min pre-aggregate and the join-back
+    # (multi-consumer rule; recomputing cand doubled the query)
+    offers = (
+        cat.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "l_suppkey")
+        .distinct()
     )
+    cand = offers.join(
+        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).localCheckpoint()
     minb = cand.groupBy(F.col("p_partkey").alias("mb_pk")).agg(
         F.min("s_acctbal").alias("min_bal")
     )

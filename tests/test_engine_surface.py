@@ -72,10 +72,10 @@ def test_driver_contract_integrity():
         "a2_approx_distinct",   # HLL sketch — not exact-hashable
         "ann_ivf_kmeans",       # learned float centroids — iterative means
         "g8_gexf",              # XML document
-        "g_kcore",              # data-dependent fixpoint — not one SQL statement
-        "g_pagerank",           # float power iteration
+        "g_pagerank",           # float power iteration (g_pagerank_int is the oracled twin; g_kcore gained a recursive-peel oracle in round 2)
         "mm_byte_histogram",    # pandas-UDF float features
         "mm_media_stats",       # synthetic media source
+        "mm_decode_stats",      # engine-generated BMP/WAV payloads (no parquet input)
     }
     for name, fn in qs.items():
         assert fn.__doc__, f"{name} has no docstring"
