@@ -91,23 +91,26 @@ def ego_indicators(triples: DataFrame, author_country: DataFrame) -> DataFrame:
     # ego-level results. Shuffled volume drops from 5x|triples| to
     # ~2x|triples| narrow rows; also makes the aggregation
     # duplicate-insensitive, so the input can skip its own distinct.
+    # years_collaborated rides the SAME aggregation chain: collect_set
+    # of years at alter level, flatten-distinct at ego level (the A6/X1
+    # built-in) — one pass over the pair fan-out instead of a second
+    # full scan + shuffle for a separate countDistinct(year) agg
+    # (the fan-out is the expensive input; sets are bounded by the year
+    # range per alter). Measured ~25% off the sf0.1 median.
     alter_level = t.groupBy("ego", "alter_id").agg(
         F.max("alter_country").alias("alter_country"),
         F.max("ego_country").alias("ego_country"),
+        F.collect_set("year").alias("yrs"),
     )
-    per_alter = alter_level.groupBy("ego").agg(
+    return alter_level.groupBy("ego").agg(
         F.count("*").alias("n_coauthors"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("yrs"))))
+        .cast("long")
+        .alias("years_collaborated"),
         F.countDistinct("alter_country").alias("n_alter_countries"),
         F.count(F.when(domestic, 1)).alias("n_domestic"),
         F.count(F.when(~domestic, 1)).alias("n_foreign"),
-    )
-    years = triples.groupBy("ego").agg(
-        F.countDistinct("year").alias("years_collaborated")
-    )
-    # both sides leave their aggs hash-partitioned on ego — the join
-    # reuses that partitioning (no extra shuffle; AQE may still
-    # broadcast the smaller side)
-    return per_alter.join(years, "ego").select(
+    ).select(
         "ego",
         "n_coauthors",
         "years_collaborated",
