@@ -1119,6 +1119,32 @@ def q_w_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window family completion (ntile + integer-scaled
+    percent_rank): per-nation account-balance quartiles for suppliers.
+    percent_rank is re-expressed as (rank-1)*1000 div (n-1) so the value
+    is integer-exact in both engines (float percent_rank would hash on
+    IEEE division luck)."""
+    cat = _cat(spark, sf_dir)
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    wp = W.partitionBy("s_nationkey")
+    return (
+        cat.supplier.select("s_nationkey", "s_suppkey", "s_acctbal")
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wp))
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_acctbal",
+            "quartile",
+            F.expr(
+                "CAST(CASE WHEN n = 1 THEN 0 ELSE (rnk - 1) * 1000 div (n - 1) END AS BIGINT)"
+            ).alias("pr_milli"),
+        )
+    )
+
+
 def q_w_lag_citation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag window family: year-over-year delta of the cumulative
     citation profile per author."""
@@ -1566,6 +1592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j8_element_join": q_j8_element_join,
     "p5_p6_filters": q_p5_p6_filters,
     "w_top_supplier_per_nation": q_w_top_supplier_per_nation,
+    "w_ntile_balance_quartiles": q_w_ntile_balance_quartiles,
     "w_lag_citation_delta": q_w_lag_citation_delta,
     "w_sessionize_lag": q_w_sessionize_lag,
     "asof_signup_value": q_asof_signup_value,
@@ -2753,6 +2780,16 @@ ORACLES: dict[str, str] = {
                    ) AS BIGINT) AS rank
             FROM supplier
         ) WHERE rank <= 3
+    """,
+    "w_ntile_balance_quartiles": """
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               CAST(CASE WHEN COUNT(*) OVER p = 1 THEN 0
+                         ELSE (ROW_NUMBER() OVER w - 1) * 1000 // (COUNT(*) OVER p - 1)
+                    END AS BIGINT) AS pr_milli
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey),
+               p AS (PARTITION BY s_nationkey)
     """,
     "w_lag_citation_delta": """
         WITH pr AS (

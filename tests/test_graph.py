@@ -298,3 +298,29 @@ def test_kcore_empty_and_single_edge(spark):
     one = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     assert {tuple(r) for r in kcore(one, k=1).collect()} == {(1, 1), (2, 1)}
     assert kcore(one, k=2).count() == 0
+
+
+def test_pagerank_int_matches_local_integer_recurrence(spark):
+    """pagerank_int's distributed plan must reproduce the exact integer
+    recurrence (floor divisions, dangling mass dropped) computed locally
+    — same contract the DuckDB oracle implements."""
+    from iconic_data_science_spark.operators.graph import PAGERANK_INT_SCALE, pagerank_int
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (4, 3), (5, 4), (2, 6)]
+    iters, d = 4, 85
+
+    nodes = sorted({v for e in edges for v in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (100 - d) * PAGERANK_INT_SCALE // 100
+    r = {v: PAGERANK_INT_SCALE for v in nodes}
+    for _ in range(iters):
+        recv = {v: 0 for v in nodes}
+        for s, t in edges:
+            recv[t] += r[s] // outdeg[s]
+        r = {v: base + (d * recv[v]) // 100 for v in nodes}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {x.node: x.rank_i for x in pagerank_int(df, damping_pct=d, iterations=iters).collect()}
+    assert got == r
