@@ -115,23 +115,19 @@ def shingle_table(
 SHINGLE_W = 1_000_003  # Horner weight for composing token hashes
 
 
-def hashed_shingle_table(
+def hashed_shingle_arrays(
     documents: DataFrame,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """(doc_id, shingle) with 31-bit integer shingles — the default for
-    the similarity-join family.
+    """(doc_id, shingles array<long>) — the per-document DISTINCT hashed
+    shingle set as an array column, before any explode.
 
-    Each token hashes once (md5 fold % 2^31-1, the engine-portable
-    discipline), then every n-gram combines its token hashes by Horner:
-    ``acc = (acc·W + h_k) mod M``. Measured 3-4x faster to materialize
-    than string shingles and ~3x narrower in the self-join shuffle.
-    Collisions (~|shingles|²/2^32) perturb Jaccard infinitesimally and
-    identically in both engines (the oracle composes the same hashes),
-    so the parity gate is unaffected.
+    This is the map-side-complete form: everything downstream that is
+    per-document (MinHash minima, band signatures, sizes) can compute
+    straight off the array with zero shuffle; only genuinely cross-
+    document steps (the inverted-index join) need the exploded table.
 
     The token-hash array MUST be a named column (computed once per row):
     composing element_at over an inline ``transform`` re-evaluates the
@@ -153,7 +149,30 @@ def hashed_shingle_table(
         F.col("_nt") >= n,
         F.transform(F.sequence(F.lit(1), F.col("_nt") - (n - 1)), combine),
     ).otherwise(F.array().cast("array<long>"))
-    out = base.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return base.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+def hashed_shingle_table(
+    documents: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) with 31-bit integer shingles — the default for
+    the similarity-join family (the exploded posting-list form of
+    :func:`hashed_shingle_arrays`).
+
+    Each token hashes once (md5 fold % 2^31-1, the engine-portable
+    discipline), then every n-gram combines its token hashes by Horner:
+    ``acc = (acc·W + h_k) mod M``. Measured 3-4x faster to materialize
+    than string shingles and ~3x narrower in the self-join shuffle.
+    Collisions (~|shingles|²/2^32) perturb Jaccard infinitesimally and
+    identically in both engines (the oracle composes the same hashes),
+    so the parity gate is unaffected.
+    """
+    arrays = hashed_shingle_arrays(documents, n=n, id_col=id_col, text_col=text_col)
+    out = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_freq is not None:
         # materialize the postings once: the df-count pass and the
         # semi-join probe would otherwise each recompute the tokenize+
@@ -291,6 +310,44 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
     return wide.select("doc_id", F.expr(stack_expr))
 
 
+def minhash_band_sigs_from_arrays(
+    arrays: DataFrame, num_perm: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, band_sig) computed entirely map-side from the
+    per-document shingle arrays — no explode, no groupBy.
+
+    Each permutation minimum is ``array_min(transform(shingles, x →
+    (a·x+b) mod p))`` and each band signature is the '-'-joined minima
+    in permutation order (identical strings to the posting-list path,
+    which the equivalence test pins). At scale this removes the entire
+    postings shuffle from signature generation: the first exchange in
+    the whole MinHash pipeline becomes the (band, band_sig) bucket join
+    itself."""
+    perms = _lcg_params(num_perm)
+
+    def perm_min(a: int, b: int):
+        # factory closure: transform's lambda must be unary (PySpark
+        # infers HOF arity from the python signature — default args
+        # would make it look ternary)
+        return F.array_min(
+            F.transform("shingles", lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31)
+        )
+
+    mins = arrays.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        *[perm_min(a, b).alias(f"_m{i}") for i, a, b in perms],
+    )
+    n_bands = num_perm // rows_per_band
+    band_cols = []
+    for b in range(n_bands):
+        parts = ", ".join(
+            f"CAST(_m{i} AS STRING)" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_cols.append(f"{b}, concat_ws('-', {parts})")
+    stack_expr = f"stack({n_bands}, {', '.join(band_cols)}) as (band, band_sig)"
+    return mins.select("doc_id", F.expr(stack_expr))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     """Band the signature and bucket-join: (id1, id2) candidate pairs."""
     banded = signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
@@ -329,8 +386,29 @@ def minhash_lsh_pairs(
     guarantee (pairs the LSH misses are absent — the scale/accuracy
     trade every production dedup makes).
     """
-    # sh feeds 4 consumers (signature agg + _pair_jaccard's three);
-    # materialize once — re-deriving means 4x explode+distinct shuffles
+    if max_shingle_freq is None:
+        # Array-native fast path: hash every token once into the
+        # per-doc shingle array (checkpointed — the md5 work happens
+        # exactly once), compute band signatures map-side with no
+        # explode/groupBy, and explode only for the candidate-restricted
+        # verify. First exchange in the pipeline = the bucket join.
+        arrays = hashed_shingle_arrays(documents, n=n).localCheckpoint()
+        band_sigs = minhash_band_sigs_from_arrays(
+            arrays, num_perm=num_perm, rows_per_band=rows_per_band
+        )
+        b1 = band_sigs.select(F.col("doc_id").alias("id1"), "band", "band_sig")
+        b2 = band_sigs.select(F.col("doc_id").alias("id2"), "band", "band_sig")
+        cands = (
+            b1.join(b2, ["band", "band_sig"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+        sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
+        return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
+    # df-capped path: the cap is a global document-frequency filter, so
+    # it runs over the posting lists (the exploded table feeds both the
+    # signature aggregation and the verify)
     sh = hashed_shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq).localCheckpoint()
     sigs = minhash_signatures(sh, num_perm=num_perm)
     cands = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band)

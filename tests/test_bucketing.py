@@ -111,3 +111,43 @@ def test_bucketed_paa_layout_same_results_fewer_shuffles(spark, sf_dir, monkeypa
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {magmap.BUCKETED_PAA}")
         spark.sql(f"DROP TABLE IF EXISTS {magmap.BUCKETED_PY}")
+
+
+def test_minhash_band_sigs_array_native_equals_postings_path(spark):
+    """The map-side band-signature fast path must emit exactly the same
+    (doc_id, band, band_sig) rows as the posting-list groupBy path."""
+    from iconic_data_science_spark.operators.dedup import (
+        hashed_shingle_arrays,
+        hashed_shingle_table,
+        minhash_band_sigs_from_arrays,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different sentence with no overlap at all"),
+            (4, "short doc"),  # < n tokens -> no shingles -> no signature
+        ],
+        "doc_id long, text string",
+    )
+    fast = {
+        (r.doc_id, r.band, r.band_sig)
+        for r in minhash_band_sigs_from_arrays(hashed_shingle_arrays(docs)).collect()
+    }
+    sigs = minhash_signatures(hashed_shingle_table(docs))
+    banded = sigs.withColumn("band", (F.col("i") / 4).cast("int"))
+    slow = {
+        (r.doc_id, r.band, r.band_sig)
+        for r in banded.groupBy("doc_id", "band")
+        .agg(F.collect_list(F.struct("i", "minhash")).alias("_p"))
+        .select(
+            "doc_id", "band",
+            F.array_join(F.transform(F.array_sort("_p"), lambda x: x["minhash"].cast("string")), "-").alias("band_sig"),
+        )
+        .collect()
+    }
+    assert fast == slow
+    assert not any(d == 4 for d, _, _ in fast)  # shingle-less doc excluded
