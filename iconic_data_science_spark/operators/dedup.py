@@ -570,29 +570,29 @@ def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
     Bit b of the fingerprint is set iff more than half the tokens have
     bit b set in their 48-bit hash (majority vote, unweighted).
+
+    Computed entirely map-side: the distinct-token hash array is a named
+    per-row column and each bit's vote is an ``aggregate`` fold over it —
+    no token explode, no 32x bit-row blowup, ZERO shuffles (the earlier
+    relational form paid a distinct plus two groupBy shuffles on 32x the
+    token rows). Same integers; the fingerprint oracles are unchanged.
     """
-    toks = (
-        documents.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("tok"))
-        .distinct()
-        .select("doc_id", token_hash48(F.col("tok")).alias("h"))
-    )
-    bits = toks.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
-    # shiftright/shiftleft with a column shift amount only exist in SQL form
-    votes = (
-        bits.select("doc_id", "b", F.expr("shiftright(h, b) & 1").alias("bit"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("bit").alias("ones"), F.count("*").alias("total"))
-    )
-    return (
-        votes.select(
-            "doc_id",
-            F.when(F.col("ones") * 2 > F.col("total"), F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("contrib"),
+    th = F.transform(F.array_distinct(words(text_col)), lambda t: token_hash48(t))
+    base = documents.select(F.col(id_col).alias("doc_id"), th.alias("_th"))
+    total = F.size("_th")
+
+    def ones(b: int):
+        # majority-vote numerator for bit b: fold of (h >> b) & 1
+        return F.aggregate(
+            "_th", F.lit(0).cast("long"), lambda acc, x: acc + F.shiftright(x, b) % 2
         )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("simhash"))
-    )
+
+    sim = F.lit(0).cast("long")
+    for b in range(32):
+        sim = sim + F.when(ones(b) * 2 > total, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return base.select("doc_id", sim.alias("simhash"))
 
 
 def embedding_cosine_pairs(
