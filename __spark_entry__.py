@@ -4016,6 +4016,125 @@ ORACLES["g6_citation_map"] = f"""
 """
 
 # ---------------------------------------------------------------------------
+# Training-batch assembly (operators/packing.py): sequence packing,
+# passage-level dedup, source-weighted epoch mixing.
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing schedule: shard the corpus by
+    content hash, lay token streams head-to-tail per shard, cut into
+    512-token training sequences; one row per document with its
+    placement (shard, offset, first/last sequence index)."""
+    from iconic_data_science_spark.operators.packing import pack_sequences
+
+    cat = _cat(spark, sf_dir)
+    return pack_sequences(cat.documents, seq_len=512, shards=8)
+
+
+def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: 3-token passages hashed corpus-wide,
+    first occurrence kept; per-document duplicate passage/token counts —
+    the sub-document pass document-level dedup misses."""
+    from iconic_data_science_spark.operators.packing import passage_dedup
+
+    cat = _cat(spark, sf_dir)
+    return passage_dedup(cat.documents, passage_tokens=3)
+
+
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted epoch replication (training-mix assembly):
+    src0 ×2.5, src1 ×1.5, src2 ×0.5, src3 ×0, everything else ×1;
+    fractional epochs decided by the deterministic content-hash bucket."""
+    from iconic_data_science_spark.operators.packing import mix_epochs
+
+    cat = _cat(spark, sf_dir)
+    return mix_epochs(
+        cat.documents, {"src0": 250, "src1": 150, "src2": 50, "src3": 0}
+    )
+
+
+QUERIES.update({
+    "pack_sequences": q_pack_sequences,
+    "dedup_passage": q_dedup_passage,
+    "mix_epochs": q_mix_epochs,
+})
+
+_MD5_FOLD = """list_reduce(
+    [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+     for c in string_split_regex(substr(md5({arg}), 1, 12), '')],
+    (a, b) -> a * 16 + b)"""
+
+ORACLES.update({
+    "pack_sequences": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   {_MD5_FOLD.format(arg="CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS tok_end
+            FROM b
+        )
+        SELECT doc_id, shard, n_tokens,
+               tok_end - n_tokens AS tok_start,
+               (tok_end - n_tokens) // 512 AS first_seq,
+               (tok_end - 1) // 512 AS last_seq
+        FROM c
+    """,
+    "dedup_passage": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   unnest([i for i in generate_series(0, (len(toks) + 2) // 3 - 1)]) AS p_idx,
+                   unnest([array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' ')
+                           for i in generate_series(0, (len(toks) + 2) // 3 - 1)]) AS passage
+            FROM t
+        ),
+        h AS (
+            SELECT doc_id, CAST(p_idx AS BIGINT) AS p_idx,
+                   {_MD5_FOLD.format(arg="passage")} AS p_hash,
+                   CAST(len(string_split(passage, ' ')) AS BIGINT) AS p_tokens
+            FROM p
+        ),
+        k AS (
+            SELECT doc_id, p_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY p_hash ORDER BY doc_id, p_idx) AS rn
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_passages,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_passages,
+               CAST(SUM(CASE WHEN rn > 1 THEN p_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
+        FROM k GROUP BY doc_id
+    """,
+    "mix_epochs": f"""
+        WITH b AS (
+            SELECT doc_id, source,
+                   {_MD5_FOLD.format(arg="CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+                   CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 150
+                               WHEN 'src2' THEN 50 WHEN 'src3' THEN 0
+                               ELSE 100 END AS pct
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source,
+                   CAST(pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END AS BIGINT) AS copies
+            FROM b
+        )
+        SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
+        FROM c WHERE copies >= 1
+    """,
+})
+
+
+# ---------------------------------------------------------------------------
 # Registration order = driver verification order.
 #
 # Round-1 evidence (CORRECTNESS_r01.json): the driver verified exactly the

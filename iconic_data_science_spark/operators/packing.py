@@ -1,0 +1,191 @@
+"""Training-batch assembly operators: sequence packing, passage-level
+dedup, and source-weighted epoch mixing.
+
+These are the steps between a curated corpus and a training run that the
+reference never needed (its corpus was MAG metadata, not LLM text — the
+closest surface is the dwarfing sampler, MagDwarf.scala:63-147), but a
+100 TB data pipeline does:
+
+- ``pack_sequences``: the GPT-style concat-and-chunk schedule — shard the
+  corpus, concatenate token streams per shard, cut into fixed-length
+  training sequences, and report each document's placement. One shuffle
+  (the shard repartition); the per-shard prefix sum is a window over the
+  shard partition, so shards scale out independently (pick shards ≈
+  cluster parallelism at 100 TB; each shard's window sorts only its own
+  partition).
+- ``passage_dedup``: exact dedup at sub-document (passage) granularity —
+  fixed-width token windows hashed and first-occurrence-kept, the
+  C4/RefinedWeb-style pass that document-level dedup misses. Hash
+  group-by, no all-pairs anything.
+- ``mix_epochs``: source-weighted epoch replication (e.g. wiki ×2.5,
+  crawl ×0.5) with the fractional epoch chosen by the same deterministic
+  content-hash bucket the samplers use — reproducible across runs,
+  engines, and partitionings. Map-side only: a per-row sequence explode,
+  no shuffle.
+
+All pure built-in expressions; integer outputs; every hash is the
+md5-prefix fold shared with the DuckDB oracles (operators/text.hash_bucket,
+operators/dedup.token_hash48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .dedup import words
+from .text import hash_bucket
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing plan.
+
+    Documents are assigned to ``shards`` by content hash, ordered by id
+    within each shard, and their whitespace-token streams laid head to
+    tail; training sequences are the ``seq_len``-token cuts of each
+    shard's stream (documents may straddle a cut — the standard
+    concat-and-chunk recipe; no padding waste).
+
+    Returns one row per document:
+    (doc_id, shard, n_tokens, tok_start, first_seq, last_seq) — all
+    BIGINT; ``tok_start`` is the document's offset in its shard's token
+    stream, ``first_seq``/``last_seq`` the shard-local training-sequence
+    indices it lands in.
+    """
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        hash_bucket(id_col, shards).alias("shard"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("tok_end", cum)
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "tok_start",
+            F.expr(f"tok_start div {seq_len}").alias("first_seq"),
+            F.expr(f"(tok_end - 1) div {seq_len}").alias("last_seq"),
+        )
+    )
+
+
+def passage_dedup(
+    documents: DataFrame,
+    passage_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level exact dedup report.
+
+    Each document's token stream is cut into fixed ``passage_tokens``-wide
+    passages (tail passage may be shorter); a passage is a duplicate when
+    an identical passage occurs earlier in the corpus (smaller
+    (doc_id, passage_idx)). First occurrences are the keepers — the
+    standard sub-document dedup pass over a crawl corpus.
+
+    Returns (doc_id, n_passages, dup_passages, dup_tokens): BIGINT counts
+    of a document's passages / how many are duplicates of earlier text /
+    the token mass those duplicates carry.
+
+    Scale shape: explode to one row per passage, hash group-by for the
+    per-passage keeper (min struct — a partial-aggregatable min, no
+    all-pairs join), broadcast-free equi-join back on the passage hash.
+    Passage cardinality is ~corpus tokens / passage_tokens; the group-by
+    key (the hash) is uniform, so no skew handling is needed.
+    """
+    pt = passage_tokens
+    passages = (
+        documents.select(
+            F.col(id_col).alias("doc_id"), words(text_col).alias("_toks")
+        )
+        .withColumn("_np", F.expr(f"(size(_toks) + {pt - 1}) div {pt}").cast("int"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_np") - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("_toks"), i * pt + 1, pt), " "
+                    ),
+                )
+            ).alias("p_idx", "passage"),
+        )
+        .select(
+            "doc_id",
+            F.col("p_idx").cast("long").alias("p_idx"),
+            F.conv(F.substring(F.md5("passage"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("p_hash"),
+            F.size(F.split(F.col("passage"), " ")).cast("long").alias("p_tokens"),
+        )
+    )
+    keepers = passages.groupBy("p_hash").agg(
+        F.min(F.struct("doc_id", "p_idx")).alias("keeper")
+    )
+    tagged = passages.join(keepers, "p_hash").withColumn(
+        "is_dup",
+        (F.struct("doc_id", "p_idx") != F.col("keeper")).cast("long"),
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum("is_dup").alias("dup_passages"),
+        F.sum(F.col("is_dup") * F.col("p_tokens")).alias("dup_tokens"),
+    )
+
+
+def mix_epochs(
+    documents: DataFrame,
+    weights_pct: dict[str, int],
+    default_pct: int = 100,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-weighted epoch replication for training-mix assembly.
+
+    ``weights_pct`` maps a source to an integer percentage of epochs:
+    250 ⇒ every document appears in epochs 1 and 2, and the
+    deterministic half of documents (content-hash bucket < 50) also in
+    epoch 3; 50 ⇒ half the documents appear once, the rest not at all;
+    unlisted sources get ``default_pct``. The fractional choice is
+    ``hash_bucket(doc_id) < pct % 100`` — the same md5 fold as the
+    samplers, so the mix is reproducible anywhere.
+
+    Returns (doc_id, source, epoch) — one row per replicated occurrence.
+    Map-side only (sequence + explode per row): no shuffle at any scale.
+    """
+    pct = F.lit(default_pct)
+    for src, p in sorted(weights_pct.items()):
+        pct = F.when(F.col(source_col) == src, F.lit(p)).otherwise(pct)
+    copies = (pct / 100).cast("long") + (
+        hash_bucket(id_col) < pct % 100
+    ).cast("long")
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            copies.alias("_copies"),
+        )
+        .filter(F.col("_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies"))).alias(
+                "epoch"
+            ),
+        )
+    )

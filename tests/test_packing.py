@@ -1,0 +1,135 @@
+"""Behavioral tests for the training-batch assembly operators
+(operators/packing.py): sequence packing, passage dedup, epoch mixing.
+Goldens are hand-computed on tiny fixtures; the corpus-scale hash check
+is tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from iconic_data_science_spark.operators.packing import (
+    mix_epochs,
+    pack_sequences,
+    passage_dedup,
+)
+
+
+def _bucket(key, buckets=100) -> int:
+    """Python twin of operators/text.hash_bucket (md5-prefix fold)."""
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:12], 16) % buckets
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_pack_sequences_single_shard_layout(spark):
+    # one shard => pure sequential concat; seq_len 5 tokens
+    rows = [
+        (1, "a b c", "s"),          # 3 tokens: [0,3) -> seq 0
+        (2, "d e f g", "s"),        # 4 tokens: [3,7) -> seqs 0..1
+        (3, "h", "s"),              # 1 token:  [7,8) -> seq 1
+        (4, "i j k l m n", "s"),    # 6 tokens: [8,14) -> seqs 1..2
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(_docs(spark, rows), seq_len=5, shards=1).collect()
+    }
+    assert out[1]["tok_start"] == 0 and out[1]["first_seq"] == 0 and out[1]["last_seq"] == 0
+    assert out[2]["tok_start"] == 3 and out[2]["first_seq"] == 0 and out[2]["last_seq"] == 1
+    assert out[3]["tok_start"] == 7 and out[3]["first_seq"] == 1 and out[3]["last_seq"] == 1
+    assert out[4]["tok_start"] == 8 and out[4]["first_seq"] == 1 and out[4]["last_seq"] == 2
+    assert all(r["shard"] == 0 for r in out.values())
+
+
+def test_pack_sequences_shard_streams_are_contiguous(spark):
+    rows = [(i, " ".join(["w"] * (i % 7 + 1)), "s") for i in range(60)]
+    df = pack_sequences(_docs(spark, rows), seq_len=8, shards=4)
+    per_shard = (
+        df.groupBy("shard")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max(F.col("tok_start") + F.col("n_tokens")).alias("stream_end"),
+            F.min("tok_start").alias("stream_start"),
+        )
+        .collect()
+    )
+    # head-to-tail: no gaps/overlaps — the stream is exactly the token sum
+    for r in per_shard:
+        assert r["stream_start"] == 0
+        assert r["stream_end"] == r["total"]
+    # shard assignment matches the portable hash
+    for r in df.collect():
+        assert r["shard"] == _bucket(r["doc_id"], 4)
+
+
+def test_passage_dedup_counts_and_tail(spark):
+    rows = [
+        (1, "a b c d e", "s"),   # passages (pt=3): "a b c", "d e" (tail)
+        (2, "a b c x y z", "s"), # "a b c" duplicates doc1's first passage
+        (3, "d e", "s"),         # "d e" duplicates doc1's tail passage
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(_docs(spark, rows), passage_tokens=3).collect()
+    }
+    assert out[1]["n_passages"] == 2 and out[1]["dup_passages"] == 0
+    assert out[2]["n_passages"] == 2 and out[2]["dup_passages"] == 1
+    assert out[2]["dup_tokens"] == 3
+    assert out[3]["n_passages"] == 1 and out[3]["dup_passages"] == 1
+    assert out[3]["dup_tokens"] == 2  # tail passage carries 2 tokens
+
+
+def test_passage_dedup_first_occurrence_is_kept(spark):
+    # identical docs: every passage of the later doc is a duplicate
+    rows = [(1, "p q r s t u", "s"), (2, "p q r s t u", "s")]
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(_docs(spark, rows), passage_tokens=3).collect()
+    }
+    assert out[1]["dup_passages"] == 0
+    assert out[2]["dup_passages"] == 2 and out[2]["dup_tokens"] == 6
+
+
+def test_mix_epochs_weights(spark):
+    rows = [(i, "t", f"src{i % 3}") for i in range(30)]
+    out = mix_epochs(
+        _docs(spark, rows), {"src0": 250, "src1": 50, "src2": 0}
+    ).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i in range(30):
+        src = f"src{i % 3}"
+        pct = {"src0": 250, "src1": 50, "src2": 0}[src]
+        expect = pct // 100 + (1 if _bucket(i) < pct % 100 else 0)
+        got = sorted(per_doc.get(i, []))
+        assert got == list(range(1, expect + 1)), (i, src, got, expect)
+
+
+def test_mix_epochs_default_weight_is_one_epoch(spark):
+    rows = [(i, "t", "unlisted") for i in range(10)]
+    out = mix_epochs(_docs(spark, rows), {"src0": 250}).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in out) == [
+        (i, 1) for i in range(10)
+    ]
+
+
+def test_packing_partition_invariance(spark):
+    """Same results under a different shuffle-partition count (the
+    determinism playbook check for new operators)."""
+    rows = [(i, " ".join(["tok%d" % (j % 5) for j in range(i % 9 + 1)]), f"src{i%4}") for i in range(40)]
+    df = _docs(spark, rows)
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        a = sorted(map(tuple, pack_sequences(df, seq_len=7, shards=3).collect()))
+        b = sorted(map(tuple, passage_dedup(df, passage_tokens=2).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a2 = sorted(map(tuple, pack_sequences(df, seq_len=7, shards=3).collect()))
+        b2 = sorted(map(tuple, passage_dedup(df, passage_tokens=2).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert a == a2
+    assert b == b2
