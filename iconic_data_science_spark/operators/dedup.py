@@ -84,19 +84,23 @@ def shingle_table(
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """(doc_id, shingle) — distinct word n-gram shingles per document."""
-    toks = words(text_col)
-    # guard: Spark sequence(1, 0) descends ([1,0]) instead of emptying,
-    # unlike DuckDB generate_series — short docs must yield no shingles
-    sh = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    # short docs (fewer than n tokens) are FILTERED before the explode
+    # rather than guarded with CASE WHEN ... ELSE []: a conditional
+    # generator input defeats GenerateExec's evaluate-once path and the
+    # whole array expression is re-evaluated per emitted element —
+    # measured 80s vs 0.9s on the sf0.1 corpus. (The filter also covers
+    # the sequence(1, 0) descending-sequence trap.)
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("_t")
+    ).filter(F.size("_t") >= n)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n)),
+    )
     # dedup inside the array (map-side, per doc) instead of a global
     # .distinct(): rows (doc_id, shingle) are then unique by
     # construction, saving a full shuffle of the shingle table
-    out = documents.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+    out = base.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     if max_shingle_freq is not None:
         # materialize the postings once: the df-count pass and the
         # semi-join probe would otherwise each recompute the tokenize+
@@ -133,11 +137,30 @@ def hashed_shingle_arrays(
     composing element_at over an inline ``transform`` re-evaluates the
     lambda per access — measured 20x SLOWER than string shingles.
     """
+    base = _token_hash_base(documents, id_col, text_col)
+    sh = F.when(
+        F.col("_nt") >= n, _horner_shingles(n)
+    ).otherwise(F.array().cast("array<long>"))
+    return base.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+def _token_hash_base(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, _th array<long>, _nt) — per-row token-hash array, named
+    columns so downstream element_at hits a materialized array."""
     toks = words(text_col)
     th = F.transform(toks, lambda t: token_hash48(t) % MERSENNE31)
-    base = documents.select(
+    return documents.select(
         F.col(id_col).alias("doc_id"), th.alias("_th"), F.size(toks).alias("_nt")
     )
+
+
+def _horner_shingles(n: int) -> Column:
+    """array<long> of n-gram hashes over the ``_th`` column (Horner
+    composition of token hashes). Caller guarantees ``_nt >= n`` —
+    either by filter (preferred around an explode: a CASE WHEN guard on
+    a generator input defeats GenerateExec's evaluate-once path and
+    re-evaluates the array per emitted element, measured 80s vs 0.9s at
+    sf0.1) or by a WHEN wrapper for the array-column form."""
 
     def combine(i):
         acc = F.element_at(F.col("_th"), i)
@@ -145,11 +168,7 @@ def hashed_shingle_arrays(
             acc = (acc * SHINGLE_W + F.element_at(F.col("_th"), i + k)) % MERSENNE31
         return acc
 
-    sh = F.when(
-        F.col("_nt") >= n,
-        F.transform(F.sequence(F.lit(1), F.col("_nt") - (n - 1)), combine),
-    ).otherwise(F.array().cast("array<long>"))
-    return base.select("doc_id", F.array_distinct(sh).alias("shingles"))
+    return F.transform(F.sequence(F.lit(1), F.col("_nt") - (n - 1)), combine)
 
 
 def hashed_shingle_table(
@@ -171,8 +190,14 @@ def hashed_shingle_table(
     identically in both engines (the oracle composes the same hashes),
     so the parity gate is unaffected.
     """
-    arrays = hashed_shingle_arrays(documents, n=n, id_col=id_col, text_col=text_col)
-    out = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
+    # build the exploded form directly (filter short docs, unguarded
+    # transform as the generator input) instead of exploding
+    # hashed_shingle_arrays: its WHEN-guarded array is re-evaluated per
+    # element by GenerateExec (see _horner_shingles)
+    base = _token_hash_base(documents, id_col, text_col).filter(F.col("_nt") >= n)
+    out = base.select(
+        "doc_id", F.explode(F.array_distinct(_horner_shingles(n))).alias("shingle")
+    )
     if max_shingle_freq is not None:
         # materialize the postings once: the df-count pass and the
         # semi-join probe would otherwise each recompute the tokenize+

@@ -186,17 +186,18 @@ def repetition_stats(
         F.count("*").cast("long").alias("distinct_tokens"),
         F.max("c").cast("long").alias("top_token_count"),
     )
-    # same sequence guard as the shingle builders: Spark sequence(1, 0)
-    # descends instead of emptying, so 1-token docs must yield []
-    bg = F.when(
-        F.size(F.col("_t")) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("_t")) - 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # 1-token docs are FILTERED before the explode (covers the
+    # sequence(1, 0) descending trap); a CASE WHEN ... ELSE [] guard on
+    # a generator input defeats GenerateExec's evaluate-once path and
+    # re-evaluates the bigram array per emitted element
+    # (operators/dedup._horner_shingles has the measurement)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_t")) - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, 2)),
+    )
     bd = (
-        base.select("doc_id", F.explode(bg).alias("bg"))
+        base.filter(F.size("_t") >= 2)
+        .select("doc_id", F.explode(bg).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
