@@ -459,8 +459,9 @@ def q_f3_f4_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_g8_gexf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8: GEXF serialization of the thresholded 1995 coauthor net.
-    No oracle (XML document, not SQL-expressible) — rows-only check;
-    determinism is pytest-asserted instead."""
+    The document is deterministic (sorted fragments), so the oracle
+    rebuilds the identical XML bytes with string_agg — a full hash row,
+    not rows-only (plus the pytest determinism test)."""
     from iconic_data_science_spark.sources import gexf
 
     cat = _cat(spark, sf_dir)
@@ -4130,6 +4131,44 @@ ORACLES.update({
         )
         SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
         FROM c WHERE copies >= 1
+    """,
+    # G8 upgraded from rows-only: the GEXF document is deterministic
+    # (sorted fragments), so DuckDB can rebuild the identical bytes —
+    # string_agg ORDER BY frag == Spark array_sort(collect_list) for
+    # ASCII fragments under binary collation.
+    "g8_gexf": """
+        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        py AS (
+            SELECT o_orderkey AS paper FROM orders
+            WHERE CAST(year(o_orderdate) AS BIGINT) = 1995
+        ),
+        e AS (
+            SELECT a.author AS ego, b.author AS alter_id, COUNT(*) AS pt
+            FROM paa a
+            JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+            JOIN py ON py.paper = a.paper
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        nx AS (
+            SELECT COALESCE(string_agg(frag, chr(10) ORDER BY frag), '') AS nodes_xml
+            FROM (SELECT DISTINCT '<node id="' || ego || '" label="' || ego || '" />' AS frag FROM e)
+        ),
+        ex AS (
+            SELECT COALESCE(string_agg(frag, chr(10) ORDER BY frag), '') AS edges_xml
+            FROM (
+                SELECT '<edge source="' || ego || '" target="' || alter_id
+                       || '" weight="' || pt || '" />' AS frag
+                FROM e WHERE ego < alter_id
+            )
+        )
+        SELECT '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+               || '<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">' || chr(10)
+               || '<graph mode="static" defaultedgetype="undirected">' || chr(10)
+               || '<nodes>' || chr(10) || nodes_xml || chr(10) || '</nodes>' || chr(10)
+               || '<edges>' || chr(10) || edges_xml || chr(10) || '</edges>' || chr(10)
+               || '</graph>' || chr(10) || '</gexf>' AS gexf
+        FROM nx, ex
     """,
 })
 
