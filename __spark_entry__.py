@@ -4054,10 +4054,32 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_disambig_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Author-name disambiguation candidates (blocked record linkage —
+    the workload the reference archived literature for,
+    archive/links.md): normalize → last-token+first-initial blocking →
+    in-block token-Jaccard + Levenshtein verify. Runs over brand-
+    enriched part names (the synthetic corpus's only multi-token name
+    column with near-duplicates)."""
+    from iconic_data_science_spark.operators.disambiguation import (
+        candidate_author_pairs,
+    )
+
+    cat = _cat(spark, sf_dir)
+    names = cat.part.select(
+        F.col("p_partkey").alias("author"),
+        F.concat_ws(" ", "p_name", "p_brand").alias("name"),
+    )
+    return candidate_author_pairs(
+        names, min_token_jaccard=0.4, max_edit_distance=3
+    )
+
+
 QUERIES.update({
     "pack_sequences": q_pack_sequences,
     "dedup_passage": q_dedup_passage,
     "mix_epochs": q_mix_epochs,
+    "disambig_candidates": q_disambig_candidates,
 })
 
 _MD5_FOLD = """list_reduce(
@@ -4131,6 +4153,32 @@ ORACLES.update({
         )
         SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
         FROM c WHERE copies >= 1
+    """,
+    "disambig_candidates": """
+        WITH base AS (
+            SELECT p_partkey AS id,
+                   trim(regexp_replace(regexp_replace(
+                       lower(p_name || ' ' || p_brand),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+            FROM part
+        ),
+        b2 AS (SELECT id, norm, string_split(norm, ' ') AS toks0 FROM base),
+        b3 AS (
+            SELECT id, norm,
+                   toks0[len(toks0)] || '|' || substr(toks0[1], 1, 1) AS block,
+                   list_distinct(toks0) AS toks
+            FROM b2
+        ),
+        ok AS (SELECT block FROM b3 GROUP BY block HAVING COUNT(*) <= 1000),
+        bb AS (SELECT b3.* FROM b3 JOIN ok USING (block))
+        SELECT a.id AS id1, b.id AS id2,
+               len(list_intersect(a.toks, b.toks))
+                   / len(list_distinct(list_concat(a.toks, b.toks))) AS token_jaccard,
+               CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_distance
+        FROM bb a JOIN bb b ON a.block = b.block AND a.id < b.id
+        WHERE len(list_intersect(a.toks, b.toks))
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.4
+          AND levenshtein(a.norm, b.norm) <= 3
     """,
     # G8 upgraded from rows-only: the GEXF document is deterministic
     # (sorted fragments), so DuckDB can rebuild the identical bytes —
