@@ -215,36 +215,45 @@ def kmeans_centroids(
         nearest = np.maximum(nearest, U @ U[nxt])
     seeds = [[float(x) for x in V[i]] for i in chosen]
     cents = list(enumerate(seeds))
+    dim = len(seeds[0])
+    # Fused Lloyd iteration: centroids live on the driver between rounds
+    # anyway (bounded K×dim metadata), so embed them as LITERALS —
+    # assignment becomes a map-side argmax over a K-element expression
+    # array (no broadcast cross join, no K× row blowup, no per-id window
+    # shuffle), and the update is ONE partial-aggregated groupBy on
+    # c_id (K groups): per-position sums + count, means divided on the
+    # driver. Per iteration: 1 shuffle of K×(dim+1) partial rows — was 3
+    # shuffles incl. a full-data window sort (measured 3.6s → ~1s at
+    # sf0.01; the plan, not the constant, is what mattered at scale).
+    import math
+
+    vnorm = F.sqrt(
+        F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
     for _ in range(n_iters):
-        cdf = spark.createDataFrame(cents, "c_id int, c_v array<double>")
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        nrm = lambda c: F.sqrt(  # noqa: E731
-            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        )
-        w = W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("c_id"))
-        assign = (
-            e.crossJoin(F.broadcast(cdf))
-            .select("id", "v", "c_id", (dot / (nrm(F.col("v")) * nrm(F.col("c_v")))).alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
-        means = (
-            assign.select("c_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("c_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("c_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("c_v")
+        sims = []
+        for cid, cv in cents:
+            cn = math.sqrt(sum(x * x for x in cv))
+            lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), lit_cv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            .collect()
-        )
-        updated = {r.c_id: list(r.c_v) for r in means}
+            sims.append(
+                F.struct(
+                    (dot / (vnorm * F.lit(cn))).alias("sim"),
+                    F.lit(float(-cid)).alias("negc"),
+                )
+            )
+        # array_max on (sim, -c_id) structs == orderBy(sim desc, c_id asc) rn=1
+        best = F.array_max(F.array(*sims))
+        assign = e.select((-best["negc"]).cast("int").alias("c_id"), "v")
+        agg = assign.groupBy("c_id").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        ).collect()
+        updated = {r["c_id"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in agg}
         # empty cells keep their previous centroid
         cents = [(cid, updated.get(cid, v)) for cid, v in cents]
     return spark.createDataFrame(cents, "c_id int, c_v array<double>")
