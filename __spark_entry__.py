@@ -855,17 +855,28 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode: BMP pixel parsing and WAV PCM16 parsing in pure
-    numpy over mapInPandas (exact integer pixel/sample statistics);
-    video payloads pass through format-sniffed with null stats — the
-    codec gate applies only to compressed formats. Rows-only (the
-    payloads are engine-generated, not parquet inputs); decoder
-    correctness is pinned by round-trip and stdlib-wave cross-checks in
-    tests/test_llm_ops.py."""
+    """REAL media decode: BMP pixel parsing, WAV PCM16 parsing, and AVI
+    frame parsing in pure numpy over mapInPandas (exact integer
+    pixel/sample statistics); the codec gate applies only to compressed
+    formats. Rows-only (the payloads are engine-generated, not parquet
+    inputs); decoder correctness is pinned by round-trip and
+    stdlib-wave cross-checks in tests/test_llm_ops.py."""
     from iconic_data_science_spark.operators.multimodal import decode_media, synth_media_real
 
     ensure_engine_conf(spark)
     return decode_media(synth_media_real(spark, 256), require_codecs=False)
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: uncompressed AVI payloads decode in
+    pure numpy (RIFF walk, BI_RGB frames) and each 0.25s tick emits the
+    nearest frame's exact integer pixel stats. Rows-only (payloads are
+    engine-generated); golden frame stats pinned in
+    tests/test_llm_ops.py::test_avi_roundtrip_and_frame_sample."""
+    from iconic_data_science_spark.operators.multimodal import frame_sample, synth_media_real
+
+    ensure_engine_conf(spark)
+    return frame_sample(synth_media_real(spark, 256), every_s=0.25)
 
 
 def q_a_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,6 +1589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_media_stats": q_mm_media_stats,
     "mm_decode_stats": q_mm_decode_stats,
+    "mm_frame_sample": q_mm_frame_sample,
     "a_rollup_orders": q_a_rollup_orders,
     "a_cube_orders": q_a_cube_orders,
     "a_pivot_returnflag": q_a_pivot_returnflag,

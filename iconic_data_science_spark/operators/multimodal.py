@@ -5,12 +5,13 @@ typed metadata, and run decode / feature-extraction / frame-sampling as
 Arrow-batched pandas transforms over ``mapInPandas``.
 
 Decode is REAL for uncompressed container formats — BMP (24-bit
-bottom-up rows, 4-byte padded) and WAV (PCM16) parse in pure
-numpy/struct, no codec library needed: ``decode_media`` returns exact
-integer pixel/sample statistics per payload. Only compressed-codec
-formats (JPEG/PNG/MP3/MP4-class) stay gated behind
-``require_codecs=True`` → ``NotImplementedError``; payloads are
-format-sniffed by magic bytes.
+bottom-up rows, 4-byte padded), WAV (PCM16), and AVI (RIFF 'vids'
+BI_RGB frames) parse in pure numpy/struct, no codec library needed:
+``decode_media`` returns exact integer pixel/sample statistics per
+payload and ``frame_sample`` decodes real frames at sampled
+timepoints. Only compressed-codec formats (JPEG/PNG/MP3/MP4-class)
+stay gated behind ``require_codecs=True`` → ``NotImplementedError``;
+payloads are format-sniffed by magic bytes.
 
 Also fully real without codecs:
   - ``synth_media`` — deterministic opaque binary payloads (md5-chain
@@ -80,15 +81,14 @@ def synth_media(spark: SparkSession, n: int = 256) -> DataFrame:
 
 def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
     """Deterministic media table with REAL payloads: images are 24-bit
-    BMPs and audio is PCM16 WAV (both arithmetic-pattern content keyed
-    by media_id); video stays an opaque md5-chain payload — the honest
-    stand-in for a compressed container this environment cannot decode.
-    Built distributed (struct-packed inside mapInPandas), same
-    MEDIA_SCHEMA as ``synth_media``."""
+    BMPs, audio is PCM16 WAV, video is uncompressed RIFF AVI (BI_RGB
+    '00db' frames) — all arithmetic-pattern content keyed by media_id,
+    parseable here in pure numpy/struct. Built distributed
+    (struct-packed inside mapInPandas), same MEDIA_SCHEMA as
+    ``synth_media`` (whose opaque payloads remain the codec-gate
+    fixtures)."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
@@ -110,9 +110,13 @@ def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
                     payload = encode_wav(8000, samples)
                     meta = {"width": None, "height": None, "duration_s": ns / 8000.0}
                 else:
-                    block = hashlib.md5(str(mid).encode()).digest()
-                    payload = block * (mid % 16 + 1)
-                    meta = {"width": None, "height": None, "duration_s": float(mid % 300) / 10.0}
+                    # real uncompressed AVI: nf frames of an arithmetic
+                    # pixel pattern at 5 fps
+                    nf, w, h = mid % 4 + 2, mid % 12 + 4, mid % 8 + 4
+                    idx = np.arange(nf * h * w * 3, dtype=np.int64).reshape(nf, h, w, 3)
+                    px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13 + (idx // (h * w * 3)) * 97) % 256).astype(np.uint8)
+                    payload = encode_avi(w, h, 5, px)
+                    meta = {"width": w, "height": h, "duration_s": nf / 5.0}
                 rows.append({"media_id": mid, "kind": k, "payload": payload, "meta": meta})
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
@@ -232,14 +236,101 @@ def decode_wav(buf: bytes) -> tuple[int, int, "np.ndarray"]:
     raise ValueError("WAV payload has no data chunk")
 
 
+def encode_avi(width: int, height: int, fps: int, frames: "np.ndarray") -> bytes:
+    """Uncompressed AVI (RIFF 'AVI ' / 'vids' stream, BI_RGB '00db'
+    frames): ``frames`` is (n, height, width, 3) uint8 RGB top-down;
+    each frame is stored as bottom-up BGR rows padded to 4 bytes — the
+    same raster as ``encode_bmp``. Pure struct/numpy, no codec libs."""
+    n = len(frames)
+    row_bytes = (width * 3 + 3) & ~3
+    frame_size = row_bytes * height
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return struct.pack("<4sI", cid, len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return struct.pack("<4sI4s", b"LIST", 4 + len(payload), subtype) + payload
+
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // fps, frame_size * fps, 0, 0, n, 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    pad = b"\x00" * (row_bytes - width * 3)
+    movi_frames = bytearray()
+    for f in frames:
+        raster = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up
+            raster += f[y, :, ::-1].tobytes() + pad  # RGB → BGR
+        movi_frames += chunk(b"00db", bytes(raster))
+    movi = lst(b"movi", bytes(movi_frames))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi(buf: bytes) -> tuple[float, "np.ndarray"]:
+    """Parse an uncompressed AVI → (fps, frames (n, h, w, 3) uint8 RGB
+    top-down) — the inverse of ``encode_avi``. Walks RIFF LIST chunks;
+    only the BI_RGB 24-bit 'vids' layout is supported."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    info: dict = {}
+    frame_spans: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", buf, pos)
+            pos += 8
+            if cid == b"LIST":
+                walk(pos + 4, pos + size)
+            elif cid == b"strh":
+                fcc, _handler, *_rest = struct.unpack_from("<4s4s", buf, pos)
+                if fcc == b"vids":
+                    scale, rate = struct.unpack_from("<II", buf, pos + 20)
+                    info["fps"] = rate / scale
+            elif cid == b"strf":
+                _sz, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", buf, pos)
+                if bpp != 24 or compression != 0:
+                    raise ValueError(f"unsupported AVI variant: bpp={bpp} compression={compression}")
+                info["w"], info["h"] = w, h
+            elif cid in (b"00db", b"00dc"):
+                frame_spans.append((pos, size))
+            pos += size + (size & 1)
+
+    walk(12, len(buf))
+    if "w" not in info or "fps" not in info:
+        raise ValueError("AVI payload missing stream headers")
+    w, h = info["w"], info["h"]
+    row_bytes = (w * 3 + 3) & ~3
+    frames = np.empty((len(frame_spans), h, w, 3), dtype=np.uint8)
+    for fi, (off, _size) in enumerate(frame_spans):
+        for i in range(h):
+            row = np.frombuffer(buf, dtype=np.uint8, count=w * 3, offset=off + i * row_bytes)
+            frames[fi, h - 1 - i] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return info["fps"], frames
+
+
 def sniff_format(buf: bytes) -> str:
-    """Magic-byte format sniff: 'bmp' / 'wav' (decodable here) or the
-    compressed-codec families ('jpeg', 'png', 'mp3', 'mp4') that need
-    real codec libraries; anything else is 'unknown'."""
+    """Magic-byte format sniff: 'bmp' / 'wav' / 'avi' (decodable here)
+    or the compressed-codec families ('jpeg', 'png', 'mp3', 'mp4') that
+    need real codec libraries; anything else is 'unknown'."""
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "avi"
     if buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
@@ -307,6 +398,18 @@ def decode_media(media: DataFrame, require_codecs: bool = True) -> DataFrame:
                         sum_abs=int(a.sum()),
                         peak=int(a.max()) if len(a) else 0,
                     )
+                elif fmt == "avi":
+                    fps, frames = decode_avi(buf)
+                    fr = frames.astype("int64")
+                    row.update(
+                        width=frames.shape[2],
+                        height=frames.shape[1],
+                        n_channels=3,
+                        n_samples=len(frames),  # frame count
+                        n_pixels=frames.shape[0] * frames.shape[1] * frames.shape[2],
+                        sum_abs=int(fr.sum()),
+                        peak=int(fr.max()) if len(frames) else 0,
+                    )
                 elif require_codecs:
                     raise NotImplementedError(
                         f"decoding {fmt!r} payloads requires codec libraries "
@@ -319,22 +422,66 @@ def decode_media(media: DataFrame, require_codecs: bool = True) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(decode, DECODE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("t_s", T.DoubleType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
 def frame_sample(media: DataFrame, every_s: float = 1.0, require_codecs: bool = True) -> DataFrame:
-    """Video frame-sampling stub (plumbing only): emits one row per
-    sampled timepoint from metadata — the decode of each frame is the
-    codec-gated step."""
-    if require_codecs:
-        raise NotImplementedError(
-            "frame decoding requires ffmpeg bindings not present in this environment"
-        )
-    ticks = F.sequence(
-        F.lit(0),
-        F.greatest(F.floor(F.col("meta.duration_s") / every_s).cast("int"), F.lit(0)),
-    )
+    """Video frame sampling — REAL for uncompressed AVI payloads: walk
+    the RIFF container, take the frame nearest each ``every_s`` tick,
+    and emit exact integer pixel statistics per sampled frame, all
+    inside one ``mapInPandas`` pass. Compressed video (MP4-class) needs
+    ffmpeg: those payloads raise under ``require_codecs=True`` (UDF-side,
+    surfacing at execution like ``decode_media``) and are skipped under
+    ``False``."""
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                fmt = sniff_format(buf)
+                if fmt == "avi":
+                    fps, frames = decode_avi(buf)
+                    n = len(frames)
+                    duration = n / fps if fps else 0.0
+                    k = 0
+                    while n and (k == 0 or k * every_s < duration):
+                        t = k * every_s
+                        fi = min(int(t * fps), n - 1)
+                        fr = frames[fi].astype("int64")
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "t_s": t,
+                                "frame_idx": fi,
+                                "n_pixels": fr.shape[0] * fr.shape[1],
+                                "sum_abs": int(fr.sum()),
+                                "peak": int(fr.max()),
+                            }
+                        )
+                        k += 1
+                elif require_codecs:
+                    raise NotImplementedError(
+                        f"sampling {fmt!r} video requires ffmpeg bindings not present "
+                        "in this environment; uncompressed AVI samples natively"
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
     return (
         media.filter(F.col("kind") == "video")
-        .select("media_id", F.explode(ticks).alias("tick"))
-        .select("media_id", (F.col("tick") * every_s).alias("t_s"))
+        .select("media_id", "payload")
+        .mapInPandas(sample, FRAME_SCHEMA)
     )
 
 

@@ -47,8 +47,12 @@ def test_multimodal_decode_stub_gated(spark):
     out = multimodal.decode_media(media, require_codecs=False).collect()
     assert len(out) == 8
     assert all(r.format == "unknown" and r.n_pixels is None for r in out)
-    with pytest.raises(NotImplementedError):
-        multimodal.frame_sample(media)
+    # opaque video payloads are codec-gated in frame_sample too
+    # (UDF-side raise, surfaces at execution)
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.frame_sample(media).collect()
+    # pass-through mode skips the undecodable payloads
+    assert multimodal.frame_sample(media, require_codecs=False).count() == 0
 
 
 def test_multimodal_resize_real_bmp(spark):
@@ -277,9 +281,57 @@ def test_decode_media_real_stats(spark):
     samples = (1 * 13 + i * 17) % 4096 - 2048
     assert r.format == "wav" and r.sample_rate == 8000 and r.n_samples == 101
     assert r.sum_abs == int(np.abs(samples).sum()) and r.peak == int(np.abs(samples).max())
-    # video id=2: opaque payload sniffs unknown, null stats
+    # video id=2: real uncompressed AVI — nf=4 frames of 6x6 at 5 fps
     r = stats[2]
-    assert r.format == "unknown" and r.n_pixels is None and r.n_samples is None
-    # the codec gate still raises on the opaque rows
-    with pytest.raises(Exception):
-        multimodal.decode_media(media).collect()
+    nf, w, h = 2 % 4 + 2, 2 % 12 + 4, 2 % 8 + 4
+    idx = np.arange(nf * h * w * 3, dtype=np.int64).reshape(nf, h, w, 3)
+    px = ((2 * 31 + (idx // 3) * 7 + (idx % 3) * 13 + (idx // (h * w * 3)) * 97) % 256).astype(np.int64)
+    assert r.format == "avi" and (r.width, r.height) == (w, h)
+    assert r.n_samples == nf  # frame count
+    assert r.n_pixels == nf * h * w
+    assert r.sum_abs == int(px.sum()) and r.peak == int(px.max())
+    # real payloads decode under the strict codec gate too
+    strict = multimodal.decode_media(media).collect()
+    assert len(strict) == 9
+
+
+def test_avi_roundtrip_and_frame_sample(spark):
+    import numpy as np
+
+    from iconic_data_science_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        frame_sample,
+        sniff_format,
+    )
+
+    # local round-trip: bytes → frames → bytes
+    nf, h, w = 7, 5, 9
+    rng_idx = np.arange(nf * h * w * 3, dtype=np.int64).reshape(nf, h, w, 3)
+    px = ((rng_idx * 11 + 3) % 256).astype(np.uint8)
+    buf = encode_avi(w, h, 5, px)
+    assert sniff_format(buf) == "avi"
+    fps, frames = decode_avi(buf)
+    assert fps == 5.0
+    assert np.array_equal(frames, px)
+
+    # distributed frame sampling: media_id=2 is nf=4 frames @5fps
+    # (0.8 s) — every_s=0.25 ticks at t=0,.25,.5,.75 → frames 0,1,2,3
+    media = multimodal.synth_media_real(spark, 9)
+    rows = {
+        (r.media_id, r.t_s): r
+        for r in frame_sample(media, every_s=0.25).collect()
+    }
+    nf2, w2, h2 = 4, 6, 6
+    idx = np.arange(nf2 * h2 * w2 * 3, dtype=np.int64).reshape(nf2, h2, w2, 3)
+    px2 = ((2 * 31 + (idx // 3) * 7 + (idx % 3) * 13 + (idx // (h2 * w2 * 3)) * 97) % 256).astype(np.int64)
+    got = [rows[(2, t)] for t in (0.0, 0.25, 0.5, 0.75)]
+    assert [r.frame_idx for r in got] == [0, 1, 2, 3]
+    for fi, r in enumerate(got):
+        assert r.n_pixels == h2 * w2
+        assert r.sum_abs == int(px2[fi].sum())
+        assert r.peak == int(px2[fi].max())
+    # sampling past the duration emits nothing extra; coarse sampling
+    # still emits the t=0 frame
+    coarse = frame_sample(media, every_s=10.0).filter("media_id = 2").collect()
+    assert len(coarse) == 1 and coarse[0].frame_idx == 0
