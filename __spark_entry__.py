@@ -4087,11 +4087,23 @@ def q_disambig_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting next-fit bin packing (applyInPandas custom
+    stateful operator — the sequential recurrence a window can't
+    express; the oracle walks the identical recurrence as a recursive
+    CTE)."""
+    from iconic_data_science_spark.operators.packing import pack_bins_nextfit
+
+    cat = _cat(spark, sf_dir)
+    return pack_bins_nextfit(cat.documents, capacity=512, shards=8)
+
+
 QUERIES.update({
     "pack_sequences": q_pack_sequences,
     "dedup_passage": q_dedup_passage,
     "mix_epochs": q_mix_epochs,
     "disambig_candidates": q_disambig_candidates,
+    "pack_bins_nextfit": q_pack_bins_nextfit,
 })
 
 _MD5_FOLD = """list_reduce(
@@ -4165,6 +4177,32 @@ ORACLES.update({
         )
         SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
         FROM c WHERE copies >= 1
+    """,
+    "pack_bins_nextfit": f"""
+        WITH RECURSIVE b AS (
+            SELECT doc_id,
+                   {_MD5_FOLD.format(arg="CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        o AS (
+            SELECT doc_id, shard, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM b
+        ),
+        walk AS (
+            SELECT doc_id, shard, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS bin_idx, n_tokens AS bin_fill
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+                   CASE WHEN w.bin_fill + o.n_tokens > 512
+                        THEN w.bin_idx + 1 ELSE w.bin_idx END,
+                   CASE WHEN w.bin_fill + o.n_tokens > 512
+                        THEN o.n_tokens ELSE w.bin_fill + o.n_tokens END
+            FROM o JOIN walk w ON o.shard = w.shard AND o.rn = w.rn + 1
+        )
+        SELECT doc_id, shard, n_tokens, bin_idx, bin_fill FROM walk
     """,
     "disambig_candidates": """
         WITH base AS (

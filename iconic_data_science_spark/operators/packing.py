@@ -148,6 +148,57 @@ def passage_dedup(
     )
 
 
+def pack_bins_nextfit(
+    documents: DataFrame,
+    capacity: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Next-fit bin packing that RESPECTS document boundaries: within a
+    shard (content-hash bucket, ordered by id) each document lands whole
+    in the current bin, and a document that would overflow ``capacity``
+    closes the bin and opens the next; an oversized document occupies a
+    bin alone. The padding-free alternative to :func:`pack_sequences`
+    when documents must not straddle training sequences.
+
+    The bin index depends on every previous placement decision — a
+    sequential recurrence no window frame expresses — so each shard runs
+    as a grouped-map pandas UDF (``applyInPandas``): O(1) state, one
+    pass over the shard's rows. Scale shape: one shuffle to group by
+    shard; set ``shards`` ≈ cluster parallelism at 100 TB so every
+    sequential scan is small and they all run at once. (The DuckDB
+    oracle walks the same recurrence as a recursive CTE.)
+
+    Returns (doc_id, shard, n_tokens, bin_idx, bin_fill) — all BIGINT;
+    ``bin_fill`` is the bin's token count after placing the document.
+    """
+    import pandas as pd
+
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        hash_bucket(id_col, shards).alias("shard"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_idx, bin_fill = [], []
+        b, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > capacity:
+                b, fill = b + 1, 0
+            fill += t
+            bin_idx.append(b)
+            bin_fill.append(fill)
+        return pdf.assign(bin_idx=bin_idx, bin_fill=bin_fill)
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, n_tokens long, bin_idx long, bin_fill long"
+    )
+
+
 def mix_epochs(
     documents: DataFrame,
     weights_pct: dict[str, int],

@@ -71,11 +71,11 @@ def test_driver_contract_integrity():
     assert set(qs) - set(os_) == {
         "a2_approx_distinct",   # HLL sketch — not exact-hashable
         "ann_ivf_kmeans",       # learned float centroids — iterative means
-        "g8_gexf",              # XML document
-        "g_pagerank",           # float power iteration (g_pagerank_int is the oracled twin; g_kcore gained a recursive-peel oracle in round 2)
+        "g_pagerank",           # float power iteration (g_pagerank_int is the oracled twin; g_kcore gained a recursive-peel oracle in round 2; g8_gexf gained a string_agg XML oracle in the round-2 continuation)
         "mm_byte_histogram",    # pandas-UDF float features
         "mm_media_stats",       # synthetic media source
-        "mm_decode_stats",      # engine-generated BMP/WAV payloads (no parquet input)
+        "mm_decode_stats",      # engine-generated BMP/WAV/AVI payloads (no parquet input)
+        "mm_frame_sample",      # engine-generated AVI payloads (no parquet input)
     }
     for name, fn in qs.items():
         assert fn.__doc__, f"{name} has no docstring"

@@ -133,3 +133,46 @@ def test_packing_partition_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert a == a2
     assert b == b2
+
+
+def test_pack_bins_nextfit_boundaries_and_oversize(spark):
+    from iconic_data_science_spark.operators.packing import pack_bins_nextfit
+
+    rows = [
+        (1, "a b c", "s"),        # 3 -> bin 0 (fill 3)
+        (2, "d e f", "s"),        # 3 -> bin 0 (fill 6)
+        (3, "g h", "s"),          # 2 would make 8 > 7 -> bin 1 (fill 2)
+        (4, " ".join(["x"] * 9), "s"),  # oversized (9 > 7) -> bin 2 alone
+        (5, "y", "s"),            # 1 after oversized -> bin 3
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pack_bins_nextfit(_docs(spark, rows), capacity=7, shards=1).collect()
+    }
+    assert (out[1]["bin_idx"], out[1]["bin_fill"]) == (0, 3)
+    assert (out[2]["bin_idx"], out[2]["bin_fill"]) == (0, 6)
+    assert (out[3]["bin_idx"], out[3]["bin_fill"]) == (1, 2)
+    assert (out[4]["bin_idx"], out[4]["bin_fill"]) == (2, 9)
+    assert (out[5]["bin_idx"], out[5]["bin_fill"]) == (3, 1)
+
+
+def test_pack_bins_nextfit_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.operators.packing import pack_bins_nextfit
+
+    rows = [(i, " ".join(["w"] * (i % 11 + 1)), "s") for i in range(80)]
+    df = pack_bins_nextfit(_docs(spark, rows), capacity=16, shards=4)
+    # no bin overfills unless it holds a single oversized document
+    per_bin = df.groupBy("shard", "bin_idx").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n")
+    )
+    bad = per_bin.filter((F.col("fill") > 16) & (F.col("n") > 1)).count()
+    assert bad == 0
+    # bin ids are contiguous from 0 within each shard
+    for r in per_bin.groupBy("shard").agg(
+        F.min("bin_idx").alias("lo"),
+        F.max("bin_idx").alias("hi"),
+        F.countDistinct("bin_idx").alias("nb"),
+    ).collect():
+        assert r["lo"] == 0 and r["nb"] == r["hi"] + 1
