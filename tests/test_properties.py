@@ -149,3 +149,70 @@ def test_decontaminate_only_flags_train_docs(spark, sf_dir):
     out = decontaminate(train, bench, n=5).collect()
     assert all(r.doc_id % 10 != 0 for r in out)
     assert all(r.n_shared_ngrams >= 1 and r.n_benchmark_docs >= 1 for r in out)
+
+
+# --- training-batch assembly (operators/packing.py) ---------------------
+
+
+def _tokens(text: str) -> list[str]:
+    return text.lower().split(" ")
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+       st.integers(min_value=2, max_value=17))
+def test_pack_sequences_matches_model(spark, lens, seq_len):
+    from iconic_data_science_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in pack_sequences(df, seq_len=seq_len, shards=1).collect()}
+    off = 0
+    for i, n in enumerate(lens):
+        r = got[i]
+        assert r["tok_start"] == off and r["n_tokens"] == n
+        assert r["first_seq"] == off // seq_len
+        assert r["last_seq"] == (off + n - 1) // seq_len
+        off += n
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=25),
+       st.integers(min_value=3, max_value=20))
+def test_pack_bins_nextfit_matches_model(spark, lens, cap):
+    from iconic_data_science_spark.operators.packing import pack_bins_nextfit
+
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in pack_bins_nextfit(df, capacity=cap, shards=1).collect()}
+    b, fill = 0, 0
+    for i, n in enumerate(lens):
+        if fill > 0 and fill + n > cap:
+            b, fill = b + 1, 0
+        fill += n
+        assert (got[i]["bin_idx"], got[i]["bin_fill"]) == (b, fill), (i, lens, cap)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcd"), min_size=1, max_size=12), min_size=1, max_size=10),
+       st.integers(min_value=1, max_value=4))
+def test_passage_dedup_matches_model(spark, docs, pt):
+    from iconic_data_science_spark.operators.packing import passage_dedup
+
+    rows = [(i, " ".join(toks), "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in passage_dedup(df, passage_tokens=pt).collect()}
+    seen: set[str] = set()
+    for i, toks in enumerate(docs):
+        chunks = [" ".join(toks[j:j + pt]) for j in range(0, len(toks), pt)]
+        dups = 0
+        dup_toks = 0
+        for c in chunks:
+            if c in seen:
+                dups += 1
+                dup_toks += len(c.split(" "))
+            seen.add(c)
+        r = got[i]
+        assert r["n_passages"] == len(chunks)
+        assert r["dup_passages"] == dups, (i, docs, pt)
+        assert r["dup_tokens"] == dup_toks
