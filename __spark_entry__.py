@@ -4066,6 +4066,63 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed BPE merge table for the oracled encoder query — learned once by
+# operators/bpe.bpe_train(documents, num_merges=10) on the sf0.01 corpus
+# (deterministic: pair-count desc, lexicographic tie-break) and embedded
+# as literals on BOTH engine sides, like the LSH perm/plane tables.
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+]
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding under a fixed merge table (rank-ordered replaceAll
+    per merge — the standard encoder): per-document word/char/BPE-token
+    counts. Map-side only; the oracle replays the identical literal
+    merge chain."""
+    from iconic_data_science_spark.operators.bpe import bpe_token_counts
+
+    cat = _cat(spark, sf_dir)
+    return bpe_token_counts(cat.documents, _BPE_MERGES)
+
+
+def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (driver loop of weighted pair counts
+    over the word-frequency table, deterministic argmax): the learned
+    rank-ordered merge table. Rows-only (iterative, not
+    SQL-expressible); the trainer is golden-pinned against a local
+    reference implementation in tests/test_bpe.py."""
+    from iconic_data_science_spark.operators.bpe import bpe_train
+
+    cat = _cat(spark, sf_dir)
+    merges = bpe_train(cat.documents, num_merges=10)
+    return spark.createDataFrame(
+        [(i, left, right) for i, (left, right) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    # own-delimiter representation (double-space join): single-pass
+    # non-overlapping replaceAll == classical greedy BPE; identical
+    # scan semantics in RE2 and Java regex (operators/bpe._spaced)
+    enc = "' ' || array_to_string(string_split_regex(w, ''), '  ') || ' '"
+    for left, right in merges:
+        enc = f"regexp_replace({enc}, ' {left}  {right} ', ' {left}{right} ', 'g')"
+    return f"""
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+               CAST(list_reduce([len(w) for w in string_split(lower(text), ' ')],
+                                (a, b) -> a + b) AS BIGINT) AS n_chars,
+               CAST(list_reduce(
+                   [len(string_split(trim({enc}), '  '))
+                    for w in string_split(lower(text), ' ')],
+                   (a, b) -> a + b) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """
+
+
 def q_disambig_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Author-name disambiguation candidates (blocked record linkage —
     the workload the reference archived literature for,
@@ -4104,7 +4161,11 @@ QUERIES.update({
     "mix_epochs": q_mix_epochs,
     "disambig_candidates": q_disambig_candidates,
     "pack_bins_nextfit": q_pack_bins_nextfit,
+    "text_bpe_encode": q_text_bpe_encode,
+    "text_bpe_vocab": q_text_bpe_vocab,
 })
+
+ORACLES["text_bpe_encode"] = _bpe_oracle_sql(_BPE_MERGES)
 
 _MD5_FOLD = """list_reduce(
     [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)

@@ -1,0 +1,118 @@
+"""BPE trainer/encoder goldens: the distributed implementation must
+match a sequential reference implementation exactly (merge table AND
+encoded token counts)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from iconic_data_science_spark.operators.bpe import (
+    bpe_token_counts,
+    bpe_train,
+    word_frequencies,
+)
+
+
+def _ref_train(texts: list[str], num_merges: int) -> list[tuple[str, str]]:
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                wf[w] += 1
+    reprs = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, syms in reprs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wf[w]
+        if not pairs:
+            break
+        # count desc, then (left, right) lexicographic asc
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, syms in reprs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reprs[w] = out
+    return merges
+
+
+def _ref_encode_len(word: str, merges: list[tuple[str, str]]) -> int:
+    syms = list(word)
+    for best in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newer newer newer newer",
+    "newest newest newest widest widest",
+    "low lower lowest newest wider",
+]
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_train_matches_reference(spark):
+    df = _docs(spark, CORPUS)
+    got = bpe_train(df, num_merges=8)
+    assert got == _ref_train(CORPUS, 8)
+
+
+def test_bpe_train_deterministic(spark):
+    df = _docs(spark, CORPUS)
+    assert bpe_train(df, num_merges=5) == bpe_train(df, num_merges=5)
+
+
+def test_bpe_encode_matches_reference(spark):
+    merges = _ref_train(CORPUS, 8)
+    out = {r["doc_id"]: r for r in bpe_token_counts(_docs(spark, CORPUS), merges).collect()}
+    for i, t in enumerate(CORPUS):
+        words = t.split(" ")
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_chars"] == sum(len(w) for w in words)
+        assert out[i]["n_bpe_tokens"] == sum(_ref_encode_len(w, merges) for w in words)
+
+
+def test_bpe_compression_monotone(spark):
+    """More merges can only shrink (or keep) the token count."""
+    df = _docs(spark, CORPUS)
+    merges = _ref_train(CORPUS, 8)
+    totals = []
+    for k in (0, 3, 8):
+        tot = (
+            bpe_token_counts(df, merges[:k])
+            .groupBy()
+            .sum("n_bpe_tokens")
+            .collect()[0][0]
+        )
+        totals.append(tot)
+    assert totals[0] >= totals[1] >= totals[2]
+    # zero merges == character count
+    chars = bpe_token_counts(df, []).groupBy().sum("n_chars").collect()[0][0]
+    assert totals[0] == chars
+
+
+def test_word_frequencies(spark):
+    wf = {r["word"]: r["count"] for r in word_frequencies(_docs(spark, CORPUS)).collect()}
+    assert wf["low"] == 6 and wf["newer"] == 4 and wf["newest"] == 4
