@@ -4123,6 +4123,16 @@ def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
     """
 
 
+def q_curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile gating: drop each source's worst 10% by
+    quality score (percent_rank window within source) — the relative
+    curation filter absolute thresholds can't express."""
+    from iconic_data_science_spark.operators.text import quality_percentile_gate
+
+    cat = _cat(spark, sf_dir)
+    return quality_percentile_gate(cat.documents, drop_bottom_pct=10)
+
+
 def q_disambig_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Author-name disambiguation candidates (blocked record linkage —
     the workload the reference archived literature for,
@@ -4163,9 +4173,21 @@ QUERIES.update({
     "pack_bins_nextfit": q_pack_bins_nextfit,
     "text_bpe_encode": q_text_bpe_encode,
     "text_bpe_vocab": q_text_bpe_vocab,
+    "curation_quality_gate": q_curation_quality_gate,
 })
 
 ORACLES["text_bpe_encode"] = _bpe_oracle_sql(_BPE_MERGES)
+# per-source quantile gate: compose the proven quality-score oracle with
+# a percent_rank window (ties share ranks in both engines; the score is
+# already bit-identical across engines per the text_quality_score row)
+ORACLES["curation_quality_gate"] = f"""
+    WITH q AS ({ORACLES["text_quality_score"]})
+    SELECT q.doc_id, d.source, q.score,
+           cume_dist() OVER (PARTITION BY d.source ORDER BY q.score) AS cume,
+           cume_dist() OVER (PARTITION BY d.source ORDER BY q.score)
+               > CAST(10 AS DOUBLE) / 100.0 AS keep
+    FROM q JOIN documents d USING (doc_id)
+"""
 
 _MD5_FOLD = """list_reduce(
     [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)

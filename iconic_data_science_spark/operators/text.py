@@ -403,3 +403,49 @@ def fingerprint(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
         % MERSENNE31,
     )
     return documents.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def quality_percentile_gate(
+    documents: DataFrame,
+    drop_bottom_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Per-source quantile gating: drop each source's worst
+    ``drop_bottom_pct`` percent by quality score — the relative filter
+    curation pipelines apply when absolute thresholds would gut clean
+    sources and keep noisy ones' top end.
+
+    (doc_id, source, score, cume, keep) — ``cume`` is ``cume_dist()``
+    over the score within the source; ``keep`` is
+    ``cume > drop_bottom_pct/100``. cume_dist ties HIGH (ties share the
+    group's upper fraction), so an all-identical source keeps
+    everything — the safe behavior for a drop-the-worst gate
+    (percent_rank ties low and would silently drop a whole uniform
+    source). One shuffle (the per-source window); at 100 TB the
+    partitions are sources — if one source dominates, pre-split it into
+    hash sub-strata, the same salting pattern as every skewed window.
+    """
+    from pyspark.sql import Window as W
+
+    q = quality_score(documents, id_col=id_col, text_col=text_col).select(
+        "doc_id", "score"
+    )
+    src = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("source")
+    )
+    w = W.partitionBy("source").orderBy("score")
+    cume = F.cume_dist().over(w)
+    return (
+        q.join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            cume.alias("cume"),
+        )
+        .withColumn(
+            "keep", F.col("cume") > F.lit(drop_bottom_pct).cast("double") / 100.0
+        )
+    )

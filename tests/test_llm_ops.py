@@ -335,3 +335,23 @@ def test_avi_roundtrip_and_frame_sample(spark):
     # still emits the t=0 frame
     coarse = frame_sample(media, every_s=10.0).filter("media_id = 2").collect()
     assert len(coarse) == 1 and coarse[0].frame_idx == 0
+
+
+def test_quality_percentile_gate_ties_and_rate(spark):
+    from iconic_data_science_spark.operators.text import quality_percentile_gate
+
+    # source A: 11 docs with distinct scores (longer = higher score here);
+    # source B: all-identical docs — cume_dist ties HIGH, everything kept
+    rows = [(i, " ".join(["word"] * (i + 1)), "A") for i in range(11)]
+    rows += [(100 + i, "same text here", "B") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in quality_percentile_gate(docs, drop_bottom_pct=10).collect()}
+    # A: the worst doc has cume 1/11 <= 0.1 -> dropped; the rest kept
+    a_sorted = sorted((out[i]["cume"], i) for i in range(11))
+    assert out[a_sorted[0][1]]["keep"] is False
+    assert all(out[i]["keep"] for _, i in a_sorted[1:])
+    # B: identical scores tie at cume 1.0 -> ALL kept (a uniform source
+    # must not be silently dropped — why the gate uses cume_dist, not
+    # percent_rank)
+    assert all(out[100 + i]["keep"] for i in range(5))
+    assert {out[100 + i]["cume"] for i in range(5)} == {1.0}
