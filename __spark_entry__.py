@@ -4123,6 +4123,16 @@ def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
     """
 
 
+def q_ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent click/view within a 1-hour lookback (as-of union+window form,
+    one user-keyed shuffle; deterministic max-event_id tie-break)."""
+    from iconic_data_science_spark.operators.events import last_touch_attribution
+
+    cat = _cat(spark, sf_dir)
+    return last_touch_attribution(cat.events, lookback_s=3600)
+
+
 def q_curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quantile gating: drop each source's worst 10% by
     quality score (percent_rank window within source) — the relative
@@ -4174,7 +4184,35 @@ QUERIES.update({
     "text_bpe_encode": q_text_bpe_encode,
     "text_bpe_vocab": q_text_bpe_vocab,
     "curation_quality_gate": q_curation_quality_gate,
+    "ev_attribution": q_ev_attribution,
 })
+
+ORACLES["ev_attribution"] = """
+    WITH t AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               t.event_id AS tid, t.event_type AS ttype, t.ts AS tts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY t.ts DESC, t.event_id DESC
+               ) AS rn
+        FROM p LEFT JOIN t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND t.ts >= p.ts - INTERVAL '3600 seconds'
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS amount,
+           tid AS attributed_id, ttype AS attributed_type,
+           epoch_us(tts) AS attributed_ts_us
+    FROM j WHERE rn = 1
+"""
 
 ORACLES["text_bpe_encode"] = _bpe_oracle_sql(_BPE_MERGES)
 # per-source quantile gate: compose the proven quality-score oracle with

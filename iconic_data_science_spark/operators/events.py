@@ -88,3 +88,72 @@ def retention_cohorts(
     return act.groupBy(
         "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
     ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    lookback_s: int = 3600,
+    touch_types: tuple[str, ...] = ("click", "view"),
+) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click/view at or before the purchase, within
+    a ``lookback_s``-second window; purchases with no touch in the
+    window stay unattributed (null columns).
+
+    (event_id, user_id, ts_us, amount, attributed_id, attributed_type,
+    attributed_ts_us). Deterministic tie-break: equal-time touches →
+    the largest event_id wins.
+
+    Implementation is the as-of pattern (operators/asof.py): union
+    touches and purchases, one window per user ordered by
+    (ts, side, touch-id) carrying ``last(..., ignorenulls=True)`` — a
+    single user-keyed shuffle, no per-purchase join fan-out, no range
+    join. At 100 TB the window partitions are users (high-cardinality);
+    a mega-user is the same salting case as every user-keyed window.
+    """
+    from pyspark.sql import Window as W
+
+    touches = events.filter(F.col("event_type").isin(*touch_types)).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("_side"),
+        F.col("event_id").alias("_tid"),
+        F.col("event_type").alias("_ttype"),
+        F.col("ts").alias("_tts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tid"),
+        F.lit(None).cast("string").alias("_ttype"),
+        F.lit(None).cast("timestamp").alias("_tts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "_side", "_tid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = touches.unionByName(purchases)
+    tagged = (
+        u.withColumn("_l_tid", F.last("_tid", ignorenulls=True).over(w))
+        .withColumn("_l_ttype", F.last("_ttype", ignorenulls=True).over(w))
+        .withColumn("_l_tts", F.last("_tts", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    in_window = F.col("_l_tts") >= (
+        F.col("ts") - F.expr(f"INTERVAL {lookback_s} SECOND")
+    )
+    return tagged.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("amount"),
+        F.when(in_window, F.col("_l_tid")).alias("attributed_id"),
+        F.when(in_window, F.col("_l_ttype")).alias("attributed_type"),
+        F.when(in_window, F.unix_micros("_l_tts")).alias("attributed_ts_us"),
+    )

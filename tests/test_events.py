@@ -64,3 +64,52 @@ def test_funnel_and_retention_empty_input(spark):
     assert funnel(ev).count() == 3  # one zero row per stage
     assert all(r.n_users == 0 for r in funnel(ev).collect())
     assert retention_cohorts(ev).count() == 0
+
+
+def test_last_touch_attribution_fixture(spark):
+    from datetime import datetime
+
+    from iconic_data_science_spark.operators.events import last_touch_attribution
+
+    def ev(eid, user, minute, etype, value=0.0):
+        return (eid, datetime(2024, 1, 1, 10, minute), user, etype, value, "{}")
+
+    rows = [
+        # user 1: view@10:00, click@10:05 (two clicks same ts: ids 3 > 2),
+        # purchase@10:30 -> attributed to click id 3 (last touch, max id tie)
+        ev(1, 1, 0, "view"),
+        ev(2, 1, 5, "click"),
+        ev(3, 1, 5, "click"),
+        ev(10, 1, 30, "purchase", 9.5),
+        # user 2: touch 2h before purchase -> outside 1h lookback -> null
+        ev(4, 2, 0, "view"),
+        ev(11, 2, 0, "purchase", 1.0),  # same-ts touch counts (<=)
+        # user 3: purchase with no touches at all -> null
+        ev(12, 3, 15, "purchase", 2.0),
+    ]
+    # shift user 2's purchase to 12:05 for the outside-lookback case
+    rows[5] = (11, datetime(2024, 1, 1, 12, 5), 2, "purchase", 1.0, "{}")
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["event_id"]: r for r in last_touch_attribution(events).collect()}
+    assert out[10]["attributed_id"] == 3 and out[10]["attributed_type"] == "click"
+    assert out[11]["attributed_id"] is None  # most recent touch outside lookback
+    assert out[12]["attributed_id"] is None  # no touches at all
+    assert out[10]["amount"] == 9.5
+
+
+def test_last_touch_attribution_same_ts_touch_counts(spark):
+    from datetime import datetime
+
+    from iconic_data_science_spark.operators.events import last_touch_attribution
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 7, "click", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 0), 7, "purchase", 5.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = last_touch_attribution(events).collect()
+    assert out[0]["attributed_id"] == 1  # ts-equal touch matches (<= semantics)
