@@ -48,6 +48,12 @@ HEADLINE = [
     "q21_waiting_suppliers",
     # curation v2 (broadcast-benchmark 5-gram overlap scan)
     "decontaminate_ngram",
+    # round-2 continuation additions: training-batch assembly, BPE
+    # encoding, passage dedup, last-touch attribution
+    "pack_sequences",
+    "dedup_passage",
+    "text_bpe_encode",
+    "ev_attribution",
 ]
 
 
