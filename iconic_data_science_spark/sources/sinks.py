@@ -154,3 +154,56 @@ def write_zordered_parquet(
         else zdf.repartitionByRange("_z")
     )
     zdf.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> dict:
+    """Small-files compaction (the VACUUM/OPTIMIZE maintenance pass):
+    rewrite a parquet directory into ⌈bytes / target_file_bytes⌉ files.
+
+    Streaming sinks and incremental loads leave thousands of KB-sized
+    files; at 100 TB the scan-planning and open() overhead of a
+    small-files table dominates the read. Compaction is a single
+    repartition-and-rewrite: file count from the directory's actual
+    bytes (driver-side listing — metadata, not data), written to a temp
+    sibling then swapped in with two renames — the exposure window is
+    those metadata moves, not the rewrite itself. (True atomic swap
+    needs a table format's metadata pointer — Delta/Iceberg commit —
+    which is exactly what those formats add over raw parquet; this is
+    the raw-directory form.)
+
+    Returns {"files_before", "files_after", "bytes"}. Row content is
+    preserved exactly (round-trip asserted in tests); file-internal
+    order is not (parquet readers must not rely on it).
+    """
+    import os
+    import shutil
+
+    def _stats(p: str) -> tuple[int, int]:
+        n = b = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, total_bytes = _stats(path)
+    n_files = max(min_files, -(-total_bytes // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    files_after, _ = _stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -116,3 +116,31 @@ def test_bpe_compression_monotone(spark):
 def test_word_frequencies(spark):
     wf = {r["word"]: r["count"] for r in word_frequencies(_docs(spark, CORPUS)).collect()}
     assert wf["low"] == 6 and wf["newer"] == 4 and wf["newest"] == 4
+
+
+def test_bpe_random_corpora_match_reference(spark):
+    """Property: distributed trainer == sequential reference on random
+    small corpora (incl. runs of repeated characters, the greedy-merge
+    edge case)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("aabbc"), min_size=1, max_size=8).map("".join),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(words_):
+        texts = [" ".join(words_)]
+        df = _docs(spark, texts)
+        k = 4
+        assert bpe_train(df, num_merges=k) == _ref_train(texts, k)
+        merges = _ref_train(texts, k)
+        out = bpe_token_counts(df, merges).collect()[0]
+        assert out["n_bpe_tokens"] == sum(
+            _ref_encode_len(w, merges) for w in words_
+        )
+
+    check()

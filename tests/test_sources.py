@@ -251,3 +251,30 @@ def test_jdbc_roundtrip_embedded_derby(spark):
     )
     assert part.rdd.getNumPartitions() == 4
     assert part.count() == 100
+
+
+def test_compact_parquet_roundtrip(spark, tmp_path):
+    from iconic_data_science_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "frag")
+    # fragment: 64 tiny files
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").repartition(64).write.parquet(p)
+    before = spark.read.parquet(p)
+    rows_before = sorted(r["id"] for r in before.collect())
+    stats = compact_parquet(spark, p, target_file_bytes=10**9)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(p)
+    assert sorted(r["id"] for r in after.collect()) == rows_before
+    assert dict(after.dtypes) == dict(before.dtypes)
+
+
+def test_compact_parquet_target_sizing(spark, tmp_path):
+    from iconic_data_science_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "frag2")
+    spark.range(50_000).write.mode("overwrite").parquet(p)
+    # tiny target -> multiple output files, ceil(bytes/target)
+    stats = compact_parquet(spark, p, target_file_bytes=50_000)
+    import math
+    assert stats["files_after"] == max(1, math.ceil(stats["bytes"] / 50_000))
