@@ -4164,6 +4164,17 @@ def q_disambig_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-facing packing manifest: per (shard, training sequence,
+    document) the token span the document occupies inside the sequence
+    — the attention-mask/loss-boundary metadata for concat-and-chunk
+    batches."""
+    from iconic_data_science_spark.operators.packing import pack_manifest
+
+    cat = _cat(spark, sf_dir)
+    return pack_manifest(cat.documents, seq_len=512, shards=8)
+
+
 def q_pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-respecting next-fit bin packing (applyInPandas custom
     stateful operator — the sequential recurrence a window can't
@@ -4181,6 +4192,7 @@ QUERIES.update({
     "mix_epochs": q_mix_epochs,
     "disambig_candidates": q_disambig_candidates,
     "pack_bins_nextfit": q_pack_bins_nextfit,
+    "pack_manifest": q_pack_manifest,
     "text_bpe_encode": q_text_bpe_encode,
     "text_bpe_vocab": q_text_bpe_vocab,
     "curation_quality_gate": q_curation_quality_gate,
@@ -4215,6 +4227,18 @@ ORACLES["ev_attribution"] = """
 """
 
 ORACLES["text_bpe_encode"] = _bpe_oracle_sql(_BPE_MERGES)
+ORACLES["pack_manifest"] = f"""
+    WITH ps AS ({{PS}}),
+    x AS (
+        SELECT shard, doc_id, tok_start, tok_start + n_tokens AS tok_end,
+               unnest(generate_series(first_seq, last_seq)) AS s
+        FROM ps
+    )
+    SELECT shard, CAST(s AS BIGINT) AS seq, doc_id,
+           CAST(GREATEST(0, tok_start - s * 512) AS BIGINT) AS start_in_seq,
+           CAST(LEAST(512, tok_end - s * 512) AS BIGINT) AS end_in_seq
+    FROM x
+"""
 # per-source quantile gate: compose the proven quality-score oracle with
 # a percent_rank window (ties share ranks in both engines; the score is
 # already bit-identical across engines per the text_quality_score row)
@@ -4390,6 +4414,10 @@ ORACLES.update({
         FROM nx, ex
     """,
 })
+
+ORACLES["pack_manifest"] = ORACLES["pack_manifest"].replace(
+    "{PS}", ORACLES["pack_sequences"]
+)
 
 
 # ---------------------------------------------------------------------------

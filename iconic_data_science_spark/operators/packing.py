@@ -148,6 +148,49 @@ def passage_dedup(
     )
 
 
+def pack_manifest(
+    documents: DataFrame,
+    seq_len: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The loader-facing view of :func:`pack_sequences`: one row per
+    (shard, seq, document) with the document's token span INSIDE that
+    training sequence — what a data loader needs to assemble attention
+    masks / loss boundaries for concat-and-chunk batches.
+
+    (shard, seq, doc_id, start_in_seq, end_in_seq): the document
+    occupies [start_in_seq, end_in_seq) of sequence ``seq`` (0-based
+    within the sequence, end exclusive). Derived arithmetically from the
+    packing prefix sums — explode of each document's spanned sequence
+    ids, all BIGINT.
+    """
+    p = pack_sequences(
+        documents, seq_len=seq_len, shards=shards, id_col=id_col, text_col=text_col
+    )
+    return (
+        p.select(
+            "shard",
+            "doc_id",
+            "tok_start",
+            (F.col("tok_start") + F.col("n_tokens")).alias("tok_end"),
+            F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias("seq"),
+        )
+        .select(
+            "shard",
+            "seq",
+            "doc_id",
+            F.greatest(F.lit(0).cast("long"), F.col("tok_start") - F.col("seq") * seq_len).alias(
+                "start_in_seq"
+            ),
+            F.least(F.lit(seq_len).cast("long"), F.col("tok_end") - F.col("seq") * seq_len).alias(
+                "end_in_seq"
+            ),
+        )
+    )
+
+
 def pack_bins_nextfit(
     documents: DataFrame,
     capacity: int = 512,

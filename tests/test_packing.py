@@ -176,3 +176,35 @@ def test_pack_bins_nextfit_invariants(spark):
         F.countDistinct("bin_idx").alias("nb"),
     ).collect():
         assert r["lo"] == 0 and r["nb"] == r["hi"] + 1
+
+
+def test_pack_manifest_spans_tile_sequences(spark):
+    from iconic_data_science_spark.operators.packing import pack_manifest
+
+    rows = [(i, " ".join(["w"] * (i % 13 + 1)), "s") for i in range(50)]
+    m = pack_manifest(_docs(spark, rows), seq_len=10, shards=2)
+    # per document: spans sum to its token count
+    per_doc = m.groupBy("doc_id").agg(
+        F.sum(F.col("end_in_seq") - F.col("start_in_seq")).alias("tok")
+    )
+    toks = {i: i % 13 + 1 for i in range(50)}
+    for r in per_doc.collect():
+        assert r["tok"] == toks[r["doc_id"]]
+    # per (shard, seq): spans tile [0, seq_len) exactly for every
+    # sequence except each shard's last (which may be partial)
+    per_seq = (
+        m.groupBy("shard", "seq")
+        .agg(
+            F.sum(F.col("end_in_seq") - F.col("start_in_seq")).alias("fill"),
+            F.min("start_in_seq").alias("lo"),
+            F.max("end_in_seq").alias("hi"),
+        )
+        .collect()
+    )
+    last_seq = {r["shard"]: r["m"] for r in m.groupBy("shard").agg(F.max("seq").alias("m")).collect()}
+    for r in per_seq:
+        assert r["lo"] == 0
+        if r["seq"] < last_seq[r["shard"]]:
+            assert r["fill"] == 10 and r["hi"] == 10
+        else:
+            assert r["fill"] == r["hi"] <= 10
