@@ -132,3 +132,56 @@ def merge_rollup(
             for c in sum_cols
         ]
     )
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Append a new table version: data lands in ``v=N/`` and a commit
+    file ``_v{N}.commit`` is written LAST — readers resolve the latest
+    version from commit files only, so a crashed half-written snapshot
+    (data without commit) is invisible. The raw-directory skeleton of a
+    Delta/Iceberg commit protocol; returns the new version number.
+
+    Version numbering is monotonic from the existing commit files; the
+    single-writer assumption is the caller's (real table formats add
+    the conditional-put/metastore lock this skeleton elides).
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    version = latest_version(path) + 1
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
+    with open(os.path.join(path, f"_v{version}.commit"), "w") as fh:
+        fh.write(str(df.schema.json()))
+    return version
+
+
+def latest_version(path: str) -> int:
+    """Largest committed version (-1 when the table has none)."""
+    import os
+    import re
+
+    if not os.path.isdir(path):
+        return -1
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(path)
+        if (m := re.fullmatch(r"_v(\d+)\.commit", f))
+    ]
+    return max(versions, default=-1)
+
+
+def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Time travel: read the table as of ``version`` (default: latest
+    committed). Reads only the requested version's directory — a scan
+    of one snapshot, not a log replay."""
+    import os
+
+    latest = latest_version(path)
+    if latest < 0:
+        raise ValueError(f"no committed versions under {path}")
+    v = latest if version is None else version
+    if v > latest or v < 0:
+        raise ValueError(f"version {v} not committed (latest is {latest})")
+    if not os.path.exists(os.path.join(path, f"_v{v}.commit")):
+        raise ValueError(f"version {v} has no commit file")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))

@@ -150,3 +150,29 @@ def test_hll_sketch_merge_equals_full_recompute(spark, sf_dir):
     # sanity: estimates are near truth for this cardinality (<=150/day)
     exact = {r.day: r.n for r in ev.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()}
     assert all(abs(got[d] - exact[d]) / exact[d] < 0.05 for d in exact)
+
+
+def test_snapshot_versioning_and_time_travel(spark, tmp_path):
+    import os
+
+    from iconic_data_science_spark.operators.lakehouse import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    p = str(tmp_path / "tbl")
+    assert latest_version(p) == -1
+    v0 = write_snapshot(spark.range(5), p)
+    v1 = write_snapshot(spark.range(8), p)
+    assert (v0, v1) == (0, 1)
+    assert read_snapshot(spark, p).count() == 8            # latest
+    assert read_snapshot(spark, p, version=0).count() == 5  # time travel
+    # a crashed writer (data, no commit) is invisible
+    spark.range(99).write.parquet(os.path.join(p, "v=2"))
+    assert latest_version(p) == 1
+    assert read_snapshot(spark, p).count() == 8
+    import pytest
+
+    with pytest.raises(ValueError, match="not committed"):
+        read_snapshot(spark, p, version=2)
