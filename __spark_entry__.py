@@ -4175,6 +4175,15 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_manifest(cat.documents, seq_len=512, shards=8)
 
 
+def q_text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/retrieval prep: 16-token
+    windows every 12 tokens (4-token overlap), map-side explode."""
+    from iconic_data_science_spark.operators.packing import chunk_documents
+
+    cat = _cat(spark, sf_dir)
+    return chunk_documents(cat.documents, chunk_tokens=16, stride=12)
+
+
 def q_pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-respecting next-fit bin packing (applyInPandas custom
     stateful operator — the sequential recurrence a window can't
@@ -4193,6 +4202,7 @@ QUERIES.update({
     "disambig_candidates": q_disambig_candidates,
     "pack_bins_nextfit": q_pack_bins_nextfit,
     "pack_manifest": q_pack_manifest,
+    "text_chunk_sliding": q_text_chunk_sliding,
     "text_bpe_encode": q_text_bpe_encode,
     "text_bpe_vocab": q_text_bpe_vocab,
     "curation_quality_gate": q_curation_quality_gate,
@@ -4227,6 +4237,23 @@ ORACLES["ev_attribution"] = """
 """
 
 ORACLES["text_bpe_encode"] = _bpe_oracle_sql(_BPE_MERGES)
+ORACLES["text_chunk_sliding"] = """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    x AS (
+        SELECT doc_id,
+               unnest([i for i in generate_series(0, (greatest(0, len(toks) - 16) + 11) // 12)]) AS ci,
+               unnest([array_to_string(list_slice(toks, i * 12 + 1, i * 12 + 16), ' ')
+                       for i in generate_series(0, (greatest(0, len(toks) - 16) + 11) // 12)]) AS ct
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(ci * 12 AS BIGINT) AS tok_start,
+           CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tokens,
+           ct AS chunk_text
+    FROM x
+"""
+
 ORACLES["pack_manifest"] = f"""
     WITH ps AS ({{PS}}),
     x AS (

@@ -283,3 +283,53 @@ def mix_epochs(
             ),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: overlapping ``chunk_tokens``-token
+    windows every ``stride`` tokens — the embedding/retrieval prep step
+    (overlap = chunk_tokens - stride keeps boundary context in two
+    chunks). The final window is the shorter tail; a document shorter
+    than one chunk yields exactly one window.
+
+    (doc_id, chunk_idx, tok_start, n_tokens, chunk_text) — integers
+    BIGINT, chunk_text the space-joined window. Map-side explode: no
+    shuffle, output rows ≈ corpus_tokens / stride.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("_t")
+    ).withColumn(
+        # number of windows: 1 + ceil(max(0, n - chunk) / stride)
+        "_nw",
+        (
+            F.lit(1)
+            + F.expr(
+                f"(greatest(0, size(_t) - {chunk_tokens}) + {stride - 1}) div {stride}"
+            )
+        ).cast("int"),
+    )
+    return base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nw") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("_t"), i * stride + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("tok_start"),
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_tokens"),
+        "chunk_text",
+    )

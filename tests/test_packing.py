@@ -208,3 +208,25 @@ def test_pack_manifest_spans_tile_sequences(spark):
             assert r["fill"] == 10 and r["hi"] == 10
         else:
             assert r["fill"] == r["hi"] <= 10
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from iconic_data_science_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g h i j", "s"),  # 10 tokens, chunk 4 stride 3
+        (2, "x y", "s"),                   # shorter than one chunk
+    ]
+    out = chunk_documents(_docs(spark, rows), chunk_tokens=4, stride=3).collect()
+    d1 = sorted((r["chunk_idx"], r["chunk_text"]) for r in out if r["doc_id"] == 1)
+    # windows: 1 + ceil((10-4)/3) = 3, starts 0/3/6, all full
+    assert d1 == [
+        (0, "a b c d"),
+        (1, "d e f g"),
+        (2, "g h i j"),
+    ]
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "x y" and d2[0]["n_tokens"] == 2
+    # every consecutive pair overlaps by chunk_tokens - stride = 1 token
+    for (i1, t1), (i2, t2) in zip(d1, d1[1:]):
+        assert t1.split(" ")[3:] == t2.split(" ")[:1]
