@@ -4448,6 +4448,137 @@ ORACLES["pack_manifest"] = ORACLES["pack_manifest"].replace(
 
 
 # ---------------------------------------------------------------------------
+# Round-2 continuation (session 3): lexical retrieval, semantic dedup
+# pruning, deterministic corpus shuffle, token-budget selection.
+
+_BM25_TERMS = ["customer", "merge", "spark", "window"]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 top-20 for a bag-of-words query — the corpus
+    search / hard-negative-mining retrieval surface. Scores are pure
+    BIGINT rational arithmetic (k1=6/5, b=3/4 cleared to integer
+    products), so the oracle reproduces them bit-for-bit; top-k is a
+    TakeOrdered sort+limit, never a global window."""
+    from iconic_data_science_spark.operators.retrieval import bm25_topk
+
+    cat = _cat(spark, sf_dir)
+    return bm25_topk(cat.documents, _BM25_TERMS, k=20)
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (arXiv 2303.09540): embeddings
+    land in deterministic hyperplane cells; within a cell a vector is
+    pruned when a lower-id vector covers it at cosine ≥ 0.4. Cell-scoped
+    equi-join — never all-pairs — with integer-lattice cosines."""
+    from iconic_data_science_spark.operators.similarity import semdedup_prune
+
+    cat = _cat(spark, sf_dir)
+    return semdedup_prune(cat.embeddings, threshold=0.4)
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training order: md5(seed:id) permutation with a
+    scale-correct distributed enumeration (range repartition →
+    per-partition counts → prefix-sum offsets → partition-local
+    row_number), not a single-partition window."""
+    from iconic_data_science_spark.operators.packing import seeded_shuffle
+
+    cat = _cat(spark, sf_dir)
+    return seeded_shuffle(cat.documents, seed=42)
+
+
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a per-source token budget (the
+    data-mixing cut): best documents first within each source until 800
+    tokens are spent; running sums windowed per source partition."""
+    from iconic_data_science_spark.operators.packing import select_token_budget
+
+    cat = _cat(spark, sf_dir)
+    return select_token_budget(cat.documents, budget_tokens=800)
+
+
+QUERIES.update({
+    "text_bm25_topk": q_text_bm25_topk,
+    "semdedup_prune": q_semdedup_prune,
+    "corpus_shuffle": q_corpus_shuffle,
+    "select_token_budget": q_select_token_budget,
+})
+
+from iconic_data_science_spark.operators.retrieval import bm25_oracle_sql as _bm25_oracle_sql  # noqa: E402
+
+ORACLES["text_bm25_topk"] = _bm25_oracle_sql(_BM25_TERMS, k=20)
+
+_SEMDEDUP_DOT = """list_reduce(
+    [CAST(round(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                * 1000000000000.0) AS BIGINT)
+     for i in generate_series(1, len(a.embedding))], (x, y) -> x + y)"""
+
+ORACLES["semdedup_prune"] = f"""
+    WITH pl AS (SELECT * FROM {{PLANES}}),
+    e AS (
+        SELECT vec_id, embedding,
+               list_reduce(
+                   [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0) AS BIGINT)
+                    for x in embedding], (a, b) -> a + b) AS sq
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, i, embedding[i] AS x
+        FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix
+    ),
+    dots AS (
+        SELECT vec_id, plane,
+               CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(coeff AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dot
+        FROM elems JOIN pl USING (i) GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+        FROM dots GROUP BY 1
+    ),
+    eb AS (SELECT e.*, sig.bucket FROM e JOIN sig USING (vec_id)),
+    pruned AS (
+        SELECT DISTINCT b.vec_id AS id
+        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_SEMDEDUP_DOT} / sqrt(CAST(a.sq AS DOUBLE) * CAST(b.sq AS DOUBLE)) >= 0.4
+    )
+    SELECT eb.vec_id, eb.bucket AS cell,
+           CAST(CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM eb LEFT JOIN pruned p ON p.id = eb.vec_id
+""".replace("{PLANES}", _plane_table_sql())
+
+ORACLES["corpus_shuffle"] = """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+"""
+
+ORACLES["select_token_budget"] = """
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+               CAST(LEAST(CAST(len(string_split(lower(text), ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0
+                   * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                      / CAST(length(text) AS BIGINT)) AS score
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM b
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration order = driver verification order.
 #
 # Round-1 evidence (CORRECTNESS_r01.json): the driver verified exactly the

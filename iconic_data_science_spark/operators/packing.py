@@ -333,3 +333,97 @@ def chunk_documents(
         F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_tokens"),
         "chunk_text",
     )
+
+
+def seeded_shuffle(
+    documents: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, shuffle_pos) — deterministic global training order.
+
+    A seeded pseudo-random permutation of the corpus: rows sort by
+    md5(seed:id) and receive their 1-based global position. The position
+    is the dataloader contract — the same seed yields the same order on
+    any engine, any partitioning, any run (unlike rand()/TABLESAMPLE).
+
+    Scale shape — the distributed global-enumeration recipe, NOT a
+    single-partition window: range-repartition on the shuffle key, sort
+    within partitions, count rows per partition, prefix-sum the counts
+    on a partitions-sized frame (broadcast back), then number within
+    each partition and add the partition's offset. Every step is
+    bounded by one partition's data except the counts frame, which has
+    one row per partition. Positions depend only on the total key
+    order, so partition boundaries (range-sampling) never change the
+    result.
+    """
+    spark = documents.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    keyed = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))).alias("skey"),
+    )
+    part = (
+        keyed.repartitionByRange(p, "skey")
+        .sortWithinPartitions("skey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    counts = part.groupBy("pid").agg(F.count("*").cast("long").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("long").alias("poffset")
+    )
+    w_rn = W.partitionBy("pid").orderBy("skey")
+    return (
+        part.join(F.broadcast(offsets), "pid")
+        .withColumn("shuffle_pos", (F.col("poffset") + F.row_number().over(w_rn)).cast("long"))
+        .select("doc_id", "shuffle_pos")
+    )
+
+
+def select_token_budget(
+    documents: DataFrame,
+    budget_tokens: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Quality-ranked selection under a per-source token budget.
+
+    The data-mixing step after scoring: within each source, take
+    documents best-quality-first until the source's token budget is
+    spent (a document is in iff the running total *through it* fits).
+    Quality is the engine's fixed-order-double heuristic
+    (operators/text.quality_score), so ranking is bit-reproducible;
+    everything else is integer.
+
+    Returns selected rows only:
+    (doc_id, source, n_tokens, cum_tokens) — cum_tokens ≤ budget.
+
+    Scale shape: one shuffle on source; the running sum is a window per
+    source partition (sources ≫ 1 in a crawl corpus — the global-budget
+    variant would instead reuse the seeded_shuffle prefix-sum recipe).
+    """
+    t = F.col(text_col)
+    toks = F.split(F.lower(t), " ")
+    n_chars = F.length(t).cast("long")
+    n_words = F.size(toks).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
+    score = F.least(n_words, F.lit(100)).cast("double") / F.lit(100.0) * (n_alpha / n_chars)
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n_words.alias("n_tokens"),
+        score.alias("score"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

@@ -1,0 +1,147 @@
+"""Sparse lexical retrieval over the ``documents`` table.
+
+BM25 top-k with *exact integer arithmetic*: the classic
+Robertson/Spärck-Jones BM25 (k1=1.2, b=0.75) rewritten as a rational
+expression whose numerator and denominator are pure BIGINT products, so
+Spark and any ANSI-SQL oracle produce bit-identical scores (the same
+discipline as ``g_pagerank_int`` — integer ``div``, no floats anywhere).
+
+With k1 = 6/5 and b = 3/4 the per-term score
+
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+becomes, after clearing fractions with avgdl = total_len/N,
+
+    idf_num * 44 * tf * total_len
+    -----------------------------------------------------
+    idf_den * (20*tf*total_len + 6*total_len + 18*dl*N)
+
+with idf_num = 2N - 2df + 1, idf_den = 2df + 1 (the +0.5-smoothed BM25
+idf, always positive). Each term contributes
+``(SCALE * num) div den`` and the floored contributions sum per
+document — deterministic, order-independent, engine-independent.
+
+Overflow bound: SCALE*44*tf*total_len*idf_num must stay below 2^63.
+With SCALE=1e5 that holds to ~1e4 docs × 1e5 total tokens; shrink SCALE
+(it only quantizes the score, ranking is unaffected beyond the
+quantum) for larger corpora.
+
+Scale shape: document length comes from ``size(split(...))`` per row
+(no shuffle); only tokens matching the query terms are exploded (the
+filter happens inside the array before the generator, so the shuffle
+carries |terms|·|docs| rows at most); df and the corpus stats are
+broadcast single-digit-row frames; the final top-k is a sort+limit
+(TakeOrderedAndProject), never a single-partition global window.
+
+The reference has no retrieval surface (its text artifact is the
+unqueried inverted index, /root/reference/data/samples/
+PaperAbstractsInvertedIndex.txt:1); this is a spec extension for the
+training-data use case (corpus search / hard-negative mining).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .dedup import words
+
+BM25_SCALE = 100_000
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    scale: int = BM25_SCALE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bm25_scaled, rank) — top-k documents for a bag-of-words
+    query under integer-exact BM25 (see module docstring).
+
+    Ties break on doc_id ascending; documents matching no term are not
+    returned (their score is 0).
+    """
+    terms = sorted(set(query_terms))
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        words(F.col(text_col)).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.filter("toks", lambda x: F.array_contains(terms_arr, x)).alias("hits"),
+    )
+    # Corpus stats: one broadcastable row (N docs, total token count).
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("hits").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "ts",
+            F.expr(
+                f"(CAST({scale} AS BIGINT) * 44 * tf * total_len * (2*n_docs - 2*df + 1)) div "
+                "((2*df + 1) * (20*tf*total_len + 6*total_len + 18*dl*n_docs))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("ts").cast("long").alias("bm25_scaled"))
+    )
+    topk = scored.orderBy(F.col("bm25_scaled").desc(), F.col("doc_id")).limit(k)
+    w = W.orderBy(F.col("bm25_scaled").desc(), F.col("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bm25_oracle_sql(query_terms: list[str], k: int = 20, scale: int = BM25_SCALE) -> str:
+    """DuckDB twin of :func:`bm25_topk` (same integer lattice; BIGINT
+    ``//`` in DuckDB matches BIGINT ``div`` in Spark for positive
+    operands)."""
+    terms = sorted(set(query_terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+                   list_filter(string_split(lower(text), ' '), x -> x IN ({in_list})) AS hits
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_len
+            FROM base
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+            FROM (SELECT doc_id, dl, unnest(hits) AS tok FROM base)
+            GROUP BY doc_id, tok
+        ),
+        dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        term AS (
+            SELECT tf.doc_id,
+                   (CAST({scale} AS BIGINT) * 44 * tf.tf * s.total_len
+                    * (2*s.n_docs - 2*dfr.df + 1))
+                   // ((2*dfr.df + 1)
+                       * (20*tf.tf*s.total_len + 6*s.total_len + 18*tf.dl*s.n_docs)) AS ts
+            FROM tf JOIN dfr USING (tok) CROSS JOIN stats s
+        ),
+        sc AS (
+            SELECT doc_id, CAST(sum(ts) AS BIGINT) AS bm25_scaled
+            FROM term GROUP BY doc_id
+        ),
+        r AS (
+            SELECT doc_id, bm25_scaled,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rank
+            FROM sc
+        )
+        SELECT doc_id, bm25_scaled, rank FROM r WHERE rank <= {k}
+    """

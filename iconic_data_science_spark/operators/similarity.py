@@ -429,3 +429,64 @@ def lsh_topk(
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     return _topk(pairs, k)
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning: (vec_id, cell, keep).
+
+    Cluster-then-prune (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication" — public
+    arXiv 2303.09540): vectors land in cells (here the deterministic
+    random-hyperplane signature; the paper uses k-means — the engine's
+    ``ivf_assign`` is the drop-in alternative), and within each cell a
+    vector is pruned when a *lower-id* vector in the same cell has
+    cosine ≥ threshold. keep=1 marks the retained corpus; every
+    duplicate group keeps exactly its minimum-id representative against
+    the members it directly covers (greedy per-pair rule, not
+    transitive closure — closure is ``dedup.dedup_clusters``).
+
+    Scale shape: the pairwise pass is cell-scoped (equi-join on the
+    signature), never all-pairs; cosines are integer-lattice exact, so
+    an ANSI oracle reproduces keep bit-for-bit. At 100 TB the cell key
+    partitions the self-join; skewed cells fall back to raising B
+    (more planes → smaller cells).
+    """
+    sig = lsh_signature(embeddings, id_col, vec_col, table=table)
+    e = _with_sqnorm(embeddings, id_col, vec_col).join(sig, "id")
+    lo = e.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"),
+        F.col("sq").alias("sq1"), F.col("bucket"),
+    )
+    hi = e.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"),
+        F.col("sq").alias("sq2"), F.col("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", _scaled_prod), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    cos = dot / F.sqrt(F.col("sq1").cast("double") * F.col("sq2").cast("double"))
+    pruned = (
+        lo.join(hi, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("id2").alias("id"))
+        .distinct()
+        .withColumn("pruned", F.lit(1))
+    )
+    return (
+        e.join(pruned, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("bucket").alias("cell"),
+            F.when(F.col("pruned").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )

@@ -355,3 +355,98 @@ def test_quality_percentile_gate_ties_and_rate(spark):
     # percent_rank)
     assert all(out[100 + i]["keep"] for i in range(5))
     assert {out[100 + i]["cume"] for i in range(5)} == {1.0}
+
+
+def test_bm25_semantics(spark):
+    from iconic_data_science_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),   # high tf for apple
+            (2, "apple banana cherry date"),   # one of each
+            (3, "cherry date elderberry fig"), # no query terms
+            (4, "apple apple banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["apple", "banana"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # zero-match docs absent
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, len(out) + 1))  # contiguous ranks
+    scores = {r.doc_id: r.bm25_scaled for r in out}
+    # doc 4 matches both terms with tf=2 each -> must outrank doc 2 (tf=1 each)
+    assert scores[4] > scores[2]
+    # deterministic: second run identical
+    out2 = bm25_topk(docs, ["apple", "banana"], k=10).collect()
+    assert {(r.doc_id, r.bm25_scaled, r.rank) for r in out2} == {
+        (r.doc_id, r.bm25_scaled, r.rank) for r in out
+    }
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    from iconic_data_science_spark.operators.retrieval import bm25_topk
+
+    # 'common' in every doc, 'rare' in one; equal tf and dl everywhere
+    docs = spark.createDataFrame(
+        [(i, "common filler pad x") for i in range(1, 9)]
+        + [(9, "common rare pad x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25_scaled for r in bm25_topk(docs, ["common", "rare"], k=10).collect()}
+    assert out[9] > out[1]  # the rare-term doc wins
+
+
+def test_semdedup_keeps_min_id_of_identical_vectors(spark):
+    from iconic_data_science_spark.operators.similarity import semdedup_prune
+
+    v = [float((i * 7) % 13 - 6) for i in range(64)]
+    w = [float((i * 5) % 11 - 5) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, v), (2, v), (3, v), (10, w)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (r.keep, r.cell) for r in semdedup_prune(emb, threshold=0.99).collect()}
+    assert out[1][0] == 1 and out[2][0] == 0 and out[3][0] == 0
+    assert out[10][0] == 1  # different direction, different or non-covered
+    # identical vectors share a cell
+    assert out[1][1] == out[2][1] == out[3][1]
+
+
+def test_seeded_shuffle_is_permutation_and_partition_invariant(spark, sf_dir):
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.packing import seeded_shuffle
+
+    docs = Catalog(spark, sf_dir).documents
+    n = docs.count()
+    out = seeded_shuffle(docs, seed=42)
+    pos = sorted(r.shuffle_pos for r in out.collect())
+    assert pos == list(range(1, n + 1))  # exact permutation of 1..N
+    # invariant to the partition count used for the enumeration
+    m1 = {r.doc_id: r.shuffle_pos for r in out.collect()}
+    m2 = {r.doc_id: r.shuffle_pos for r in seeded_shuffle(docs, seed=42, partitions=3).collect()}
+    assert m1 == m2
+    # a different seed is a different permutation
+    m3 = {r.doc_id: r.shuffle_pos for r in seeded_shuffle(docs, seed=7).collect()}
+    assert m3 != m1
+
+
+def test_select_token_budget_greedy_prefix(spark, sf_dir):
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.packing import select_token_budget
+
+    docs = Catalog(spark, sf_dir).documents
+    budget = 500
+    out = select_token_budget(docs, budget_tokens=budget).collect()
+    assert out, "budget selected nothing"
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r.cum_tokens)
+        # running total is consistent and within budget
+        cum = 0
+        for r in rows:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+        assert rows[-1].cum_tokens <= budget
