@@ -4498,11 +4498,37 @@ def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_token_budget(cat.documents, budget_tokens=800)
 
 
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the MAG-format abstract inverted index from text — the
+    write-side twin of reconstruct_abstract (F7 surface; the reference
+    ships the artifact, data/samples/PaperAbstractsInvertedIndex.txt:1,
+    but never builds or queries it). Deterministic sorted-key
+    serialization so the JSON hashes identically in both engines."""
+    from iconic_data_science_spark.operators.text import build_inverted_index
+
+    cat = _cat(spark, sf_dir)
+    return build_inverted_index(cat.documents)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (Jégou et al. 2011): 8 subspaces
+    × 16 codewords, corpus vectors touched only through their 8 codes,
+    per-query distance table broadcast — the memory-compressed third
+    ANN scale path beside hyperplane LSH and IVF. All-BIGINT lattice
+    distances, so the oracle reproduces ranks exactly."""
+    from iconic_data_science_spark.operators.similarity import pq_topk
+
+    cat = _cat(spark, sf_dir)
+    return pq_topk(cat.embeddings, _ann_queries(cat), k=5, m=8, n_codes=16)
+
+
 QUERIES.update({
     "text_bm25_topk": q_text_bm25_topk,
     "semdedup_prune": q_semdedup_prune,
     "corpus_shuffle": q_corpus_shuffle,
     "select_token_budget": q_select_token_budget,
+    "text_inverted_index": q_text_inverted_index,
+    "ann_pq_topk": q_ann_pq_topk,
 })
 
 from iconic_data_science_spark.operators.retrieval import bm25_oracle_sql as _bm25_oracle_sql  # noqa: E402
@@ -4575,6 +4601,86 @@ ORACLES["select_token_budget"] = """
         FROM b
     )
     SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800
+"""
+
+_PQ_LAT = "CAST(round(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) * 1000000000000.0) AS BIGINT)"
+
+ORACLES["ann_pq_topk"] = f"""
+    WITH subs AS (
+        SELECT vec_id AS id, s AS sub,
+               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) mm
+    ),
+    subs2 AS (
+        SELECT id, sub, sv,
+               list_reduce([{_PQ_LAT.format(x="x", y="x")} for x in sv],
+                           (a, b) -> a + b) AS sv_sq
+        FROM subs
+    ),
+    cb AS (
+        SELECT sub, id AS c_id, sv AS c_v, sv_sq AS c_sq
+        FROM subs2 WHERE id < 16
+    ),
+    scored AS (
+        SELECT s.id, s.sub, c.c_id, c.c_sq,
+               s.sv_sq
+               - 2 * list_reduce([{_PQ_LAT.format(x="s.sv[i]", y="c.c_v[i]")}
+                                  for i in generate_series(1, len(s.sv))], (x, y) -> x + y)
+               + c.c_sq AS d
+        FROM subs2 s JOIN cb c USING (sub)
+    ),
+    codes AS (
+        SELECT id, sub, c_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id, sub ORDER BY d ASC, c_id ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT * FROM subs2 WHERE id % 50 = 0),
+    dtable AS (
+        SELECT q.id AS query_id, q.sub, c.c_id,
+               q.sv_sq
+               - 2 * list_reduce([{_PQ_LAT.format(x="q.sv[i]", y="c.c_v[i]")}
+                                  for i in generate_series(1, len(q.sv))], (x, y) -> x + y)
+               + c.c_sq AS d
+        FROM q JOIN cb c USING (sub)
+    ),
+    sums AS (
+        SELECT d.query_id, codes.id, CAST(SUM(d.d) AS BIGINT) AS approx_d_scaled
+        FROM codes JOIN dtable d ON codes.sub = d.sub AND codes.c_id = d.c_id
+        WHERE d.query_id <> codes.id
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY approx_d_scaled ASC, id ASC) AS rnk
+        FROM sums
+    )
+    SELECT query_id, id AS neighbor_id, approx_d_scaled,
+           CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 5
+"""
+
+ORACLES["text_inverted_index"] = """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    p AS (
+        SELECT doc_id,
+               unnest([toks[i] for i in generate_series(1, len(toks))]) AS word,
+               unnest([i - 1 for i in generate_series(1, len(toks))]) AS pos
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id, word,
+               '[' || string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) || ']' AS poss
+        FROM p GROUP BY doc_id, word
+    ),
+    n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS index_length FROM t)
+    SELECT n.doc_id, n.index_length,
+           '{"IndexLength":' || n.index_length || ',"InvertedIndex":{'
+               || string_agg('"' || g.word || '":' || g.poss, ',' ORDER BY g.word)
+               || '}}' AS inverted_index_json
+    FROM g JOIN n USING (doc_id)
+    GROUP BY n.doc_id, n.index_length
 """
 
 

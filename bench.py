@@ -54,6 +54,13 @@ HEADLINE = [
     "dedup_passage",
     "text_bpe_encode",
     "ev_attribution",
+    # session-3 additions: lexical retrieval, semantic pruning, PQ-ANN,
+    # deterministic corpus order, inverted-index build
+    "text_bm25_topk",
+    "semdedup_prune",
+    "ann_pq_topk",
+    "corpus_shuffle",
+    "text_inverted_index",
 ]
 
 

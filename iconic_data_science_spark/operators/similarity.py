@@ -490,3 +490,149 @@ def semdedup_prune(
             .alias("keep"),
         )
     )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebook + code assignment (Jégou et al.
+    2011, "Product quantization for nearest neighbor search" — public
+    TPAMI/INRIA paper).
+
+    The vector splits into ``m`` contiguous subvectors; each subspace
+    gets a ``n_codes``-entry codebook and every corpus subvector is
+    assigned its nearest codeword by squared L2 — computed entirely on
+    the integer product lattice (d = sq_x - 2*dot + sq_c with every
+    product rounded to BIGINT), so assignment ties and the ADC
+    distances below are engine-exact.
+
+    Codebook discipline: the subvectors of the ``n_codes`` lowest-id
+    corpus vectors (the same deterministic seeding the IVF oracle path
+    uses; a production deployment would swap in per-subspace k-means —
+    ``kmeans_centroids`` — at the cost of float centroids and a
+    rows-only check).
+
+    Returns (codebook, codes):
+      codebook — (sub, c_id, c_v, c_sq): m*n_codes rows, broadcastable.
+      codes    — (id, sub, c_id): m rows per corpus vector.
+    """
+    dim_over_m = F.floor(F.size(F.col(vec_col)) / m).cast("int")
+    subs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(
+                    F.col(vec_col), s * dim_over_m + 1, dim_over_m
+                ),
+            )
+        ).alias("sub", "sv"),
+    ).withColumn(
+        "sv_sq",
+        F.aggregate(
+            F.transform("sv", lambda x: _scaled_prod(x, x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    codebook = (
+        subs.filter(F.col("id") < n_codes)
+        .select(
+            "sub",
+            F.col("id").alias("c_id"),
+            F.col("sv").alias("c_v"),
+            F.col("sv_sq").alias("c_sq"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("sv", "c_v", _scaled_prod), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    scored = (
+        subs.join(F.broadcast(codebook), "sub")
+        .select(
+            "id", "sub", "c_id", "c_sq",
+            (F.col("sv_sq") - 2 * dot + F.col("c_sq")).alias("d"),
+        )
+    )
+    # argmin as min(struct(d, c_id)): lexicographic struct ordering IS
+    # the (distance, codeword-id) tie rule, and a partial-aggregating
+    # groupBy beats a window sort over the |corpus|*m*n_codes fan-out
+    codes = (
+        scored.groupBy("id", "sub")
+        .agg(F.min(F.struct("d", "c_id")).alias("best"))
+        .select("id", "sub", F.col("best.c_id").alias("c_id"))
+    )
+    return codebook, codes
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_d_scaled, rank) — asymmetric
+    distance computation (ADC) top-k over PQ codes: each query builds a
+    distance table to all m*n_codes codewords; a corpus vector's
+    approximate squared distance is the sum over subspaces of the
+    query-to-assigned-codeword entries. All BIGINT on the product
+    lattice — no floats, exact oracle.
+
+    Scale shape: corpus vectors are touched only through their m codes
+    (the memory-compression point of PQ — 8 bytes/vector here vs 256);
+    the distance table (|queries|·m·n_codes rows) broadcasts; the only
+    shuffle is the (query_id, id) partial-sum aggregation, and top-k is
+    a per-query window. Smaller-is-nearer; ties break on neighbor id.
+    """
+    codebook, codes = pq_codes(embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(
+                    F.col(vec_col),
+                    s * F.floor(F.size(F.col(vec_col)) / m).cast("int") + 1,
+                    F.floor(F.size(F.col(vec_col)) / m).cast("int"),
+                ),
+            )
+        ).alias("sub", "qv"),
+    ).withColumn(
+        "qv_sq",
+        F.aggregate(
+            F.transform("qv", lambda x: _scaled_prod(x, x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "c_v", _scaled_prod), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    dtable = qsubs.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "c_id",
+        (F.col("qv_sq") - 2 * qdot + F.col("c_sq")).alias("d"),
+    )
+    sums = (
+        codes.join(F.broadcast(dtable), ["sub", "c_id"])
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("d").alias("approx_d_scaled"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_d_scaled").asc(), F.col("id").asc())
+    return (
+        sums.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "approx_d_scaled",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

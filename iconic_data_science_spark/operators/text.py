@@ -449,3 +449,50 @@ def quality_percentile_gate(
             "keep", F.col("cume") > F.lit(drop_bottom_pct).cast("double") / 100.0
         )
     )
+
+
+def build_inverted_index(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, index_length, inverted_index_json) — build the MAG
+    abstract inverted index from text: the write-side twin of
+    :func:`reconstruct_abstract` (format ``{"IndexLength":N,
+    "InvertedIndex":{word:[pos...]}}``, /root/reference/data/samples/
+    PaperAbstractsInvertedIndex.txt:1). The reference only ever ships
+    this artifact; here it round-trips —
+    ``reconstruct_abstract(build_inverted_index(t)) == t``.
+
+    Positions are 0-based token offsets; map keys sort ascending so the
+    serialization is deterministic (MAG's own key order is arbitrary).
+    Scale shape: one doc-keyed shuffle (the posexplode fan-out groups
+    straight back to doc_id); everything else is map-side built-ins.
+    """
+    toks = words(F.col(text_col))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("index_length"),
+        F.posexplode(toks).alias("pos", "word"),
+    )
+    per_word = base.groupBy("doc_id", "word").agg(
+        F.max("index_length").alias("index_length"),
+        F.array_sort(F.collect_list("pos")).alias("poss"),
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.max("index_length").alias("index_length"),
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("word", "poss")))
+            ).alias("inv"),
+        )
+        .select(
+            "doc_id",
+            "index_length",
+            F.to_json(
+                F.struct(
+                    F.col("index_length").cast("int").alias("IndexLength"),
+                    F.col("inv").alias("InvertedIndex"),
+                )
+            ).alias("inverted_index_json"),
+        )
+    )

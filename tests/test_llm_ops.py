@@ -450,3 +450,58 @@ def test_select_token_budget_greedy_prefix(spark, sf_dir):
             cum += r.n_tokens
             assert r.cum_tokens == cum
         assert rows[-1].cum_tokens <= budget
+
+
+def test_inverted_index_roundtrip(spark, sf_dir):
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.text import build_inverted_index, reconstruct_abstract
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = build_inverted_index(docs)
+    back = idx.select(
+        "doc_id", reconstruct_abstract("inverted_index_json").alias("rebuilt")
+    )
+    joined = docs.select("doc_id", F.lower(F.col("text")).alias("orig")).join(back, "doc_id")
+    bad = joined.filter(F.col("orig") != F.col("rebuilt")).count()
+    assert bad == 0  # build -> reconstruct is the identity (lowercased)
+
+
+def test_pq_duplicate_ranks_first(spark):
+    from iconic_data_science_spark.operators.similarity import pq_topk
+
+    # 16 spread codeword-source vectors (ids 0-15), a far-away probe (id
+    # 100) and its exact duplicate (id 101): ADC must rank the duplicate
+    # first — identical codes => identical (minimal) table sums.
+    import itertools
+
+    rows = []
+    for i in range(16):
+        rows.append((i, [float(((i * 13 + j * 7) % 17) - 8) for j in range(64)]))
+    probe = [float(((j * 11) % 19) - 9) * 3.0 for j in range(64)]
+    rows.append((100, probe))
+    rows.append((101, list(probe)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 100)
+    out = pq_topk(emb, q, k=3, m=8, n_codes=16).collect()
+    assert out[0].neighbor_id == 101 and out[0].rank == 1
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.similarity import brute_force_topk, pq_topk
+
+    cat = Catalog(spark, sf_dir)
+    queries = cat.embeddings.filter(F.col("vec_id") % 50 == 0)
+    bf = brute_force_topk(cat.embeddings, queries, k=5).collect()
+    pq = pq_topk(cat.embeddings, queries, k=5, m=8, n_codes=16).collect()
+    bf_sets: dict[int, set] = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pq_sets: dict[int, set] = {}
+    for r in pq:
+        pq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf_sets[q] & pq_sets.get(q, set())) for q in bf_sets)
+    total = sum(len(s) for s in bf_sets.values())
+    # 16-codeword PQ over random synthetic vectors is coarse; this is a
+    # sanity floor (it's an approximation, not a correctness gate)
+    assert hits / total >= 0.1, f"PQ recall {hits}/{total}"
