@@ -4522,6 +4522,31 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(cat.embeddings, _ann_queries(cat), k=5, m=8, n_codes=16)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup — the new-batch-vs-persisted-index
+    shape of a continuously-crawled corpus (even doc_ids play the
+    existing corpus, odd the incoming batch): cross-side band-bucket
+    candidates only, exact-Jaccard verified. The oracle states the
+    equivalence: the cross-side slice of the full-corpus LSH join."""
+    from iconic_data_science_spark.operators.dedup import minhash_lsh_incremental
+
+    cat = _cat(spark, sf_dir)
+    corpus = cat.documents.filter(F.col("doc_id") % 2 == 0)
+    new_docs = cat.documents.filter(F.col("doc_id") % 2 == 1)
+    return minhash_lsh_incremental(corpus, new_docs, n=3, num_perm=16, rows_per_band=4, threshold=0.5)
+
+
+def q_ts_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-volume anomaly flags (|z| > 2 vs the corpus-wide
+    hourly mean): BIGINT counts and BIGINT moment sums, one broadcast
+    stats row — the feed-monitoring primitive, with no double
+    aggregation anywhere."""
+    from iconic_data_science_spark.operators.timeseries import anomaly_hours
+
+    cat = _cat(spark, sf_dir)
+    return anomaly_hours(cat.events, z=2.0)
+
+
 QUERIES.update({
     "text_bm25_topk": q_text_bm25_topk,
     "semdedup_prune": q_semdedup_prune,
@@ -4529,6 +4554,8 @@ QUERIES.update({
     "select_token_budget": q_select_token_budget,
     "text_inverted_index": q_text_inverted_index,
     "ann_pq_topk": q_ann_pq_topk,
+    "dedup_incremental": q_dedup_incremental,
+    "ts_anomaly_hours": q_ts_anomaly_hours,
 })
 
 from iconic_data_science_spark.operators.retrieval import bm25_oracle_sql as _bm25_oracle_sql  # noqa: E402
@@ -4601,6 +4628,43 @@ ORACLES["select_token_budget"] = """
         FROM b
     )
     SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800
+"""
+
+# Incremental dedup == the cross-side slice of the full-corpus LSH join
+# (band signatures don't depend on the corpus/batch split; verify is
+# pair-local) — the oracle says exactly that.
+ORACLES["dedup_incremental"] = f"""
+    SELECT CASE WHEN id1 % 2 = 0 THEN id1 ELSE id2 END AS corpus_id,
+           CASE WHEN id1 % 2 = 0 THEN id2 ELSE id1 END AS new_id,
+           jaccard
+    FROM ({ORACLES["dedup_minhash_lsh"]})
+    WHERE (id1 % 2) <> (id2 % 2)
+"""
+
+ORACLES["ts_anomaly_hours"] = """
+    WITH hourly AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS h,
+               CAST(SUM(n_events) AS BIGINT) AS tot,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS sqtot
+        FROM hourly
+    )
+    SELECT window_start_us, n_events,
+           (CAST(n_events AS DOUBLE) - CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
+               / sqrt(CAST(sqtot AS DOUBLE) / CAST(h AS DOUBLE)
+                      - (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
+                        * (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))) AS deviation,
+           CAST(CASE WHEN abs(
+                   (CAST(n_events AS DOUBLE) - CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
+                   / sqrt(CAST(sqtot AS DOUBLE) / CAST(h AS DOUBLE)
+                          - (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
+                            * (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE)))
+               ) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM hourly CROSS JOIN stats
 """
 
 _PQ_LAT = "CAST(round(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) * 1000000000000.0) AS BIGINT)"

@@ -61,6 +61,8 @@ HEADLINE = [
     "ann_pq_topk",
     "corpus_shuffle",
     "text_inverted_index",
+    # incremental (batch-vs-index) dedup — the production crawl shape
+    "dedup_incremental",
 ]
 
 

@@ -709,3 +709,61 @@ def simhash_near_pairs(
         "id2",
         F.bit_count(F.expr("s1 ^ s2")).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash dedup: (corpus_id, new_id, jaccard) — which
+    documents of an incoming batch near-duplicate the EXISTING corpus.
+
+    The production shape for continuously-crawled data: the corpus side
+    (band signatures + shingle-set sizes) is the persisted dedup index a
+    deployment writes once and reuses per batch; only the new batch is
+    shingled fresh, and candidates come from the cross-side band-bucket
+    join — corpus×corpus pairs are never generated or verified. Verify
+    is exact Jaccard restricted to candidate docs, same as the batch
+    operator, so (given disjoint id spaces) the result equals the
+    cross-side slice of ``minhash_lsh_pairs`` over the concatenation —
+    which is exactly how the oracle states it.
+    """
+    ca = hashed_shingle_arrays(corpus, n=n, id_col=id_col, text_col=text_col).localCheckpoint()
+    na = hashed_shingle_arrays(new_docs, n=n, id_col=id_col, text_col=text_col).localCheckpoint()
+    cs = minhash_band_sigs_from_arrays(ca, num_perm=num_perm, rows_per_band=rows_per_band).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_sig"
+    )
+    ns = minhash_band_sigs_from_arrays(na, num_perm=num_perm, rows_per_band=rows_per_band).select(
+        F.col("doc_id").alias("new_id"), "band", "band_sig"
+    )
+    cands = cs.join(ns, ["band", "band_sig"]).select("corpus_id", "new_id").distinct()
+    shc = ca.join(
+        cands.select(F.col("corpus_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("corpus_id"), F.explode("shingles").alias("shingle"))
+    shn = na.join(
+        cands.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("new_id"), F.explode("shingles").alias("shingle"))
+    inter = (
+        shc.join(shn, "shingle")
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count("*").alias("inter"))
+        .join(cands, ["corpus_id", "new_id"], "left_semi")
+    )
+    szc = ca.select(F.col("doc_id").alias("corpus_id"), F.size("shingles").alias("sz1"))
+    szn = na.select(F.col("doc_id").alias("new_id"), F.size("shingles").alias("sz2"))
+    return (
+        inter.join(szc, "corpus_id")
+        .join(szn, "new_id")
+        .select(
+            "corpus_id",
+            "new_id",
+            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

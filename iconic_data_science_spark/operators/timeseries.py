@@ -41,3 +41,49 @@ def multi_grain_counts(
         .groupBy("gb.grain", "gb.bucket_us", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def anomaly_hours(
+    events: DataFrame,
+    z: float = 2.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(window_start_us, n_events, deviation, is_anomaly) — hourly event
+    volumes flagged when they sit more than ``z`` standard deviations
+    from the corpus-wide hourly mean (the monitoring/drift primitive a
+    continuously-ingesting pipeline runs over every feed).
+
+    Determinism discipline: hourly counts are BIGINT; the global mean
+    and population variance derive from two BIGINT sums (Σn, Σn²) in one
+    broadcastable row, so ``deviation = (n - mean)/sd`` is the same
+    fixed-order double expression in both engines — no double
+    aggregation anywhere. ``is_anomaly`` is BIGINT 0/1 for hashing.
+
+    Scale shape: one hour-keyed partial-aggregated shuffle; the stats
+    row broadcasts back (never a global window over the fact side).
+    """
+    hourly = (
+        events.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col(ts_col))).alias("window_start_us")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    stats = hourly.agg(
+        F.count("*").cast("long").alias("h"),
+        F.sum("n_events").cast("long").alias("tot"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("sqtot"),
+    )
+    mean = F.col("tot").cast("double") / F.col("h").cast("double")
+    var = F.col("sqtot").cast("double") / F.col("h").cast("double") - mean * mean
+    dev = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .select(
+            "window_start_us",
+            "n_events",
+            dev.alias("deviation"),
+            F.when(F.abs(dev) > F.lit(z), F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )

@@ -505,3 +505,42 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
     # 16-codeword PQ over random synthetic vectors is coarse; this is a
     # sanity floor (it's an approximation, not a correctness gate)
     assert hits / total >= 0.1, f"PQ recall {hits}/{total}"
+
+
+def test_incremental_dedup_equals_cross_side_slice(spark, sf_dir):
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.dedup import minhash_lsh_incremental, minhash_lsh_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    full = minhash_lsh_pairs(docs, n=3, num_perm=16, rows_per_band=4, threshold=0.5).collect()
+    cross = {
+        ((r.id1, r.id2) if r.id1 % 2 == 0 else (r.id2, r.id1), round(r.jaccard, 12))
+        for r in full
+        if (r.id1 % 2) != (r.id2 % 2)
+    }
+    inc = minhash_lsh_incremental(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=3, num_perm=16, rows_per_band=4, threshold=0.5,
+    ).collect()
+    got = {((r.corpus_id, r.new_id), round(r.jaccard, 12)) for r in inc}
+    assert got == cross
+
+
+def test_anomaly_hours_flags_injected_spike(spark):
+    from iconic_data_science_spark.operators.timeseries import anomaly_hours
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    for h in range(24):
+        n = 10 if h != 12 else 500  # hour 12 is a massive spike
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i % 3600)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r.window_start_us: r for r in anomaly_hours(ev, z=2.0).collect()}
+    spike_us = int(dt.datetime(2024, 1, 1, 12, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    flagged = [r for r in out.values() if r.is_anomaly == 1]
+    assert len(flagged) == 1 and flagged[0].n_events == 500
