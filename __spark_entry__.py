@@ -4547,6 +4547,57 @@ def q_ts_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_hours(cat.events, z=2.0)
 
 
+def q_lh_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot/CDC diff between two table versions (the audit
+    companion to the write_snapshot/read_snapshot time-travel module):
+    added / removed / changed per key, detected on narrow md5
+    fingerprints instead of full payload comparison. Versions are
+    derived deterministically from the documents table (v_old drops
+    doc_id%7==0, v_new drops %5==0 and edits %11==0)."""
+    from iconic_data_science_spark.operators.lakehouse import snapshot_diff
+
+    cat = _cat(spark, sf_dir)
+    d = cat.documents
+    old = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text", "source")
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return snapshot_diff(old, new, keys=["doc_id"], compare_cols=["text", "source"])
+
+
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: ground-truth lang × predicted lang
+    doc counts — the eval harness for the stopword-vote classifier
+    (precision/recall per language fall straight out of the cells)."""
+    from iconic_data_science_spark.operators.text import language_id
+
+    cat = _cat(spark, sf_dir)
+    li = language_id(cat.documents)
+    return (
+        cat.documents.select("doc_id", "lang")
+        .join(li, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def q_text_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid search: BM25 top-20 lexical candidates, then
+    embedding-cosine rerank against the top hit's vector (integer
+    lattice — fully oracled). The standard retrieval stack shape:
+    cheap sparse recall, dense precision on a bounded candidate set."""
+    from iconic_data_science_spark.operators.retrieval import bm25_embed_rerank
+
+    cat = _cat(spark, sf_dir)
+    return bm25_embed_rerank(
+        cat.documents, cat.embeddings, _BM25_TERMS, k_candidates=20, k=10
+    )
+
+
 QUERIES.update({
     "text_bm25_topk": q_text_bm25_topk,
     "semdedup_prune": q_semdedup_prune,
@@ -4556,6 +4607,9 @@ QUERIES.update({
     "ann_pq_topk": q_ann_pq_topk,
     "dedup_incremental": q_dedup_incremental,
     "ts_anomaly_hours": q_ts_anomaly_hours,
+    "lh_snapshot_diff": q_lh_snapshot_diff,
+    "text_lang_confusion": q_text_lang_confusion,
+    "text_bm25_rerank": q_text_bm25_rerank,
 })
 
 from iconic_data_science_spark.operators.retrieval import bm25_oracle_sql as _bm25_oracle_sql  # noqa: E402
@@ -4665,6 +4719,64 @@ ORACLES["ts_anomaly_hours"] = """
                             * (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE)))
                ) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM hourly CROSS JOIN stats
+"""
+
+ORACLES["lh_snapshot_diff"] = """
+    WITH v_old AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0
+    ),
+    v_new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END AS text,
+               source
+        FROM documents WHERE doc_id % 5 <> 0
+    ),
+    o AS (SELECT doc_id, md5(text || chr(31) || source) AS fp FROM v_old),
+    n AS (SELECT doc_id, md5(text || chr(31) || source) AS fp FROM v_new),
+    j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed' END AS change_type
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, change_type FROM j WHERE change_type IS NOT NULL
+"""
+
+ORACLES["text_lang_confusion"] = f"""
+    WITH li AS ({ORACLES["text_language_id"]})
+    SELECT d.lang, li.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM li JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+"""
+
+_RERANK_LAT = "CAST(round(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) * 1000000000000.0) AS BIGINT)"
+
+ORACLES["text_bm25_rerank"] = f"""
+    WITH cand AS ({_bm25_oracle_sql(_BM25_TERMS, k=20)}),
+    vecs AS (
+        SELECT vec_id AS doc_id, embedding,
+               list_reduce([{_RERANK_LAT.format(x="x", y="x")} for x in embedding],
+                           (a, b) -> a + b) AS sq
+        FROM embeddings
+    ),
+    anchor AS (
+        SELECT v.embedding AS a_v, v.sq AS a_sq
+        FROM cand c JOIN vecs v USING (doc_id) WHERE c.rank = 1
+    ),
+    scored AS (
+        SELECT c.doc_id, c.bm25_scaled,
+               list_reduce([{_RERANK_LAT.format(x="v.embedding[i]", y="a.a_v[i]")}
+                            for i in generate_series(1, len(v.embedding))], (x, y) -> x + y)
+               / sqrt(CAST(v.sq AS DOUBLE) * CAST(a.a_sq AS DOUBLE)) AS cosine
+        FROM cand c JOIN vecs v USING (doc_id) CROSS JOIN anchor a
+    ),
+    r AS (
+        SELECT doc_id, bm25_scaled, cosine,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rerank
+        FROM scored
+    )
+    SELECT doc_id, bm25_scaled, cosine, rerank FROM r WHERE rerank <= 10
 """
 
 _PQ_LAT = "CAST(round(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) * 1000000000000.0) AS BIGINT)"

@@ -145,3 +145,69 @@ def bm25_oracle_sql(query_terms: list[str], k: int = 20, scale: int = BM25_SCALE
         )
         SELECT doc_id, bm25_scaled, rank FROM r WHERE rank <= {k}
     """
+
+
+def bm25_embed_rerank(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    k_candidates: int = 20,
+    k: int = 10,
+    scale: int = BM25_SCALE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 candidate generation, embedding rerank.
+
+    (doc_id, bm25_scaled, cosine, rerank) — the standard two-stage
+    search stack: the lexical stage returns ``k_candidates`` docs, the
+    top lexical hit's embedding becomes the semantic anchor, and the
+    candidates rerank by integer-lattice cosine to it (ties on doc_id).
+    Everything stays engine-exact: BM25 is all-BIGINT, cosines come off
+    the product lattice.
+
+    Scale shape: stage 1 is the bm25_topk plan (scan + tiny shuffles +
+    TakeOrdered); stage 2 touches only k_candidates rows — the anchor
+    vector and the candidate set both broadcast against the embedding
+    table (two id-equi joins), and the final sort is k_candidates rows.
+    """
+    from .dedup import DOT_SCALE
+
+    def _scaled(x, y):
+        return F.round(x.cast("double") * y.cast("double") * F.lit(DOT_SCALE)).cast("long")
+
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: _scaled(x, x)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cand = bm25_topk(
+        documents, query_terms, k=k_candidates, scale=scale, id_col=id_col, text_col=text_col
+    )
+    vecs = embeddings.select(
+        F.col(vec_id_col).alias("doc_id"), F.col(vec_col).alias("v"), sq.alias("sq")
+    )
+    anchor = (
+        cand.filter(F.col("rank") == 1)
+        .join(vecs, "doc_id")
+        .select(F.col("v").alias("a_v"), F.col("sq").alias("a_sq"))
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "a_v", _scaled), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    scored = (
+        cand.join(vecs, "doc_id")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "doc_id",
+            "bm25_scaled",
+            (dot / F.sqrt(F.col("sq").cast("double") * F.col("a_sq").cast("double"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    topk = scored.orderBy(F.col("cosine").desc(), F.col("doc_id")).limit(k)
+    w = W.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return topk.withColumn("rerank", F.row_number().over(w).cast("long"))

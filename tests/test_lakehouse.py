@@ -176,3 +176,35 @@ def test_snapshot_versioning_and_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not committed"):
         read_snapshot(spark, p, version=2)
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from pyspark.sql import functions as F
+    from iconic_data_science_spark.operators.lakehouse import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")], "id long, txt string, src string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "s1"), (3, "c-edited", "s2"), (4, "d", "s3")], "id long, txt string, src string"
+    )
+    out = {r.id: r.change_type for r in snapshot_diff(old, new, ["id"], ["txt", "src"]).collect()}
+    assert out == {1: "removed", 3: "changed", 4: "added"}  # id 2 unchanged -> absent
+
+
+def test_snapshot_diff_roundtrip_with_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from iconic_data_science_spark.operators.lakehouse import (
+        read_snapshot, snapshot_diff, write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    d1 = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("val"))
+    write_snapshot(d1, path)
+    d2 = spark.range(2, 12).select(F.col("id"), (F.col("id") * 2 + (F.col("id") == 5).cast("long")).alias("val"))
+    write_snapshot(d2, path)
+    diff = snapshot_diff(
+        read_snapshot(spark, path, 0), read_snapshot(spark, path, 1), ["id"], ["val"]
+    )
+    out = {r.id: r.change_type for r in diff.collect()}
+    assert out == {0: "removed", 1: "removed", 10: "added", 11: "added", 5: "changed"}
