@@ -4945,10 +4945,38 @@ _ROUND2_FRONT = [
     "ts_multi_grain_counts",
     "sample_stratified",
     "j_full_outer_halves",
+    # round-2 continuation additions (oracled, never driver-verified):
+    # training-batch assembly, BPE, event analytics, disambiguation
+    "pack_sequences",
+    "dedup_passage",
+    "mix_epochs",
+    "pack_bins_nextfit",
+    "pack_manifest",
+    "text_chunk_sliding",
+    "text_bpe_encode",
+    "curation_quality_gate",
+    "ev_attribution",
+    "disambig_candidates",
+    "w_ntile_balance_quartiles",
+    # session-3 additions (oracled): retrieval, semantic dedup,
+    # deterministic ordering, incremental dedup, CDC diff
+    "text_bm25_topk",
+    "text_bm25_rerank",
+    "semdedup_prune",
+    "ann_pq_topk",
+    "corpus_shuffle",
+    "select_token_budget",
+    "text_inverted_index",
+    "dedup_incremental",
+    "ts_anomaly_hours",
+    "lh_snapshot_diff",
+    "text_lang_confusion",
     # rows-only (weakest signal) at the tail of the front block
     "mm_byte_histogram",
     "mm_media_stats",
     "mm_decode_stats",
+    "mm_frame_sample",
+    "text_bpe_vocab",
     "ann_ivf_kmeans",
 ]
 

@@ -121,3 +121,45 @@ def test_funnel_stage_scans_push_event_type(spark, sf01):
     df = entrymod.queries()["ev_funnel"](spark, sf01)
     pushed = " ".join(inspect.pushed_filters(df))
     assert "event_type" in pushed
+
+
+def test_bm25_takeordered_and_broadcasts(spark, sf01):
+    """BM25 must TakeOrdered the top-k (never a single-partition global
+    window over the corpus) and broadcast the df/stats sides."""
+    df = entrymod.queries()["text_bm25_topk"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert inspect.has_broadcast_join(df)
+
+
+def test_pq_topk_broadcasts_codebook_and_dtable(spark, sf01):
+    """PQ ADC touches the corpus only via codes; the codebook and the
+    query distance table broadcast (no corpus-side SMJ fan-out)."""
+    df = entrymod.queries()["ann_pq_topk"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semdedup_pair_join_is_cell_scoped(spark, sf01):
+    """The pairwise pass must join on the cell key (equi-join), never a
+    cartesian/nested-loop over the corpus."""
+    df = entrymod.queries()["semdedup_prune"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is a broadcast of a tiny side; the
+    # bucket self-join itself must be hash/sort-merge
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_corpus_shuffle_no_global_window(spark, sf01):
+    """The enumeration windows partition by pid; the only unpartitioned
+    window runs over the P-row counts frame, so no WindowExec gets the
+    full corpus in one partition (probe: result stays a permutation —
+    plan-level: no Exchange SinglePartition feeding a corpus-sized
+    Window)."""
+    df = entrymod.queries()["corpus_shuffle"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    # the pid-partitioned window must exist; the single-partition
+    # exchange (for the counts prefix sum) is fine because its input is
+    # the aggregated counts, not the documents scan
+    assert "Window" in plan

@@ -216,3 +216,57 @@ def test_passage_dedup_matches_model(spark, docs, pt):
         assert r["n_passages"] == len(chunks)
         assert r["dup_passages"] == dups, (i, docs, pt)
         assert r["dup_tokens"] == dup_toks
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["apple", "banana", "cherry", "pad", "x"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_bm25_matches_pure_python_model(spark, docs_tokens):
+    """bm25_topk == a sequential pure-Python evaluation of the same
+    integer formula (k1=6/5, b=3/4, SCALE floored per term)."""
+    from iconic_data_science_spark.operators.retrieval import bm25_topk
+
+    terms = ["apple", "banana"]
+    scale = 100_000
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    n = len(docs)
+    dls = [len(t.split(" ")) for _, t in docs]
+    total = sum(dls)
+    tf: dict[tuple[int, str], int] = {}
+    for (i, t), dl in zip(docs, dls):
+        for tok in t.split(" "):
+            if tok in terms:
+                tf[(i, tok)] = tf.get((i, tok), 0) + 1
+    df = {w: sum(1 for (i, ww) in tf if ww == w) for w in terms}
+    expected: dict[int, int] = {}
+    for (i, w), f in tf.items():
+        num = scale * 44 * f * total * (2 * n - 2 * df[w] + 1)
+        den = (2 * df[w] + 1) * (20 * f * total + 6 * total + 18 * dls[i] * n)
+        expected[i] = expected.get(i, 0) + num // den
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.bm25_scaled for r in bm25_topk(sdf, terms, k=100).collect()}
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40), st.integers(0, 5))
+def test_seeded_shuffle_matches_sorted_md5_model(spark, ids, seed):
+    """shuffle_pos == the 1-based index in md5('seed:id') sort order."""
+    import hashlib
+
+    from iconic_data_science_spark.operators.packing import seeded_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id long")
+    expected = {
+        i: pos + 1
+        for pos, i in enumerate(
+            sorted(ids, key=lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
+        )
+    }
+    got = {r.doc_id: r.shuffle_pos for r in seeded_shuffle(docs, seed=seed, partitions=4).collect()}
+    assert got == expected
