@@ -336,7 +336,8 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
 
 
 def minhash_band_sigs_from_arrays(
-    arrays: DataFrame, num_perm: int = 16, rows_per_band: int = 4
+    arrays: DataFrame, num_perm: int = 16, rows_per_band: int = 4,
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """(doc_id, band, band_sig) computed entirely map-side from the
     per-document shingle arrays — no explode, no groupBy.
@@ -358,8 +359,10 @@ def minhash_band_sigs_from_arrays(
             F.transform("shingles", lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31)
         )
 
+    carry = ["shingles"] if keep_shingles else []
     mins = arrays.filter(F.size("shingles") > 0).select(
         "doc_id",
+        *carry,
         *[perm_min(a, b).alias(f"_m{i}") for i, a, b in perms],
     )
     n_bands = num_perm // rows_per_band
@@ -370,7 +373,7 @@ def minhash_band_sigs_from_arrays(
         )
         band_cols.append(f"{b}, concat_ws('-', {parts})")
     stack_expr = f"stack({n_bands}, {', '.join(band_cols)}) as (band, band_sig)"
-    return mins.select("doc_id", F.expr(stack_expr))
+    return mins.select("doc_id", *carry, F.expr(stack_expr))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:

@@ -173,3 +173,23 @@ def test_streaming_funnel_equals_batch(spark, sf_dir):
     # stage i's batch count = users whose machine passed stage i
     for i in sorted(batch):
         assert (got.stage_reached > i).sum() == batch[i]
+
+
+def test_stream_dedup_equals_incremental_batch(spark, sf_dir):
+    """Continuous-crawl dedup: streaming batch-vs-index == the batch
+    incremental operator, jaccard bit-for-bit."""
+    from iconic_data_science_spark.operators.dedup import minhash_lsh_incremental
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = minhash_lsh_incremental(
+        corpus, docs.filter(F.col("doc_id") % 2 == 1),
+        n=3, num_perm=16, rows_per_band=4, threshold=0.5,
+    )
+    stream_new = sd.read_document_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    out = sd.stream_dedup_against_index(
+        stream_new, corpus, n=3, num_perm=16, rows_per_band=4, threshold=0.5
+    )
+    got = _run_stream(spark, out, "t_doc_dedup", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
