@@ -855,12 +855,14 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode: BMP pixel parsing, WAV PCM16 parsing, and AVI
+    """REAL media decode: BMP + PNG pixel parsing (PNG's DEFLATE via
+    stdlib zlib, all five scanline filters), WAV PCM16 parsing, and AVI
     frame parsing in pure numpy over mapInPandas (exact integer
-    pixel/sample statistics); the codec gate applies only to compressed
-    formats. Rows-only (the payloads are engine-generated, not parquet
-    inputs); decoder correctness is pinned by round-trip and
-    stdlib-wave cross-checks in tests/test_llm_ops.py."""
+    pixel/sample statistics); the codec gate applies only to
+    external-codec formats (JPEG/MP3/MP4). Rows-only (the payloads are
+    engine-generated, not parquet inputs); decoder correctness is
+    pinned by round-trip and stdlib-wave cross-checks in
+    tests/test_llm_ops.py."""
     from iconic_data_science_spark.operators.multimodal import decode_media, synth_media_real
 
     ensure_engine_conf(spark)

@@ -4,13 +4,14 @@ Spec extension: treat media as opaque ``binary`` payload columns with
 typed metadata, and run decode / feature-extraction / frame-sampling as
 Arrow-batched pandas transforms over ``mapInPandas``.
 
-Decode is REAL for uncompressed container formats — BMP (24-bit
-bottom-up rows, 4-byte padded), WAV (PCM16), and AVI (RIFF 'vids'
-BI_RGB frames) parse in pure numpy/struct, no codec library needed:
+Decode is REAL for BMP (24-bit bottom-up rows, 4-byte padded), WAV
+(PCM16), AVI (RIFF 'vids' BI_RGB frames) — pure numpy/struct — and for
+PNG (8-bit truecolor/RGBA, all five scanline filters): PNG's codec is
+DEFLATE, which ships in stdlib zlib, so no external library is needed.
 ``decode_media`` returns exact integer pixel/sample statistics per
 payload and ``frame_sample`` decodes real frames at sampled
-timepoints. Only compressed-codec formats (JPEG/PNG/MP3/MP4-class)
-stay gated behind ``require_codecs=True`` → ``NotImplementedError``;
+timepoints. Only external-codec formats (JPEG/MP3/MP4-class) stay
+gated behind ``require_codecs=True`` → ``NotImplementedError``;
 payloads are format-sniffed by magic bytes.
 
 Also fully real without codecs:
@@ -80,10 +81,11 @@ def synth_media(spark: SparkSession, n: int = 256) -> DataFrame:
 
 
 def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
-    """Deterministic media table with REAL payloads: images are 24-bit
-    BMPs, audio is PCM16 WAV, video is uncompressed RIFF AVI (BI_RGB
-    '00db' frames) — all arithmetic-pattern content keyed by media_id,
-    parseable here in pure numpy/struct. Built distributed
+    """Deterministic media table with REAL payloads: images alternate
+    24-bit BMP and 8-bit-RGB PNG (real DEFLATE via stdlib zlib), audio
+    is PCM16 WAV, video is uncompressed RIFF AVI (BI_RGB '00db'
+    frames) — all arithmetic-pattern content keyed by media_id,
+    parseable here without external codec libraries. Built distributed
     (struct-packed inside mapInPandas), same MEDIA_SCHEMA as
     ``synth_media`` (whose opaque payloads remain the codec-gate
     fixtures)."""
@@ -101,7 +103,8 @@ def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
                     w, h = mid % 16 + 4, mid % 12 + 4
                     idx = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
                     px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13) % 256).astype(np.uint8)
-                    payload = encode_bmp(w, h, px)
+                    # alternate the two real image codecs: BMP and PNG
+                    payload = encode_bmp(w, h, px) if (mid // 3) % 2 == 0 else encode_png(px)
                     meta = {"width": w, "height": h, "duration_s": None}
                 elif k == "audio":
                     ns = mid % 500 + 100
@@ -321,10 +324,106 @@ def decode_avi(buf: bytes) -> tuple[float, "np.ndarray"]:
     return info["fps"], frames
 
 
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """Real PNG encoder (pure stdlib zlib + struct): 8-bit truecolor
+    (RGB, color type 2) or truecolor+alpha (RGBA, color type 6),
+    non-interlaced, filter 0 scanlines. ``pixels`` is (h, w, 3|4) uint8
+    top-down. PNG is a *compressed* format — but its codec is DEFLATE,
+    which ships in the Python standard library, so no external codec
+    dependency is needed."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    color_type = 2 if ch == 3 else 6
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> "np.ndarray":
+    """Real PNG decoder (stdlib zlib + numpy): 8-bit truecolor/RGBA,
+    non-interlaced; all five scanline filters (None/Sub/Up/Average/
+    Paeth) unfiltered per the spec. Filter-0 and Up rows vectorize;
+    Sub/Average/Paeth run the spec's byte recurrence (Python loop —
+    exact, and our own encoder emits filter 0 only). Returns
+    (h, w, channels) uint8 top-down."""
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant: depth={depth} color={color_type} interlace={interlace}"
+                )
+            ch = 3 if color_type == 2 else 4
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG payload has no IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has unexpected length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ft == 0:
+            out[y] = row
+        elif ft == 2:  # Up
+            out[y] = (row.astype(np.uint16) + prev).astype(np.uint8)
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: byte recurrence
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = int(prev[x - ch]) if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+    return out.reshape(h, w, ch)
+
+
 def sniff_format(buf: bytes) -> str:
-    """Magic-byte format sniff: 'bmp' / 'wav' / 'avi' (decodable here)
-    or the compressed-codec families ('jpeg', 'png', 'mp3', 'mp4') that
-    need real codec libraries; anything else is 'unknown'."""
+    """Magic-byte format sniff: 'bmp' / 'wav' / 'avi' / 'png' (decodable
+    here — PNG's DEFLATE codec is stdlib zlib) or the codec-gated
+    families ('jpeg', 'mp3', 'mp4'); anything else is 'unknown'."""
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
@@ -359,14 +458,14 @@ DECODE_SCHEMA = T.StructType(
 
 
 def decode_media(media: DataFrame, require_codecs: bool = True) -> DataFrame:
-    """Real decode for uncompressed formats: BMP payloads parse to exact
-    pixel statistics and WAV payloads to exact sample statistics (pure
-    numpy — integer outputs, fully deterministic). Compressed formats
-    (JPEG/PNG/MP3/MP4) and unknown payloads raise ``NotImplementedError``
-    under ``require_codecs=True`` (the honest codec gate — those need
-    Pillow/ffmpeg, absent here); with ``require_codecs=False`` they
-    yield a row with format sniffed and null stats, so mixed-corpus
-    pipelines still run end to end."""
+    """Real decode: BMP/PNG payloads parse to exact pixel statistics,
+    WAV to exact sample statistics, AVI to exact frame statistics (pure
+    numpy + stdlib zlib — integer outputs, fully deterministic).
+    External-codec formats (JPEG/MP3/MP4) and unknown payloads raise
+    ``NotImplementedError`` under ``require_codecs=True`` (the honest
+    codec gate — those need Pillow/ffmpeg, absent here); with
+    ``require_codecs=False`` they yield a row with format sniffed and
+    null stats, so mixed-corpus pipelines still run end to end."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -384,6 +483,16 @@ def decode_media(media: DataFrame, require_codecs: bool = True) -> DataFrame:
                         width=px.shape[1],
                         height=px.shape[0],
                         n_channels=3,
+                        n_pixels=px.shape[0] * px.shape[1],
+                        sum_abs=int(px.astype("int64").sum()),
+                        peak=int(px.max()),
+                    )
+                elif fmt == "png":
+                    px = decode_png(buf)
+                    row.update(
+                        width=px.shape[1],
+                        height=px.shape[0],
+                        n_channels=px.shape[2],
                         n_pixels=px.shape[0] * px.shape[1],
                         sum_abs=int(px.astype("int64").sum()),
                         peak=int(px.max()),
@@ -488,11 +597,11 @@ def frame_sample(media: DataFrame, every_s: float = 1.0, require_codecs: bool = 
 def resize_images(
     media: DataFrame, width: int = 64, height: int = 64, require_codecs: bool = True
 ) -> DataFrame:
-    """Image resize — REAL for BMP payloads: decode → nearest-neighbor
-    resample to (width, height) in numpy → re-encode as BMP, all inside
-    one ``mapInPandas`` pass (binary in, binary out — the image-pipeline
-    shape). Compressed formats (JPEG/PNG) still need Pillow: they raise
-    under ``require_codecs=True`` and are dropped under False."""
+    """Image resize — REAL for BMP and PNG payloads: decode →
+    nearest-neighbor resample to (width, height) in numpy → re-encode
+    in the same format, all inside one ``mapInPandas`` pass (binary in,
+    binary out — the image-pipeline shape). JPEG still needs Pillow: it
+    raises under ``require_codecs=True`` and is dropped under False."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -511,21 +620,24 @@ def resize_images(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(payload)
                 fmt = sniff_format(buf)
-                if fmt != "bmp":
+                if fmt not in ("bmp", "png"):
                     if require_codecs:
                         raise NotImplementedError(
                             f"resizing {fmt!r} payloads requires Pillow, not present "
-                            "in this environment; BMP payloads resize natively"
+                            "in this environment; BMP/PNG payloads resize natively"
                         )
                     continue
-                px = decode_bmp(buf)
+                px = decode_bmp(buf) if fmt == "bmp" else decode_png(buf)
                 ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
                 xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
                 out = px[ys][:, xs]
+                payload_out = (
+                    encode_bmp(width, height, out) if fmt == "bmp" else encode_png(out)
+                )
                 rows.append(
                     {
                         "media_id": mid,
-                        "payload": encode_bmp(width, height, out),
+                        "payload": payload_out,
                         "width": width,
                         "height": height,
                     }
