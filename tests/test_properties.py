@@ -270,3 +270,25 @@ def test_seeded_shuffle_matches_sorted_md5_model(spark, ids, seed):
     }
     got = {r.doc_id: r.shuffle_pos for r in seeded_shuffle(docs, seed=seed, partitions=4).collect()}
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 30), st.integers(0, 3), max_size=15),
+    st.dictionaries(st.integers(0, 30), st.integers(0, 3), max_size=15),
+)
+def test_snapshot_diff_matches_dict_model(spark, old, new):
+    from iconic_data_science_spark.operators.lakehouse import snapshot_diff
+
+    expected = {}
+    for k in old.keys() | new.keys():
+        if k not in new:
+            expected[k] = "removed"
+        elif k not in old:
+            expected[k] = "added"
+        elif old[k] != new[k]:
+            expected[k] = "changed"
+    o = spark.createDataFrame([(k, v) for k, v in old.items()] or [(None, None)], "id long, val long").filter("id is not null")
+    n = spark.createDataFrame([(k, v) for k, v in new.items()] or [(None, None)], "id long, val long").filter("id is not null")
+    got = {r.id: r.change_type for r in snapshot_diff(o, n, ["id"], ["val"]).collect()}
+    assert got == expected
