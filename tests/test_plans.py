@@ -163,3 +163,38 @@ def test_corpus_shuffle_no_global_window(spark, sf01):
     # exchange (for the counts prefix sum) is fine because its input is
     # the aggregated counts, not the documents scan
     assert "Window" in plan
+
+
+# Exchange-count budgets: the shuffle counts the current plans produce.
+# A regression that adds a shuffle to a headline query must fail loudly
+# here and be either fixed or consciously re-budgeted. (Iterative
+# queries whose output is checkpointed — g4/clusters — show 0: their
+# exchanges already ran; the budget still pins that contract.)
+EXCHANGE_BUDGET = {
+    "g3_personal_net": 6,
+    "g1_coauthor_edges": 5,
+    "q1_pricing_summary": 1,
+    "g7_ego_indicators": 5,
+    "dedup_minhash_lsh": 18,
+    "dedup_ngram_jaccard": 3,
+    "dedup_clusters": 0,
+    "decontaminate_ngram": 2,
+    "text_bm25_topk": 5,
+    "semdedup_prune": 9,
+    "ann_pq_topk": 3,
+    "dedup_incremental": 6,
+    "profile_conversion": 5,
+    "g4_bfs": 0,
+    "q9_product_profit": 1,
+    "q21_waiting_suppliers": 7,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_exchange_count_within_budget(spark, sf01, name):
+    df = entrymod.queries()[name](spark, sf01)
+    got = inspect.shuffle_count(df)
+    assert got <= EXCHANGE_BUDGET[name], (
+        f"{name}: {got} exchanges > budget {EXCHANGE_BUDGET[name]} — a shuffle "
+        "crept into this plan; fix it or consciously raise the budget"
+    )
