@@ -4600,6 +4600,23 @@ def q_text_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the coauthor graph
+    (bounded Bellman-Ford, 6 relaxation rounds): edge cost =
+    greatest(1, 5 - papers_together) — closer collaborators are cheaper
+    to reach — from the minimum author id. Integer distances; the
+    oracle walks the identical bounded relaxation as a recursive CTE."""
+    from iconic_data_science_spark.operators.graph import sssp
+
+    cat = _cat(spark, sf_dir)
+    edges = coauthor_edges(magmap.paa(cat), magmap.paper_years(cat)).select(
+        F.col("ego").alias("src"),
+        F.col("alter_id").alias("dst"),
+        F.greatest(F.lit(1), F.lit(5) - F.col("papers_together")).cast("long").alias("cost"),
+    )
+    return sssp(edges, rounds=6)
+
+
 QUERIES.update({
     "text_bm25_topk": q_text_bm25_topk,
     "semdedup_prune": q_semdedup_prune,
@@ -4612,6 +4629,7 @@ QUERIES.update({
     "lh_snapshot_diff": q_lh_snapshot_diff,
     "text_lang_confusion": q_text_lang_confusion,
     "text_bm25_rerank": q_text_bm25_rerank,
+    "g_sssp": q_g_sssp,
 })
 
 from iconic_data_science_spark.operators.retrieval import bm25_oracle_sql as _bm25_oracle_sql  # noqa: E402
@@ -4721,6 +4739,30 @@ ORACLES["ts_anomaly_hours"] = """
                             * (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE)))
                ) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM hourly CROSS JOIN stats
+"""
+
+ORACLES["g_sssp"] = """
+    WITH RECURSIVE paa AS (
+        SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem
+    ),
+    py AS (SELECT o_orderkey AS paper FROM orders),
+    e AS (
+        SELECT a.author AS src, b.author AS dst,
+               GREATEST(1, 5 - COUNT(*)) AS cost
+        FROM paa a
+        JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+        JOIN py ON py.paper = a.paper
+        GROUP BY 1, 2
+    ),
+    w(author, dist, depth) AS (
+        SELECT (SELECT MIN(src) FROM e), CAST(0 AS BIGINT), 0
+        UNION
+        SELECT e.dst, w.dist + e.cost, w.depth + 1
+        FROM w JOIN e ON w.author = e.src
+        WHERE w.depth < 6
+    )
+    SELECT author, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM w GROUP BY author
 """
 
 ORACLES["lh_snapshot_diff"] = """

@@ -518,3 +518,52 @@ def kcore(
         prev_keep.unpersist()
     deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
     return deg.filter(F.col("core_degree") >= k).select(F.col("src").alias("author"), "core_degree")
+
+
+def sssp(
+    edges: DataFrame,
+    rounds: int = 6,
+    source: int | None = None,
+) -> DataFrame:
+    """Bounded single-source shortest paths (Bellman-Ford): (author,
+    dist) — minimum total edge cost over paths of at most ``rounds``
+    edges from the source (default: the minimum src id, engine-
+    independent). Integer costs, so every distance is engine-exact and
+    a bounded recursive CTE states the identical contract for the
+    oracle.
+
+    ``edges``: (src, dst, cost) with positive integer costs; pass both
+    orientations for undirected graphs.
+
+    Shape per round: one hash join (frontier = the full dist table —
+    Bellman-Ford relaxes everything, which is what makes it skew-proof)
+    + one min-aggregation keyed by node, lineage cut by localCheckpoint.
+    Early exit on convergence is exact: distances are monotonically
+    non-increasing and the node set non-decreasing, so an unchanged
+    (count, sum) signature means a fixpoint — and extra rounds past the
+    fixpoint are no-ops, keeping parity with the fixed-round oracle.
+    """
+    e = edges.select("src", "dst", F.col("cost").cast("long").alias("cost")).localCheckpoint()
+    if source is None:
+        dist = e.agg(F.min("src").alias("author")).withColumn("dist", F.lit(0).cast("long"))
+    else:
+        spark = edges.sparkSession
+        dist = spark.createDataFrame([(source, 0)], "author long, dist long")
+    prev_sig = None
+    for _ in range(rounds):
+        d = dist.alias("d")
+        relaxed = d.join(e.alias("e"), F.col("d.author") == F.col("e.src")).select(
+            F.col("e.dst").alias("author"),
+            (F.col("d.dist") + F.col("e.cost")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("author")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        sig = tuple(dist.agg(F.count("*"), F.sum("dist")).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return dist

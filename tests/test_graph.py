@@ -324,3 +324,47 @@ def test_pagerank_int_matches_local_integer_recurrence(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {x.node: x.rank_i for x in pagerank_int(df, damping_pct=d, iterations=iters).collect()}
     assert got == r
+
+
+def test_sssp_matches_dijkstra_model(spark):
+    """Bounded Bellman-Ford == networkless Dijkstra on a fixture whose
+    diameter fits inside the round budget."""
+    import heapq
+
+    from iconic_data_science_spark.operators.graph import sssp
+
+    raw = [
+        (1, 2, 4), (2, 1, 4), (1, 3, 1), (3, 1, 1), (3, 2, 1), (2, 3, 1),
+        (2, 4, 5), (4, 2, 5), (3, 4, 8), (4, 3, 8), (4, 5, 1), (5, 4, 1),
+        (6, 7, 2), (7, 6, 2),  # disconnected component: unreachable
+    ]
+    edges = spark.createDataFrame(raw, "src long, dst long, cost long")
+    got = {r.author: r.dist for r in sssp(edges, rounds=6, source=1).collect()}
+    # reference Dijkstra
+    adj: dict[int, list] = {}
+    for s, d, c in raw:
+        adj.setdefault(s, []).append((d, c))
+    dist = {1: 0}
+    pq = [(0, 1)]
+    while pq:
+        dcur, u = heapq.heappop(pq)
+        if dcur > dist.get(u, 1 << 60):
+            continue
+        for v, c in adj.get(u, []):
+            nd = dcur + c
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist  # unreachable nodes absent in both
+    assert 6 not in got and 7 not in got
+
+
+def test_sssp_round_bound_is_path_length_cap(spark):
+    from iconic_data_science_spark.operators.graph import sssp
+
+    # chain 1-2-3-4 (cost 1 each): with rounds=2 node 4 is unreachable
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, cost long"
+    )
+    got = {r.author: r.dist for r in sssp(edges, rounds=2, source=1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
