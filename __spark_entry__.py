@@ -4617,6 +4617,38 @@ def q_g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(edges, rounds=6)
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card rollup a corpus release ships: docs / tokens /
+    chars / exact-distinct texts at every (lang × source) grain — CUBE
+    (all four grouping sets) in one scan, partial-aggregated; subtotal
+    nulls coalesced to 'ALL' so the hash gate is type-stable."""
+    cat = _cat(spark, sf_dir)
+    d = cat.documents.select(
+        "lang",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("nc"),
+        F.md5("text").alias("t_md5"),
+    )
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.countDistinct("t_md5").cast("long").alias("distinct_texts"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "distinct_texts",
+        )
+    )
+
+
 QUERIES.update({
     "text_bm25_topk": q_text_bm25_topk,
     "semdedup_prune": q_semdedup_prune,
@@ -4630,6 +4662,7 @@ QUERIES.update({
     "text_lang_confusion": q_text_lang_confusion,
     "text_bm25_rerank": q_text_bm25_rerank,
     "g_sssp": q_g_sssp,
+    "corpus_datacard": q_corpus_datacard,
 })
 
 from iconic_data_science_spark.operators.retrieval import bm25_oracle_sql as _bm25_oracle_sql  # noqa: E402
@@ -4739,6 +4772,17 @@ ORACLES["ts_anomaly_hours"] = """
                             * (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE)))
                ) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM hourly CROSS JOIN stats
+"""
+
+ORACLES["corpus_datacard"] = """
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
+    FROM documents
+    GROUP BY CUBE (lang, source)
 """
 
 ORACLES["g_sssp"] = """
@@ -5015,6 +5059,8 @@ _ROUND2_FRONT = [
     "ts_anomaly_hours",
     "lh_snapshot_diff",
     "text_lang_confusion",
+    "g_sssp",
+    "corpus_datacard",
     # rows-only (weakest signal) at the tail of the front block
     "mm_byte_histogram",
     "mm_media_stats",

@@ -193,3 +193,18 @@ def test_stream_dedup_equals_incremental_batch(spark, sf_dir):
     )
     got = _run_stream(spark, out, "t_doc_dedup", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_map_side_curation_ops_compose_with_streams(spark, sf_dir):
+    """The per-row curation transforms (quality scoring, token counts)
+    apply unchanged to a document stream — map-side operators are
+    execution-mode agnostic; stream == batch row for row."""
+    from iconic_data_science_spark.operators.text import quality_score, token_counts
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = quality_score(docs).join(token_counts(docs), "doc_id")
+    stream_src = sd.read_document_stream(spark, sf_dir)
+    stream = quality_score(stream_src).join(token_counts(stream_src), "doc_id")
+    got = _run_stream(spark, stream, "t_doc_quality", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
