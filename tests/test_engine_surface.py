@@ -96,3 +96,34 @@ def test_catalog_validate(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match=r"documents: missing columns \['text'\]"):
         bad.validate(("documents",))
+
+
+def test_session3_queries_partition_invariant(spark, sf_dir):
+    """Every session-3 query must hash identically under a different
+    shuffle-partition count (7 vs the session's 32) — results may never
+    depend on physical partitioning (the determinism playbook check)."""
+    import __spark_entry__ as entrymod
+
+    names = [
+        "text_bm25_topk", "text_bm25_rerank", "semdedup_prune", "ann_pq_topk",
+        "corpus_shuffle", "select_token_budget", "text_inverted_index",
+        "dedup_incremental", "ts_anomaly_hours", "lh_snapshot_diff",
+        "text_lang_confusion", "g_sssp", "corpus_datacard",
+    ]
+    qs = entrymod.queries()
+
+    def snap(name):
+        pdf = qs[name](spark, sf_dir).toPandas()
+        cols = sorted(pdf.columns)
+        return pdf.reindex(cols, axis=1).sort_values(by=cols, ignore_index=True)
+
+    base = {n: snap(n) for n in names}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            import pandas as pd
+
+            pd.testing.assert_frame_equal(snap(n), base[n], check_dtype=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
