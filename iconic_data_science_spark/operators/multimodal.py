@@ -6,8 +6,10 @@ Arrow-batched pandas transforms over ``mapInPandas``.
 
 Decode is REAL for BMP (24-bit bottom-up rows, 4-byte padded), WAV
 (PCM16), AVI (RIFF 'vids' BI_RGB frames) — pure numpy/struct — and for
-PNG (8-bit truecolor/RGBA, all five scanline filters): PNG's codec is
-DEFLATE, which ships in stdlib zlib, so no external library is needed.
+the compressed image formats PNG (8-bit truecolor/RGBA, all five
+scanline filters; DEFLATE ships in stdlib zlib) and GIF87a/89a (full
+variable-width LZW implemented here, encode and decode): no external
+library is needed for any of them.
 ``decode_media`` returns exact integer pixel/sample statistics per
 payload and ``frame_sample`` decodes real frames at sampled
 timepoints. Only external-codec formats (JPEG/MP3/MP4-class) stay
@@ -81,11 +83,12 @@ def synth_media(spark: SparkSession, n: int = 256) -> DataFrame:
 
 
 def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
-    """Deterministic media table with REAL payloads: images alternate
-    24-bit BMP and 8-bit-RGB PNG (real DEFLATE via stdlib zlib), audio
-    is PCM16 WAV, video is uncompressed RIFF AVI (BI_RGB '00db'
-    frames) — all arithmetic-pattern content keyed by media_id,
-    parseable here without external codec libraries. Built distributed
+    """Deterministic media table with REAL payloads: images rotate
+    the three real codecs (24-bit BMP, 8-bit-RGB PNG via stdlib zlib,
+    GIF87a via the LZW implementation here), audio is PCM16 WAV, video
+    is uncompressed RIFF AVI (BI_RGB '00db' frames) — all
+    arithmetic-pattern content keyed by media_id, parseable here
+    without external codec libraries. Built distributed
     (struct-packed inside mapInPandas), same MEDIA_SCHEMA as
     ``synth_media`` (whose opaque payloads remain the codec-gate
     fixtures)."""
@@ -103,8 +106,13 @@ def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
                     w, h = mid % 16 + 4, mid % 12 + 4
                     idx = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
                     px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13) % 256).astype(np.uint8)
-                    # alternate the two real image codecs: BMP and PNG
-                    payload = encode_bmp(w, h, px) if (mid // 3) % 2 == 0 else encode_png(px)
+                    # rotate the three real image codecs
+                    codec = (mid // 3) % 3
+                    payload = (
+                        encode_bmp(w, h, px) if codec == 0
+                        else encode_png(px) if codec == 1
+                        else encode_gif(px)
+                    )
                     meta = {"width": w, "height": h, "duration_s": None}
                 elif k == "audio":
                     ns = mid % 500 + 100
@@ -421,15 +429,18 @@ def decode_png(buf: bytes) -> "np.ndarray":
 
 
 def sniff_format(buf: bytes) -> str:
-    """Magic-byte format sniff: 'bmp' / 'wav' / 'avi' / 'png' (decodable
-    here — PNG's DEFLATE codec is stdlib zlib) or the codec-gated
-    families ('jpeg', 'mp3', 'mp4'); anything else is 'unknown'."""
+    """Magic-byte format sniff: 'bmp' / 'wav' / 'avi' / 'png' / 'gif'
+    (all decodable here — PNG via stdlib zlib DEFLATE, GIF via the LZW
+    implementation above) or the codec-gated families ('jpeg', 'mp3',
+    'mp4'); anything else is 'unknown'."""
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         return "avi"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
@@ -487,8 +498,8 @@ def decode_media(media: DataFrame, require_codecs: bool = True) -> DataFrame:
                         sum_abs=int(px.astype("int64").sum()),
                         peak=int(px.max()),
                     )
-                elif fmt == "png":
-                    px = decode_png(buf)
+                elif fmt in ("png", "gif"):
+                    px = decode_png(buf) if fmt == "png" else decode_gif(buf)
                     row.update(
                         width=px.shape[1],
                         height=px.shape[0],
@@ -620,20 +631,23 @@ def resize_images(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(payload)
                 fmt = sniff_format(buf)
-                if fmt not in ("bmp", "png"):
+                if fmt not in ("bmp", "png", "gif"):
                     if require_codecs:
                         raise NotImplementedError(
                             f"resizing {fmt!r} payloads requires Pillow, not present "
                             "in this environment; BMP/PNG payloads resize natively"
                         )
                     continue
-                px = decode_bmp(buf) if fmt == "bmp" else decode_png(buf)
+                px = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif}[fmt](buf)
                 ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
                 xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
                 out = px[ys][:, xs]
-                payload_out = (
-                    encode_bmp(width, height, out) if fmt == "bmp" else encode_png(out)
-                )
+                if fmt == "bmp":
+                    payload_out = encode_bmp(width, height, out)
+                elif fmt == "png":
+                    payload_out = encode_png(out)
+                else:
+                    payload_out = encode_gif(out)
                 rows.append(
                     {
                         "media_id": mid,
@@ -663,3 +677,171 @@ def media_stats(media: DataFrame) -> DataFrame:
             F.max("meta.duration_s").alias("max_duration_s"),
         )
     )
+
+
+def encode_gif(pixels: "np.ndarray") -> bytes:
+    """Real GIF87a encoder with genuine LZW compression (pure Python —
+    GIF's codec is LZW, simple enough to implement exactly): builds a
+    palette from the image's unique colors (≤256 required), packs
+    variable-width LZW codes LSB-first into ≤255-byte sub-blocks.
+    ``pixels`` is (h, w, 3) uint8 RGB top-down."""
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    n_colors = len(palette)
+    if n_colors > 256:
+        raise ValueError(f"GIF needs <=256 unique colors, got {n_colors}")
+    # palette size must be a power of two >= 2
+    pal_bits = max(1, (n_colors - 1).bit_length())
+    pal_size = 1 << pal_bits
+    pal = np.zeros((pal_size, 3), np.uint8)
+    pal[:n_colors] = palette
+    min_code = max(2, pal_bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor, no local table
+    out += bytes([min_code])
+
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = end + 1
+    # The code width is the DECODER's: its table runs one assignment
+    # behind the encoder's, so the encoder tracks the table size the
+    # decoder will have at each stream position (dec_len) and derives
+    # the width from that — byte-exact mirror of decode_gif's rule.
+    width = min_code + 1
+    dec_len = end + 1
+    first_data = True
+
+    def emit(code: int, is_data: bool) -> None:
+        nonlocal acc, nbits, width, dec_len, first_data
+        while dec_len >= (1 << width) and width < 12:
+            width += 1
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if is_data:
+            if first_data:
+                first_data = False
+            else:
+                dec_len += 1  # the decoder appends after this code
+
+    indices = inverse.tolist()
+    emit(clear, False)
+    wseq = bytes([indices[0]])
+    for k in indices[1:]:
+        wk = wseq + bytes([k])
+        if wk in table:
+            wseq = wk
+            continue
+        emit(table[wseq], True)
+        table[wk] = next_code
+        next_code += 1
+        if next_code >= 4095:  # early clear: sidestep deferred-clear ambiguity
+            emit(clear, False)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = end + 1
+            width = min_code + 1
+            dec_len = end + 1
+            first_data = True
+        wseq = bytes([k])
+    emit(table[wseq], True)
+    emit(end, False)
+    if nbits:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        block = bits[i : i + 255]
+        out += bytes([len(block)]) + bytes(block)
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> "np.ndarray":
+    """Real GIF decoder (GIF87a/89a, global palette, single image, no
+    interlace): full variable-width LZW decode incl. clear codes and
+    the KwKwK case. Skips 89a extension blocks. Returns (h, w, 3)
+    uint8 RGB top-down."""
+    import numpy as np
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table is unsupported")
+    pal_size = 2 << (flags & 0x07)
+    pal = np.frombuffer(buf, np.uint8, pal_size * 3, pos).reshape(pal_size, 3)
+    pos += pal_size * 3
+    while pos < len(buf) and buf[pos] == 0x21:  # 89a extensions: skip
+        pos += 2
+        while buf[pos]:
+            pos += buf[pos] + 1
+        pos += 1
+    if buf[pos] != 0x2C:
+        raise ValueError("expected GIF image descriptor")
+    _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos + 1)
+    pos += 10
+    if iflags & 0xC0:
+        raise ValueError("local color tables / interlace unsupported")
+    min_code = buf[pos]
+    pos += 1
+    data = bytearray()
+    while buf[pos]:
+        ln = buf[pos]
+        data += buf[pos + 1 : pos + 1 + ln]
+        pos += ln + 1
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    acc = 0
+    nbits = 0
+    dpos = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    prev: int | None = None
+    out = bytearray()
+    while True:
+        # width rule, symmetric with the encoder: len(table) is the
+        # next code to assign, and an incoming code may equal it (KwKwK)
+        while len(table) >= (1 << width) and width < 12:
+            width += 1
+        while nbits < width:
+            if dpos >= len(data):
+                raise ValueError("GIF LZW stream ended without end code")
+            acc |= data[dpos] << nbits
+            dpos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            out += table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = table[prev] + table[prev][:1]  # KwKwK
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            out += entry
+            table.append(table[prev] + entry[:1])
+        prev = code
+    idx = np.frombuffer(bytes(out), np.uint8, h * w)
+    return pal[idx].reshape(h, w, 3)

@@ -65,13 +65,14 @@ def test_multimodal_resize_real_bmp(spark):
     rows = out.collect()
     n_images = media.filter("kind = 'image'").count()
     assert len(rows) == n_images
+    decoders = {
+        "bmp": multimodal.decode_bmp,
+        "png": multimodal.decode_png,
+        "gif": multimodal.decode_gif,
+    }
     for r in rows:
         buf = bytes(r.payload)
-        px = (
-            multimodal.decode_bmp(buf)
-            if multimodal.sniff_format(buf) == "bmp"
-            else multimodal.decode_png(buf)
-        )
+        px = decoders[multimodal.sniff_format(buf)](buf)
         assert px.shape == (8, 8, 3)  # format preserved, raster resized
     # deterministic: same ids -> same bytes on rerun
     again = {r.media_id: bytes(r.payload) for r in multimodal.resize_images(
@@ -627,6 +628,52 @@ def test_decode_media_decodes_real_png(spark):
     by_fmt = {}
     for r in out:
         by_fmt.setdefault(r.format, []).append(r)
-    assert set(by_fmt) == {"bmp", "png", "wav", "avi"}
+    assert {"bmp", "png", "wav", "avi"} <= set(by_fmt)
     for r in by_fmt["png"]:
         assert r.n_pixels == r.width * r.height and r.sum_abs > 0
+
+
+def test_gif_roundtrip_and_compression():
+    import numpy as np
+
+    from iconic_data_science_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (200, 3)).astype(np.uint8)
+    px = pal[rng.randint(0, 200, (60, 45))]
+    buf = encode_gif(px)
+    assert (decode_gif(buf) == px).all()  # LZW is lossless: exact
+    # repetitive content must actually compress (real LZW, not a stub)
+    flat = np.tile(np.array([[[0, 0, 0], [255, 255, 255]]], np.uint8), (40, 100, 1))
+    assert len(encode_gif(flat)) < flat.size // 20
+    # >256 unique colors is a hard error, not silent quantization
+    import pytest as _pytest
+
+    grad = np.arange(300, dtype=np.int64)
+    many = np.stack([grad % 256, grad // 2 % 256, grad // 3 % 256], axis=1).astype(np.uint8)
+    with _pytest.raises(ValueError, match="256"):
+        encode_gif(many.reshape(30, 10, 3))
+
+
+def test_gif_width_growth_and_clear_cycle():
+    """256-color noise forces the LZW width to 12 bits and through the
+    early-clear cycle; the round trip must stay exact."""
+    import numpy as np
+
+    from iconic_data_science_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    pal = (np.arange(256 * 3, dtype=np.int64).reshape(256, 3) % 256).astype(np.uint8)
+    px = pal[rng.randint(0, 256, (200, 200))]
+    assert (decode_gif(encode_gif(px)) == px).all()
+
+
+def test_decode_media_covers_all_three_image_codecs(spark):
+    from iconic_data_science_spark.operators.multimodal import decode_media, synth_media_real
+
+    out = decode_media(synth_media_real(spark, 36)).collect()
+    fmts = {r.format for r in out}
+    assert {"bmp", "png", "gif", "wav", "avi"} <= fmts
+    for r in out:
+        if r.format in ("bmp", "png", "gif"):
+            assert r.n_pixels == r.width * r.height
