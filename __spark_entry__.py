@@ -4665,6 +4665,95 @@ QUERIES.update({
     "corpus_datacard": q_corpus_datacard,
 })
 
+
+def q_ev_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the event stream (Cormode &
+    Muthukrishnan 2005): 4×64 grid of BIGINT cells with literal seeded
+    hash rows, min-over-rows estimate, users at est ≥ 80 — the
+    fixed-memory mergeable summary, with true counts alongside so the
+    one-sided (est ≥ true) property is visible. Deterministic integers:
+    the oracle rebuilds the identical sketch."""
+    from iconic_data_science_spark.operators.sketch import cms_heavy_hitters
+
+    cat = _cat(spark, sf_dir)
+    return cms_heavy_hitters(cat.events, threshold=80)
+
+
+def q_ev_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch percentiles (p50/p90/p99) of event value per
+    type: unit-width integer bins, smallest bin covering p% by the
+    all-BIGINT test 100·cum ≥ p·N — the deterministic t-digest/KLL
+    niche (single pass, one row of state per (group, bin))."""
+    from iconic_data_science_spark.operators.sketch import histogram_quantiles
+
+    cat = _cat(spark, sf_dir)
+    return histogram_quantiles(cat.events)
+
+
+QUERIES.update({
+    "ev_cms_heavy_hitters": q_ev_cms_heavy_hitters,
+    "ev_value_quantiles": q_ev_value_quantiles,
+})
+
+from iconic_data_science_spark.operators.sketch import cms_param_table_sql as _cms_param_table_sql  # noqa: E402
+
+ORACLES["ev_cms_heavy_hitters"] = f"""
+    WITH cp AS (SELECT * FROM {_cms_param_table_sql()}),
+    cells AS (
+        SELECT cp.row_i,
+               ((cp.a * e.user_id + cp.b) % 2147483647) % 64 AS bucket
+        FROM events e CROSS JOIN cp
+    ),
+    sketch AS (
+        SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id AS k FROM events),
+    probes AS (
+        SELECT k, cp.row_i, ((cp.a * k + cp.b) % 2147483647) % 64 AS bucket
+        FROM keys CROSS JOIN cp
+    ),
+    est AS (
+        SELECT k, CAST(MIN(cnt) AS BIGINT) AS est_count
+        FROM probes JOIN sketch USING (row_i, bucket) GROUP BY k
+    ),
+    tc AS (
+        SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM events GROUP BY 1
+    )
+    SELECT k AS user_id, est_count, true_count
+    FROM est JOIN tc USING (k)
+    WHERE est_count >= 80
+"""
+
+ORACLES["ev_value_quantiles"] = """
+    WITH hist AS (
+        SELECT event_type AS grp,
+               LEAST(CAST(FLOOR(value) AS BIGINT), 1000) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, bin, cnt,
+               CAST(SUM(cnt) OVER (
+                   PARTITION BY grp ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+    -- a VALUES list, not unnest-in-select: the latter trips a DuckDB
+    -- binder assertion when the un-nested column feeds an aggregate
+    ps AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(p_pct)),
+    x AS (
+        SELECT cum.grp, cum.bin, cum.cum, tot.n, ps.p_pct
+        FROM cum JOIN tot USING (grp) CROSS JOIN ps
+    )
+    SELECT grp AS event_type, CAST(p_pct AS BIGINT) AS p_pct, MIN(bin) AS q_bin
+    FROM x WHERE 100 * cum >= p_pct * n
+    GROUP BY 1, 2
+"""
+
 from iconic_data_science_spark.operators.retrieval import bm25_oracle_sql as _bm25_oracle_sql  # noqa: E402
 
 ORACLES["text_bm25_topk"] = _bm25_oracle_sql(_BM25_TERMS, k=20)
@@ -5061,6 +5150,8 @@ _ROUND2_FRONT = [
     "text_lang_confusion",
     "g_sssp",
     "corpus_datacard",
+    "ev_cms_heavy_hitters",
+    "ev_value_quantiles",
     # rows-only (weakest signal) at the tail of the front block
     "mm_byte_histogram",
     "mm_media_stats",

@@ -1,0 +1,146 @@
+"""Mergeable-sketch operators: count-min heavy hitters and
+histogram quantiles.
+
+The single-pass, fixed-memory summaries a 100 TB event feed needs
+(Cormode & Muthukrishnan 2005, "An improved data stream summary: the
+count-min sketch and its applications" — public JALG paper). Both
+sketches here are *deterministic integer* structures: hash parameters
+are seeded literals (the same table the SQL oracle embeds), counts are
+BIGINTs, so estimates hash-match across engines — unlike the HLL
+surface (`a2_approx_distinct`), which stays rows-only because Spark's
+sketch bytes are engine-internal.
+
+Scale shape: a CMS is a (d × w) grid of partial-aggregated counts —
+the shuffle carries at most d·w rows per partition regardless of input
+size, and grids merge by cell-wise addition (the mergeability that
+makes sketches work on a 1000-executor cluster). The histogram is the
+same story with one row per (group, bin).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .dedup import MERSENNE31
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_params(depth: int = CMS_DEPTH) -> list[tuple[int, int, int]]:
+    """(row, a, b) — seeded literal LCG coefficients, shared with the
+    SQL oracle via :func:`cms_param_table_sql`."""
+    rng = random.Random(20250814)
+    return [
+        (i, rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for i in range(depth)
+    ]
+
+
+def cms_param_table_sql(depth: int = CMS_DEPTH) -> str:
+    rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _cms_params(depth))
+    return f"(VALUES {rows}) AS cp(row_i, a, b)"
+
+
+def _bucket(key: Column, a: int, b: int, width: int) -> Column:
+    return ((F.lit(a) * key + F.lit(b)) % MERSENNE31) % width
+
+
+def cms_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    threshold: int = 80,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(user_id, est_count, true_count) for keys whose count-min
+    estimate reaches ``threshold``.
+
+    est_count = min over the d rows of the key's bucket counts — the
+    classic one-sided estimate (est ≥ true, overshoot bounded by
+    collisions ≈ N/w per row). ``true_count`` is included so callers
+    (and the tests) can see the overestimate property directly; a
+    production deployment at 100 TB would skip it — the sketch is the
+    point: d·w cells of state however large the stream.
+    """
+    params = _cms_params(depth)
+    key = F.col(key_col).cast("long")
+    cells = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"), _bucket(key, a, b, width).alias("bucket")
+                    )
+                    for i, a, b in params
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_i", "c.bucket")
+    sketch = cells.groupBy("row_i", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+    keys = events.select(key.alias("k")).distinct()
+    probes = keys.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        _bucket(F.col("k"), a, b, width).alias("bucket"),
+                    )
+                    for i, a, b in params
+                ]
+            )
+        ).alias("p"),
+    ).select("k", "p.row_i", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    true = events.groupBy(key.alias("k")).agg(F.count("*").cast("long").alias("true_count"))
+    return (
+        est.join(true, "k")
+        .filter(F.col("est_count") >= threshold)
+        .select(F.col("k").alias(key_col), "est_count", "true_count")
+    )
+
+
+def histogram_quantiles(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    max_bin: int = 1000,
+) -> DataFrame:
+    """(group, p_pct, q_bin) — approximate percentiles from a unit-width
+    integer-bin histogram: q_bin is the smallest bin whose cumulative
+    count covers p% of the group (error ≤ one bin width by
+    construction).
+
+    All comparisons are BIGINT (`100·cum ≥ p·N` instead of a float
+    ceil), so the result is engine-exact. The histogram is the
+    mergeable state: one row per (group, bin), single pass, fixed
+    memory — the same t-digest/KLL niche with a deterministic answer.
+    """
+    bin_col = F.least(F.floor(F.col(value_col)).cast("long"), F.lit(max_bin))
+    hist = (
+        events.select(F.col(group_col).alias("grp"), bin_col.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = W.partitionBy("grp").orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    totals = hist.groupBy("grp").agg(F.sum("cnt").cast("long").alias("n"))
+    ps = F.explode(F.array(*[F.lit(p) for p in percentiles])).alias("p_pct")
+    return (
+        cum.join(F.broadcast(totals), "grp")
+        .select("grp", "bin", "cum", "n", ps)
+        .filter(F.lit(100) * F.col("cum") >= F.col("p_pct") * F.col("n"))
+        .groupBy(F.col("grp").alias(group_col), F.col("p_pct").cast("long").alias("p_pct"))
+        .agg(F.min("bin").alias("q_bin"))
+    )

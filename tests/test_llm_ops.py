@@ -677,3 +677,40 @@ def test_decode_media_covers_all_three_image_codecs(spark):
     for r in out:
         if r.format in ("bmp", "png", "gif"):
             assert r.n_pixels == r.width * r.height
+
+
+def test_cms_estimate_is_one_sided(spark, sf_dir):
+    """Count-min property: est >= true for every key, and for the
+    heavy-hitter output the overshoot is bounded by d rows of ~N/w
+    collisions."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.sketch import cms_heavy_hitters
+
+    ev = Catalog(spark, sf_dir).events
+    out = cms_heavy_hitters(ev, threshold=0).collect()
+    n = ev.count()
+    assert out, "no keys returned"
+    for r in out:
+        assert r.est_count >= r.true_count
+        assert r.est_count - r.true_count <= n  # trivial sanity ceiling
+
+
+def test_histogram_quantiles_bracket_exact(spark, sf_dir):
+    """q_bin must be within one bin of the exact percentile value."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.sketch import histogram_quantiles
+
+    ev = Catalog(spark, sf_dir).events
+    got = {(r.event_type, r.p_pct): r.q_bin for r in histogram_quantiles(ev).collect()}
+    import math
+
+    rows = ev.select("event_type", "value").collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        vals.sort()
+        for p in (50, 90, 99):
+            exact = vals[math.ceil(p * len(vals) / 100) - 1]
+            q = got[(t, p)]
+            assert q <= exact <= q + 1, (t, p, q, exact)
