@@ -4849,18 +4849,23 @@ ORACLES["ts_anomaly_hours"] = """
                CAST(SUM(n_events * n_events) AS BIGINT) AS sqtot
         FROM hourly
     )
+    , v AS (
+        SELECT hourly.*, stats.h, stats.tot,
+               CAST(sqtot AS DOUBLE) / CAST(h AS DOUBLE)
+                   - (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
+                     * (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE)) AS var
+        FROM hourly CROSS JOIN stats
+    )
     SELECT window_start_us, n_events,
-           (CAST(n_events AS DOUBLE) - CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
-               / sqrt(CAST(sqtot AS DOUBLE) / CAST(h AS DOUBLE)
-                      - (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
-                        * (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))) AS deviation,
-           CAST(CASE WHEN abs(
+           CASE WHEN var > 0
+                THEN (CAST(n_events AS DOUBLE) - CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
+                     / sqrt(var)
+                ELSE 0.0 END AS deviation,
+           CAST(CASE WHEN var > 0 AND abs(
                    (CAST(n_events AS DOUBLE) - CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
-                   / sqrt(CAST(sqtot AS DOUBLE) / CAST(h AS DOUBLE)
-                          - (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE))
-                            * (CAST(tot AS DOUBLE) / CAST(h AS DOUBLE)))
+                   / sqrt(var)
                ) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-    FROM hourly CROSS JOIN stats
+    FROM v
 """
 
 ORACLES["corpus_datacard"] = """

@@ -75,7 +75,14 @@ def anomaly_hours(
     )
     mean = F.col("tot").cast("double") / F.col("h").cast("double")
     var = F.col("sqtot").cast("double") / F.col("h").cast("double") - mean * mean
-    dev = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    # zero variance (every hour identical) → deviation 0 by definition;
+    # the unguarded 0/0 would be NaN with engine-dependent comparison
+    # semantics. Guard on var (not sqrt(var)): double rounding can put
+    # a true-zero variance at -ε, and sqrt(-ε) is NaN in Spark but an
+    # error in DuckDB.
+    dev = F.when(
+        var > 0, (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
     return (
         hourly.crossJoin(F.broadcast(stats))
         .select(

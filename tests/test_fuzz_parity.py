@@ -84,3 +84,98 @@ def test_doc_queries_hash_match_on_fuzzed_corpus(spark, fuzz_dir, docs):
     for name in DOC_QUERIES:
         problems = run_parity(spark, fuzz_dir, qs[name], oracles[name])
         assert not problems, f"{name} on fuzzed corpus: " + "; ".join(problems)
+
+
+EMB_QUERIES = ["semdedup_prune", "dedup_embedding_cosine", "ann_pq_topk"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_embedding_queries_hash_match_on_fuzzed_vectors(spark, fuzz_dir, data):
+    """Fuzzed 64-dim integer-valued embeddings (incl. near-duplicates
+    and sign flips) through the lattice-cosine queries. Vector norms are
+    kept nonzero — the operators' documented precondition."""
+    import duckdb
+
+    n = data.draw(st.integers(min_value=20, max_value=40))
+    base = data.draw(
+        st.lists(
+            st.lists(st.integers(-4, 4), min_size=64, max_size=64),
+            min_size=4,
+            max_size=8,
+        )
+    )
+    rows = []
+    for i in range(n):
+        v = list(base[i % len(base)])
+        # perturb deterministically-by-example so duplicates and
+        # near-duplicates both occur
+        if data.draw(st.booleans()):
+            v[i % 64] += data.draw(st.integers(-2, 2))
+        if all(x == 0 for x in v):
+            v[0] = 1  # nonzero-norm precondition
+        rows.append((i, [float(x) for x in v], i % 3))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    con.execute(f"COPY e TO '{fuzz_dir}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    spark.catalog.clearCache()
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in EMB_QUERIES:
+        problems = run_parity(spark, fuzz_dir, qs[name], oracles[name])
+        assert not problems, f"{name} on fuzzed embeddings: " + "; ".join(problems)
+
+
+EV_QUERIES = ["ts_anomaly_hours", "ev_cms_heavy_hitters", "ev_value_quantiles", "ev_attribution"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 72),          # hour offset
+            st.integers(0, 3599),        # second within hour
+            st.integers(-3, 9),          # user id (negative keys too)
+            st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+            st.floats(0.0, 400.0, allow_nan=False, width=32),
+        ),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_event_queries_hash_match_on_fuzzed_events(spark, fuzz_dir, events):
+    """Fuzzed event streams — constant-volume hours (zero variance),
+    negative user ids, duplicate timestamps — through the anomaly /
+    sketch / attribution queries."""
+    import datetime as dt
+
+    import duckdb
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(hours=h, seconds=s),
+            uid,
+            typ,
+            float(val),
+            "{}",
+        )
+        for i, (h, s, uid, typ, val) in enumerate(events)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY ev TO '{fuzz_dir}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    spark.catalog.clearCache()
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in EV_QUERIES:
+        problems = run_parity(spark, fuzz_dir, qs[name], oracles[name])
+        assert not problems, f"{name} on fuzzed events: " + "; ".join(problems)
