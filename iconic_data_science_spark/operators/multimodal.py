@@ -7,9 +7,11 @@ Arrow-batched pandas transforms over ``mapInPandas``.
 Decode is REAL for BMP (24-bit bottom-up rows, 4-byte padded), WAV
 (PCM16), AVI (RIFF 'vids' BI_RGB frames) — pure numpy/struct — and for
 the compressed image formats PNG (8-bit truecolor/RGBA, all five
-scanline filters; DEFLATE ships in stdlib zlib) and GIF87a/89a (full
-variable-width LZW implemented here, encode and decode): no external
-library is needed for any of them.
+scanline filters; DEFLATE ships in stdlib zlib), GIF87a/89a (full
+variable-width LZW implemented here) and baseline JPEG (DCT + canonical
+Huffman from the T.81 spec, operators/jpeg.py — encode and decode): no
+external library is needed for any of them. The codec gate now covers
+only the audio/video compressed families (MP3/MP4-class).
 ``decode_media`` returns exact integer pixel/sample statistics per
 payload and ``frame_sample`` decodes real frames at sampled
 timepoints. Only external-codec formats (JPEG/MP3/MP4-class) stay
@@ -106,13 +108,18 @@ def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
                     w, h = mid % 16 + 4, mid % 12 + 4
                     idx = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
                     px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13) % 256).astype(np.uint8)
-                    # rotate the three real image codecs
-                    codec = (mid // 3) % 3
-                    payload = (
-                        encode_bmp(w, h, px) if codec == 0
-                        else encode_png(px) if codec == 1
-                        else encode_gif(px)
-                    )
+                    # rotate the four real image codecs
+                    codec = (mid // 3) % 4
+                    if codec == 0:
+                        payload = encode_bmp(w, h, px)
+                    elif codec == 1:
+                        payload = encode_png(px)
+                    elif codec == 2:
+                        payload = encode_gif(px)
+                    else:
+                        from .jpeg import encode_jpeg
+
+                        payload = encode_jpeg(px)
                     meta = {"width": w, "height": h, "duration_s": None}
                 elif k == "audio":
                     ns = mid % 500 + 100
@@ -430,9 +437,9 @@ def decode_png(buf: bytes) -> "np.ndarray":
 
 def sniff_format(buf: bytes) -> str:
     """Magic-byte format sniff: 'bmp' / 'wav' / 'avi' / 'png' / 'gif'
-    (all decodable here — PNG via stdlib zlib DEFLATE, GIF via the LZW
-    implementation above) or the codec-gated families ('jpeg', 'mp3',
-    'mp4'); anything else is 'unknown'."""
+    / 'jpeg' (all decodable here — PNG via stdlib zlib, GIF via the LZW
+    above, JPEG via operators/jpeg.py) or the codec-gated families
+    ('mp3', 'mp4'); anything else is 'unknown'."""
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
@@ -498,8 +505,10 @@ def decode_media(media: DataFrame, require_codecs: bool = True) -> DataFrame:
                         sum_abs=int(px.astype("int64").sum()),
                         peak=int(px.max()),
                     )
-                elif fmt in ("png", "gif"):
-                    px = decode_png(buf) if fmt == "png" else decode_gif(buf)
+                elif fmt in ("png", "gif", "jpeg"):
+                    from .jpeg import decode_jpeg
+
+                    px = {"png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}[fmt](buf)
                     row.update(
                         width=px.shape[1],
                         height=px.shape[0],
@@ -631,14 +640,17 @@ def resize_images(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(payload)
                 fmt = sniff_format(buf)
-                if fmt not in ("bmp", "png", "gif"):
+                if fmt not in ("bmp", "png", "gif", "jpeg"):
                     if require_codecs:
                         raise NotImplementedError(
                             f"resizing {fmt!r} payloads requires Pillow, not present "
-                            "in this environment; BMP/PNG payloads resize natively"
+                            "in this environment; BMP/PNG/GIF/JPEG resize natively"
                         )
                     continue
-                px = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif}[fmt](buf)
+                from .jpeg import decode_jpeg as _djpeg
+
+                px = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif,
+                      "jpeg": _djpeg}[fmt](buf)
                 ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
                 xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
                 out = px[ys][:, xs]
@@ -646,8 +658,12 @@ def resize_images(
                     payload_out = encode_bmp(width, height, out)
                 elif fmt == "png":
                     payload_out = encode_png(out)
-                else:
+                elif fmt == "gif":
                     payload_out = encode_gif(out)
+                else:
+                    from .jpeg import encode_jpeg as _ejpeg
+
+                    payload_out = _ejpeg(out)
                 rows.append(
                     {
                         "media_id": mid,

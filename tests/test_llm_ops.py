@@ -65,10 +65,13 @@ def test_multimodal_resize_real_bmp(spark):
     rows = out.collect()
     n_images = media.filter("kind = 'image'").count()
     assert len(rows) == n_images
+    from iconic_data_science_spark.operators.jpeg import decode_jpeg
+
     decoders = {
         "bmp": multimodal.decode_bmp,
         "png": multimodal.decode_png,
         "gif": multimodal.decode_gif,
+        "jpeg": decode_jpeg,
     }
     for r in rows:
         buf = bytes(r.payload)
@@ -671,9 +674,9 @@ def test_gif_width_growth_and_clear_cycle():
 def test_decode_media_covers_all_three_image_codecs(spark):
     from iconic_data_science_spark.operators.multimodal import decode_media, synth_media_real
 
-    out = decode_media(synth_media_real(spark, 36)).collect()
+    out = decode_media(synth_media_real(spark, 48)).collect()
     fmts = {r.format for r in out}
-    assert {"bmp", "png", "gif", "wav", "avi"} <= fmts
+    assert {"bmp", "png", "gif", "jpeg", "wav", "avi"} <= fmts
     for r in out:
         if r.format in ("bmp", "png", "gif"):
             assert r.n_pixels == r.width * r.height
