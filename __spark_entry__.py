@@ -4690,9 +4690,23 @@ def q_ev_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(cat.events)
 
 
+def q_mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ffprobe-style metadata pass over a mixed media corpus: REAL
+    ISO-BMFF box walking (MP4 duration/track count) and MP3
+    frame-header parsing (bitrate/sample-rate/frame count) plus the
+    decodable formats' basic facts — container triage without spending
+    decode cycles, which is how a 100 TB crawl schedules its decoders.
+    Rows-only (engine-generated payloads)."""
+    from iconic_data_science_spark.operators.multimodal import probe_media, synth_media_mixed
+
+    ensure_engine_conf(spark)
+    return probe_media(synth_media_mixed(spark, 256))
+
+
 QUERIES.update({
     "ev_cms_heavy_hitters": q_ev_cms_heavy_hitters,
     "ev_value_quantiles": q_ev_value_quantiles,
+    "mm_probe": q_mm_probe,
 })
 
 from iconic_data_science_spark.operators.sketch import cms_param_table_sql as _cms_param_table_sql  # noqa: E402

@@ -861,3 +861,207 @@ def decode_gif(buf: bytes) -> "np.ndarray":
         prev = code
     idx = np.frombuffer(bytes(out), np.uint8, h * w)
     return pal[idx].reshape(h, w, 3)
+
+
+def encode_mp4_skeleton(duration_s: float, timescale: int = 1000, n_tracks: int = 1) -> bytes:
+    """Minimal valid ISO-BMFF (MP4) container: ftyp + moov(mvhd +
+    per-track trak(tkhd)) + empty mdat. Carries real container
+    metadata (timescale, duration, track count) with no codec payload —
+    the fixture for the probe path (public spec: ISO/IEC 14496-12)."""
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    dur = int(round(duration_s * timescale))
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, dur) + b"\x00" * 80,
+    )
+    traks = b""
+    for i in range(n_tracks):
+        tkhd = box(b"tkhd", struct.pack(">BxxxIIII", 0, 0, 0, i + 1, 0) + b"\x00" * 60)
+        traks += box(b"trak", tkhd)
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", mvhd + traks)
+        + box(b"mdat", b"")
+    )
+
+
+def encode_mp3_frames(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100
+) -> bytes:
+    """MPEG-1 Layer III frame sequence with valid headers and silent
+    payloads (public spec: ISO/IEC 11172-3). Frame size =
+    144·bitrate/sample_rate; header = sync + version/layer bits +
+    bitrate/samplerate indices. Real enough for any frame-header
+    parser; there is no audio to decode by construction."""
+    bitrate_idx = {32: 1, 40: 2, 48: 3, 56: 4, 64: 5, 80: 6, 96: 7, 112: 8,
+                   128: 9, 160: 10, 192: 11, 224: 12, 256: 13, 320: 14}[bitrate_kbps]
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    frame_len = (144 * bitrate_kbps * 1000) // sample_rate
+    hdr = bytes([
+        0xFF,
+        0xFB,  # MPEG-1, Layer III, no CRC
+        (bitrate_idx << 4) | (sr_idx << 2),
+        0x00,
+    ])
+    frame = hdr + b"\x00" * (frame_len - 4)
+    return frame * n_frames
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("bitrate_kbps", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+    ]
+)
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def probe_mp4(buf: bytes) -> dict:
+    """Walk top-level ISO-BMFF boxes; read mvhd timescale/duration and
+    count trak boxes. No codec work — pure container parsing."""
+    pos = 0
+    duration = None
+    n_tracks = 0
+    while pos + 8 <= len(buf):
+        size, tag = struct.unpack_from(">I4s", buf, pos)
+        if size < 8:
+            break
+        if tag == b"moov":
+            inner = pos + 8
+            end = pos + size
+            while inner + 8 <= end:
+                isize, itag = struct.unpack_from(">I4s", buf, inner)
+                if isize < 8:
+                    break
+                if itag == b"mvhd":
+                    ver = buf[inner + 8]
+                    if ver == 0:
+                        _c, _m, ts, dur = struct.unpack_from(">IIII", buf, inner + 12)
+                    else:  # version 1: 64-bit times
+                        _c, _m, ts, dur = struct.unpack_from(">QQIQ", buf, inner + 12)
+                    duration = dur / ts if ts else None
+                elif itag == b"trak":
+                    n_tracks += 1
+                inner += isize
+        pos += size
+    return {"duration_s": duration, "n_tracks": n_tracks}
+
+
+def probe_mp3(buf: bytes) -> dict:
+    """Parse MP3 frame headers: skip an ID3v2 tag, read the first
+    frame's bitrate/sample-rate indices, then count frames by walking
+    computed frame lengths. Duration = frames · 1152 / sample_rate."""
+    pos = 0
+    if buf[:3] == b"ID3":
+        sz = ((buf[6] & 0x7F) << 21) | ((buf[7] & 0x7F) << 14) | ((buf[8] & 0x7F) << 7) | (buf[9] & 0x7F)
+        pos = 10 + sz
+    first = None
+    n_frames = 0
+    while pos + 4 <= len(buf):
+        if buf[pos] == 0xFF and (buf[pos + 1] & 0xE0) == 0xE0:
+            b2, b3 = buf[pos + 1], buf[pos + 2]
+            if (b2 & 0x18) != 0x18 or (b2 & 0x06) != 0x02:
+                break  # only MPEG-1 Layer III here
+            br = _MP3_BITRATES[b3 >> 4]
+            sr = _MP3_RATES[(b3 >> 2) & 0x3] if ((b3 >> 2) & 0x3) < 3 else None
+            if not br or not sr:
+                break
+            if first is None:
+                first = (br, sr)
+            pad = (b3 >> 1) & 1
+            pos += (144 * br * 1000) // sr + pad
+            n_frames += 1
+        else:
+            break
+    if first is None:
+        return {}
+    return {
+        "bitrate_kbps": first[0],
+        "sample_rate": first[1],
+        "n_frames": n_frames,
+        "duration_s": n_frames * 1152 / first[1],
+    }
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """(media_id, format, duration_s, n_tracks, bitrate_kbps,
+    sample_rate, n_frames) — the ffprobe-style metadata pass: REAL
+    container parsing for MP4 (box walk) and MP3 (frame headers), plus
+    the already-decodable formats' basic facts (WAV sample math, AVI
+    frame count). Never decodes samples, so it runs on formats whose
+    audio/video codecs stay gated — exactly the triage step a 100 TB
+    media crawl runs before spending decode cycles."""
+
+    def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                fmt = sniff_format(buf)
+                row = {"media_id": mid, "format": fmt}
+                if fmt == "mp4":
+                    row.update(probe_mp4(buf))
+                elif fmt == "mp3":
+                    row.update(probe_mp3(buf))
+                elif fmt == "wav":
+                    sr, ch, samples = decode_wav(buf)
+                    row.update(
+                        sample_rate=sr,
+                        n_frames=len(samples) // max(1, ch),
+                        duration_s=len(samples) / max(1, ch) / sr,
+                    )
+                elif fmt == "avi":
+                    fps, frames = decode_avi(buf)
+                    row.update(n_frames=len(frames), duration_s=len(frames) / fps)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(probe, PROBE_SCHEMA)
+
+
+def synth_media_mixed(spark: SparkSession, n: int = 256) -> DataFrame:
+    """Real decodable payloads (synth_media_real) interleaved with real
+    CONTAINER payloads (MP4 skeletons, MP3 frame sequences) whose
+    sample codecs stay gated — the honest mixed crawl: probe_media
+    reads every row, decode_media decodes what it can and gates the
+    rest."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 5 == 3:
+                    payload = encode_mp4_skeleton(float(mid % 90 + 1), 1000, mid % 3 + 1)
+                    rows.append({"media_id": mid, "kind": "video", "payload": payload,
+                                 "meta": {"width": None, "height": None,
+                                          "duration_s": float(mid % 90 + 1)}})
+                else:  # the range is pre-filtered to mids % 5 in {3, 4}
+                    payload = encode_mp3_frames(mid % 40 + 5)
+                    rows.append({"media_id": mid, "kind": "audio", "payload": payload,
+                                 "meta": {"width": None, "height": None,
+                                          "duration_s": (mid % 40 + 5) * 1152 / 44100}})
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    containers = (
+        spark.range(n)
+        .filter((F.col("id") % 5 == 3) | (F.col("id") % 5 == 4))
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(gen, MEDIA_SCHEMA)
+    )
+    real = synth_media_real(spark, n).filter(~((F.col("media_id") % 5 == 3) | (F.col("media_id") % 5 == 4)))
+    return real.unionByName(containers)

@@ -717,3 +717,22 @@ def test_histogram_quantiles_bracket_exact(spark, sf_dir):
             exact = vals[math.ceil(p * len(vals) / 100) - 1]
             q = got[(t, p)]
             assert q <= exact <= q + 1, (t, p, q, exact)
+
+
+def test_probe_media_reads_containers_without_decoding(spark):
+    from iconic_data_science_spark.operators.multimodal import probe_media, synth_media_mixed
+
+    media = synth_media_mixed(spark, 60)
+    out = {r.media_id: r for r in probe_media(media).collect()}
+    assert len(out) == 60
+    fmts = {r.format for r in out.values()}
+    assert {"mp4", "mp3", "wav", "avi"} <= fmts
+    for mid, r in out.items():
+        if r.format == "mp4":
+            assert r.duration_s == float(mid % 90 + 1)  # mvhd parsed exactly
+            assert r.n_tracks == mid % 3 + 1
+        elif r.format == "mp3":
+            assert r.n_frames == mid % 40 + 5
+            assert (r.bitrate_kbps, r.sample_rate) == (128, 44100)
+        elif r.format == "wav":
+            assert r.sample_rate == 8000 and r.duration_s > 0
