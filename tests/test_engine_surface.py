@@ -76,6 +76,7 @@ def test_driver_contract_integrity():
         "mm_media_stats",       # synthetic media source
         "mm_decode_stats",      # engine-generated BMP/WAV/AVI payloads (no parquet input)
         "mm_frame_sample",      # engine-generated AVI payloads (no parquet input)
+        "mm_probe",             # engine-generated MP4/MP3 containers (no parquet input)
         "text_bpe_vocab",       # iterative BPE training loop (golden-pinned in tests/test_bpe.py)
     }
     for name, fn in qs.items():
