@@ -855,14 +855,14 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode: BMP + PNG pixel parsing (PNG's DEFLATE via
-    stdlib zlib, all five scanline filters), WAV PCM16 parsing, and AVI
-    frame parsing in pure numpy over mapInPandas (exact integer
-    pixel/sample statistics); the codec gate applies only to
-    external-codec formats (JPEG/MP3/MP4). Rows-only (the payloads are
-    engine-generated, not parquet inputs); decoder correctness is
-    pinned by round-trip and stdlib-wave cross-checks in
-    tests/test_llm_ops.py."""
+    """REAL media decode: BMP/PNG/GIF/JPEG pixel parsing (PNG's DEFLATE
+    via stdlib zlib with all five scanline filters; JPEG via the
+    from-spec baseline codec in operators/jpeg.py), WAV PCM16 parsing,
+    and AVI frame parsing in pure numpy over mapInPandas (exact integer
+    pixel/sample statistics); the codec gate applies only to MP3/MP4
+    sample decode. Rows-only (the payloads are engine-generated, not
+    parquet inputs); decoder correctness is pinned by round-trip and
+    stdlib-wave cross-checks in tests/test_llm_ops.py."""
     from iconic_data_science_spark.operators.multimodal import decode_media, synth_media_real
 
     ensure_engine_conf(spark)
@@ -4958,7 +4958,7 @@ ORACLES["text_bm25_rerank"] = f"""
     ),
     anchor AS (
         SELECT v.embedding AS a_v, v.sq AS a_sq
-        FROM cand c JOIN vecs v USING (doc_id) WHERE c.rank = 1
+        FROM cand c JOIN vecs v USING (doc_id) ORDER BY c.rank LIMIT 1
     ),
     scored AS (
         SELECT c.doc_id, c.bm25_scaled,
@@ -4991,7 +4991,8 @@ ORACLES["ann_pq_topk"] = f"""
     ),
     cb AS (
         SELECT sub, id AS c_id, sv AS c_v, sv_sq AS c_sq
-        FROM subs2 WHERE id < 16
+        FROM subs2
+        WHERE id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
     ),
     scored AS (
         SELECT s.id, s.sub, c.c_id, c.c_sq,

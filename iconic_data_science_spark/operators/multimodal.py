@@ -476,14 +476,15 @@ DECODE_SCHEMA = T.StructType(
 
 
 def decode_media(media: DataFrame, require_codecs: bool = True) -> DataFrame:
-    """Real decode: BMP/PNG payloads parse to exact pixel statistics,
-    WAV to exact sample statistics, AVI to exact frame statistics (pure
-    numpy + stdlib zlib — integer outputs, fully deterministic).
-    External-codec formats (JPEG/MP3/MP4) and unknown payloads raise
-    ``NotImplementedError`` under ``require_codecs=True`` (the honest
-    codec gate — those need Pillow/ffmpeg, absent here); with
-    ``require_codecs=False`` they yield a row with format sniffed and
-    null stats, so mixed-corpus pipelines still run end to end."""
+    """Real decode: BMP/PNG/GIF/JPEG payloads parse to exact pixel
+    statistics (JPEG via the from-spec baseline codec in
+    ``operators/jpeg.py``), WAV to exact sample statistics, AVI to exact
+    frame statistics (pure numpy + stdlib zlib — integer outputs, fully
+    deterministic).  Only MP3/MP4 sample decode and unknown payloads
+    raise ``NotImplementedError`` under ``require_codecs=True`` (the
+    honest codec gate — those need ffmpeg-class decoders, absent here);
+    with ``require_codecs=False`` they yield a row with format sniffed
+    and null stats, so mixed-corpus pipelines still run end to end."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -617,11 +618,13 @@ def frame_sample(media: DataFrame, every_s: float = 1.0, require_codecs: bool = 
 def resize_images(
     media: DataFrame, width: int = 64, height: int = 64, require_codecs: bool = True
 ) -> DataFrame:
-    """Image resize — REAL for BMP and PNG payloads: decode →
+    """Image resize — REAL for BMP/PNG/GIF/JPEG payloads: decode →
     nearest-neighbor resample to (width, height) in numpy → re-encode
-    in the same format, all inside one ``mapInPandas`` pass (binary in,
-    binary out — the image-pipeline shape). JPEG still needs Pillow: it
-    raises under ``require_codecs=True`` and is dropped under False."""
+    in the same format (JPEG through the from-spec codec in
+    ``operators/jpeg.py``), all inside one ``mapInPandas`` pass (binary
+    in, binary out — the image-pipeline shape).  Non-image / unknown
+    formats hit the gate: ``NotImplementedError`` under
+    ``require_codecs=True``, dropped under ``False``."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -16,8 +16,16 @@ becomes, after clearing fractions with avgdl = total_len/N,
     -----------------------------------------------------
     idf_den * (20*tf*total_len + 6*total_len + 18*dl*N)
 
-with idf_num = 2N - 2df + 1, idf_den = 2df + 1 (the +0.5-smoothed BM25
-idf, always positive). Each term contributes
+with idf_num = 2N - 2df + 1, idf_den = 2df + 1 — i.e. the RAW
++0.5-smoothed ratio (N - df + 0.5)/(df + 0.5), always positive.
+**Deliberate deviation from standard Robertson idf: the logarithm is
+dropped** so the whole score stays on the integer lattice and any
+ANSI-SQL oracle reproduces it bit-for-bit.  Consequence: rare terms
+are weighted linearly instead of logarithmically, so multi-term
+rankings can diverge from log-idf BM25 when document-frequency spans
+are wide; for the corpus-search / hard-negative-mining use case here
+the trade (engine-exact verifiability over textbook weighting) is the
+point.  Each term contributes
 ``(SCALE * num) div den`` and the floored contributions sum per
 document — deterministic, order-independent, engine-independent.
 
@@ -163,8 +171,11 @@ def bm25_embed_rerank(
 
     (doc_id, bm25_scaled, cosine, rerank) — the standard two-stage
     search stack: the lexical stage returns ``k_candidates`` docs, the
-    top lexical hit's embedding becomes the semantic anchor, and the
+    best-ranked candidate THAT HAS AN EMBEDDING ROW becomes the
+    semantic anchor (so a missing-embedding top hit degrades to the
+    next candidate instead of silently emptying the result), and the
     candidates rerank by integer-lattice cosine to it (ties on doc_id).
+    Candidates without embeddings drop out of the rerank (inner join).
     Everything stays engine-exact: BM25 is all-BIGINT, cosines come off
     the product lattice.
 
@@ -189,9 +200,14 @@ def bm25_embed_rerank(
     vecs = embeddings.select(
         F.col(vec_id_col).alias("doc_id"), F.col(vec_col).alias("v"), sq.alias("sq")
     )
+    # Anchor = best-ranked candidate with an embedding (not blindly
+    # rank 1): TakeOrdered over <= k_candidates joined rows, so a
+    # missing-embedding lexical winner falls back instead of producing
+    # an empty cross-join and a silently empty result.
     anchor = (
-        cand.filter(F.col("rank") == 1)
-        .join(vecs, "doc_id")
+        cand.join(vecs, "doc_id")
+        .orderBy("rank")
+        .limit(1)
         .select(F.col("v").alias("a_v"), F.col("sq").alias("a_sq"))
     )
     dot = F.aggregate(

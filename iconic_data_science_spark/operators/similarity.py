@@ -511,10 +511,13 @@ def pq_codes(
     distances below are engine-exact.
 
     Codebook discipline: the subvectors of the ``n_codes`` lowest-id
-    corpus vectors (the same deterministic seeding the IVF oracle path
-    uses; a production deployment would swap in per-subspace k-means —
+    corpus vectors, selected with a true order-by-id/limit (a
+    TakeOrderedAndProject over the id column, so the rule holds on any
+    id space — not just one starting at 0) and broadcast-semi-joined
+    back; the same deterministic seeding the IVF oracle path uses.  A
+    production deployment would swap in per-subspace k-means —
     ``kmeans_centroids`` — at the cost of float centroids and a
-    rows-only check).
+    rows-only check.
 
     Returns (codebook, codes):
       codebook — (sub, c_id, c_v, c_sq): m*n_codes rows, broadcastable.
@@ -539,8 +542,11 @@ def pq_codes(
             lambda a, x: a + x,
         ),
     )
+    lowest_ids = (
+        embeddings.select(F.col(id_col).alias("id")).distinct().orderBy("id").limit(n_codes)
+    )
     codebook = (
-        subs.filter(F.col("id") < n_codes)
+        subs.join(F.broadcast(lowest_ids), "id", "left_semi")
         .select(
             "sub",
             F.col("id").alias("c_id"),
