@@ -7,12 +7,27 @@ training corpora, and both halves map cleanly onto Spark:
 
 - ``bpe_train``: the classic word-frequency formulation. The corpus
   aggregates once to (word, count) — the only state the algorithm needs
-  — and each merge round is a distributed adjacent-pair count weighted
-  by word frequency, an argmax (deterministic tie-break: count desc,
-  then pair lexicographic), and a map-side merge rewrite. Driver loop
-  of ``num_merges`` rounds, one small job per round; only the 1-row
-  argmax crosses the driver boundary. ``localCheckpoint`` per round
-  cuts the lineage (the iterative-ops rule, SCALE.md).
+  — and training is 3-tiered like the other iterative operators
+  (graph.py:60, dedup.py:478):
+
+  * tier 1/2 (the common case): if the vocabulary fits under
+    ``local_vocab_limit``, collect the (word, count) table ONCE and run
+    the classical sequential greedy trainer driver-locally with an
+    incremental pair index (the Sennrich et al. 2016 subword-nmt
+    algorithm — every published BPE trainer holds exactly this table in
+    memory). ONE Spark job total, regardless of ``num_merges``; a 32k-
+    merge vocab no longer means 32k sequential jobs.  Vocabulary grows
+    ~O(corpus^0.5) (Heaps' law), so even a 100 TB corpus's whitespace
+    vocab is collectable after the distributed aggregation.
+  * tier 3 (over-threshold fallback): the distributed per-round loop —
+    adjacent-pair count weighted by word frequency, a 1-row argmax
+    (deterministic tie-break: count desc, then pair lexicographic),
+    map-side merge rewrite, ``localCheckpoint`` per round to cut
+    lineage (the iterative-ops rule, SCALE.md). Exact same merges,
+    one small job per round.
+
+  Both tiers are exact classical greedy BPE and produce identical merge
+  tables (pinned by tests/test_bpe.py equivalence + hypothesis).
 - ``bpe_token_counts``: applies a FIXED merge table (rank-ordered
   replaceAll per merge — exactly the standard encoder) to every word
   and reports per-document token counts before/after. Pure built-in
@@ -61,20 +76,82 @@ def word_frequencies(
     )
 
 
+DEFAULT_LOCAL_VOCAB_LIMIT = 1_000_000
+
+
+def _train_local(wf: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
+    """Classical sequential greedy BPE over an in-memory (word, count)
+    table with an incremental pair index (only words containing the
+    merged pair are rewritten per round — the subword-nmt update rule).
+    Tie-break identical to the distributed tier: count desc, then
+    (left, right) lexicographic asc."""
+    from collections import Counter, defaultdict
+
+    reprs: dict[str, list[str]] = {w: list(w) for w in wf}
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, syms in reprs.items():
+        c = wf[w]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            pair_words[p].add(w)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w in list(pair_words.get(best, ())):
+            syms, c = reprs[w], wf[w]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                pair_words[p].discard(w)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reprs[w] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] += c
+                pair_words[p].add(w)
+    return merges
+
+
 def bpe_train(
     documents: DataFrame,
     num_merges: int = 10,
     text_col: str = "text",
+    local_vocab_limit: int = DEFAULT_LOCAL_VOCAB_LIMIT,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the
     rank-ordered merge list [(left, right), ...].
 
     Deterministic: the argmax tie-break is (pair count desc, left asc,
-    right asc), so the learned table is a pure function of the corpus.
+    right asc), so the learned table is a pure function of the corpus
+    in EITHER tier (see module docstring for the 3-tier shape).
+
+    ``local_vocab_limit``: if the distinct-word vocabulary fits under
+    this bound, the (word, count) table collects once and training runs
+    driver-locally (one Spark job total); set 0 to force the
+    distributed per-round loop.
     """
-    wf = word_frequencies(documents, text_col=text_col).select(
-        _spaced(F.col("word")).alias("sym"), "count"
-    )
+    wf_table = word_frequencies(documents, text_col=text_col)
+    if local_vocab_limit:
+        # limit(n+1) probe: <= n rows back means we hold the WHOLE
+        # vocabulary and can train locally; n+1 rows means over
+        # threshold — fall through to the distributed loop.  One job,
+        # no separate count().
+        rows = wf_table.limit(local_vocab_limit + 1).collect()
+        if len(rows) <= local_vocab_limit:
+            return _train_local({r["word"]: r["count"] for r in rows}, num_merges)
+    wf = wf_table.select(_spaced(F.col("word")).alias("sym"), "count")
     wf = wf.localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):

@@ -79,6 +79,16 @@ def test_bpe_train_matches_reference(spark):
     assert got == _ref_train(CORPUS, 8)
 
 
+def test_bpe_train_tiers_equivalent(spark):
+    """The driver-local incremental trainer (tier 1/2) and the
+    distributed per-round loop (tier 3, local_vocab_limit=0) learn the
+    identical merge table."""
+    df = _docs(spark, CORPUS)
+    local = bpe_train(df, num_merges=8)
+    distributed = bpe_train(df, num_merges=8, local_vocab_limit=0)
+    assert local == distributed == _ref_train(CORPUS, 8)
+
+
 def test_bpe_train_deterministic(spark):
     df = _docs(spark, CORPUS)
     assert bpe_train(df, num_merges=5) == bpe_train(df, num_merges=5)
@@ -119,7 +129,7 @@ def test_word_frequencies(spark):
 
 
 def test_bpe_random_corpora_match_reference(spark):
-    """Property: distributed trainer == sequential reference on random
+    """Property: BOTH trainer tiers == sequential reference on random
     small corpora (incl. runs of repeated characters, the greedy-merge
     edge case)."""
     from hypothesis import given, settings, strategies as st
@@ -137,6 +147,7 @@ def test_bpe_random_corpora_match_reference(spark):
         df = _docs(spark, texts)
         k = 4
         assert bpe_train(df, num_merges=k) == _ref_train(texts, k)
+        assert bpe_train(df, num_merges=k, local_vocab_limit=0) == _ref_train(texts, k)
         merges = _ref_train(texts, k)
         out = bpe_token_counts(df, merges).collect()[0]
         assert out["n_bpe_tokens"] == sum(
