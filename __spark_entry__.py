@@ -3372,11 +3372,13 @@ def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF over LEARNED centroids: distributed Lloyd's k-means (farthest-
-    point seeded, 3 iterations) feeds the same cell-restricted probe as
-    ann_ivf_topk. Iterative float means → rows-only check (the driver's
-    weaker gate for iterative algorithms); recall vs brute force is
-    asserted in tests/test_ann_recall.py on clustered fixtures."""
+    """IVF over LEARNED centroids: Lloyd's k-means (farthest-point
+    seeded, 3 iterations; driver-local numpy tier when the corpus fits
+    the deterministic sample, fused distributed loop above it) feeds
+    the same cell-restricted probe as ann_ivf_topk. Iterative float
+    means → rows-only check (the driver's weaker gate for iterative
+    algorithms); recall vs brute force is asserted in
+    tests/test_ann_recall.py on clustered fixtures."""
     from iconic_data_science_spark.operators.similarity import (
         ivf_topk,
         kmeans_centroids,

@@ -84,6 +84,72 @@ def synth_media(spark: SparkSession, n: int = 256) -> DataFrame:
     return base.select("media_id", kind.alias("kind"), payload.alias("payload"), meta.alias("meta"))
 
 
+# Synthetic fixtures are a few hundred rows; fan them over a handful of
+# partitions instead of local[32]'s default so a fixture query spins up
+# ~8 Python workers, not 32-64 (the parity-harness tail was worker
+# startup, not work).
+_SYNTH_PARTITIONS = 8
+
+
+def _real_media_row(mid: int) -> dict:
+    """One deterministic REAL payload keyed by media_id (shared by
+    synth_media_real and synth_media_mixed)."""
+    import numpy as np
+
+    k = ("image", "audio", "video")[mid % 3]
+    if k == "image":
+        w, h = mid % 16 + 4, mid % 12 + 4
+        idx = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
+        px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13) % 256).astype(np.uint8)
+        # rotate the four real image codecs
+        codec = (mid // 3) % 4
+        if codec == 0:
+            payload = encode_bmp(w, h, px)
+        elif codec == 1:
+            payload = encode_png(px)
+        elif codec == 2:
+            payload = encode_gif(px)
+        else:
+            from .jpeg import encode_jpeg
+
+            payload = encode_jpeg(px)
+        meta = {"width": w, "height": h, "duration_s": None}
+    elif k == "audio":
+        ns = mid % 500 + 100
+        i = np.arange(ns, dtype=np.int64)
+        samples = ((mid * 13 + i * 17) % 4096) - 2048
+        payload = encode_wav(8000, samples)
+        meta = {"width": None, "height": None, "duration_s": ns / 8000.0}
+    else:
+        # real uncompressed AVI: nf frames of an arithmetic
+        # pixel pattern at 5 fps
+        nf, w, h = mid % 4 + 2, mid % 12 + 4, mid % 8 + 4
+        idx = np.arange(nf * h * w * 3, dtype=np.int64).reshape(nf, h, w, 3)
+        px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13 + (idx // (h * w * 3)) * 97) % 256).astype(np.uint8)
+        payload = encode_avi(w, h, 5, px)
+        meta = {"width": w, "height": h, "duration_s": nf / 5.0}
+    return {"media_id": mid, "kind": k, "payload": payload, "meta": meta}
+
+
+def _container_media_row(mid: int) -> dict:
+    """One deterministic CONTAINER payload (MP4 skeleton / MP3 frames)
+    whose sample codecs stay gated."""
+    if mid % 5 == 3:
+        return {
+            "media_id": mid,
+            "kind": "video",
+            "payload": encode_mp4_skeleton(float(mid % 90 + 1), 1000, mid % 3 + 1),
+            "meta": {"width": None, "height": None, "duration_s": float(mid % 90 + 1)},
+        }
+    return {
+        "media_id": mid,
+        "kind": "audio",
+        "payload": encode_mp3_frames(mid % 40 + 5),
+        "meta": {"width": None, "height": None,
+                 "duration_s": (mid % 40 + 5) * 1152 / 44100},
+    }
+
+
 def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
     """Deterministic media table with REAL payloads: images rotate
     the three real codecs (24-bit BMP, 8-bit-RGB PNG via stdlib zlib,
@@ -96,50 +162,14 @@ def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
     fixtures)."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                k = ("image", "audio", "video")[mid % 3]
-                if k == "image":
-                    w, h = mid % 16 + 4, mid % 12 + 4
-                    idx = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
-                    px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13) % 256).astype(np.uint8)
-                    # rotate the four real image codecs
-                    codec = (mid // 3) % 4
-                    if codec == 0:
-                        payload = encode_bmp(w, h, px)
-                    elif codec == 1:
-                        payload = encode_png(px)
-                    elif codec == 2:
-                        payload = encode_gif(px)
-                    else:
-                        from .jpeg import encode_jpeg
-
-                        payload = encode_jpeg(px)
-                    meta = {"width": w, "height": h, "duration_s": None}
-                elif k == "audio":
-                    ns = mid % 500 + 100
-                    i = np.arange(ns, dtype=np.int64)
-                    samples = ((mid * 13 + i * 17) % 4096) - 2048
-                    payload = encode_wav(8000, samples)
-                    meta = {"width": None, "height": None, "duration_s": ns / 8000.0}
-                else:
-                    # real uncompressed AVI: nf frames of an arithmetic
-                    # pixel pattern at 5 fps
-                    nf, w, h = mid % 4 + 2, mid % 12 + 4, mid % 8 + 4
-                    idx = np.arange(nf * h * w * 3, dtype=np.int64).reshape(nf, h, w, 3)
-                    px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13 + (idx // (h * w * 3)) * 97) % 256).astype(np.uint8)
-                    payload = encode_avi(w, h, 5, px)
-                    meta = {"width": w, "height": h, "duration_s": nf / 5.0}
-                rows.append({"media_id": mid, "kind": k, "payload": payload, "meta": meta})
+            rows = [_real_media_row(int(mid)) for mid in pdf["media_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
     return (
-        spark.range(n)
+        spark.range(0, n, 1, _SYNTH_PARTITIONS)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(gen, MEDIA_SCHEMA)
     )
@@ -1044,27 +1074,18 @@ def synth_media_mixed(spark: SparkSession, n: int = 256) -> DataFrame:
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        # ONE pass: the per-mid branch replaces the earlier union of two
+        # mapInPandas branches (was 2x the Python workers for the same
+        # rows — the parity-harness tail).
         for pdf in batches:
-            rows = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                if mid % 5 == 3:
-                    payload = encode_mp4_skeleton(float(mid % 90 + 1), 1000, mid % 3 + 1)
-                    rows.append({"media_id": mid, "kind": "video", "payload": payload,
-                                 "meta": {"width": None, "height": None,
-                                          "duration_s": float(mid % 90 + 1)}})
-                else:  # the range is pre-filtered to mids % 5 in {3, 4}
-                    payload = encode_mp3_frames(mid % 40 + 5)
-                    rows.append({"media_id": mid, "kind": "audio", "payload": payload,
-                                 "meta": {"width": None, "height": None,
-                                          "duration_s": (mid % 40 + 5) * 1152 / 44100}})
+            rows = [
+                _container_media_row(mid) if mid % 5 in (3, 4) else _real_media_row(mid)
+                for mid in (int(m) for m in pdf["media_id"])
+            ]
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
-    containers = (
-        spark.range(n)
-        .filter((F.col("id") % 5 == 3) | (F.col("id") % 5 == 4))
+    return (
+        spark.range(0, n, 1, _SYNTH_PARTITIONS)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(gen, MEDIA_SCHEMA)
     )
-    real = synth_media_real(spark, n).filter(~((F.col("media_id") % 5 == 3) | (F.col("media_id") % 5 == 4)))
-    return real.unionByName(containers)

@@ -163,13 +163,14 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column → (c_id, c_v) centroids.
 
-    Spark-first shape: per iteration, assignment is a broadcast cross
-    join against the K current centroids (argmax cosine via a
-    row_number window), and the update is a distributed per-(cell,
-    position) mean. Only the K×dim centroid matrix crosses the driver
-    boundary each round — bounded metadata, like AQE stats, never the
-    data. Initialization is the ``n_cells`` smallest-id vectors, so runs
-    are deterministic given the data.
+    Two tiers, both deterministic given the data: when the corpus fits
+    inside the deterministic hash sample the Lloyd rounds run driver-
+    locally in numpy (zero extra Spark jobs — the FAISS posture, which
+    trains IVF centroids on a sample regardless); otherwise each
+    iteration is a fused map-side argmax over centroid literals plus
+    ONE partial-aggregated groupBy(c_id) — only the K×dim centroid
+    matrix crosses the driver boundary each round, bounded metadata,
+    never the data.
 
     Feeds ``ivf_assign(centroids=...)`` / ``ivf_topk(centroids=...)`` as
     the real-centroid scale path (recall-tested on clustered fixtures in
@@ -191,16 +192,19 @@ def kmeans_centroids(
     # collecting one row, which is needlessly serial at scale. When the
     # corpus fits in the sample (every test fixture and the sf
     # testdata), the sample IS the corpus, so results are identical to
-    # the exhaustive greedy.
+    # the exhaustive greedy.  The +1 probe row tells us which case we
+    # are in without a separate count() job.
     import numpy as np
 
     seed_sample = max(10_000, 100 * n_cells)
     samp = (
         e.select("id", "v", F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10).alias("_h"))
         .orderBy("_h", "id")
-        .limit(seed_sample)
+        .limit(seed_sample + 1)
         .collect()
     )
+    corpus_fits_sample = len(samp) <= seed_sample
+    samp = samp[:seed_sample]  # TakeOrdered is sorted → prefix == limit(seed_sample)
     samp.sort(key=lambda r: r.id)
     V = np.array([list(r.v) for r in samp], dtype=np.float64)
     norms = np.sqrt((V * V).sum(axis=1))
@@ -216,6 +220,30 @@ def kmeans_centroids(
     seeds = [[float(x) for x in V[i]] for i in chosen]
     cents = list(enumerate(seeds))
     dim = len(seeds[0])
+    # Local tier: when the whole corpus sits in the sample (the common
+    # test/driver case, and what FAISS-style IVF training does on a
+    # sample anyway), the Lloyd rounds run entirely in numpy — same
+    # assignment rule (argmax cosine, ties → smallest c_id: np.argmax
+    # takes the first max) and same update rule (per-cell mean, empty
+    # cells keep the previous centroid) as the distributed loop below.
+    # Results can differ from the distributed tier only in float
+    # summation order (last-ulp); the query is rows-only + recall-
+    # tested, and this drops N_iters Spark jobs to zero.
+    if corpus_fits_sample:
+        C = np.array([cv for _, cv in cents], dtype=np.float64)
+        for _ in range(n_iters):
+            cn = np.sqrt((C * C).sum(axis=1))
+            cn[cn == 0.0] = 1.0
+            sims = U @ (C / cn[:, None]).T
+            best = np.argmax(sims, axis=1)
+            C = np.array(
+                [
+                    V[best == cid].mean(axis=0) if (best == cid).any() else C[cid]
+                    for cid in range(len(C))
+                ]
+            )
+        cents = [(cid, [float(x) for x in C[cid]]) for cid in range(len(C))]
+        return spark.createDataFrame(cents, "c_id int, c_v array<double>")
     # Fused Lloyd iteration: centroids live on the driver between rounds
     # anyway (bounded K×dim metadata), so embed them as LITERALS —
     # assignment becomes a map-side argmax over a K-element expression
