@@ -128,6 +128,67 @@ def test_embedding_queries_hash_match_on_fuzzed_vectors(spark, fuzz_dir, data):
         assert not problems, f"{name} on fuzzed embeddings: " + "; ".join(problems)
 
 
+GRAPH_QUERIES = [
+    "g1_coauthor_edges",
+    "g3_personal_net",
+    "g3_personal_net_flatmap",
+    "g4_bfs",
+    "g5_hierarchy_roots",
+    "g5_hierarchy_roots_sql",
+    "g_kcore",
+    "g_sssp",
+    "g_triangle_count",
+]
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_graph_queries_hash_match_on_fuzzed_edges(spark, fuzz_dir, data):
+    """Fuzzed paper-author graphs through the whole g-family: mega-papers
+    (many authors on one paper, the G3 fan-out case), repeated
+    (paper, author) rows (the DISTINCT discipline), orphan papers with
+    no year row, duplicate (custkey, date) pairs (the g5 lag tiebreak),
+    and author 0 present/absent (the BFS source edge case)."""
+    import datetime as dt
+
+    import duckdb
+
+    # paper-author incidence: small pools force collisions — mega-papers
+    # and repeated pairs arise naturally
+    li = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 12)),
+            min_size=3,
+            max_size=60,
+        )
+    )
+    papers = sorted({p for p, _ in li} | {data.draw(st.integers(0, 20))})
+    orders = [
+        (
+            p,
+            data.draw(st.integers(0, 4)),  # o_custkey: chains share customers
+            dt.datetime(data.draw(st.integers(1994, 1996)), data.draw(st.integers(1, 12)), 1),
+        )
+        for p in papers
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE li (l_orderkey BIGINT, l_suppkey BIGINT)")
+    con.executemany("INSERT INTO li VALUES (?, ?)", li)
+    con.execute(f"COPY li TO '{fuzz_dir}/lineitem.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO o VALUES (?, ?, ?)", orders)
+    con.execute(f"COPY o TO '{fuzz_dir}/orders.parquet' (FORMAT PARQUET)")
+    con.close()
+    spark.catalog.clearCache()
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in GRAPH_QUERIES:
+        problems = run_parity(spark, fuzz_dir, qs[name], oracles[name])
+        assert not problems, f"{name} on fuzzed edges: " + "; ".join(problems)
+
+
 EV_QUERIES = ["ts_anomaly_hours", "ev_cms_heavy_hitters", "ev_value_quantiles", "ev_attribution"]
 
 
