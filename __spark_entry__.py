@@ -55,7 +55,12 @@ def q_g3_personal_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     Truncation knobs (mirroring the reference's cost caps,
     StaticNet.scala:313-314 / PySparkles PAA year filter): papers
     restricted to year 1995, edge strength >= 2, focal egos sampled
-    (ego % 10 == 0).
+    (ego % 10 == 0), and papers capped at 256 authors (the reference's
+    papersToLookAt-style mega-paper guard; a 1000-author paper would
+    otherwise fan out ~10^6 weight-1 pairs that the strength threshold
+    kills only AFTER the O(k^2) shuffle — measured in SCALE.md's G3
+    skew probe). The oracle mirrors the cap, so parity holds at any SF;
+    on the driver fixtures the cap never binds (max authors/paper ~ 7).
     """
     cat = _cat(spark, sf_dir)
     years = magmap.paper_years(cat).filter(F.col("year") == 1995)
@@ -65,7 +70,9 @@ def q_g3_personal_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~10x. At cluster scale this is the canonical cache-the-reduced-
     # intermediate pattern (SURVEY §4: "cache only multi-consumer frames").
     edges = (
-        coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+        coauthor_edges(
+            magmap.paa(cat), years, min_papers_together=2, max_authors_per_paper=256
+        )
         .select("ego", "alter_id", "first_year")
         .localCheckpoint()
     )
@@ -83,7 +90,9 @@ def q_g3_personal_net_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _cat(spark, sf_dir)
     years = magmap.paper_years(cat).filter(F.col("year") == 1995)
     edges = (
-        coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+        coauthor_edges(
+            magmap.paa(cat), years, min_papers_together=2, max_authors_per_paper=256
+        )
         .select("ego", "alter_id", "first_year")
         .localCheckpoint()
     )
@@ -1642,7 +1651,11 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "g3_personal_net": """
-        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        WITH paa0 AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        paa AS (
+            SELECT * FROM paa0 WHERE paper IN (
+                SELECT paper FROM paa0 GROUP BY paper HAVING COUNT(*) <= 256)
+        ),
         py AS (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year
                FROM orders WHERE year(o_orderdate) = 1995),
         co AS (
@@ -1662,7 +1675,11 @@ ORACLES: dict[str, str] = {
         WHERE c1.ego % 10 = 0
     """,
     "g3_personal_net_flatmap": """
-        WITH paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        WITH paa0 AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+        paa AS (
+            SELECT * FROM paa0 WHERE paper IN (
+                SELECT paper FROM paa0 GROUP BY paper HAVING COUNT(*) <= 256)
+        ),
         py AS (SELECT o_orderkey AS paper, CAST(year(o_orderdate) AS BIGINT) AS year
                FROM orders WHERE year(o_orderdate) = 1995),
         co AS (
