@@ -5141,6 +5141,10 @@ _ROUND3_FRONT = [
     "mm_frame_sample",
     "text_bpe_vocab",
     "ann_ivf_kmeans",
+    # --- oracle changed in round 3 (mega-paper cap mirrored on both
+    # sides): re-verify under the new contract ---
+    "g3_personal_net",
+    "g3_personal_net_flatmap",
 ]
 
 _ROUND2_FRONT = [
