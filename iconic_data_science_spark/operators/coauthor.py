@@ -46,14 +46,7 @@ def coauthor_pairs(
     """
     pa = paper_authors(paa, paper_col, author_col)
     if max_authors_per_paper is not None:
-        # Truncation knob for mega-papers: keep papers under the cap.
-        small = (
-            pa.groupBy("paper")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_authors_per_paper)
-            .select("paper")
-        )
-        pa = pa.join(small, "paper", "left_semi")
+        pa = _drop_mega_papers(pa, max_authors_per_paper)
     a = pa.alias("a")
     b = pa.alias("b")
     return (
@@ -64,6 +57,23 @@ def coauthor_pairs(
             F.col("b.author").alias("alter_id"),
         )
     )
+
+
+def _drop_mega_papers(pa: DataFrame, cap: int) -> DataFrame:
+    """Mega-paper truncation as a broadcast ANTI join against the
+    OVER-cap set: papers exceeding the cap are the pathological few
+    (that is the premise of capping), so the broadcast side stays tiny
+    at any corpus size — whereas semi-joining the under-cap set would
+    try to broadcast nearly every paper at 100 TB and fall back to a
+    full shuffle join. The count is a partial-aggregated groupBy(paper)
+    (one row per paper out)."""
+    mega = (
+        pa.groupBy("paper")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select("paper")
+    )
+    return pa.join(F.broadcast(mega), "paper", "left_anti")
 
 
 def coauthor_edges(
@@ -82,13 +92,7 @@ def coauthor_edges(
     """
     pa = paper_authors(paa)
     if max_authors_per_paper is not None:
-        small = (
-            pa.groupBy("paper")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_authors_per_paper)
-            .select("paper")
-        )
-        pa = pa.join(small, "paper", "left_semi")
+        pa = _drop_mega_papers(pa, max_authors_per_paper)
     # Attach the year BEFORE the self-join, and self-join the year-joined
     # frame with ITSELF: when paper_years is filtered (e.g. BFS restricts
     # to one year), BOTH pairing inputs shrink by the selectivity before

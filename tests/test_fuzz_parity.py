@@ -138,6 +138,14 @@ GRAPH_QUERIES = [
     "g_kcore",
     "g_sssp",
     "g_triangle_count",
+    # orders-only queries riding the same fuzzed table: lakehouse MERGE /
+    # SCD2 (duplicate (custkey, date) rows exercise their window
+    # tiebreaks), the band join, and the integer-lattice PageRank over
+    # the self-FK citation edges
+    "lh_merge_upsert",
+    "lh_scd2_priority",
+    "range_join_price_tiers",
+    "g_pagerank_int",
 ]
 
 
@@ -168,6 +176,9 @@ def test_graph_queries_hash_match_on_fuzzed_edges(spark, fuzz_dir, data):
             p,
             data.draw(st.integers(0, 4)),  # o_custkey: chains share customers
             dt.datetime(data.draw(st.integers(1994, 1996)), data.draw(st.integers(1, 12)), 1),
+            data.draw(st.sampled_from(["O", "F"])),
+            float(data.draw(st.integers(0, 400_000))),
+            data.draw(st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"])),
         )
         for p in papers
     ]
@@ -176,9 +187,10 @@ def test_graph_queries_hash_match_on_fuzzed_edges(spark, fuzz_dir, data):
     con.executemany("INSERT INTO li VALUES (?, ?)", li)
     con.execute(f"COPY li TO '{fuzz_dir}/lineitem.parquet' (FORMAT PARQUET)")
     con.execute(
-        "CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP)"
+        "CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP,"
+        " o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderpriority VARCHAR)"
     )
-    con.executemany("INSERT INTO o VALUES (?, ?, ?)", orders)
+    con.executemany("INSERT INTO o VALUES (?, ?, ?, ?, ?, ?)", orders)
     con.execute(f"COPY o TO '{fuzz_dir}/orders.parquet' (FORMAT PARQUET)")
     con.close()
     spark.catalog.clearCache()
@@ -189,7 +201,25 @@ def test_graph_queries_hash_match_on_fuzzed_edges(spark, fuzz_dir, data):
         assert not problems, f"{name} on fuzzed edges: " + "; ".join(problems)
 
 
-EV_QUERIES = ["ts_anomaly_hours", "ev_cms_heavy_hitters", "ev_value_quantiles", "ev_attribution"]
+EV_QUERIES = [
+    "ts_anomaly_hours",
+    "ev_cms_heavy_hitters",
+    "ev_value_quantiles",
+    "ev_attribution",
+    # round-3 additions: temporal join, the four streaming batch-twins,
+    # sessionization, funnel/retention, multi-grain, incremental rollup —
+    # all read only the events table
+    "asof_signup_value",
+    "st_tumbling_hour",
+    "st_sliding_hour_15m",
+    "st_session_5m",
+    "st_stream_stream_join",
+    "w_sessionize_lag",
+    "ev_funnel",
+    "ev_retention",
+    "ts_multi_grain_counts",
+    "inc_rollup_daily",
+]
 
 
 @settings(max_examples=5, deadline=None)
