@@ -570,9 +570,9 @@ def pq_codes(
             lambda a, x: a + x,
         ),
     )
-    lowest_ids = (
-        embeddings.select(F.col(id_col).alias("id")).distinct().orderBy("id").limit(n_codes)
-    )
+    # ids are the table key (unique by contract), so no distinct — this
+    # plans as a shuffle-free TakeOrderedAndProject
+    lowest_ids = embeddings.select(F.col(id_col).alias("id")).orderBy("id").limit(n_codes)
     codebook = (
         subs.join(F.broadcast(lowest_ids), "id", "left_semi")
         .select(
