@@ -4685,6 +4685,20 @@ QUERIES.update({
 })
 
 
+def q_ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user estimate per event type
+    (Bar-Yossef et al. 2002) — the engine-exact approximate-distinct
+    twin of A2's HLL surface (`a2_approx_distinct` stays rows-only
+    because Spark's HLL sketch bytes are engine-internal; KMV's
+    seeded-LCG hashes and BIGINT division reproduce bit-for-bit in the
+    oracle). One (group, hash) distinct shuffle, ≤ k rows per group
+    after the rank filter, mergeable by construction."""
+    from iconic_data_science_spark.operators.sketch import kmv_distinct
+
+    cat = _cat(spark, sf_dir)
+    return kmv_distinct(cat.events)
+
+
 def q_ev_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the event stream (Cormode &
     Muthukrishnan 2005): 4×64 grid of BIGINT cells with literal seeded
@@ -4726,9 +4740,13 @@ QUERIES.update({
     "ev_cms_heavy_hitters": q_ev_cms_heavy_hitters,
     "ev_value_quantiles": q_ev_value_quantiles,
     "mm_probe": q_mm_probe,
+    "ev_kmv_distinct": q_ev_kmv_distinct,
 })
 
 from iconic_data_science_spark.operators.sketch import cms_param_table_sql as _cms_param_table_sql  # noqa: E402
+from iconic_data_science_spark.operators.sketch import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
+
+ORACLES["ev_kmv_distinct"] = _kmv_oracle_sql()
 
 ORACLES["ev_cms_heavy_hitters"] = f"""
     WITH cp AS (SELECT * FROM {_cms_param_table_sql()}),
@@ -5145,6 +5163,8 @@ _ROUND3_FRONT = [
     # sides): re-verify under the new contract ---
     "g3_personal_net",
     "g3_personal_net_flatmap",
+    # --- new in round 3: the engine-exact approximate-distinct sketch ---
+    "ev_kmv_distinct",
 ]
 
 _ROUND2_FRONT = [

@@ -110,6 +110,83 @@ def cms_heavy_hitters(
     )
 
 
+KMV_K = 64
+KMV_A = 1_103_515_245
+KMV_B = 12_345
+
+
+def kmv_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group, est_distinct) — k-minimum-values distinct-count sketch
+    (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+    stream" — public RANDOM'02 paper), on the integer lattice so the
+    estimate hash-matches any ANSI-SQL oracle.
+
+    This is the engine-exact twin of the HLL surface
+    (`a2_approx_distinct`, rows-only because Spark's HLL sketch bytes
+    are engine-internal): hash each key with a seeded-literal LCG into
+    [0, 2^31-1), keep the k smallest DISTINCT hashes per group, and
+    estimate N ≈ (k-1)·M / h_k where h_k is the k-th minimum (exact
+    BIGINT division). Groups with fewer than k distinct hashes return
+    the exact count (the standard KMV small-set rule).
+
+    Scale shape: the distinct is a (group, hash) partial-aggregated
+    shuffle; the rank filter keeps ≤ k rows per group, and the k-minima
+    of a union are the k-minima of the per-partition k-minima — the
+    mergeability that makes KMV a one-pass bounded-memory sketch on a
+    1000-executor cluster. (The rank runs as a per-group window here;
+    a giant group costs one sort of ITS distinct hashes, not the data.)
+    """
+    h = ((F.lit(KMV_A) * F.col(key_col) + F.lit(KMV_B)) % MERSENNE31 + MERSENNE31) % MERSENNE31
+    d = events.select(F.col(group_col).alias("grp"), h.cast("long").alias("h")).distinct()
+    w = W.partitionBy("grp").orderBy("h")
+    topk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        topk.groupBy("grp")
+        .agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.when(F.col("n_seen") < k, F.col("n_seen"))
+            .otherwise(F.expr(f"CAST({(k - 1) * MERSENNE31} AS BIGINT) div h_k"))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_oracle_sql(
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    table: str = "events",
+    k: int = KMV_K,
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (same LCG literals, same
+    rank filter, same BIGINT division)."""
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT {group_col} AS grp,
+                   (({KMV_A} * {key_col} + {KMV_B}) % {MERSENNE31} + {MERSENNE31}) % {MERSENNE31} AS h
+            FROM {table}
+        ),
+        r AS (
+            SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM d
+        ),
+        t AS (
+            SELECT grp, COUNT(*) AS n_seen, MAX(h) AS h_k
+            FROM r WHERE rn <= {k} GROUP BY grp
+        )
+        SELECT grp AS {group_col},
+               CAST(CASE WHEN n_seen < {k} THEN n_seen
+                    ELSE {(k - 1) * MERSENNE31} // h_k END AS BIGINT) AS est_distinct
+        FROM t
+    """
+
+
 def histogram_quantiles(
     events: DataFrame,
     value_col: str = "value",

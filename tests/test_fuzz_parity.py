@@ -219,6 +219,7 @@ EV_QUERIES = [
     "ev_retention",
     "ts_multi_grain_counts",
     "inc_rollup_daily",
+    "ev_kmv_distinct",
 ]
 
 

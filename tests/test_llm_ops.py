@@ -698,6 +698,31 @@ def test_cms_estimate_is_one_sided(spark, sf_dir):
         assert r.est_count - r.true_count <= n  # trivial sanity ceiling
 
 
+def test_kmv_distinct_accuracy_and_small_set_rule(spark, sf_dir):
+    """KMV estimate within 25% of exact on the fixture (measured ~2% at
+    k=64), and EXACT when a group has fewer than k distinct keys (the
+    small-set rule)."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.sketch import kmv_distinct
+
+    ev = Catalog(spark, sf_dir).events
+    got = {r.event_type: r.est_distinct for r in kmv_distinct(ev).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(got[t] - n) <= max(2, 0.25 * n), (t, got[t], n)
+    # small-set rule: 10 distinct keys < k=64 → exact count back
+    small = spark.createDataFrame(
+        [(i % 10, "x") for i in range(100)], "user_id long, event_type string"
+    )
+    out = kmv_distinct(small).collect()
+    assert out[0].est_distinct == 10
+
+
 def test_histogram_quantiles_bracket_exact(spark, sf_dir):
     """q_bin must be within one bin of the exact percentile value."""
     from iconic_data_science_spark.catalog import Catalog
