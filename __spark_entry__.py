@@ -4685,6 +4685,28 @@ QUERIES.update({
 })
 
 
+def q_lh_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout statistics (the relational core of Delta's
+    OPTIMIZE ZORDER, Morton 1966): orders keyed by (custkey, order-day)
+    Morton-interleave into a z-value, rows land in fixed z-range chunks
+    (the file-sized unit), and per-chunk min/max of BOTH dims are the
+    skipping stats a format footer stores. Map-side arithmetic + one
+    per-chunk partial agg — no global sort, so the layout pass runs at
+    any scale. Pruning effectiveness asserted in
+    tests/test_lakehouse.py."""
+    from iconic_data_science_spark.operators.lakehouse import zorder_chunk_stats
+
+    cat = _cat(spark, sf_dir)
+    base = cat.orders.select(
+        (F.col("o_custkey") % 65536).cast("long").alias("ck"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            % 65536
+        ).cast("long").alias("dd"),
+    )
+    return zorder_chunk_stats(base, "ck", "dd")
+
+
 def q_ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-user estimate per event type
     (Bar-Yossef et al. 2002) — the engine-exact approximate-distinct
@@ -4741,12 +4763,30 @@ QUERIES.update({
     "ev_value_quantiles": q_ev_value_quantiles,
     "mm_probe": q_mm_probe,
     "ev_kmv_distinct": q_ev_kmv_distinct,
+    "lh_zorder_stats": q_lh_zorder_stats,
 })
 
 from iconic_data_science_spark.operators.sketch import cms_param_table_sql as _cms_param_table_sql  # noqa: E402
 from iconic_data_science_spark.operators.sketch import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
 
 ORACLES["ev_kmv_distinct"] = _kmv_oracle_sql()
+
+_Z_TERMS = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})" for i in range(16)
+)
+ORACLES["lh_zorder_stats"] = f"""
+    WITH b AS (
+        SELECT CAST(o_custkey % 65536 AS BIGINT) AS x,
+               CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y
+        FROM orders
+    ),
+    zt AS (SELECT x, y, {_Z_TERMS} AS z FROM b)
+    SELECT CAST(z >> 18 AS BIGINT) AS chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM zt GROUP BY 1
+"""
 
 ORACLES["ev_cms_heavy_hitters"] = f"""
     WITH cp AS (SELECT * FROM {_cms_param_table_sql()}),
@@ -5163,8 +5203,10 @@ _ROUND3_FRONT = [
     # sides): re-verify under the new contract ---
     "g3_personal_net",
     "g3_personal_net_flatmap",
-    # --- new in round 3: the engine-exact approximate-distinct sketch ---
+    # --- new in round 3: the engine-exact approximate-distinct sketch
+    # and the Z-order layout/skipping stats ---
     "ev_kmv_distinct",
+    "lh_zorder_stats",
 ]
 
 _ROUND2_FRONT = [

@@ -226,3 +226,62 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def zorder_value(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer keys: bit i of ``x`` lands at position 2i, bit
+    i of ``y`` at 2i+1. Pure shift/mask arithmetic (identical in Spark
+    SQL and ANSI SQL), whole-stage-codegen friendly, no UDF.
+
+    This is the clustering key behind multi-dimension data skipping
+    (Delta's OPTIMIZE ZORDER, public docs; Morton 1966): sorting or
+    range-chunking by z keeps BOTH dimensions' min/max tight within any
+    contiguous chunk, so a predicate on either column prunes chunks.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(F.expr(f"shiftleft(shiftright(CAST({x} AS BIGINT), {i}) & 1, {2 * i})"))
+        terms.append(F.expr(f"shiftleft(shiftright(CAST({y} AS BIGINT), {i}) & 1, {2 * i + 1})"))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("long")
+
+
+def zorder_chunk_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    chunk_shift: int = 18,
+) -> DataFrame:
+    """(chunk, n_rows, min_x, max_x, min_y, max_y) — the data-skipping
+    statistics a Z-ordered layout yields: rows land in fixed z-value
+    ranges (``chunk = z >> chunk_shift``, the file-sized unit), and the
+    per-chunk min/max of each source dimension is exactly what a format
+    footer stores to prune scans.
+
+    Scale shape: the z-value is map-side arithmetic; the only shuffle is
+    the per-chunk partial aggregation (one narrow row per chunk out).
+    Chunking by fixed z-range instead of a global row_number keeps the
+    layout computation embarrassingly parallel — no single-partition
+    sort anywhere, which is the difference between OPTIMIZE running on
+    a 100 TB table and not.
+    """
+    z = zorder_value(x_col, y_col, bits=bits)
+    return (
+        df.select(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+            z.alias("z"),
+        )
+        .groupBy(F.expr(f"shiftright(z, {chunk_shift})").cast("long").alias("chunk"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

@@ -208,3 +208,43 @@ def test_snapshot_diff_roundtrip_with_time_travel(spark, tmp_path):
     )
     out = {r.id: r.change_type for r in diff.collect()}
     assert out == {0: "removed", 1: "removed", 10: "added", 11: "added", 5: "changed"}
+
+
+def _py_morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    from pyspark.sql import functions as F
+    from iconic_data_science_spark.operators.lakehouse import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (5, 9), (65535, 65535), (12345, 54321)],
+        "x long, y long",
+    )
+    got = df.select("x", "y", zorder_value("x", "y").alias("z")).collect()
+    for r in got:
+        assert r.z == _py_morton(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_chunks_prune_on_both_dimensions(spark):
+    """The point of Z-order: a predicate on EITHER dimension prunes a
+    meaningful fraction of fixed z-range chunks, whereas a layout sorted
+    on one dimension only prunes on that dimension. Uniform grid data;
+    assert a narrow band on each dim overlaps <= half the chunks."""
+    from pyspark.sql import functions as F
+    from iconic_data_science_spark.operators.lakehouse import zorder_chunk_stats
+
+    n = 1 << 11  # x, y uniform over [0, 2048)
+    df = spark.range(n * 8).select(
+        (F.col("id") % n).alias("x"), ((F.col("id") * 7919) % n).alias("y")
+    )
+    stats = zorder_chunk_stats(df, "x", "y", chunk_shift=18).collect()
+    assert len(stats) >= 8
+    for lo, hi, mn, mx in ((100, 200, "min_x", "max_x"), (1500, 1600, "min_y", "max_y")):
+        overlap = [r for r in stats if getattr(r, mn) < hi and getattr(r, mx) >= lo]
+        assert len(overlap) <= len(stats) / 2, (lo, hi, len(overlap), len(stats))
