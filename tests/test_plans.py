@@ -187,6 +187,10 @@ EXCHANGE_BUDGET = {
     "g4_bfs": 0,
     "q9_product_profit": 1,
     "q21_waiting_suppliers": 7,
+    # round-3 additions: KMV = (group,hash) distinct + per-group rank;
+    # z-order = map-side arithmetic + ONE per-chunk partial agg
+    "ev_kmv_distinct": 2,
+    "lh_zorder_stats": 1,
 }
 
 
