@@ -128,6 +128,56 @@ def test_embedding_queries_hash_match_on_fuzzed_vectors(spark, fuzz_dir, data):
         assert not problems, f"{name} on fuzzed embeddings: " + "; ".join(problems)
 
 
+# Raw-text queries safe for arbitrary (non-space-joined) strings.
+RAW_TEXT_QUERIES = ["dedup_exact", "text_token_counts", "text_fingerprint", "corpus_datacard"]
+
+# Alphabet note: U+0130 (Turkish İ) is EXCLUDED by construction — Spark
+# (ICU) lowercases it to 'i' + U+0307 combining dot while DuckDB
+# (utf8proc) gives plain 'i', a documented engine divergence pinned by
+# tests/test_llm_ops.py::test_known_unicode_lowercase_divergence. The
+# strategy otherwise covers accented latin, greek, CJK, emoji, tabs,
+# repeated/leading/trailing spaces, and punctuation.
+_RAW_ALPHABET = st.sampled_from(list("abz09 .,-!\t  éÅßπ漢字🙂"))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(_RAW_ALPHABET, min_size=0, max_size=40),
+            st.sampled_from(["src0", "src1"]),
+            st.sampled_from(["en", "de"]),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_raw_text_queries_hash_match_on_arbitrary_strings(spark, fuzz_dir, docs):
+    """Arbitrary raw strings (not space-joined token lists): empty
+    texts, runs of spaces, tabs, unicode, emoji — through the
+    tokenization-sensitive queries. Cross-engine split/lower/md5
+    semantics must agree byte-for-byte."""
+    import duckdb
+
+    rows = [
+        (i, text, lang, src, len(text))
+        for i, (text, src, lang) in enumerate(docs)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY d TO '{fuzz_dir}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    spark.catalog.clearCache()
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in RAW_TEXT_QUERIES:
+        problems = run_parity(spark, fuzz_dir, qs[name], oracles[name])
+        assert not problems, f"{name} on raw-text corpus: " + "; ".join(problems)
+
+
 GRAPH_QUERIES = [
     "g1_coauthor_edges",
     "g3_personal_net",

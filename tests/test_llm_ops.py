@@ -761,3 +761,20 @@ def test_probe_media_reads_containers_without_decoding(spark):
             assert (r.bitrate_kbps, r.sample_rate) == (128, 44100)
         elif r.format == "wav":
             assert r.sample_rate == 8000 and r.duration_s > 0
+
+
+def test_known_unicode_lowercase_divergence(spark):
+    """PINNED ENGINE DIVERGENCE, not a bug to fix: Spark (ICU/JVM)
+    lowercases U+0130 (LATIN CAPITAL LETTER I WITH DOT ABOVE) to
+    'i' + U+0307 (combining dot, 2 codepoints); DuckDB (utf8proc) gives
+    plain 'i'. Any corpus containing U+0130 will hash-diverge between
+    the engines on lower()-derived columns — which is why the raw-text
+    fuzz alphabet excludes it (tests/test_fuzz_parity.py). If this test
+    ever FAILS, the engines have converged and the exclusion can go."""
+    import duckdb
+
+    s = spark.createDataFrame([("İ",)], "t string").select(
+        F.lower("t").alias("low")
+    ).collect()[0].low
+    d = duckdb.connect().execute("SELECT lower('İ')").fetchone()[0]
+    assert s == "i̇" and d == "i" and s != d
