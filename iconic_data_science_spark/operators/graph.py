@@ -174,18 +174,25 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("recv"))
         )
-        # dangling nodes (no outgoing edges) leak their mass; redistribute
+        # dangling nodes (no outgoing edges) leak their mass; redistribute.
+        # The 1-row mass frame joins in as a broadcast cross join instead
+        # of a driver collect, folding what was a separate per-iteration
+        # job into the same localCheckpoint materialization (halves the
+        # loop's job count; nothing crosses the driver boundary).
         dangling = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_m") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint()
         )
