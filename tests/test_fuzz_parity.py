@@ -86,7 +86,16 @@ def test_doc_queries_hash_match_on_fuzzed_corpus(spark, fuzz_dir, docs):
         assert not problems, f"{name} on fuzzed corpus: " + "; ".join(problems)
 
 
-EMB_QUERIES = ["semdedup_prune", "dedup_embedding_cosine", "ann_pq_topk"]
+EMB_QUERIES = [
+    "semdedup_prune",
+    "dedup_embedding_cosine",
+    "ann_pq_topk",
+    # round-3 additions: the full oracled ANN family
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multitable",
+    "ann_ivf_topk",
+]
 
 
 @settings(max_examples=5, deadline=None)
