@@ -4685,6 +4685,21 @@ QUERIES.update({
 })
 
 
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-hash dedup (LBFS/FastCDC idea
+    on text): rolling-window Horner hash picks boundaries that move
+    WITH the content, chunks fingerprint with md5, and shared chunk
+    hashes across docs surface partial duplication at sub-document
+    grain. All array HOFs inside the row — no per-char explode; the
+    only shuffle is the chunk-hash dedup join. Oracle replays the
+    identical hash per position with a window cumulative boundary
+    count."""
+    from iconic_data_science_spark.operators.text import cdc_chunks
+
+    cat = _cat(spark, sf_dir)
+    return cdc_chunks(cat.documents)
+
+
 def q_lh_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout statistics (the relational core of Delta's
     OPTIMIZE ZORDER, Morton 1966): orders keyed by (custkey, order-day)
@@ -4764,7 +4779,12 @@ QUERIES.update({
     "mm_probe": q_mm_probe,
     "ev_kmv_distinct": q_ev_kmv_distinct,
     "lh_zorder_stats": q_lh_zorder_stats,
+    "text_cdc_chunks": q_text_cdc_chunks,
 })
+
+from iconic_data_science_spark.operators.text import cdc_oracle_sql as _cdc_oracle_sql  # noqa: E402
+
+ORACLES["text_cdc_chunks"] = _cdc_oracle_sql()
 
 from iconic_data_science_spark.operators.sketch import cms_param_table_sql as _cms_param_table_sql  # noqa: E402
 from iconic_data_science_spark.operators.sketch import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
@@ -5203,10 +5223,11 @@ _ROUND3_FRONT = [
     # sides): re-verify under the new contract ---
     "g3_personal_net",
     "g3_personal_net_flatmap",
-    # --- new in round 3: the engine-exact approximate-distinct sketch
-    # and the Z-order layout/skipping stats ---
+    # --- new in round 3: the engine-exact approximate-distinct sketch,
+    # the Z-order layout/skipping stats, and content-defined chunking ---
     "ev_kmv_distinct",
     "lh_zorder_stats",
+    "text_cdc_chunks",
 ]
 
 _ROUND2_FRONT = [

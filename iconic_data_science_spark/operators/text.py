@@ -496,3 +496,137 @@ def build_inverted_index(
             ).alias("inverted_index_json"),
         )
     )
+
+
+# --- content-defined chunking (CDC) -----------------------------------------
+
+CDC_BASE = 2_097_169        # prime > max Unicode codepoint (0x10FFFF)
+CDC_DIVISOR = 64            # boundary when window hash % divisor == 0
+CDC_WINDOW = 4
+
+
+def cdc_chunks(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking + chunk-hash dedup: (doc_id, chunk_idx,
+    start, chunk_len, chunk_md5, n_docs_sharing).
+
+    The LBFS/FastCDC idea (Muthitacharoen et al. 2001; Xia et al. 2016,
+    both public) applied to text: a position ends a chunk when the
+    rolling hash of the trailing 4-codepoint window is ≡ 0 mod
+    ``divisor``, so boundaries move WITH the content — inserting a
+    sentence shifts every byte offset but reproduces the same chunks
+    after the edit point, which fixed-width windows cannot do. Shared
+    ``chunk_md5`` across documents is partial-duplication evidence at
+    sub-document granularity (the dedup grain between exact-doc and
+    passage windows).
+
+    Engine shape: the per-position hash, the boundary scan, and the
+    chunk assembly are ALL array higher-order functions inside the row —
+    no per-character explode, no window over positions, so a document
+    costs O(len) map-side work and the only shuffle is the chunk-hash
+    dedup join (high-cardinality md5 keys). The window hash is Horner
+    mod 2^31-1 over codepoints (``ascii`` == DuckDB ``unicode``,
+    probe-verified), so the DuckDB oracle replays it bit-for-bit.
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    chars = F.split(text, "")
+
+    def code(i):
+        return F.ascii(F.element_at(chars, i.cast("int")))
+
+    def whash(i):
+        h = code(i - 3).cast("long")
+        for off in (2, 1, 0):
+            h = (h * CDC_BASE + code(i - off)) % MERSENNE31
+        return h
+
+    bounds = F.when(
+        n >= CDC_WINDOW,
+        F.filter(
+            F.sequence(F.lit(CDC_WINDOW), n),
+            lambda i: whash(i) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), F.transform(bounds, lambda b: b + 1))
+    ends = F.concat(bounds, F.array(n))
+    segs = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda p: p["e"] >= p["s"],
+    )
+    chunks = (
+        documents.filter(n >= 1)
+        .select(F.col(id_col).alias("doc_id"), text.alias("_t"), F.posexplode(segs))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("chunk_idx"),
+            F.col("col.s").cast("long").alias("start"),
+            (F.col("col.e") - F.col("col.s") + 1).cast("long").alias("chunk_len"),
+            F.md5(F.expr("substring(_t, col.s, col.e - col.s + 1)")).alias("chunk_md5"),
+        )
+    )
+    sharing = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_sharing")
+    )
+    return chunks.join(sharing, "chunk_md5").select(
+        "doc_id", "chunk_idx", "start", "chunk_len", "chunk_md5", "n_docs_sharing"
+    )
+
+
+def cdc_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = CDC_DIVISOR,
+) -> str:
+    """DuckDB twin of :func:`cdc_chunks`: per-position window hash, the
+    boundary count before each position assigns its chunk, chunks
+    reassemble via group-by (same Horner/mod literals)."""
+    return f"""
+        WITH t AS (
+            SELECT {id_col} AS doc_id, {text_col} AS txt, length({text_col}) AS n
+            FROM {table} WHERE length({text_col}) >= 1
+        ),
+        pos AS (
+            SELECT doc_id, txt, n, unnest(generate_series(1, n)) AS p FROM t
+        ),
+        hb AS (
+            SELECT doc_id, txt, n, p,
+                   CASE WHEN p >= {CDC_WINDOW} THEN
+                       ((((CAST(unicode(substr(txt, p-3, 1)) AS BIGINT) * {CDC_BASE}
+                           + unicode(substr(txt, p-2, 1))) % {MERSENNE31}) * {CDC_BASE}
+                           + unicode(substr(txt, p-1, 1))) % {MERSENNE31} * {CDC_BASE}
+                           + unicode(substr(txt, p, 1))) % {MERSENNE31}
+                   END AS h
+            FROM pos
+        ),
+        b AS (
+            SELECT doc_id, txt, n, p,
+                   CASE WHEN h IS NOT NULL AND h % {divisor} = 0 THEN 1 ELSE 0 END AS is_b
+            FROM hb
+        ),
+        c AS (
+            SELECT doc_id, txt, p,
+                   SUM(is_b) OVER (PARTITION BY doc_id ORDER BY p
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - is_b AS ci
+            FROM b
+        ),
+        ch AS (
+            SELECT doc_id, CAST(ci + 1 AS BIGINT) AS chunk_idx,
+                   CAST(MIN(p) AS BIGINT) AS start,
+                   CAST(COUNT(*) AS BIGINT) AS chunk_len,
+                   md5(substr(ANY_VALUE(txt), MIN(p), COUNT(*))) AS chunk_md5
+            FROM c GROUP BY doc_id, ci
+        ),
+        sh AS (
+            SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
+            FROM ch GROUP BY chunk_md5
+        )
+        SELECT doc_id, chunk_idx, start, chunk_len, ch.chunk_md5, n_docs_sharing
+        FROM ch JOIN sh USING (chunk_md5)
+    """

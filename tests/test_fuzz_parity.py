@@ -138,7 +138,13 @@ def test_embedding_queries_hash_match_on_fuzzed_vectors(spark, fuzz_dir, data):
 
 
 # Raw-text queries safe for arbitrary (non-space-joined) strings.
-RAW_TEXT_QUERIES = ["dedup_exact", "text_token_counts", "text_fingerprint", "corpus_datacard"]
+RAW_TEXT_QUERIES = [
+    "dedup_exact",
+    "text_token_counts",
+    "text_fingerprint",
+    "corpus_datacard",
+    "text_cdc_chunks",
+]
 
 # Alphabet note: U+0130 (Turkish İ) is EXCLUDED by construction — Spark
 # (ICU) lowercases it to 'i' + U+0307 combining dot while DuckDB

@@ -778,3 +778,26 @@ def test_known_unicode_lowercase_divergence(spark):
     ).collect()[0].low
     d = duckdb.connect().execute("SELECT lower('İ')").fetchone()[0]
     assert s == "i̇" and d == "i" and s != d
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """THE content-defined-chunking property: after inserting a prefix,
+    every chunk of the original except its first reappears with an
+    identical hash (fixed-width windows lose all alignment instead)."""
+    from iconic_data_science_spark.operators.text import cdc_chunks
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX >> " + base)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    orig = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    edited_hashes = {r.chunk_md5 for r in by_doc[2]}
+    assert len(orig) >= 3, "fixture too short to have multiple chunks"
+    tail = [r.chunk_md5 for r in orig[1:]]
+    assert all(h in edited_hashes for h in tail), "CDC alignment lost after edit"
+    # and the sharing count sees the overlap
+    assert all(r.n_docs_sharing == 2 for r in orig[1:])

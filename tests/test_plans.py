@@ -188,9 +188,11 @@ EXCHANGE_BUDGET = {
     "q9_product_profit": 1,
     "q21_waiting_suppliers": 7,
     # round-3 additions: KMV = (group,hash) distinct + per-group rank;
-    # z-order = map-side arithmetic + ONE per-chunk partial agg
+    # z-order = map-side arithmetic + ONE per-chunk partial agg;
+    # CDC = in-row HOF chunking + the chunk-hash dedup groupBy/join
     "ev_kmv_distinct": 2,
     "lh_zorder_stats": 1,
+    "text_cdc_chunks": 2,
 }
 
 
