@@ -4636,6 +4636,24 @@ def q_g_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(edges, rounds=6)
 
 
+def q_g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (5 rounds, ties → min
+    label) over the thresholded 1995 coauthor graph — the deterministic
+    fixed-round LPA contract (Raghavan et al. 2007). Oracle: the
+    identical vote/argmax replayed as a round-stamped recursive CTE
+    (the k-core oracle pattern)."""
+    from iconic_data_science_spark.operators.graph import label_propagation
+
+    cat = _cat(spark, sf_dir)
+    years = magmap.paper_years(cat).filter(F.col("year") == 1995)
+    edges = (
+        coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+        .select(F.col("ego").alias("src"), F.col("alter_id").alias("dst"))
+        .localCheckpoint()
+    )
+    return label_propagation(edges, rounds=5)
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-card rollup a corpus release ships: docs / tokens /
     chars / exact-distinct texts at every (lang × source) grain — CUBE
@@ -4681,6 +4699,7 @@ QUERIES.update({
     "text_lang_confusion": q_text_lang_confusion,
     "text_bm25_rerank": q_text_bm25_rerank,
     "g_sssp": q_g_sssp,
+    "g_label_propagation": q_g_label_propagation,
     "corpus_datacard": q_corpus_datacard,
 })
 
@@ -4785,6 +4804,33 @@ QUERIES.update({
 from iconic_data_science_spark.operators.text import cdc_oracle_sql as _cdc_oracle_sql  # noqa: E402
 
 ORACLES["text_cdc_chunks"] = _cdc_oracle_sql()
+
+ORACLES["g_label_propagation"] = """
+    WITH RECURSIVE paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),
+    py AS (SELECT o_orderkey AS paper FROM orders WHERE year(o_orderdate) = 1995),
+    e AS (
+        SELECT a.author AS src, b.author AS dst
+        FROM paa a
+        JOIN paa b ON a.paper = b.paper AND a.author <> b.author
+        JOIN py ON py.paper = a.paper
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    nodes AS (SELECT DISTINCT src AS v FROM e),
+    lp(it, v, lab) AS (
+        SELECT 0, v, v FROM nodes
+        UNION ALL
+        SELECT it + 1, v, lab FROM (
+            SELECT p.it AS it, e.src AS v, p.lab AS lab,
+                   ROW_NUMBER() OVER (PARTITION BY p.it, e.src
+                                      ORDER BY COUNT(*) DESC, p.lab) AS rn
+            FROM lp p JOIN e ON e.dst = p.v
+            WHERE p.it < 5
+            GROUP BY p.it, e.src, p.lab
+        ) WHERE rn = 1
+    )
+    SELECT v AS node, lab AS label FROM lp WHERE it = 5
+"""
 
 from iconic_data_science_spark.operators.sketch import cms_param_table_sql as _cms_param_table_sql  # noqa: E402
 from iconic_data_science_spark.operators.sketch import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
@@ -5228,6 +5274,7 @@ _ROUND3_FRONT = [
     "ev_kmv_distinct",
     "lh_zorder_stats",
     "text_cdc_chunks",
+    "g_label_propagation",
 ]
 
 _ROUND2_FRONT = [

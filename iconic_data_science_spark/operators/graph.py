@@ -574,3 +574,48 @@ def sssp(
             break
         prev_sig = sig
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    "Near linear time algorithm to detect community structures in
+    large-scale networks" — public Phys. Rev. E paper) → (node, label).
+
+    ``edges``: directed (src, dst) with BOTH orientations for undirected
+    graphs (the coauthor convention). Every node starts labeled with its
+    own id; each round every node adopts the label MOST FREQUENT among
+    its neighbors' previous-round labels, ties broken by the smaller
+    label — the deterministic pin that makes fixed-round LPA a pure
+    function of the edge set (classic async LPA is run-order dependent;
+    the synchronous fixed-round form is what an engine can contract).
+
+    Scale shape: one shuffle per round — the (node, label) vote count is
+    a partial-aggregated groupBy, the argmax is a min-struct aggregate
+    ((-count, label) lexicographic), never a window sort; labels
+    localCheckpoint per round (the iterative-ops lineage rule). At K
+    rounds the cost is K edge-sized shuffles, the same budget as K BFS
+    hops.
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("b"))
+            .select("node", F.col("b.l").alias("nlabel"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("nlabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    return labels.select("node", "label")

@@ -203,6 +203,7 @@ GRAPH_QUERIES = [
     "g_kcore",
     "g_sssp",
     "g_triangle_count",
+    "g_label_propagation",
     # orders-only queries riding the same fuzzed table: lakehouse MERGE /
     # SCD2 (duplicate (custkey, date) rows exercise their window
     # tiebreaks), the band join, and the integer-lattice PageRank over

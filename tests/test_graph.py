@@ -368,3 +368,30 @@ def test_sssp_round_bound_is_path_length_cap(spark):
     )
     got = {r.author: r.dist for r in sssp(edges, rounds=2, source=1).collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_label_propagation_separates_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must converge to one
+    label per clique (min member id), not merge across the bridge."""
+    from iconic_data_science_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10), (10, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, rounds=5).collect()}
+    assert {out[i] for i in (0, 1, 2)} == {0}
+    assert {out[i] for i in (11, 12, 13)} == {10}
+    # the bridge endpoints belong to their own cliques
+    assert out[3] == 0 and out[10] == 10
+
+
+def test_label_propagation_deterministic(spark):
+    from iconic_data_science_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a in range(6) for b in range(6) if a != b and (a + b) % 3]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, rounds=4).collect()))
+    b = sorted(map(tuple, label_propagation(df, rounds=4).collect()))
+    assert a == b
