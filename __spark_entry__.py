@@ -4109,11 +4109,13 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE training (driver loop of weighted pair counts
-    over the word-frequency table, deterministic argmax): the learned
-    rank-ordered merge table. Rows-only (iterative, not
-    SQL-expressible); the trainer is golden-pinned against a local
-    reference implementation in tests/test_bpe.py."""
+    """BPE training (3-tier since round 3: the word-frequency table
+    collects once under a vocab threshold and the classical incremental
+    trainer runs driver-locally — ONE Spark job; the distributed
+    per-round weighted-pair-count loop is the exact over-threshold
+    fallback): the learned rank-ordered merge table. Rows-only
+    (iterative, not SQL-expressible); both tiers are golden-pinned
+    against a sequential reference in tests/test_bpe.py."""
     from iconic_data_science_spark.operators.bpe import bpe_train
 
     cat = _cat(spark, sf_dir)

@@ -63,6 +63,12 @@ HEADLINE = [
     "text_inverted_index",
     # incremental (batch-vs-index) dedup — the production crawl shape
     "dedup_incremental",
+    # round-3 additions: engine-exact sketch, z-order layout stats,
+    # content-defined chunking, label-propagation communities
+    "ev_kmv_distinct",
+    "lh_zorder_stats",
+    "text_cdc_chunks",
+    "g_label_propagation",
 ]
 
 

@@ -531,16 +531,27 @@ def cdc_chunks(
     dedup join (high-cardinality md5 keys). The window hash is Horner
     mod 2^31-1 over codepoints (``ascii`` == DuckDB ``unicode``,
     probe-verified), so the DuckDB oracle replays it bit-for-bit.
+
+    The codepoint array materializes as a NAMED COLUMN behind a
+    computed-column filter (the ``_token_hash_base`` discipline,
+    operators/dedup.py:147): inlined into the HOF lambdas, the
+    ``split`` re-evaluates per element_at and the hash goes O(len²)
+    per document — measured as a hang at sf0.1 vs seconds with the
+    barrier.
     """
-    text = F.col(text_col)
-    n = F.length(text)
-    chars = F.split(text, "")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")).alias("_c"),
+        F.length(F.col(text_col)).alias("_n"),
+    ).filter(F.col("_n") >= 1)  # computed-column filter = collapse barrier
+    n = F.col("_n")
 
     def code(i):
-        return F.ascii(F.element_at(chars, i.cast("int")))
+        return F.element_at(F.col("_c"), i.cast("int"))
 
     def whash(i):
-        h = code(i - 3).cast("long")
+        h = code(i - 3)
         for off in (2, 1, 0):
             h = (h * CDC_BASE + code(i - off)) % MERSENNE31
         return h
@@ -559,8 +570,7 @@ def cdc_chunks(
         lambda p: p["e"] >= p["s"],
     )
     chunks = (
-        documents.filter(n >= 1)
-        .select(F.col(id_col).alias("doc_id"), text.alias("_t"), F.posexplode(segs))
+        base.select("doc_id", "_t", F.posexplode(segs))
         .select(
             "doc_id",
             (F.col("pos") + 1).cast("long").alias("chunk_idx"),
