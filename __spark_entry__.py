@@ -4743,6 +4743,27 @@ def q_lh_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_chunk_stats(base, "ck", "dd")
 
 
+def q_lh_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout statistics — the better-locality twin of
+    lh_zorder_stats (consecutive Hilbert indices are always grid-
+    adjacent, so per-chunk dim spans are tighter; measured against
+    Morton in SCALE.md). Same shape: map-side curve arithmetic (one
+    F.aggregate fold over bit levels — no exponential expression
+    tree), fixed index-range chunks, one per-chunk partial agg. The
+    oracle replays the identical bit walk as 16 generated CTE levels."""
+    from iconic_data_science_spark.operators.lakehouse import hilbert_chunk_stats
+
+    cat = _cat(spark, sf_dir)
+    base = cat.orders.select(
+        (F.col("o_custkey") % 65536).cast("long").alias("ck"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            % 65536
+        ).cast("long").alias("dd"),
+    )
+    return hilbert_chunk_stats(base, "ck", "dd")
+
+
 def q_ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-user estimate per event type
     (Bar-Yossef et al. 2002) — the engine-exact approximate-distinct
@@ -4800,8 +4821,26 @@ QUERIES.update({
     "mm_probe": q_mm_probe,
     "ev_kmv_distinct": q_ev_kmv_distinct,
     "lh_zorder_stats": q_lh_zorder_stats,
+    "lh_hilbert_stats": q_lh_hilbert_stats,
     "text_cdc_chunks": q_text_cdc_chunks,
 })
+
+from iconic_data_science_spark.operators.lakehouse import hilbert_oracle_levels as _hilbert_levels  # noqa: E402
+
+ORACLES["lh_hilbert_stats"] = f"""
+    WITH b AS (
+        SELECT CAST(o_custkey % 65536 AS BIGINT) AS x0,
+               CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y0
+        FROM orders
+    ),
+    s0 AS (SELECT x0, y0, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d FROM b),
+    {_hilbert_levels(16)}
+    SELECT CAST(d >> 18 AS BIGINT) AS chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x0) AS min_x, MAX(x0) AS max_x,
+           MIN(y0) AS min_y, MAX(y0) AS max_y
+    FROM s16 GROUP BY 1
+"""
 
 from iconic_data_science_spark.operators.text import cdc_oracle_sql as _cdc_oracle_sql  # noqa: E402
 
@@ -5275,6 +5314,7 @@ _ROUND3_FRONT = [
     # the Z-order layout/skipping stats, and content-defined chunking ---
     "ev_kmv_distinct",
     "lh_zorder_stats",
+    "lh_hilbert_stats",
     "text_cdc_chunks",
     "g_label_propagation",
 ]

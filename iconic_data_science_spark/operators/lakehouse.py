@@ -285,3 +285,109 @@ def zorder_chunk_stats(
             F.max("y").alias("max_y"),
         )
     )
+
+
+def hilbert_value(x_col: str, y_col: str, bits: int = 16):
+    """Hilbert-curve index of a 2-D point (the classic xy→d bit walk,
+    public domain — Hilbert 1891; the iterative rotate/reflect form is
+    the standard public formulation). Better chunk locality than Morton:
+    consecutive d values are always grid-adjacent, so per-chunk dim
+    spans are tighter (measured in SCALE.md).
+
+    Implemented as ONE ``F.aggregate`` fold over the bit levels with a
+    (x, y, d) struct accumulator — the fold evaluates sequentially at
+    runtime, sidestepping the exponential expression-tree blow-up a
+    16-level unrolled column expression would hit (each level references
+    x and y twice). Pure integer arithmetic; the SQL oracle replays the
+    identical walk as 16 generated nested CTE levels.
+    """
+    levels = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    acc0 = F.struct(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, i):
+        # 2^i with a Column exponent (shiftleft needs a literal count);
+        # double pow is exact for i <= 52
+        s = F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        rx = (acc["x"].bitwiseAND(s) > 0).cast("long")
+        ry = (acc["y"].bitwiseAND(s) > 0).cast("long")
+        # (3*rx) XOR ry spelled as a CASE so Spark and ANSI SQL agree
+        quad = (
+            F.when((rx == 1) & (ry == 1), F.lit(2))
+            .when(rx == 1, F.lit(3))
+            .when(ry == 1, F.lit(1))
+            .otherwise(F.lit(0))
+        ).cast("long")
+        nx = F.when(
+            ry == 0, F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
+        ).otherwise(acc["x"])
+        ny = F.when(
+            ry == 0, F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
+        ).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), (acc["d"] + s * s * quad).alias("d"))
+
+    return F.aggregate(levels, acc0, step)["d"]
+
+
+def hilbert_chunk_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    chunk_shift: int = 18,
+) -> DataFrame:
+    """Hilbert twin of :func:`zorder_chunk_stats`: same fixed-range
+    chunking and per-chunk min/max skipping stats, over the Hilbert
+    index instead of the Morton one. Same scale shape: map-side curve
+    arithmetic, one per-chunk partial aggregation."""
+    h = hilbert_value(x_col, y_col, bits=bits)
+    return (
+        df.select(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+            h.alias("h"),
+        )
+        .groupBy(F.expr(f"shiftright(h, {chunk_shift})").cast("long").alias("chunk"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+def hilbert_oracle_levels(bits: int = 16) -> str:
+    """The 16 generated CTE levels replaying :func:`hilbert_value`'s
+    walk (x, y, d columns carried level to level). Caller embeds:
+    ``WITH b AS (...x, y...), {levels} SELECT ... FROM s{bits}`` where
+    s0 selects ``x, y, CAST(0 AS BIGINT) AS d`` plus carried columns."""
+    parts = []
+    for k, i in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << i
+        rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+        quad = (
+            f"CASE WHEN ({rx}) = 1 AND ({ry}) = 1 THEN 2"
+            f" WHEN ({rx}) = 1 THEN 3"
+            f" WHEN ({ry}) = 1 THEN 1 ELSE 0 END"
+        )
+        nx = (
+            f"CASE WHEN ({ry}) = 0 THEN"
+            f" (CASE WHEN ({rx}) = 1 THEN {s - 1} - y ELSE y END)"
+            f" ELSE x END"
+        )
+        ny = (
+            f"CASE WHEN ({ry}) = 0 THEN"
+            f" (CASE WHEN ({rx}) = 1 THEN {s - 1} - x ELSE x END)"
+            f" ELSE y END"
+        )
+        parts.append(
+            f"s{k + 1} AS (SELECT x0, y0, {nx} AS x, {ny} AS y,"
+            f" d + CAST({s} AS BIGINT) * {s} * ({quad}) AS d FROM s{k})"
+        )
+    return ",\n    ".join(parts)

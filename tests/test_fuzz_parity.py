@@ -212,6 +212,8 @@ GRAPH_QUERIES = [
     "lh_scd2_priority",
     "range_join_price_tiers",
     "g_pagerank_int",
+    "lh_zorder_stats",
+    "lh_hilbert_stats",
 ]
 
 

@@ -248,3 +248,82 @@ def test_zorder_chunks_prune_on_both_dimensions(spark):
     for lo, hi, mn, mx in ((100, 200, "min_x", "max_x"), (1500, 1600, "min_y", "max_y")):
         overlap = [r for r in stats if getattr(r, mn) < hi and getattr(r, mx) >= lo]
         assert len(overlap) <= len(stats) / 2, (lo, hi, len(overlap), len(stats))
+
+
+def _py_hilbert(x: int, y: int, bits: int = 16) -> int:
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_matches_reference_walk(spark):
+    from iconic_data_science_spark.operators.lakehouse import hilbert_value
+
+    pts = [(0, 0), (1, 0), (0, 1), (1, 1), (5, 9), (65535, 65535), (12345, 54321), (40000, 123)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select("x", "y", hilbert_value("x", "y").alias("h")).collect()
+    for r in got:
+        assert r.h == _py_hilbert(r.x, r.y), (r.x, r.y, r.h)
+    # bijectivity on a small grid: all 256 cells of 16x16 get distinct indices
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    hs = [r.h for r in grid.select(hilbert_value("x", "y").alias("h")).collect()]
+    assert len(set(hs)) == 256
+
+
+def test_hilbert_vs_morton_locality(spark):
+    """Both curves are quadrant-recursive, so power-of-4-ALIGNED index
+    ranges cover identical 2^k x 2^k blocks — aligned chunk stats must
+    be EQUAL. Hilbert's locality edge appears for row-count-balanced
+    (non-aligned) splits, where its mean per-file max(x,y)-span must be
+    strictly tighter (measured ~29% on this grid; SCALE.md)."""
+    import math
+
+    from pyspark.sql import functions as F
+    from iconic_data_science_spark.operators.lakehouse import (
+        hilbert_chunk_stats, hilbert_value, zorder_chunk_stats, zorder_value,
+    )
+
+    n = 1 << 11
+    df = spark.range(n * 8).select(
+        (F.col("id") % n).alias("x"), ((F.col("id") * 7919) % n).alias("y")
+    )
+
+    def mean_span(stats):
+        spans = [max(r.max_x - r.min_x, r.max_y - r.min_y) for r in stats]
+        return sum(spans) / len(spans)
+
+    h = mean_span(hilbert_chunk_stats(df, "x", "y", chunk_shift=18).collect())
+    z = mean_span(zorder_chunk_stats(df, "x", "y", chunk_shift=18).collect())
+    assert h == z, (h, z)  # aligned ranges: identical quadrant footprints
+
+    rows = df.select(
+        "x", "y", hilbert_value("x", "y").alias("h"), zorder_value("x", "y").alias("z")
+    ).collect()
+
+    def file_span(key, n_files=37):  # 37 files: guarantees non-aligned splits
+        srt = sorted(rows, key=lambda r: getattr(r, key))
+        per = math.ceil(len(srt) / n_files)
+        spans = []
+        for i in range(0, len(srt), per):
+            ch = srt[i : i + per]
+            spans.append(
+                max(
+                    max(r.x for r in ch) - min(r.x for r in ch),
+                    max(r.y for r in ch) - min(r.y for r in ch),
+                )
+            )
+        return sum(spans) / len(spans)
+
+    hf, zf = file_span("h"), file_span("z")
+    assert hf < zf, (hf, zf)

@@ -192,6 +192,7 @@ EXCHANGE_BUDGET = {
     # CDC = in-row HOF chunking + the chunk-hash dedup groupBy/join
     "ev_kmv_distinct": 2,
     "lh_zorder_stats": 1,
+    "lh_hilbert_stats": 1,
     "text_cdc_chunks": 2,
 }
 
