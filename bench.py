@@ -67,6 +67,7 @@ HEADLINE = [
     # content-defined chunking, label-propagation communities
     "ev_kmv_distinct",
     "lh_zorder_stats",
+    "lh_hilbert_stats",
     "text_cdc_chunks",
     "g_label_propagation",
 ]
