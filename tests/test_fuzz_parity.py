@@ -137,6 +137,74 @@ def test_embedding_queries_hash_match_on_fuzzed_vectors(spark, fuzz_dir, data):
         assert not problems, f"{name} on fuzzed embeddings: " + "; ".join(problems)
 
 
+# Decimal-sum-discipline queries over lineitem only — the hash-fragile
+# area (double SUM ordering) that the exact-DECIMAL lattice must protect
+# under ANY value distribution, not just the fixture's.
+LINEITEM_QUERIES = ["q1_pricing_summary", "q6_forecast_revenue", "p_projection_filter"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 30),                      # l_orderkey
+            st.integers(1, 7),                       # l_linenumber
+            st.integers(1, 60),                      # l_quantity (integer-valued double)
+            st.integers(100, 9999999),               # price cents
+            st.integers(0, 10),                      # discount %
+            st.integers(0, 8),                       # tax %
+            st.sampled_from(["A", "N", "R"]),
+            st.sampled_from(["O", "F"]),
+            st.integers(0, 2400),                    # shipdate day offset from 1995-01-01
+        ),
+        min_size=3,
+        max_size=80,
+    )
+)
+def test_lineitem_decimal_queries_hash_match_on_fuzzed_values(spark, fuzz_dir, lines):
+    """Fuzzed prices/discounts/quantities (including duplicates and
+    boundary dates) through the exact-decimal aggregate queries: the
+    DECIMAL(28,4) lattice must make Spark and DuckDB sums bit-identical
+    regardless of value distribution and summation order."""
+    import datetime as dt
+
+    import duckdb
+
+    rows = [
+        (
+            ok,
+            pk % 10,
+            sk % 5,
+            ln,
+            float(q),
+            cents / 100.0,
+            disc / 100.0,
+            tax / 100.0,
+            rf,
+            ls,
+            dt.datetime(1995, 1, 1) + dt.timedelta(days=d),
+        )
+        for ok, ln, q, cents, disc, tax, rf, ls, d in lines
+        for pk, sk in [(ok * 3, ok * 7)]
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE li (l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR,"
+        " l_linestatus VARCHAR, l_shipdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO li VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY li TO '{fuzz_dir}/lineitem.parquet' (FORMAT PARQUET)")
+    con.close()
+    spark.catalog.clearCache()
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in LINEITEM_QUERIES:
+        problems = run_parity(spark, fuzz_dir, qs[name], oracles[name])
+        assert not problems, f"{name} on fuzzed lineitem: " + "; ".join(problems)
+
+
 # Raw-text queries safe for arbitrary (non-space-joined) strings.
 RAW_TEXT_QUERIES = [
     "dedup_exact",
