@@ -4706,6 +4706,24 @@ QUERIES.update({
 })
 
 
+def q_lh_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning — the OPTIMIZE step every table
+    format runs: a per-(year, month) file inventory derived from orders
+    packs into right-sized rewrite groups by the next-fit recurrence
+    (target 5000 rows/group; oversized files sit alone). The plan runs
+    over file METADATA (one row per file), partitions plan in parallel
+    via applyInPandas, and the oracle walks the identical recurrence as
+    a recursive CTE."""
+    from iconic_data_science_spark.operators.lakehouse import compaction_plan
+
+    cat = _cat(spark, sf_dir)
+    inventory = cat.orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("part"),
+        F.month("o_orderdate").cast("long").alias("file_id"),
+    ).agg(F.count("*").cast("long").alias("size"))
+    return compaction_plan(inventory, target=5000)
+
+
 def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking + chunk-hash dedup (LBFS/FastCDC idea
     on text): rolling-window Horner hash picks boundaries that move
@@ -4822,8 +4840,19 @@ QUERIES.update({
     "ev_kmv_distinct": q_ev_kmv_distinct,
     "lh_zorder_stats": q_lh_zorder_stats,
     "lh_hilbert_stats": q_lh_hilbert_stats,
+    "lh_compaction_plan": q_lh_compaction_plan,
     "text_cdc_chunks": q_text_cdc_chunks,
 })
+
+from iconic_data_science_spark.operators.lakehouse import compaction_oracle_sql as _compaction_oracle_sql  # noqa: E402
+
+ORACLES["lh_compaction_plan"] = _compaction_oracle_sql(
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS part,
+              CAST(month(o_orderdate) AS BIGINT) AS file_id,
+              CAST(COUNT(*) AS BIGINT) AS size
+       FROM orders GROUP BY 1, 2""",
+    target=5000,
+)
 
 from iconic_data_science_spark.operators.lakehouse import hilbert_oracle_levels as _hilbert_levels  # noqa: E402
 
@@ -5315,6 +5344,7 @@ _ROUND3_FRONT = [
     "ev_kmv_distinct",
     "lh_zorder_stats",
     "lh_hilbert_stats",
+    "lh_compaction_plan",
     "text_cdc_chunks",
     "g_label_propagation",
 ]

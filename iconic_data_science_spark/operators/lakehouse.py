@@ -391,3 +391,80 @@ def hilbert_oracle_levels(bits: int = 16) -> str:
             f" d + CAST({s} AS BIGINT) * {s} * ({quad}) AS d FROM s{k})"
         )
     return ",\n    ".join(parts)
+
+
+COMPACTION_TARGET_ROWS = 40_000
+
+
+def compaction_plan(
+    file_inventory: DataFrame,
+    target: int = COMPACTION_TARGET_ROWS,
+    part_col: str = "part",
+    file_col: str = "file_id",
+    size_col: str = "size",
+) -> DataFrame:
+    """Small-files compaction planner — (part, file_id, size, group_idx,
+    group_fill): within each partition, files (in file_id order) pack
+    into compaction groups by the next-fit rule — a file that would push
+    the group past ``target`` closes it; an oversized file sits alone.
+    Each group is one OPTIMIZE/rewrite task; this is the planning step
+    every table format runs against its file inventory to fix the
+    small-files problem (many rewrites → few right-sized files).
+
+    The group index is a sequential recurrence over the partition's
+    inventory (no window frame expresses it), so each partition runs as
+    a grouped-map pandas UDF — the :func:`pack_bins_nextfit` shape.
+    Scale posture: the INVENTORY is what's processed, not the data
+    (one row per file — a 100 TB table is ~10^5 rows of metadata), and
+    partitions plan in parallel. The DuckDB oracle walks the identical
+    recurrence as a recursive CTE.
+    """
+    import pandas as pd
+
+    base = file_inventory.select(
+        F.col(part_col).cast("long").alias("part"),
+        F.col(file_col).cast("long").alias("file_id"),
+        F.col(size_col).cast("long").alias("size"),
+    )
+
+    def plan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("file_id").reset_index(drop=True)
+        gi, gf = [], []
+        g, fill = 0, 0
+        for s in pdf["size"]:
+            s = int(s)
+            if fill > 0 and fill + s > target:
+                g, fill = g + 1, 0
+            fill += s
+            gi.append(g)
+            gf.append(fill)
+        return pdf.assign(group_idx=gi, group_fill=gf)
+
+    schema = "part long, file_id long, size long, group_idx long, group_fill long"
+    return base.groupBy("part").applyInPandas(plan, schema)
+
+
+def compaction_oracle_sql(inventory_sql: str, target: int = COMPACTION_TARGET_ROWS) -> str:
+    """DuckDB twin of :func:`compaction_plan`; ``inventory_sql`` must
+    yield (part, file_id, size)."""
+    return f"""
+        WITH RECURSIVE inv AS ({inventory_sql}),
+        o AS (
+            SELECT part, file_id, size,
+                   ROW_NUMBER() OVER (PARTITION BY part ORDER BY file_id) AS rn
+            FROM inv
+        ),
+        walk AS (
+            SELECT part, file_id, size, rn,
+                   CAST(0 AS BIGINT) AS group_idx, size AS group_fill
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.part, o.file_id, o.size, o.rn,
+                   CASE WHEN w.group_fill + o.size > {target}
+                        THEN w.group_idx + 1 ELSE w.group_idx END,
+                   CASE WHEN w.group_fill + o.size > {target}
+                        THEN o.size ELSE w.group_fill + o.size END
+            FROM o JOIN walk w ON o.part = w.part AND o.rn = w.rn + 1
+        )
+        SELECT part, file_id, size, group_idx, group_fill FROM walk
+    """

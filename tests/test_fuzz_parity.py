@@ -282,6 +282,7 @@ GRAPH_QUERIES = [
     "g_pagerank_int",
     "lh_zorder_stats",
     "lh_hilbert_stats",
+    "lh_compaction_plan",
 ]
 
 

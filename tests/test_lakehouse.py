@@ -327,3 +327,25 @@ def test_hilbert_vs_morton_locality(spark):
 
     hf, zf = file_span("h"), file_span("z")
     assert hf < zf, (hf, zf)
+
+
+def test_compaction_plan_nextfit_rules(spark):
+    from iconic_data_science_spark.operators.lakehouse import compaction_plan
+
+    inv = spark.createDataFrame(
+        [(1, 1, 60), (1, 2, 30), (1, 3, 30), (1, 4, 250), (1, 5, 10),
+         (2, 1, 50), (2, 2, 50)],
+        "part long, file_id long, size long",
+    )
+    out = {(r.part, r.file_id): r for r in compaction_plan(inv, target=100).collect()}
+    # part 1: [60, 30] fill 90 | [30] then 250 overflows -> 250 alone | [10]
+    assert out[(1, 1)].group_idx == 0 and out[(1, 2)].group_idx == 0
+    assert out[(1, 2)].group_fill == 90
+    assert out[(1, 3)].group_idx == 1
+    assert out[(1, 4)].group_idx == 2 and out[(1, 4)].group_fill == 250  # oversized alone
+    assert out[(1, 5)].group_idx == 3
+    # part 2 packs independently
+    assert out[(2, 1)].group_idx == 0 and out[(2, 2)].group_idx == 0
+    # every non-oversized group respects the target
+    for r in out.values():
+        assert r.group_fill <= 100 or r.size > 100

@@ -193,6 +193,7 @@ EXCHANGE_BUDGET = {
     "ev_kmv_distinct": 2,
     "lh_zorder_stats": 1,
     "lh_hilbert_stats": 1,
+    "lh_compaction_plan": 2,  # inventory agg + applyInPandas group
     "text_cdc_chunks": 2,
 }
 
