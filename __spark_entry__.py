@@ -847,16 +847,27 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → Arrow-batched mapInPandas
-    feature extraction. No oracle (pandas UDF over synthetic binary) —
-    rows-only check; determinism asserted in pytest."""
-    from iconic_data_science_spark.operators.multimodal import byte_histogram_features, synth_media
+    feature extraction, emitted as exploded integer rows
+    (media_id, bin, cnt) — raw 16-bin high-nibble byte counts.
+    HASH-ORACLED: synth_media payloads are repeated md5 blocks, so the
+    DuckDB twin replays the histogram by counting hex digits at odd
+    positions of md5(CAST(media_id AS VARCHAR)) × the repeat count —
+    numpy bincount over real bytes vs pure-SQL hex arithmetic. The
+    L1-normalized array<float> embedder surface stays available as
+    multimodal.byte_histogram_features (pytest-pinned)."""
+    from iconic_data_science_spark.operators.multimodal import byte_histogram_bins, synth_media
 
     ensure_engine_conf(spark)
-    return byte_histogram_features(synth_media(spark, 256))
+    return byte_histogram_bins(synth_media(spark, 256))
 
 
 def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata rollups (pure relational over binary payloads)."""
+    """Multimodal metadata rollups (pure relational over binary
+    payloads). HASH-ORACLED: every synth_media column is arithmetic on
+    media_id (kind = id%3, payload length = 16 bytes × (id%16+1),
+    meta from id), so the DuckDB twin regenerates the table from
+    range(0,256) and aggregates — the Spark side must measure the REAL
+    binary payload lengths to match."""
     from iconic_data_science_spark.operators.multimodal import media_stats, synth_media
 
     ensure_engine_conf(spark)
@@ -4826,7 +4837,12 @@ def q_mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-header parsing (bitrate/sample-rate/frame count) plus the
     decodable formats' basic facts — container triage without spending
     decode cycles, which is how a 100 TB crawl schedules its decoders.
-    Rows-only (engine-generated payloads)."""
+    HASH-ORACLED: every synth_media_mixed payload is generated from
+    arithmetic on media_id (MP4 duration/timescale/tracks, MP3
+    bitrate/rate/frame count, WAV sample count, AVI frame count, image
+    codec rotation), so the DuckDB twin recomputes the expected probe
+    fields from range(0,256) — if the encoders or the byte-level
+    parsers drift from the generation parameters, the hash breaks."""
     from iconic_data_science_spark.operators.multimodal import probe_media, synth_media_mixed
 
     ensure_engine_conf(spark)
@@ -4874,6 +4890,87 @@ ORACLES["lh_hilbert_stats"] = f"""
 from iconic_data_science_spark.operators.text import cdc_oracle_sql as _cdc_oracle_sql  # noqa: E402
 
 ORACLES["text_cdc_chunks"] = _cdc_oracle_sql()
+
+# mm oracles (round 4): synth_media / synth_media_mixed payloads are pure
+# arithmetic on media_id, so DuckDB regenerates the EXPECTED values from
+# range(0,256) while Spark measures the REAL bytes — encoder/parser drift
+# breaks the hash. byte histogram: payload = reps repeats of the 16-byte
+# md5(media_id) digest, so bin counts = reps × (hex digits at odd
+# positions of the md5 hex string, parsed as the byte's high nibble).
+ORACLES["mm_byte_histogram"] = """
+    WITH m AS (
+        SELECT CAST(t.range AS BIGINT) AS media_id,
+               md5(CAST(t.range AS VARCHAR)) AS h,
+               CAST(t.range % 16 + 1 AS BIGINT) AS reps
+        FROM range(0, 256) t
+    ),
+    nib AS (
+        SELECT m.media_id, m.reps,
+               CAST(strpos('0123456789abcdef',
+                           substr(m.h, CAST(2 * j.range - 1 AS INT), 1)) - 1
+                    AS BIGINT) AS bin
+        FROM m, range(1, 17) j
+    ),
+    c AS (SELECT media_id, bin, SUM(reps) AS cnt FROM nib GROUP BY 1, 2),
+    grid AS (SELECT m.media_id, CAST(b.range AS BIGINT) AS bin FROM m, range(0, 16) b)
+    SELECT g.media_id, g.bin, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+    FROM grid g LEFT JOIN c ON c.media_id = g.media_id AND c.bin = g.bin
+"""
+
+ORACLES["mm_media_stats"] = """
+    WITH m AS (
+        SELECT CAST(t.range AS BIGINT) AS media_id,
+               CASE CAST(t.range % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(16 * (t.range % 16 + 1) AS BIGINT) AS nbytes,
+               CAST(t.range % 640 + 32 AS INT) AS width,
+               CAST(t.range % 300 AS DOUBLE) / 10.0 AS duration_s
+        FROM range(0, 256) t
+    )
+    SELECT kind,
+           COUNT(*) AS n,
+           CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+           MAX(nbytes) AS max_bytes,
+           MIN(width) AS min_width,
+           MAX(duration_s) AS max_duration_s
+    FROM m GROUP BY kind
+"""
+
+ORACLES["mm_probe"] = """
+    WITH m AS (SELECT CAST(t.range AS BIGINT) AS media_id FROM range(0, 256) t)
+    SELECT media_id,
+           CASE
+             WHEN media_id % 5 = 3 THEN 'mp4'
+             WHEN media_id % 5 = 4 THEN 'mp3'
+             WHEN media_id % 3 = 0 THEN
+               CASE CAST((media_id // 3) % 4 AS INT)
+                    WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' ELSE 'jpeg' END
+             WHEN media_id % 3 = 1 THEN 'wav'
+             ELSE 'avi'
+           END AS format,
+           CASE
+             WHEN media_id % 5 = 3 THEN CAST(media_id % 90 + 1 AS DOUBLE)
+             WHEN media_id % 5 = 4 THEN CAST((media_id % 40 + 5) * 1152 AS DOUBLE) / 44100
+             WHEN media_id % 3 = 0 THEN NULL
+             WHEN media_id % 3 = 1 THEN CAST(media_id % 500 + 100 AS DOUBLE) / 8000
+             ELSE CAST(media_id % 4 + 2 AS DOUBLE) / 5
+           END AS duration_s,
+           CASE WHEN media_id % 5 = 3 THEN CAST(media_id % 3 + 1 AS INT) END AS n_tracks,
+           CASE WHEN media_id % 5 = 4 THEN CAST(128 AS INT) END AS bitrate_kbps,
+           CASE
+             WHEN media_id % 5 = 3 THEN NULL
+             WHEN media_id % 5 = 4 THEN CAST(44100 AS INT)
+             WHEN media_id % 3 = 1 THEN CAST(8000 AS INT)
+           END AS sample_rate,
+           CASE
+             WHEN media_id % 5 = 3 THEN NULL
+             WHEN media_id % 5 = 4 THEN CAST(media_id % 40 + 5 AS BIGINT)
+             WHEN media_id % 3 = 0 THEN NULL
+             WHEN media_id % 3 = 1 THEN CAST(media_id % 500 + 100 AS BIGINT)
+             ELSE CAST(media_id % 4 + 2 AS BIGINT)
+           END AS n_frames
+    FROM m
+"""
 
 ORACLES["g_label_propagation"] = """
     WITH RECURSIVE paa AS (SELECT DISTINCT l_orderkey AS paper, l_suppkey AS author FROM lineitem),

@@ -205,6 +205,50 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(extract, out_schema)
 
 
+def byte_histogram_bins(media: DataFrame) -> DataFrame:
+    """binary → exploded integer histogram rows via mapInPandas.
+
+    (media_id, bin, cnt): the 16-bin high-nibble byte histogram as RAW
+    BIGINT counts, one row per (payload, bin) — every bin present,
+    zeros included. The exploded-integer twin of
+    :func:`byte_histogram_features` (whose L1-normalized
+    ``array<float>`` output is the embedder-shaped surface): integers
+    survive any canonicalizer and hash-match an ANSI-SQL oracle —
+    ``synth_media`` payloads are repeated md5 blocks, so a SQL engine
+    can replay the histogram by counting hex digits at odd positions of
+    ``md5(CAST(media_id AS VARCHAR))`` times the repeat count.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("bin", T.LongType(), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mids, bins, cnts = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM)
+                mids.extend([int(mid)] * FEATURE_DIM)
+                bins.extend(range(FEATURE_DIM))
+                cnts.extend(int(c) for c in hist)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "bin": pd.Series(bins, dtype="int64"),
+                    "cnt": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(extract, out_schema)
+
+
 # --------------------------------------------------------------------------
 # real uncompressed-format codecs (pure numpy/struct — no external libs)
 
@@ -720,8 +764,8 @@ def media_stats(media: DataFrame) -> DataFrame:
         media.groupBy("kind")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.length("payload")).alias("total_bytes"),
-            F.max(F.length("payload")).alias("max_bytes"),
+            F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+            F.max(F.length("payload")).cast("long").alias("max_bytes"),
             F.min("meta.width").alias("min_width"),
             F.max("meta.duration_s").alias("max_duration_s"),
         )
