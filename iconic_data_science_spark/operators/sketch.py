@@ -115,6 +115,48 @@ KMV_A = 1_103_515_245
 KMV_B = 12_345
 
 
+def kmv_hashes(
+    events: DataFrame, key_col: str = "user_id", group_col: str = "event_type"
+) -> DataFrame:
+    """(grp, h) — the seeded-LCG hash stream :func:`kmv_distinct`
+    sketches. The key reduces mod M BEFORE the multiply so the product
+    stays under 2⁶³ for any BIGINT key; for keys already in [0, M) the
+    value is unchanged from the pre-reduction form."""
+    km = ((F.col(key_col) % MERSENNE31) + MERSENNE31) % MERSENNE31
+    h = (km * F.lit(KMV_A) + F.lit(KMV_B)) % MERSENNE31
+    return events.select(F.col(group_col).alias("grp"), h.cast("long").alias("h"))
+
+
+def kmv_partial_minima(hashed: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Map-side bounded partial: ≤ k smallest DISTINCT hashes per group
+    PER INPUT PARTITION, held as Arrow-batched per-partition state in
+    ``mapInPandas`` (the only bounded-state aggregation Spark exposes
+    without a JVM Aggregator). No shuffle here — the exchange after
+    this step carries ≤ k·P rows per group instead of the full distinct
+    (group, hash) cardinality. Null keys contribute no hash."""
+
+    def partial_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            for grp, s in pdf.groupby("grp", sort=False, dropna=False)["h"]:
+                arr = s.dropna().to_numpy(dtype="int64")
+                if not len(arr):
+                    continue
+                prev = state.get(grp)
+                merged = np.unique(arr if prev is None else np.concatenate([prev, arr]))
+                state[grp] = merged[:k]  # np.unique sorts → k smallest distinct
+        yield pd.DataFrame(
+            [(grp, int(hv)) for grp, mins in state.items() for hv in mins],
+            columns=["grp", "h"],
+        )
+
+    grp_type = hashed.schema["grp"].dataType.simpleString()
+    return hashed.mapInPandas(partial_topk, f"grp {grp_type}, h long")
+
+
 def kmv_distinct(
     events: DataFrame,
     key_col: str = "user_id",
@@ -134,15 +176,24 @@ def kmv_distinct(
     BIGINT division). Groups with fewer than k distinct hashes return
     the exact count (the standard KMV small-set rule).
 
-    Scale shape: the distinct is a (group, hash) partial-aggregated
-    shuffle; the rank filter keeps ≤ k rows per group, and the k-minima
-    of a union are the k-minima of the per-partition k-minima — the
-    mergeability that makes KMV a one-pass bounded-memory sketch on a
-    1000-executor cluster. (The rank runs as a per-group window here;
-    a giant group costs one sort of ITS distinct hashes, not the data.)
+    Scale shape — the mergeability the sketch exists for, realized in
+    the plan: a map-side Arrow-batched partial (``mapInPandas``, the
+    only way to hold bounded per-partition state in Spark without a
+    JVM Aggregator) keeps ≤ k smallest DISTINCT hashes per group per
+    input partition, so the exchange carries ≤ k·P rows per group —
+    NOT the full distinct (group, hash) cardinality. k-minima of a
+    union == k-minima of the per-partition k-minima, so the estimate
+    is bit-identical to the unbounded form (pinned by
+    tests/test_llm_ops.py). At 10⁹ distinct keys per group the shuffle
+    moves ~k rows per partition instead of 10⁹.
+
+    The LCG reduces the key mod M BEFORE multiplying so the product
+    stays under 2⁶³ for any BIGINT key (|key| beyond ~8.4e9 used to
+    wrap silently in Spark while the DuckDB oracle raised); for keys
+    already in [0, M) the value is unchanged.
     """
-    h = ((F.lit(KMV_A) * F.col(key_col) + F.lit(KMV_B)) % MERSENNE31 + MERSENNE31) % MERSENNE31
-    d = events.select(F.col(group_col).alias("grp"), h.cast("long").alias("h")).distinct()
+    hashed = kmv_hashes(events, key_col=key_col, group_col=group_col)
+    d = kmv_partial_minima(hashed, k=k).distinct()  # ≤ k·P rows per group
     w = W.partitionBy("grp").orderBy("h")
     topk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     return (
@@ -164,12 +215,14 @@ def kmv_oracle_sql(
     table: str = "events",
     k: int = KMV_K,
 ) -> str:
-    """DuckDB twin of :func:`kmv_distinct` (same LCG literals, same
-    rank filter, same BIGINT division)."""
+    """DuckDB twin of :func:`kmv_distinct` (same LCG literals — key
+    reduced mod M before the multiply so the product never overflows
+    BIGINT — same rank filter, same BIGINT division)."""
     return f"""
         WITH d AS (
             SELECT DISTINCT {group_col} AS grp,
-                   (({KMV_A} * {key_col} + {KMV_B}) % {MERSENNE31} + {MERSENNE31}) % {MERSENNE31} AS h
+                   ((({key_col} % {MERSENNE31}) + {MERSENNE31}) % {MERSENNE31}
+                    * {KMV_A} + {KMV_B}) % {MERSENNE31} AS h
             FROM {table}
         ),
         r AS (

@@ -723,6 +723,87 @@ def test_kmv_distinct_accuracy_and_small_set_rule(spark, sf_dir):
     assert out[0].est_distinct == 10
 
 
+def test_kmv_partial_equals_unbounded_and_bounds_shuffle(spark):
+    """The map-side bounded partial (round 4) must (a) emit ≤ k·P rows
+    for a hot group — the shuffle-volume bound the sketch exists for —
+    and (b) leave the estimate bit-identical to the unbounded
+    distinct→rank form (k-minima of per-partition k-minima == global
+    k-minima)."""
+    from pyspark.sql import Window
+    from iconic_data_science_spark.operators.sketch import (
+        KMV_K,
+        MERSENNE31,
+        kmv_distinct,
+        kmv_hashes,
+        kmv_partial_minima,
+    )
+
+    n_parts = 8
+    hot = spark.range(0, 200_000, 1, n_parts).select(
+        (F.col("id") * 7).alias("user_id"), F.lit("hot").alias("event_type")
+    )
+    # (a) bounded shuffle: ≤ k rows per partition for the single group
+    partial_rows = kmv_partial_minima(kmv_hashes(hot)).count()
+    assert partial_rows <= KMV_K * n_parts, partial_rows
+    # (b) identical estimate to the unbounded reference plan
+    ref_d = kmv_hashes(hot).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    ref = (
+        ref_d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
+        .select(
+            F.when(F.col("n_seen") < KMV_K, F.col("n_seen"))
+            .otherwise(F.expr(f"CAST({(KMV_K - 1) * MERSENNE31} AS BIGINT) div h_k"))
+            .cast("long")
+            .alias("est_distinct")
+        )
+        .collect()[0]
+        .est_distinct
+    )
+    got = kmv_distinct(hot).collect()[0].est_distinct
+    assert got == ref, (got, ref)
+
+
+def test_kmv_large_key_parity_with_oracle(spark, tmp_path):
+    """Keys beyond ~8.4e9 used to overflow Spark's BIGINT product
+    silently while DuckDB raised (ADVICE r3); the mod-before-multiply
+    LCG must now hash-match the oracle across the full BIGINT range."""
+    import duckdb
+
+    from iconic_data_science_spark.operators.sketch import kmv_distinct, kmv_oracle_sql
+
+    keys = [
+        9_223_372_036_854_775_807,
+        -9_223_372_036_854_775_808,
+        8_400_000_001_234,
+        -8_400_000_001_234,
+        2_147_483_647,
+        0,
+        -1,
+    ] + [i * 1_000_000_007 for i in range(80)]
+    rows = [(kk, "t%d" % (i % 2)) for i, kk in enumerate(keys)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        (r.event_type, r.est_distinct)
+        for r in kmv_distinct(ev).collect()
+    }
+    pq = str(tmp_path / "ev.parquet")
+    ev.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    try:
+        want = {
+            (t, int(n))
+            for t, n in con.execute(
+                kmv_oracle_sql(table=f"'{pq}'")
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want, (got, want)
+
+
 def test_histogram_quantiles_bracket_exact(spark, sf_dir):
     """q_bin must be within one bin of the exact percentile value."""
     from iconic_data_science_spark.catalog import Catalog
