@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -287,6 +289,39 @@ def zorder_chunk_stats(
     )
 
 
+def hilbert_value_pandas(x_col: str, y_col: str, bits: int = 16):
+    """Vectorized numpy bit-walk for the Hilbert index — the fast path
+    :func:`hilbert_chunk_stats` uses (round 4). The ``F.aggregate``
+    fold in :func:`hilbert_value` stays semantically identical (pinned
+    by tests) but runs in Catalyst's interpreter at ~13× Morton's
+    constant (4.7 s vs 0.37 s at sf0.1, BENCH_r03); the same walk over
+    Arrow-batched int64 numpy arrays is one vectorized pass per level.
+    Map-side, linear, no shuffle — exactly the OPTIMIZE-pass constant
+    that matters at 100 TB."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _hilbert(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        xv = xs.to_numpy(dtype="int64", copy=True)
+        yv = ys.to_numpy(dtype="int64", copy=True)
+        d = np.zeros(len(xv), dtype="int64")
+        for i in range(bits - 1, -1, -1):
+            s = np.int64(1) << i
+            rx = ((xv & s) > 0).astype("int64")
+            ry = ((yv & s) > 0).astype("int64")
+            d += s * s * ((3 * rx) ^ ry)
+            swap = ry == 0
+            flip = swap & (rx == 1)
+            nx = np.where(swap, np.where(flip, s - 1 - yv, yv), xv)
+            ny = np.where(swap, np.where(flip, s - 1 - xv, xv), yv)
+            xv, yv = nx, ny
+        return pd.Series(d)
+
+    return _hilbert(F.col(x_col).cast("long"), F.col(y_col).cast("long"))
+
+
 def hilbert_value(x_col: str, y_col: str, bits: int = 16):
     """Hilbert-curve index of a 2-D point (the classic xy→d bit walk,
     public domain — Hilbert 1891; the iterative rotate/reflect form is
@@ -299,7 +334,9 @@ def hilbert_value(x_col: str, y_col: str, bits: int = 16):
     runtime, sidestepping the exponential expression-tree blow-up a
     16-level unrolled column expression would hit (each level references
     x and y twice). Pure integer arithmetic; the SQL oracle replays the
-    identical walk as 16 generated nested CTE levels.
+    identical walk as 16 generated nested CTE levels. This is the
+    pure-expression form (no Python workers anywhere in the plan);
+    :func:`hilbert_value_pandas` is the ~10×-faster vectorized twin.
     """
     levels = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
     acc0 = F.struct(
@@ -338,12 +375,19 @@ def hilbert_chunk_stats(
     y_col: str,
     bits: int = 16,
     chunk_shift: int = 18,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Hilbert twin of :func:`zorder_chunk_stats`: same fixed-range
     chunking and per-chunk min/max skipping stats, over the Hilbert
     index instead of the Morton one. Same scale shape: map-side curve
-    arithmetic, one per-chunk partial aggregation."""
-    h = hilbert_value(x_col, y_col, bits=bits)
+    arithmetic, one per-chunk partial aggregation. ``impl='pandas'``
+    (default) computes the index with the vectorized numpy bit-walk —
+    ~10× the interpreted ``F.aggregate`` fold (``impl='expr'``), which
+    stays available for Python-worker-free plans; both produce the
+    identical integer walk (equivalence-pinned in tests)."""
+    h = (hilbert_value_pandas if impl == "pandas" else hilbert_value)(
+        x_col, y_col, bits=bits
+    )
     return (
         df.select(
             F.col(x_col).cast("long").alias("x"),

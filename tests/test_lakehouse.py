@@ -281,6 +281,28 @@ def test_hilbert_value_matches_reference_walk(spark):
     assert len(set(hs)) == 256
 
 
+def test_hilbert_pandas_twin_matches_expr_fold(spark):
+    """The vectorized numpy bit-walk (round 4, the fast path) must
+    produce the identical integer walk as the F.aggregate expression
+    fold AND the Python reference, over a random-ish grid sweep."""
+    from iconic_data_science_spark.operators.lakehouse import (
+        hilbert_value,
+        hilbert_value_pandas,
+    )
+
+    pts = [(0, 0), (1, 0), (0, 1), (1, 1), (5, 9), (65535, 65535), (12345, 54321), (40000, 123)]
+    pts += [((i * 7919) % 65536, (i * 104729) % 65536) for i in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select(
+        "x",
+        "y",
+        hilbert_value_pandas("x", "y").alias("hp"),
+        hilbert_value("x", "y").alias("he"),
+    ).collect()
+    for r in got:
+        assert r.hp == r.he == _py_hilbert(r.x, r.y), (r.x, r.y, r.hp, r.he)
+
+
 def test_hilbert_vs_morton_locality(spark):
     """Both curves are quadrant-recursive, so power-of-4-ALIGNED index
     ranges cover identical 2^k x 2^k blocks — aligned chunk stats must
