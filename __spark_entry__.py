@@ -5266,20 +5266,29 @@ ORACLES["text_bm25_rerank"] = f"""
                            (a, b) -> a + b) AS sq
         FROM embeddings
     ),
-    anchor AS (
-        SELECT v.embedding AS a_v, v.sq AS a_sq
-        FROM cand c JOIN vecs v USING (doc_id) ORDER BY c.rank LIMIT 1
+    joined AS (
+        SELECT c.doc_id, c.bm25_scaled, c.rank, v.embedding, v.sq
+        FROM cand c LEFT JOIN vecs v USING (doc_id)
     ),
+    anchor AS (
+        SELECT embedding AS a_v, sq AS a_sq
+        FROM joined WHERE embedding IS NOT NULL ORDER BY rank LIMIT 1
+    ),
+    n AS (SELECT COUNT(embedding) AS n_emb FROM joined),
     scored AS (
-        SELECT c.doc_id, c.bm25_scaled,
-               list_reduce([{_RERANK_LAT.format(x="v.embedding[i]", y="a.a_v[i]")}
-                            for i in generate_series(1, len(v.embedding))], (x, y) -> x + y)
-               / sqrt(CAST(v.sq AS DOUBLE) * CAST(a.a_sq AS DOUBLE)) AS cosine
-        FROM cand c JOIN vecs v USING (doc_id) CROSS JOIN anchor a
+        SELECT j.doc_id, j.bm25_scaled, j.rank,
+               list_reduce([{_RERANK_LAT.format(x="j.embedding[i]", y="a.a_v[i]")}
+                            for i in generate_series(1, len(j.embedding))], (x, y) -> x + y)
+               / sqrt(CAST(j.sq AS DOUBLE) * CAST(a.a_sq AS DOUBLE)) AS cosine
+        FROM joined j CROSS JOIN anchor a WHERE j.embedding IS NOT NULL
+        UNION ALL
+        SELECT j.doc_id, j.bm25_scaled, j.rank, CAST(NULL AS DOUBLE) AS cosine
+        FROM joined j CROSS JOIN n WHERE n.n_emb = 0
     ),
     r AS (
         SELECT doc_id, bm25_scaled, cosine,
-               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rerank
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY cosine DESC NULLS LAST, rank, doc_id) AS BIGINT) AS rerank
         FROM scored
     )
     SELECT doc_id, bm25_scaled, cosine, rerank FROM r WHERE rerank <= 10

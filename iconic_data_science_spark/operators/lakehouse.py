@@ -490,7 +490,10 @@ def compaction_plan(
 
 def compaction_oracle_sql(inventory_sql: str, target: int = COMPACTION_TARGET_ROWS) -> str:
     """DuckDB twin of :func:`compaction_plan`; ``inventory_sql`` must
-    yield (part, file_id, size)."""
+    yield (part, file_id, size). The recursive step carries the same
+    ``group_fill > 0`` guard as the Python recurrence, so zero-size
+    files mid-stream (a zero running fill) assign identical group
+    indices in both engines (ADVICE r3)."""
     return f"""
         WITH RECURSIVE inv AS ({inventory_sql}),
         o AS (
@@ -504,9 +507,9 @@ def compaction_oracle_sql(inventory_sql: str, target: int = COMPACTION_TARGET_RO
             FROM o WHERE rn = 1
             UNION ALL
             SELECT o.part, o.file_id, o.size, o.rn,
-                   CASE WHEN w.group_fill + o.size > {target}
+                   CASE WHEN w.group_fill > 0 AND w.group_fill + o.size > {target}
                         THEN w.group_idx + 1 ELSE w.group_idx END,
-                   CASE WHEN w.group_fill + o.size > {target}
+                   CASE WHEN w.group_fill > 0 AND w.group_fill + o.size > {target}
                         THEN o.size ELSE w.group_fill + o.size END
             FROM o JOIN walk w ON o.part = w.part AND o.rn = w.rn + 1
         )

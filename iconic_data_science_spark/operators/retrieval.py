@@ -174,15 +174,21 @@ def bm25_embed_rerank(
     best-ranked candidate THAT HAS AN EMBEDDING ROW becomes the
     semantic anchor (so a missing-embedding top hit degrades to the
     next candidate instead of silently emptying the result), and the
-    candidates rerank by integer-lattice cosine to it (ties on doc_id).
-    Candidates without embeddings drop out of the rerank (inner join).
-    Everything stays engine-exact: BM25 is all-BIGINT, cosines come off
-    the product lattice.
+    candidates rerank by integer-lattice cosine to it (ties →
+    lexical rank, then doc_id). Candidates without embeddings drop
+    out of the rerank while an anchor exists; if NO candidate has an
+    embedding row, the lexical stage's output survives as-is with a
+    null cosine (ordered by rank — the ADVICE-r3 passthrough, so the
+    dense stage degrades to pure BM25 instead of an empty result).
+    Everything stays engine-exact: BM25 is all-BIGINT, cosines come
+    off the product lattice.
 
     Scale shape: stage 1 is the bm25_topk plan (scan + tiny shuffles +
     TakeOrdered); stage 2 touches only k_candidates rows — the anchor
     vector and the candidate set both broadcast against the embedding
-    table (two id-equi joins), and the final sort is k_candidates rows.
+    table (two id-equi joins), and the final sort is k_candidates rows
+    (the no-embedding flag is a one-row broadcast aggregate of those
+    same rows).
     """
     from .dedup import DOT_SCALE
 
@@ -204,8 +210,9 @@ def bm25_embed_rerank(
     # rank 1): TakeOrdered over <= k_candidates joined rows, so a
     # missing-embedding lexical winner falls back instead of producing
     # an empty cross-join and a silently empty result.
+    joined = cand.join(vecs, "doc_id", "left")
     anchor = (
-        cand.join(vecs, "doc_id")
+        joined.filter(F.col("v").isNotNull())
         .orderBy("rank")
         .limit(1)
         .select(F.col("v").alias("a_v"), F.col("sq").alias("a_sq"))
@@ -214,16 +221,33 @@ def bm25_embed_rerank(
         F.zip_with("v", "a_v", _scaled), F.lit(0).cast("long"), lambda a, x: a + x
     )
     scored = (
-        cand.join(vecs, "doc_id")
+        joined.filter(F.col("v").isNotNull())
         .crossJoin(F.broadcast(anchor))
         .select(
             "doc_id",
             "bm25_scaled",
+            "rank",
             (dot / F.sqrt(F.col("sq").cast("double") * F.col("a_sq").cast("double"))).alias(
                 "cosine"
             ),
         )
     )
-    topk = scored.orderBy(F.col("cosine").desc(), F.col("doc_id")).limit(k)
-    w = W.orderBy(F.col("cosine").desc(), F.col("doc_id"))
-    return topk.withColumn("rerank", F.row_number().over(w).cast("long"))
+    # All-candidates-missing passthrough: when not one candidate has an
+    # embedding row the anchor (and so `scored`) is empty; these rows
+    # exist exactly then, carrying the lexical result with null cosine.
+    n_emb = joined.agg(F.count("v").alias("n_emb"))
+    fallback = (
+        joined.crossJoin(F.broadcast(n_emb))
+        .filter(F.col("n_emb") == 0)
+        .select(
+            "doc_id",
+            "bm25_scaled",
+            "rank",
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    )
+    order = [F.col("cosine").desc_nulls_last(), F.col("rank"), F.col("doc_id")]
+    topk = scored.unionByName(fallback).orderBy(*order).limit(k)
+    return topk.withColumn(
+        "rerank", F.row_number().over(W.orderBy(*order)).cast("long")
+    ).select("doc_id", "bm25_scaled", "cosine", "rerank")

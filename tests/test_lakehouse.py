@@ -371,3 +371,48 @@ def test_compaction_plan_nextfit_rules(spark):
     # every non-oversized group respects the target
     for r in out.values():
         assert r.group_fill <= 100 or r.size > 100
+
+
+def test_compaction_plan_zero_size_files_match_oracle(spark, tmp_path):
+    """Zero-size files mid-stream leave the running fill at 0; the
+    recurrence's ``fill > 0`` guard must not close the group there, and
+    the recursive-CTE oracle must walk the identical rule (ADVICE r3:
+    the oracle used to check the overflow unconditionally)."""
+    import duckdb
+
+    from iconic_data_science_spark.operators.lakehouse import (
+        compaction_plan,
+        compaction_oracle_sql,
+    )
+
+    rows = [
+        (1, 1, 0),   # leading zero: fill stays 0
+        (1, 2, 0),
+        (1, 3, 150), # oversized lands in the SAME group (fill was 0)
+        (1, 4, 0),   # zero after overflow-sized file
+        (1, 5, 60),
+        (1, 6, 0),
+        (1, 7, 50),  # 60+0+50 > 100 -> closes
+        (2, 1, 0),
+    ]
+    inv = spark.createDataFrame(rows, "part long, file_id long, size long")
+    got = sorted(
+        (r.part, r.file_id, r.size, r.group_idx, r.group_fill)
+        for r in compaction_plan(inv, target=100).collect()
+    )
+    pq = str(tmp_path / "inv.parquet")
+    inv.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    try:
+        want = sorted(
+            tuple(int(v) for v in row)
+            for row in con.execute(
+                compaction_oracle_sql(f"SELECT part, file_id, size FROM '{pq}'", target=100)
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want, (got, want)
+    by = {(p, f): (g, fl) for p, f, _s, g, fl in got}
+    assert by[(1, 3)] == (0, 150)  # joined the zero-fill group, not a new one
+    assert by[(1, 7)][0] == by[(1, 5)][0] + 1

@@ -723,6 +723,43 @@ def test_kmv_distinct_accuracy_and_small_set_rule(spark, sf_dir):
     assert out[0].est_distinct == 10
 
 
+def test_bm25_rerank_anchor_fallbacks(spark):
+    """The hybrid rerank's two degradation rungs (ADVICE r2 + r3):
+    (a) a missing-embedding lexical winner anchors on the next
+    candidate WITH an embedding; (b) when NO candidate has an
+    embedding, the lexical result passes through with null cosine in
+    rank order instead of silently emptying."""
+    from iconic_data_science_spark.operators.retrieval import bm25_embed_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark merge"),
+            (2, "spark merge window"),
+            (3, "spark table"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    # (a) top lexical hit (doc 1) has no embedding row -> the next
+    # best-ranked candidate WITH one anchors (doc 3: shorter doc, so
+    # it outranks doc 2 lexically)
+    emb = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = bm25_embed_rerank(docs, emb, ["spark"], k_candidates=3, k=3).collect()
+    assert [r.doc_id for r in out] == [3, 2]  # doc 1 drops (no embedding)
+    assert out[0].cosine == 1.0 and out[0].rerank == 1  # doc 3 is its own anchor
+    # (b) no candidate has any embedding -> lexical passthrough, null cosine
+    emb_none = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = bm25_embed_rerank(docs, emb_none, ["spark"], k_candidates=3, k=3).collect()
+    assert [r.doc_id for r in out] == [1, 3, 2]  # BM25 rank order survives
+    assert all(r.cosine is None for r in out)
+    assert [r.rerank for r in out] == [1, 2, 3]
+
+
 def test_kmv_partial_equals_unbounded_and_bounds_shuffle(spark):
     """The map-side bounded partial (round 4) must (a) emit ≤ k·P rows
     for a hot group — the shuffle-volume bound the sketch exists for —
