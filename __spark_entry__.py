@@ -5566,6 +5566,78 @@ _ROUND2_FRONT = [
 ]
 
 
+# Round-4 registration front — evidence-age refresh (VERDICT r3 item 2).
+# r1∪r2∪r3 covers the whole catalog, but 46 queries' newest driver row is
+# still round 1 and several of their operators were refactored since
+# (minhash array-native rewrite, simhash zero-shuffle fold, g7 years-agg
+# fuse, g5 unpersist fix).  Order: (a) the 7 queries whose CONTRACT or
+# plan changed THIS round (new mm oracles, KMV partial+overflow fix,
+# compaction-oracle guard, BM25 passthrough, Hilbert pandas walk) — their
+# old rows no longer describe the shipped code; (b) the r1-stale queries,
+# refactored-since-r1 operators first; (c) the two rows-only-by-nature
+# r1 rows last (weakest signal).  After this round no driver row should
+# be older than round 2.
+_ROUND4_FRONT = [
+    # --- (a) changed in round 4: re-verify under the new contract ---
+    "mm_byte_histogram",   # exploded integer rows + md5-hex oracle (was the r3 defect)
+    "mm_media_stats",      # arithmetic oracle (was rows-only)
+    "mm_probe",            # arithmetic oracle (was rows-only)
+    "ev_kmv_distinct",     # bounded partial + overflow-safe LCG (hash unchanged)
+    "lh_compaction_plan",  # oracle fill>0 guard aligned
+    "text_bm25_rerank",    # all-missing passthrough + rank tiebreak (both engines)
+    "lh_hilbert_stats",    # vectorized pandas walk (hash unchanged)
+    # --- (b) newest driver row is round 1; operator files touched in r2/r3 first ---
+    "dedup_minhash_lsh",   # array-native rewrite landed r2, hash row predates it
+    "dedup_simhash",       # zero-shuffle bit-vote rewrite landed r2
+    "dedup_simhash_pairs",
+    "g7_ego_indicators",   # years-agg fuse r3
+    "g7_alter_rollups",
+    "g5_hierarchy_roots",  # r2 unpersist fix
+    # --- remaining r1-stale queries in catalog order ---
+    "g1_coauthor_edges",
+    "a1_papers_per_author",
+    "q1_pricing_summary",
+    "p_projection_filter",
+    "w1_cumulative_papers",
+    "pr_citation_edges",
+    "a8_zero_filled_citations",
+    "w1_cumulative_citations",
+    "w_moving_3yr_citations",
+    "profile_conversion",
+    "g4_bfs",
+    "g_triangle_count",
+    "u3_except_authors",
+    "u4_intersect_authors",
+    "j7_or_join",
+    "j12_dwarf_lineitem",
+    "f7_json_extract",
+    "f3_f4_scalar_funcs",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_ngram_capped",
+    "dedup_edit_distance",
+    "a1_salted",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_nprobe2",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_train_split",
+    "text_repetition",
+    "text_top_terms",
+    "text_pii_redact",
+    # --- twin + rows-only tail (drop out first if the window is tight) ---
+    "g5_hierarchy_roots_sql",  # recursive-CTE twin of the covered g5
+    "a2_approx_distinct",      # HLL bytes engine-internal: rows-only by nature
+    "g_pagerank",              # float pagerank: rows-only by nature
+]
+
+
 def _reordered(front: list[str], d: dict) -> dict:
     unknown = [k for k in front if k not in d]
     assert not unknown, f"front list names unknown queries: {unknown}"
@@ -5573,10 +5645,13 @@ def _reordered(front: list[str], d: dict) -> dict:
     return {k: d[k] for k in [*front, *rest]}
 
 
-# Round-3 front wins; the round-2 front follows it (already hash-green in
-# r2, so re-verification in any remaining driver-window slots is harmless),
-# then everything else in original order.
-QUERIES = _reordered(_ROUND3_FRONT, _reordered(_ROUND2_FRONT, QUERIES))
+# Round-4 front wins (evidence-age refresh); the round-3 and round-2
+# fronts follow (hash-green in their rounds, so re-verification in any
+# remaining driver-window slots is harmless), then everything else in
+# original order.
+QUERIES = _reordered(
+    _ROUND4_FRONT, _reordered(_ROUND3_FRONT, _reordered(_ROUND2_FRONT, QUERIES))
+)
 
 # ---------------------------------------------------------------------------
 # driver contract
