@@ -73,6 +73,77 @@ HEADLINE = [
 ]
 
 
+# Streaming micro-bench (VERDICT r3 item 7): the four batch-twin
+# Structured Streaming pipelines, drained over the sf events/documents
+# files with trigger(availableNow) into the noop sink — wall time +
+# input rows/sec, so streaming throughput regressions are visible
+# round to round, not just stream==batch correctness.
+def _streaming_bench(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.streaming import documents as sdoc
+    from iconic_data_science_spark.streaming import events as sev
+
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    n_docs_new = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") % 2 == 1)
+        .count()
+    )
+
+    def rollup():
+        return sev.tumbling_counts(sev.read_event_stream(spark, sf_dir)), "complete", n_events
+
+    def session():
+        return sev.session_windows(sev.read_event_stream(spark, sf_dir)), "complete", n_events
+
+    def funnel():
+        return sev.funnel_stage_state(sev.read_event_stream(spark, sf_dir)), "update", n_events
+
+    def doc_dedup():
+        docs = Catalog(spark, sf_dir).documents
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        stream_new = sdoc.read_document_stream(spark, sf_dir).filter(
+            F.col("doc_id") % 2 == 1
+        )
+        return (
+            sdoc.stream_dedup_against_index(
+                stream_new, corpus, n=3, num_perm=16, rows_per_band=4, threshold=0.5
+            ),
+            "append",
+            n_docs_new,
+        )
+
+    pipelines = {
+        "st_run_rollup": rollup,
+        "st_run_session": session,
+        "st_run_funnel": funnel,
+        "st_run_doc_dedup": doc_dedup,
+    }
+    out: dict[str, dict] = {}
+    for name, build in pipelines.items():
+        df, mode, rows = build()
+        t0 = time.perf_counter()
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        sec = time.perf_counter() - t0
+        out[name] = {
+            "sec": round(sec, 3),
+            "input_rows": rows,
+            "rows_per_sec": round(rows / sec, 1),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -127,8 +198,14 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    # Streaming rows ride along unless a query subset was requested or
+    # SPARK_GRAFT_BENCH_STREAMING=0.
+    streaming: dict = {}
+    if not only and os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        streaming = _streaming_bench(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -136,7 +213,10 @@ def main() -> None:
         "sf": sf,
         "iters_per_query": iters,
         "warm": warm,
-    }))
+    }
+    if streaming:
+        payload["streaming"] = streaming
+    print(json.dumps(payload))
     spark.stop()
 
 
