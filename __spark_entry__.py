@@ -845,6 +845,29 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 + the fuzzy stage, in the measured production order: exact
+    dedup and the cheap map-side gates run FIRST, MinHash-LSH near-dup
+    pruning runs LAST over only the surviving canonical docs. The
+    ordering is the point — on an exact-replica 10× corpus the composed
+    exact→fuzzy pipeline returns to base-corpus-shaped cost (104.8 s →
+    3.6 s, SCALE.md round-4 probe) because byte-identical copies never
+    reach the shingle stage; near-dup-only corpora keep the documented
+    banding/df-cap knobs. Keep rule: a survivor drops iff it is the
+    HIGHER id of any verified near-dup pair (first occurrence wins,
+    same as dedup_passage)."""
+    from iconic_data_science_spark.operators.dedup import minhash_lsh_pairs
+
+    v2 = q_curation_pipeline_v2(spark, sf_dir)
+    cat = _cat(spark, sf_dir)
+    survivors = cat.documents.join(v2.select("doc_id"), "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs(
+        survivors, n=3, num_perm=16, rows_per_band=4, threshold=0.5
+    )
+    dropped = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return v2.join(dropped, "doc_id", "left_anti")
+
+
 def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → Arrow-batched mapInPandas
     feature extraction, emitted as exploded integer rows
@@ -1605,6 +1628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "curation_pipeline": q_curation_pipeline,
     "curation_pipeline_v2": q_curation_pipeline_v2,
+    "curation_pipeline_v3": q_curation_pipeline_v3,
     "inc_rollup_daily": q_inc_rollup_daily,
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
@@ -3354,6 +3378,61 @@ ORACLES["ann_lsh_topk"] = ORACLES["ann_lsh_topk"].replace("{PLANES}", _plane_tab
 ORACLES["text_language_id"] = ORACLES["text_language_id"].replace("{STOPWORDS}", _stopword_table_sql())
 ORACLES["curation_pipeline"] = ORACLES["curation_pipeline"].replace("{STOPWORDS}", _stopword_table_sql())
 ORACLES["curation_pipeline_v2"] = ORACLES["curation_pipeline_v2"].replace("{STOPWORDS}", _stopword_table_sql())
+
+# v3 = v2 wrapped as a CTE + the MinHash-LSH near-dup prune over the v2
+# survivors (same 3-gram Horner shingles / 16-perm / 4-row bands /
+# jaccard >= 0.5 literals as the dedup_minhash_lsh oracle); drop rule =
+# the higher id of any verified pair.
+ORACLES["curation_pipeline_v3"] = f"""
+    WITH v2 AS ({ORACLES["curation_pipeline_v2"]}),
+    surv AS (SELECT d.doc_id, d.text FROM documents d JOIN v2 USING (doc_id)),
+    sh3 AS (
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                           for i in generate_series(1, len(th)-2)]) AS s
+            FROM (
+                SELECT doc_id,
+                       [list_reduce(
+                            [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                             for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                            (a, b) -> a * 16 + b) % 2147483647
+                        for tok in string_split(lower(text), ' ')] AS th
+                FROM surv
+            )
+        )
+    ),
+    perms3 AS (SELECT * FROM {_perm_table_sql(16)}),
+    sig3 AS (
+        SELECT doc_id, i, MIN((a * shingle + b) % 2147483647) AS minhash
+        FROM sh3 CROSS JOIN perms3 GROUP BY 1, 2
+    ),
+    bs3 AS (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY i) AS band_sig
+        FROM sig3 GROUP BY 1, 2
+    ),
+    cand3 AS (
+        SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+        FROM bs3 b1 JOIN bs3 b2 ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+                                AND b1.doc_id < b2.doc_id
+    ),
+    sz3 AS (SELECT doc_id, COUNT(*) AS sz FROM sh3 GROUP BY 1),
+    inter3 AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM sh3 a JOIN sh3 b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    dropped AS (
+        SELECT DISTINCT c.id2 AS doc_id
+        FROM cand3 c
+        JOIN inter3 i ON i.id1 = c.id1 AND i.id2 = c.id2
+        JOIN sz3 z1 ON z1.doc_id = c.id1
+        JOIN sz3 z2 ON z2.doc_id = c.id2
+        WHERE i.i / (z1.sz + z2.sz - i.i) >= 0.5
+    )
+    SELECT v2.* FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
 
 
 def _pii_oracle_sql() -> str:
@@ -5586,6 +5665,7 @@ _ROUND4_FRONT = [
     "lh_compaction_plan",  # oracle fill>0 guard aligned
     "text_bm25_rerank",    # all-missing passthrough + rank tiebreak (both engines)
     "lh_hilbert_stats",    # vectorized pandas walk (hash unchanged)
+    "curation_pipeline_v3",  # NEW r4: exact -> gates -> fuzzy ordering
     # --- (b) newest driver row is round 1; operator files touched in r2/r3 first ---
     "dedup_minhash_lsh",   # array-native rewrite landed r2, hash row predates it
     "dedup_simhash",       # zero-shuffle bit-vote rewrite landed r2
