@@ -735,6 +735,25 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=5)
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (round 4) — the fixed-memory twin of
+    decontaminate_ngram: the benchmark's 5-gram set compresses into a
+    ~130 KiB broadcast bitset (2^20 bits, 4 seeded-LCG hashes, 63-bit
+    word packing) and the train corpus probes it map-side. No false
+    negatives (the flagged set is a superset of the exact scan,
+    pytest-asserted), false positives bounded by (1-e^{-kn/m})^k —
+    at 100 TB the exact join's broadcast side grows with the eval
+    suite, the Bloom side never does. Deterministic integers, so the
+    oracle rebuilds the identical filter bit-for-bit."""
+    from iconic_data_science_spark.operators.dedup import bloom_decontaminate
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return bloom_decontaminate(train, bench, n=5)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation — the flagship composition of
     the LLM-pipeline operators in one plan: English language gate →
@@ -1626,6 +1645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_redact": q_text_pii_redact,
     "text_vocab_oov": q_text_vocab_oov,
     "decontaminate_ngram": q_decontaminate_ngram,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "curation_pipeline": q_curation_pipeline,
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "curation_pipeline_v3": q_curation_pipeline_v3,
@@ -3379,6 +3399,10 @@ ORACLES["text_language_id"] = ORACLES["text_language_id"].replace("{STOPWORDS}",
 ORACLES["curation_pipeline"] = ORACLES["curation_pipeline"].replace("{STOPWORDS}", _stopword_table_sql())
 ORACLES["curation_pipeline_v2"] = ORACLES["curation_pipeline_v2"].replace("{STOPWORDS}", _stopword_table_sql())
 
+from iconic_data_science_spark.operators.dedup import bloom_oracle_sql as _bloom_oracle_sql  # noqa: E402
+
+ORACLES["decontaminate_bloom"] = _bloom_oracle_sql()
+
 # v3 = v2 wrapped as a CTE + the MinHash-LSH near-dup prune over the v2
 # survivors (same 3-gram Horner shingles / 16-perm / 4-row bands /
 # jaccard >= 0.5 literals as the dedup_minhash_lsh oracle); drop rule =
@@ -4886,6 +4910,21 @@ def q_ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(cat.events)
 
 
+def q_ev_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types, estimated
+    ENTIRELY from the per-type KMV sketches (round 4): union minima by
+    the KMV merge rule, intersection by inclusion–exclusion, clamped
+    at 0. After the one bounded-shuffle sketch build, every pairwise
+    overlap touches ≤ k rows per type — the data is never rescanned,
+    which is why a 100 TB feed keeps sketches instead of re-joining.
+    Integer lattice; the oracle reproduces the estimates bit-for-bit.
+    Accuracy vs exact overlaps asserted in tests."""
+    from iconic_data_science_spark.operators.sketch import kmv_overlap
+
+    cat = _cat(spark, sf_dir)
+    return kmv_overlap(cat.events)
+
+
 def q_ev_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the event stream (Cormode &
     Muthukrishnan 2005): 4×64 grid of BIGINT cells with literal seeded
@@ -4933,6 +4972,7 @@ QUERIES.update({
     "ev_value_quantiles": q_ev_value_quantiles,
     "mm_probe": q_mm_probe,
     "ev_kmv_distinct": q_ev_kmv_distinct,
+    "ev_kmv_overlap": q_ev_kmv_overlap,
     "lh_zorder_stats": q_lh_zorder_stats,
     "lh_hilbert_stats": q_lh_hilbert_stats,
     "lh_compaction_plan": q_lh_compaction_plan,
@@ -5082,6 +5122,10 @@ from iconic_data_science_spark.operators.sketch import cms_param_table_sql as _c
 from iconic_data_science_spark.operators.sketch import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
 
 ORACLES["ev_kmv_distinct"] = _kmv_oracle_sql()
+
+from iconic_data_science_spark.operators.sketch import kmv_overlap_oracle_sql as _kmv_overlap_oracle_sql  # noqa: E402
+
+ORACLES["ev_kmv_overlap"] = _kmv_overlap_oracle_sql()
 
 _Z_TERMS = " + ".join(
     f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})" for i in range(16)
@@ -5666,6 +5710,8 @@ _ROUND4_FRONT = [
     "text_bm25_rerank",    # all-missing passthrough + rank tiebreak (both engines)
     "lh_hilbert_stats",    # vectorized pandas walk (hash unchanged)
     "curation_pipeline_v3",  # NEW r4: exact -> gates -> fuzzy ordering
+    "decontaminate_bloom",   # NEW r4: fixed-memory membership sketch
+    "ev_kmv_overlap",        # NEW r4: sketch-union overlap estimates
     # --- (b) newest driver row is round 1; operator files touched in r2/r3 first ---
     "dedup_minhash_lsh",   # array-native rewrite landed r2, hash row predates it
     "dedup_simhash",       # zero-shuffle bit-vote rewrite landed r2

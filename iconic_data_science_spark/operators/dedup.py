@@ -606,6 +606,168 @@ def decontaminate(
     )
 
 
+BLOOM_BITS = 1 << 20  # 2^20-bit filter = ~16.6k 63-bit words, ~130 KiB broadcast
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(shingle: Column, num_hashes: int = BLOOM_HASHES, m_bits: int = BLOOM_BITS):
+    """The k seeded-LCG bit positions of a shingle — same (a, b) literal
+    table as the MinHash permutations (``_lcg_params``), so the SQL
+    oracle replays them bit-for-bit."""
+    return [
+        ((F.lit(a) * shingle + F.lit(b)) % MERSENNE31) % m_bits
+        for _i, a, b in _lcg_params(num_hashes)
+    ]
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """(word, bits) — a Bloom filter over the benchmark corpus's hashed
+    word n-grams, packed 63 bits per BIGINT word (bit 63 never used, so
+    no sign corner anywhere and any ANSI engine reproduces the words).
+
+    Scale rationale: exact decontamination broadcasts EVERY benchmark
+    shingle (the :func:`decontaminate` join side grows with the eval
+    suite); the Bloom filter is a FIXED ~130 KiB bitset regardless of
+    benchmark size — the membership-sketch trade (Bloom 1970, CACM):
+    no false negatives, false-positive rate (1-e^{-kn/m})^k, measured
+    against the exact scan in tests. Build is one distinct + one
+    bit_or aggregation, both partial-aggregated map-side.
+    """
+    sh = hashed_shingle_table(benchmark, n=n, id_col=id_col, text_col=text_col).select(
+        "shingle"
+    ).distinct()
+    pos = sh.select(
+        F.explode(F.array(*_bloom_positions(F.col("shingle"), num_hashes, m_bits))).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos div 63").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """(doc_id, n_flagged_ngrams) — Bloom-filter decontamination: train
+    documents whose word n-grams hit ALL k benchmark filter bits.
+
+    A flagged shingle either appears in the benchmark (true leak) or is
+    a false positive; by Bloom's guarantee the flagged set is a SUPERSET
+    of :func:`decontaminate`'s exact matches (asserted in tests), so
+    using it as an exclusion gate never lets contamination through —
+    the safe direction for eval hygiene. The filter broadcasts at fixed
+    size; the train corpus is never shuffled (one map-side probe +
+    per-doc partial count).
+    """
+    bloom = F.broadcast(
+        bloom_build(
+            benchmark, n=n, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, m_bits=m_bits,
+        )
+    )
+    sh_t = hashed_shingle_table(train, n=n, id_col=id_col, text_col=text_col)
+    probes = sh_t.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.array(*_bloom_positions(F.col("shingle"), num_hashes, m_bits))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "shingle",
+        F.expr("pos div 63").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("mask"),
+    )
+    hit = (
+        probes.join(bloom, "word", "left")
+        .select(
+            "doc_id",
+            "shingle",
+            F.coalesce((F.col("bits").bitwiseAND(F.col("mask")) != 0).cast("int"), F.lit(0)).alias(
+                "bit_set"
+            ),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.sum("bit_set").alias("n_set"))
+        .filter(F.col("n_set") == num_hashes)
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_flagged_ngrams")
+    )
+
+
+def bloom_oracle_sql(
+    num_hashes: int = BLOOM_HASHES, m_bits: int = BLOOM_BITS
+) -> str:
+    """DuckDB twin of :func:`bloom_decontaminate` over the documents
+    table with the standard benchmark split (doc_id % 10 = 0) — the
+    identical shingles, LCG positions, 63-bit word packing, bit_or
+    build, and all-k probe rule."""
+    params = ", ".join(f"({i}, {a}, {b})" for i, a, b in _lcg_params(num_hashes))
+    return f"""
+        WITH th AS (
+            SELECT doc_id,
+                   [list_reduce(
+                        [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                         for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                        (a, b) -> a * 16 + b) % {MERSENNE31}
+                    for tok in string_split(lower(text), ' ')] AS th
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest([((((th[i] * 1000003 + th[i+1]) % {MERSENNE31} * 1000003 + th[i+2]) % {MERSENNE31} * 1000003 + th[i+3]) % {MERSENNE31} * 1000003 + th[i+4]) % {MERSENNE31}
+                               for i in generate_series(1, len(th)-4)]) AS s
+                FROM th
+            )
+        ),
+        hp AS (SELECT * FROM (VALUES {params}) AS hp(i, a, b)),
+        bpos AS (
+            SELECT sh.doc_id, sh.shingle,
+                   ((hp.a * sh.shingle + hp.b) % {MERSENNE31}) % {m_bits} AS pos
+            FROM sh CROSS JOIN hp
+        ),
+        bloom AS (
+            SELECT pos // 63 AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+            FROM bpos WHERE doc_id % 10 = 0
+            GROUP BY 1
+        ),
+        probe AS (
+            SELECT p.doc_id, p.shingle,
+                   CASE WHEN (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT))) <> 0
+                        THEN 1 ELSE 0 END AS bit_set
+            FROM (SELECT * FROM bpos WHERE doc_id % 10 <> 0) p
+            LEFT JOIN bloom b ON b.word = p.pos // 63
+        ),
+        flagged AS (
+            SELECT doc_id, shingle
+            FROM probe GROUP BY 1, 2
+            HAVING SUM(bit_set) = {num_hashes}
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_ngrams
+        FROM flagged GROUP BY 1
+    """
+
+
 def simhash32(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over distinct word tokens.
 

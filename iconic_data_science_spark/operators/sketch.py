@@ -240,6 +240,143 @@ def kmv_oracle_sql(
     """
 
 
+def kmv_overlap(
+    events: DataFrame,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = KMV_K,
+) -> DataFrame:
+    """(type_a, type_b, est_a, est_b, est_union, est_inter) — pairwise
+    distinct-key overlap between groups, estimated ENTIRELY from the
+    per-group KMV sketches: the k-minima of A ∪ B are the k smallest of
+    the two sketches' minima merged (the KMV union rule, Bar-Yossef et
+    al. 2002 / Beyer et al. 2007 SIGMOD "distinct-value synopses"), and
+    |A∩B| falls out by inclusion–exclusion (clamped at 0).
+
+    This is the mergeability story made queryable: after the one
+    bounded-shuffle sketch build (:func:`kmv_distinct`'s plan), every
+    pairwise overlap is computed from ≤ k rows per group — the data is
+    never rescanned, which is the whole point of sketching a 100 TB
+    feed. Integer lattice throughout, so the SQL oracle reproduces the
+    estimates bit-for-bit.
+    """
+    hashed = kmv_hashes(events, key_col=key_col, group_col=group_col)
+    sk = (
+        kmv_partial_minima(hashed, k=k)
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.partitionBy("grp").orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+        .localCheckpoint()  # ≤ k rows per group; reused by every pair
+    )
+
+    def est(n_seen, h_k):
+        return (
+            F.when(n_seen < k, n_seen)
+            .otherwise(F.expr(f"CAST({(k - 1) * MERSENNE31} AS BIGINT) div {h_k}"))
+            .cast("long")
+        )
+
+    per_group = sk.groupBy("grp").agg(
+        F.count("*").alias("n_seen"), F.max("h").alias("h_k")
+    ).select("grp", est(F.col("n_seen"), "h_k").alias("est"))
+
+    pairs = (
+        sk.select("grp").distinct().alias("a")
+        .crossJoin(sk.select("grp").distinct().alias("b"))
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .select(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"))
+    )
+    merged = (
+        pairs.join(sk, (F.col("grp") == F.col("ga")) | (F.col("grp") == F.col("gb")))
+        .select("ga", "gb", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.partitionBy("ga", "gb").orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
+        .select("ga", "gb", est(F.col("n_seen"), "h_k").alias("est_union"))
+    )
+    ea = per_group.select(F.col("grp").alias("ga"), F.col("est").alias("est_a"))
+    eb = per_group.select(F.col("grp").alias("gb"), F.col("est").alias("est_b"))
+    return (
+        merged.join(ea, "ga")
+        .join(eb, "gb")
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long"),
+            ).alias("est_inter"),
+        )
+    )
+
+
+def kmv_overlap_oracle_sql(
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    table: str = "events",
+    k: int = KMV_K,
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap` — same sketches, same union
+    rule, same inclusion–exclusion clamp."""
+    est = (
+        f"CAST(CASE WHEN n_seen < {k} THEN n_seen "
+        f"ELSE {(k - 1) * MERSENNE31} // h_k END AS BIGINT)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT {group_col} AS grp,
+                   ((({key_col} % {MERSENNE31}) + {MERSENNE31}) % {MERSENNE31}
+                    * {KMV_A} + {KMV_B}) % {MERSENNE31} AS h
+            FROM {table}
+        ),
+        sk AS (
+            SELECT grp, h FROM (
+                SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+                FROM d
+            ) WHERE rn <= {k}
+        ),
+        pg AS (
+            SELECT grp, {est} AS est FROM (
+                SELECT grp, COUNT(*) AS n_seen, MAX(h) AS h_k FROM sk GROUP BY 1
+            )
+        ),
+        pr AS (
+            SELECT a.grp AS ga, b.grp AS gb
+            FROM (SELECT DISTINCT grp FROM sk) a, (SELECT DISTINCT grp FROM sk) b
+            WHERE a.grp < b.grp
+        ),
+        mu_src AS (
+            SELECT DISTINCT pr.ga, pr.gb, sk.h
+            FROM pr JOIN sk ON sk.grp = pr.ga OR sk.grp = pr.gb
+        ),
+        mu AS (
+            SELECT ga, gb, {est} AS est_union FROM (
+                SELECT ga, gb, COUNT(*) AS n_seen, MAX(h) AS h_k FROM (
+                    SELECT ga, gb, h FROM (
+                        SELECT ga, gb, h,
+                               ROW_NUMBER() OVER (
+                                   PARTITION BY ga, gb ORDER BY h) AS rn
+                        FROM mu_src
+                    ) WHERE rn <= {k}
+                ) GROUP BY 1, 2
+            )
+        )
+        SELECT mu.ga AS type_a, mu.gb AS type_b,
+               ea.est AS est_a, eb.est AS est_b, mu.est_union,
+               GREATEST(CAST(0 AS BIGINT),
+                        CAST(ea.est + eb.est - mu.est_union AS BIGINT)) AS est_inter
+        FROM mu
+        JOIN pg ea ON ea.grp = mu.ga
+        JOIN pg eb ON eb.grp = mu.gb
+    """
+
+
 def histogram_quantiles(
     events: DataFrame,
     value_col: str = "value",

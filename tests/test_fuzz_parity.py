@@ -357,6 +357,7 @@ EV_QUERIES = [
     "ts_multi_grain_counts",
     "inc_rollup_daily",
     "ev_kmv_distinct",
+    "ev_kmv_overlap",
 ]
 
 

@@ -723,6 +723,30 @@ def test_kmv_distinct_accuracy_and_small_set_rule(spark, sf_dir):
     assert out[0].est_distinct == 10
 
 
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """Bloom's no-false-negative guarantee, on the real fixture: every
+    doc the exact 5-gram scan flags must also be Bloom-flagged, with
+    at least as many flagged shingles; the false-positive overhead
+    stays small at the configured k/m."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    exact = {r.doc_id: r.n_shared_ngrams for r in decontaminate(train, bench, n=5).collect()}
+    bloom = {
+        r.doc_id: r.n_flagged_ngrams
+        for r in bloom_decontaminate(train, bench, n=5).collect()
+    }
+    for doc_id, n_exact in exact.items():
+        assert doc_id in bloom, f"exact-flagged doc {doc_id} missed by bloom"
+        assert bloom[doc_id] >= n_exact, (doc_id, bloom[doc_id], n_exact)
+    # false positives exist only as a bounded overhead, not a flood
+    extra_docs = set(bloom) - set(exact)
+    assert len(extra_docs) <= max(5, len(exact)), (len(extra_docs), len(exact))
+
+
 def test_bm25_rerank_anchor_fallbacks(spark):
     """The hybrid rerank's two degradation rungs (ADVICE r2 + r3):
     (a) a missing-embedding lexical winner anchors on the next
@@ -839,6 +863,32 @@ def test_kmv_large_key_parity_with_oracle(spark, tmp_path):
     finally:
         con.close()
     assert got == want, (got, want)
+
+
+def test_kmv_overlap_accuracy(spark, sf_dir):
+    """Sketch-union overlap estimates vs exact distinct-user overlaps:
+    union estimate within 25%, intersection within 25% of the union
+    size (the inclusion-exclusion error compounds the two sketch
+    errors — bounded, not tight)."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.sketch import kmv_overlap
+
+    ev = Catalog(spark, sf_dir).events
+    got = {
+        (r.type_a, r.type_b): r
+        for r in kmv_overlap(ev).collect()
+    }
+    rows = ev.select("event_type", "user_id").distinct().collect()
+    users: dict[str, set] = {}
+    for r in rows:
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    types = sorted(users)
+    assert set(got) == {(a, b) for i, a in enumerate(types) for b in types[i + 1:]}
+    for (a, b), r in got.items():
+        u = len(users[a] | users[b])
+        i = len(users[a] & users[b])
+        assert abs(r.est_union - u) <= max(2, 0.25 * u), (a, b, r.est_union, u)
+        assert abs(r.est_inter - i) <= max(2, 0.25 * u), (a, b, r.est_inter, i)
 
 
 def test_histogram_quantiles_bracket_exact(spark, sf_dir):
