@@ -4910,6 +4910,22 @@ def q_ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(cat.events)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (round 4) — the FAISS IVFADC
+    composition: IVF prunes each query to its 2 nearest cells (of 8),
+    PQ ADC scores only those candidates through their 8 BIGINT codes.
+    Centroids and codebooks are the deterministic lowest-id seeds, ADC
+    stays on the product lattice, so the composed oracle replays the
+    identical pipeline — hash-exact. The multiplicative scale win over
+    plain PQ: the partial-sum shuffle carries ~nprobe/n_cells of the
+    corpus per query instead of all of it."""
+    from iconic_data_science_spark.operators.similarity import ivfpq_topk
+
+    cat = _cat(spark, sf_dir)
+    emb = cat.embeddings
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2)
+
+
 def q_ev_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise distinct-user overlap between event types, estimated
     ENTIRELY from the per-type KMV sketches (round 4): union minima by
@@ -4973,6 +4989,7 @@ QUERIES.update({
     "mm_probe": q_mm_probe,
     "ev_kmv_distinct": q_ev_kmv_distinct,
     "ev_kmv_overlap": q_ev_kmv_overlap,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "lh_zorder_stats": q_lh_zorder_stats,
     "lh_hilbert_stats": q_lh_hilbert_stats,
     "lh_compaction_plan": q_lh_compaction_plan,
@@ -5476,6 +5493,99 @@ ORACLES["ann_pq_topk"] = f"""
     FROM r WHERE rnk <= 5
 """
 
+# IVF-PQ (round 4): the PQ CTE chain with the ADC sum restricted to the
+# IVF candidate set — corpus in its 1 nearest cell, queries probing
+# their 2 nearest (lowest-id pseudo-centroids, the ann_ivf discipline).
+ORACLES["ann_ivfpq_topk"] = f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               list_reduce([{_PQ_LAT.format(x="x", y="x")} for x in embedding],
+                           (a, b) -> a + b) AS sq
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS c_id, embedding AS c_v, sq AS c_sq
+        FROM e ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+        SELECT e.vec_id AS id, c.c_id,
+               list_reduce([{_PQ_LAT.format(x="e.embedding[i]", y="c.c_v[i]")}
+                            for i in generate_series(1, len(e.embedding))], (x, y) -> x + y)
+               / sqrt(CAST(e.sq AS DOUBLE) * CAST(c.c_sq AS DOUBLE)) AS sim
+        FROM e CROSS JOIN cent c
+    ),
+    cranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, c_id) AS rn
+        FROM cscored
+    ),
+    corpus_cells AS (SELECT id, c_id AS cell FROM cranked WHERE rn = 1),
+    query_cells AS (
+        SELECT id AS query_id, c_id AS cell FROM cranked
+        WHERE rn <= 2 AND id % 50 = 0
+    ),
+    cand AS (
+        SELECT q.query_id, c.id
+        FROM query_cells q JOIN corpus_cells c USING (cell)
+        WHERE q.query_id <> c.id
+    ),
+    subs AS (
+        SELECT vec_id AS id, s AS sub,
+               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) mm
+    ),
+    subs2 AS (
+        SELECT id, sub, sv,
+               list_reduce([{_PQ_LAT.format(x="x", y="x")} for x in sv],
+                           (a, b) -> a + b) AS sv_sq
+        FROM subs
+    ),
+    cb AS (
+        SELECT sub, id AS c_id, sv AS c_v, sv_sq AS c_sq
+        FROM subs2
+        WHERE id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cbscored AS (
+        SELECT s.id, s.sub, c.c_id, c.c_sq,
+               s.sv_sq
+               - 2 * list_reduce([{_PQ_LAT.format(x="s.sv[i]", y="c.c_v[i]")}
+                                  for i in generate_series(1, len(s.sv))], (x, y) -> x + y)
+               + c.c_sq AS d
+        FROM subs2 s JOIN cb c USING (sub)
+    ),
+    codes AS (
+        SELECT id, sub, c_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id, sub ORDER BY d ASC, c_id ASC) AS rn
+            FROM cbscored
+        ) WHERE rn = 1
+    ),
+    qsubs AS (SELECT * FROM subs2 WHERE id % 50 = 0),
+    dtable AS (
+        SELECT q.id AS query_id, q.sub, c.c_id,
+               q.sv_sq
+               - 2 * list_reduce([{_PQ_LAT.format(x="q.sv[i]", y="c.c_v[i]")}
+                                  for i in generate_series(1, len(q.sv))], (x, y) -> x + y)
+               + c.c_sq AS d
+        FROM qsubs q JOIN cb c USING (sub)
+    ),
+    sums AS (
+        SELECT d.query_id, codes.id, CAST(SUM(d.d) AS BIGINT) AS approx_d_scaled
+        FROM cand
+        JOIN codes ON codes.id = cand.id
+        JOIN dtable d ON d.query_id = cand.query_id
+                     AND d.sub = codes.sub AND d.c_id = codes.c_id
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY approx_d_scaled ASC, id ASC) AS rnk
+        FROM sums
+    )
+    SELECT query_id, id AS neighbor_id, approx_d_scaled,
+           CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 5
+"""
+
 ORACLES["text_inverted_index"] = """
     WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
     p AS (
@@ -5712,6 +5822,7 @@ _ROUND4_FRONT = [
     "curation_pipeline_v3",  # NEW r4: exact -> gates -> fuzzy ordering
     "decontaminate_bloom",   # NEW r4: fixed-memory membership sketch
     "ev_kmv_overlap",        # NEW r4: sketch-union overlap estimates
+    "ann_ivfpq_topk",        # NEW r4: FAISS IVFADC composition
     # --- (b) newest driver row is round 1; operator files touched in r2/r3 first ---
     "dedup_minhash_lsh",   # array-native rewrite landed r2, hash row predates it
     "dedup_simhash",       # zero-shuffle bit-vote rewrite landed r2

@@ -603,6 +603,97 @@ def pq_codes(
     return codebook, codes
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_d_scaled, rank) — IVF-PQ: the
+    FAISS IVFADC composition (Jégou et al. 2011 §IV): the IVF stage
+    prunes the corpus to the query's ``nprobe`` nearest cells, and PQ
+    ADC scores ONLY those candidates through their m codes.
+
+    This is the production ANN memory/compute stack in one plan: cell
+    assignment is an argmin over broadcast centroids (no corpus
+    shuffle), the distance table broadcasts, candidates carry m BIGINT
+    codes instead of the raw vector, and the only shuffle is the
+    (query, candidate) partial-sum — over the ~nprobe/n_cells fraction
+    of the corpus the IVF stage kept, which is the multiplicative win
+    over plain PQ at 100 TB. Deterministic seeds everywhere (lowest-id
+    pseudo-centroids and codebooks, the ivf_assign/pq_codes
+    discipline), so ADC sums are engine-exact and the composed oracle
+    replays the identical pipeline. Smaller-is-nearer; ties on
+    neighbor id.
+    """
+    centroids = (
+        embeddings.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).cast("array<double>").alias("c_v"),
+        )
+        .orderBy("c_id")
+        .limit(n_cells)
+    )
+    corpus_cells = ivf_assign(
+        embeddings, n_cells, id_col, vec_col, centroids=centroids
+    ).select(F.col("id"), F.col("cell"))
+    query_cells = ivf_assign(
+        queries, n_cells, id_col, vec_col, n_assign=nprobe, centroids=centroids
+    ).select(F.col("id").alias("query_id"), F.col("cell"))
+    cand = (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", "id")
+    )
+    codebook, codes = pq_codes(embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    dim_over_m = F.floor(F.size(F.col(vec_col)) / m).cast("int")
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col(vec_col), s * dim_over_m + 1, dim_over_m),
+            )
+        ).alias("sub", "qv"),
+    ).withColumn(
+        "qv_sq",
+        F.aggregate(
+            F.transform("qv", lambda x: _scaled_prod(x, x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "c_v", _scaled_prod), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    dtable = qsubs.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "c_id",
+        (F.col("qv_sq") - 2 * qdot + F.col("c_sq")).alias("d"),
+    )
+    sums = (
+        cand.join(codes, "id")
+        .join(F.broadcast(dtable), ["query_id", "sub", "c_id"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("d").alias("approx_d_scaled"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_d_scaled").asc(), F.col("id").asc())
+    return (
+        sums.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "approx_d_scaled",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -110,6 +110,30 @@ def test_ivf_kmeans_beats_pseudo_centroids(spark, corpora):
     assert r_kmeans > r_pseudo
 
 
+def test_ivfpq_equals_pq_when_probing_all_cells(spark, corpora):
+    """IVF-PQ's anchor contract: with nprobe == n_cells every query
+    probes every cell, the candidate set is the whole corpus, and the
+    result must equal plain PQ ADC row for row (same codes, same
+    distance table, same tie rule). With nprobe=1 the candidate set is
+    a strict subset — the pruning that is the point of the IVF stage."""
+    from iconic_data_science_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    corpus, queries, _ = corpora
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.approx_d_scaled, r.rank)
+        for r in ivfpq_topk(corpus, queries, k=K, n_cells=4, nprobe=4, m=8, n_codes=16).collect()
+    )
+    plain = sorted(
+        (r.query_id, r.neighbor_id, r.approx_d_scaled, r.rank)
+        for r in pq_topk(corpus, queries, k=K, m=8, n_codes=16).collect()
+    )
+    assert full == plain
+    pruned = ivfpq_topk(corpus, queries, k=K, n_cells=4, nprobe=1, m=8, n_codes=16)
+    # pruning really happened: some of the all-cells result is gone
+    got = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
+    assert got != {(q, n) for q, n, _, _ in full} or len(got) < len(full)
+
+
 def test_lsh_multi_table_recall(spark, corpora):
     """A single 8-bit signature splits clusters whose center sits near a
     hyperplane (measured ~0.5-0.6 recall on this fixture); unioning
