@@ -249,6 +249,122 @@ def byte_histogram_bins(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(extract, out_schema)
 
 
+def phash64(media: DataFrame) -> DataFrame:
+    """(media_id, phash) — 64-bit perceptual hash over REAL decoded
+    pixels (the classic pHash recipe, public domain: grayscale →
+    32×32 nearest resample → 2-D orthonormal DCT-II → top-left 8×8
+    low-frequency block → median threshold; DC bit forced 0). Decodes
+    BMP/PNG/GIF/JPEG through the codecs in this package — one
+    Arrow-batched mapInPandas pass, numpy matrix products, no external
+    image libraries. Non-image payloads are skipped.
+
+    The content-level twin of the text fingerprint family: byte-level
+    dedup misses a re-encoded or resized image; the pHash survives
+    both (pinned by the resize/JPEG round-trip test)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+    # 32-point orthonormal DCT-II matrix (same construction as the 8x8
+    # one in operators/jpeg.py)
+    n = 32
+    k = np.arange(n)
+    D = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    D[0] /= np.sqrt(2.0)
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import decode_jpeg
+
+        decoders = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}
+        for pdf in batches:
+            mids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                fmt = sniff_format(buf)
+                dec = decoders.get(fmt)
+                if dec is None:
+                    continue
+                px = dec(buf)[:, :, :3].astype(np.float64)
+                gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                h, w = gray.shape
+                yi = (np.arange(n) * h) // n
+                xi = (np.arange(n) * w) // n
+                small = gray[np.ix_(yi, xi)]
+                block = (D @ small @ D.T)[:8, :8].flatten()
+                med = np.median(block[1:])
+                bits = (block > med)
+                bits[0] = False  # DC carries brightness, not structure
+                val = 0
+                for i in range(64):
+                    if bits[i]:
+                        val |= 1 << i
+                # fold to signed 64-bit for the LongType column
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                mids.append(int(mid))
+                hashes.append(val)
+            yield pd.DataFrame(
+                {"media_id": pd.Series(mids, dtype="int64"),
+                 "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(extract, out_schema)
+
+
+def phash_neardup_pairs(
+    phashes: DataFrame, max_hamming: int = 10, n_bands: int = 4
+) -> DataFrame:
+    """(id1, id2, hamming) — near-duplicate image pairs by banded
+    perceptual-hash join: the 64-bit pHash splits into ``n_bands``
+    16-bit bands, candidates share at least one exact band (the
+    pigeonhole rule — recall GUARANTEED for hamming < n_bands, best-
+    effort beyond, the ``dedup_simhash_pairs`` trade), and candidates
+    verify by exact popcount of the XOR. Relational end to end: the
+    only shuffle is the band-value self-join — never an all-pairs
+    comparison, which is what makes image dedup run on a crawl-scale
+    corpus."""
+    width = 64 // n_bands
+    bands = phashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"shiftright(phash, {b * width}) & {(1 << width) - 1}"
+                    ).alias("val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bv"),
+    ).select("media_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    b1 = bands.select(
+        F.col("media_id").alias("id1"), F.col("phash").alias("p1"), "band", "val"
+    )
+    b2 = bands.select(
+        F.col("media_id").alias("id2"), F.col("phash").alias("p2"), "band", "val"
+    )
+    cand = (
+        b1.join(b2, ["band", "val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "p1", "p2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
+    return (
+        cand.select("id1", "id2", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # --------------------------------------------------------------------------
 # real uncompressed-format codecs (pure numpy/struct — no external libs)
 
