@@ -72,11 +72,8 @@ def test_driver_contract_integrity():
         "a2_approx_distinct",   # HLL sketch — not exact-hashable
         "ann_ivf_kmeans",       # learned float centroids — iterative means
         "g_pagerank",           # float power iteration (g_pagerank_int is the oracled twin; g_kcore gained a recursive-peel oracle in round 2; g8_gexf gained a string_agg XML oracle in the round-2 continuation)
-        "mm_byte_histogram",    # pandas-UDF float features
-        "mm_media_stats",       # synthetic media source
         "mm_decode_stats",      # engine-generated BMP/WAV/AVI payloads (no parquet input)
         "mm_frame_sample",      # engine-generated AVI payloads (no parquet input)
-        "mm_probe",             # engine-generated MP4/MP3 containers (no parquet input)
         "text_bpe_vocab",       # iterative BPE training loop (golden-pinned in tests/test_bpe.py)
     }
     for name, fn in qs.items():
