@@ -304,8 +304,12 @@ def hilbert_value_pandas(x_col: str, y_col: str, bits: int = 16):
     def _hilbert(xs: pd.Series, ys: pd.Series) -> pd.Series:
         import numpy as np
 
-        xv = xs.to_numpy(dtype="int64", copy=True)
-        yv = ys.to_numpy(dtype="int64", copy=True)
+        # Null-safe like the F.aggregate form: null x or y → null d.
+        # (Nullable input reaches pandas as float64 + NaN; a bare
+        # to_numpy(dtype='int64') would raise and kill the task.)
+        valid = (xs.notna() & ys.notna()).to_numpy()
+        xv = xs.fillna(0).to_numpy(dtype="int64", copy=True)
+        yv = ys.fillna(0).to_numpy(dtype="int64", copy=True)
         d = np.zeros(len(xv), dtype="int64")
         for i in range(bits - 1, -1, -1):
             s = np.int64(1) << i
@@ -317,7 +321,9 @@ def hilbert_value_pandas(x_col: str, y_col: str, bits: int = 16):
             nx = np.where(swap, np.where(flip, s - 1 - yv, yv), xv)
             ny = np.where(swap, np.where(flip, s - 1 - xv, xv), yv)
             xv, yv = nx, ny
-        return pd.Series(d)
+        out = pd.Series(d, dtype="Int64")
+        out[~valid] = pd.NA
+        return out
 
     return _hilbert(F.col(x_col).cast("long"), F.col(y_col).cast("long"))
 
@@ -366,7 +372,13 @@ def hilbert_value(x_col: str, y_col: str, bits: int = 16):
         ).otherwise(acc["y"])
         return F.struct(nx.alias("x"), ny.alias("y"), (acc["d"] + s * s * quad).alias("d"))
 
-    return F.aggregate(levels, acc0, step)["d"]
+    # Null semantics (pinned by tests, matching the numpy twin): a null
+    # coordinate yields a null index. Without the guard the CASE
+    # branches silently treat a null rx/ry as 0, producing a
+    # wrong-looking but non-null walk.
+    return F.when(
+        F.col(x_col).isNull() | F.col(y_col).isNull(), F.lit(None).cast("long")
+    ).otherwise(F.aggregate(levels, acc0, step)["d"])
 
 
 def hilbert_chunk_stats(

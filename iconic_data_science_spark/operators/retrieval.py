@@ -210,7 +210,10 @@ def bm25_embed_rerank(
     # rank 1): TakeOrdered over <= k_candidates joined rows, so a
     # missing-embedding lexical winner falls back instead of producing
     # an empty cross-join and a silently empty result.
-    joined = cand.join(vecs, "doc_id", "left")
+    # localCheckpoint: four downstream subtrees (anchor, scored, n_emb,
+    # fallback) read this ≤ k_candidates-row frame; without it each one
+    # re-runs the full stage-1 lexical scan+shuffle (ADVICE r4).
+    joined = cand.join(vecs, "doc_id", "left").localCheckpoint()
     anchor = (
         joined.filter(F.col("v").isNotNull())
         .orderBy("rank")

@@ -145,9 +145,16 @@ def kmv_partial_minima(hashed: DataFrame, k: int = KMV_K) -> DataFrame:
                 arr = s.dropna().to_numpy(dtype="int64")
                 if not len(arr):
                     continue
-                prev = state.get(grp)
+                # Normalize the group key: a numeric grp column with
+                # nulls reaches pandas as float64 + NaN, and NaN keys
+                # (a) don't merge across batches (NaN != NaN) and
+                # (b) fail the Arrow cast back to the declared grp
+                # type. Null groups stay a single None-keyed group,
+                # matching what GROUP BY does JVM-side.
+                key = None if (grp is None or (isinstance(grp, float) and grp != grp)) else grp
+                prev = state.get(key)
                 merged = np.unique(arr if prev is None else np.concatenate([prev, arr]))
-                state[grp] = merged[:k]  # np.unique sorts → k smallest distinct
+                state[key] = merged[:k]  # np.unique sorts → k smallest distinct
         yield pd.DataFrame(
             [(grp, int(hv)) for grp, mins in state.items() for hv in mins],
             columns=["grp", "h"],
@@ -217,13 +224,17 @@ def kmv_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`kmv_distinct` (same LCG literals — key
     reduced mod M before the multiply so the product never overflows
-    BIGINT — same rank filter, same BIGINT division)."""
+    BIGINT — same rank filter, same BIGINT division, same null-key
+    drop: the Spark partial's dropna means a NULL key contributes no
+    hash, so the oracle filters NULL keys too — a NULL-h row would
+    otherwise inflate n_seen for groups with < k distinct hashes)."""
     return f"""
         WITH d AS (
             SELECT DISTINCT {group_col} AS grp,
                    ((({key_col} % {MERSENNE31}) + {MERSENNE31}) % {MERSENNE31}
                     * {KMV_A} + {KMV_B}) % {MERSENNE31} AS h
             FROM {table}
+            WHERE {key_col} IS NOT NULL
         ),
         r AS (
             SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
@@ -323,7 +334,8 @@ def kmv_overlap_oracle_sql(
     k: int = KMV_K,
 ) -> str:
     """DuckDB twin of :func:`kmv_overlap` — same sketches, same union
-    rule, same inclusion–exclusion clamp."""
+    rule, same inclusion–exclusion clamp, same null-key drop (see
+    :func:`kmv_oracle_sql`)."""
     est = (
         f"CAST(CASE WHEN n_seen < {k} THEN n_seen "
         f"ELSE {(k - 1) * MERSENNE31} // h_k END AS BIGINT)"
@@ -334,6 +346,7 @@ def kmv_overlap_oracle_sql(
                    ((({key_col} % {MERSENNE31}) + {MERSENNE31}) % {MERSENNE31}
                     * {KMV_A} + {KMV_B}) % {MERSENNE31} AS h
             FROM {table}
+            WHERE {key_col} IS NOT NULL
         ),
         sk AS (
             SELECT grp, h FROM (

@@ -303,6 +303,31 @@ def test_hilbert_pandas_twin_matches_expr_fold(spark):
         assert r.hp == r.he == _py_hilbert(r.x, r.y), (r.x, r.y, r.hp, r.he)
 
 
+def test_hilbert_pandas_null_safe(spark):
+    """Null x or y → null index on BOTH forms (ADVICE r4: the numpy
+    twin used to crash the task on to_numpy(dtype='int64') with NaN,
+    turning a previously-null result into a query failure — and it is
+    hilbert_chunk_stats' default path)."""
+    from iconic_data_science_spark.operators.lakehouse import (
+        hilbert_value,
+        hilbert_value_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (None, 5), (7, None), (None, None), (300, 17)], "x int, y int"
+    )
+    got = df.select(
+        "x",
+        "y",
+        hilbert_value_pandas("x", "y").alias("hp"),
+        hilbert_value("x", "y").alias("he"),
+    ).collect()
+    for r in got:
+        assert r.hp == r.he, (r.x, r.y, r.hp, r.he)
+        if r.x is None or r.y is None:
+            assert r.hp is None, (r.x, r.y, r.hp)
+
+
 def test_hilbert_vs_morton_locality(spark):
     """Both curves are quadrant-recursive, so power-of-4-ALIGNED index
     ranges cover identical 2^k x 2^k blocks — aligned chunk stats must

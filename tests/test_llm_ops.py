@@ -865,6 +865,45 @@ def test_kmv_large_key_parity_with_oracle(spark, tmp_path):
     assert got == want, (got, want)
 
 
+def test_kmv_null_keys_and_null_groups(spark, tmp_path):
+    """Null keys contribute no hash on BOTH engines (the oracle's
+    WHERE key IS NOT NULL — ADVICE r4: DuckDB's DISTINCT used to keep a
+    NULL-h row that inflated n_seen for groups below k), and a numeric
+    group column with nulls must survive the pandas partial as ONE
+    null group instead of crashing the Arrow cast (int64 + nulls reach
+    pandas as float64 + NaN, and NaN != NaN splits the state dict)."""
+    import duckdb
+
+    from iconic_data_science_spark.operators.sketch import kmv_distinct, kmv_oracle_sql
+
+    rows = [(None, "a"), (1, "a"), (2, "a"), (None, "b"), (3, None), (None, None), (4, None)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {(r.event_type, r.est_distinct) for r in kmv_distinct(ev).collect()}
+    # group "b" holds only a null key -> no hashes -> absent on both sides
+    assert got == {("a", 2), (None, 2)}, got
+    pq = str(tmp_path / "ev_nulls.parquet")
+    ev.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    try:
+        want = {
+            (t, int(n))
+            for t, n in con.execute(kmv_oracle_sql(table=f"'{pq}'")).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want, (got, want)
+    # numeric group col with nulls: single null group, no task crash
+    ev2 = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, None), (4, None), (None, None)],
+        "user_id long, event_type long",
+    )
+    got2 = {
+        (r.event_type, r.est_distinct)
+        for r in kmv_distinct(ev2, group_col="event_type").collect()
+    }
+    assert got2 == {(10, 2), (None, 2)}, got2
+
+
 def test_kmv_overlap_accuracy(spark, sf_dir):
     """Sketch-union overlap estimates vs exact distinct-user overlaps:
     union estimate within 25%, intersection within 25% of the union

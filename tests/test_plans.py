@@ -195,6 +195,18 @@ EXCHANGE_BUDGET = {
     "lh_hilbert_stats": 1,
     "lh_compaction_plan": 2,  # inventory agg + applyInPandas group
     "text_cdc_chunks": 2,
+    # round-4 additions (budgeted in round 5): IVFPQ = centroid assign
+    # + PQ-code agg + cell-pruned candidate join + topk; curation v3 is
+    # the full exact→gates→fuzzy composition (deliberately the most
+    # shuffle-heavy pipeline in the catalog); bloom decontamination is
+    # the build agg + broadcast probe; KMV overlap is sketch build +
+    # pair ranks; bm25 rerank shows 1 because the ≤k_candidates frame
+    # is localCheckpointed (its stage-1 exchanges already ran).
+    "ann_ivfpq_topk": 6,
+    "curation_pipeline_v3": 28,
+    "decontaminate_bloom": 4,
+    "ev_kmv_overlap": 4,
+    "text_bm25_rerank": 1,
 }
 
 
