@@ -922,9 +922,12 @@ def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-spec baseline codec in operators/jpeg.py), WAV PCM16 parsing,
     and AVI frame parsing in pure numpy over mapInPandas (exact integer
     pixel/sample statistics); the codec gate applies only to MP3/MP4
-    sample decode. Rows-only (the payloads are engine-generated, not
-    parquet inputs); decoder correctness is pinned by round-trip and
-    stdlib-wave cross-checks in tests/test_llm_ops.py."""
+    sample decode. Rows-only BY NATURE: the JPEG and GIF rows' decoded
+    pixels are codec outputs (quantization tables / palette fits), not
+    generator arithmetic, so no SQL replay can predict their sums —
+    the lossless subset IS hash-oracled as mm_lossless_decode_stats;
+    decoder correctness here is pinned by round-trip and stdlib-wave
+    cross-checks in tests/test_llm_ops.py."""
     from iconic_data_science_spark.operators.multimodal import decode_media, synth_media_real
 
     ensure_engine_conf(spark)
@@ -4983,10 +4986,58 @@ def q_mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_media(synth_media_mixed(spark, 256))
 
 
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs, END-TO-END under the hash
+    gate: 16 deterministic base images × 4 variants (BMP / bit-exact
+    PNG / JPEG re-encode / 3:4 nearest-resize BMP) → real decode →
+    grayscale → 32×32 DCT-II pHash (multimodal.phash64) → banded
+    16→8-bit Hamming join (multimodal.phash_neardup_pairs). The corpus
+    is built so ground truth is id arithmetic (media_id = group·4 +
+    variant; within-group hamming ≤ 4 ≪ cross-group ≥ 22, margin
+    pinned in tests/test_llm_ops.py), so the DuckDB twin replays the
+    expected pair set — exactly the within-group pairs — from range():
+    any drift in a codec, the DCT, the median threshold, or the band
+    join breaks the hash. n_bands=8 makes recall GUARANTEED for
+    hamming < 8 (pigeonhole) and max_hamming=10 kills every
+    cross-group candidate. The byte-level twin of dedup_simhash_pairs:
+    byte dedup misses a re-encoded or resized image; this catches both."""
+    from iconic_data_science_spark.operators.multimodal import (
+        phash64,
+        phash_neardup_pairs,
+        synth_image_neardup,
+    )
+
+    ensure_engine_conf(spark)
+    pairs = phash_neardup_pairs(
+        phash64(synth_image_neardup(spark, 16)), max_hamming=10, n_bands=8
+    )
+    return pairs.select("id1", "id2")
+
+
+def q_mm_lossless_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode under the HASH gate: the lossless corpus
+    (BMP/PNG images, PCM16 WAV, uncompressed AVI — every byte the
+    decoder recovers equals the generator arithmetic) through the same
+    decode_media pass as mm_decode_stats. The DuckDB twin replays each
+    pixel/sample statistic as pure integer arithmetic over range() —
+    sum_abs and peak recompute the generator pattern value-for-value,
+    so an off-by-one in a BMP row pad, a PNG filter, a WAV sample
+    width, or an AVI frame walk breaks the hash. (mm_decode_stats
+    keeps the full corpus including JPEG/GIF and stays rows-only:
+    their decoded pixels are codec outputs — quantized — not
+    SQL-replayable arithmetic.)"""
+    from iconic_data_science_spark.operators.multimodal import decode_media, synth_media_lossless
+
+    ensure_engine_conf(spark)
+    return decode_media(synth_media_lossless(spark, 256), require_codecs=True)
+
+
 QUERIES.update({
     "ev_cms_heavy_hitters": q_ev_cms_heavy_hitters,
     "ev_value_quantiles": q_ev_value_quantiles,
     "mm_probe": q_mm_probe,
+    "mm_phash_neardup": q_mm_phash_neardup,
+    "mm_lossless_decode_stats": q_mm_lossless_decode_stats,
     "ev_kmv_distinct": q_ev_kmv_distinct,
     "ev_kmv_overlap": q_ev_kmv_overlap,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -5106,6 +5157,72 @@ ORACLES["mm_probe"] = """
              ELSE CAST(media_id % 4 + 2 AS BIGINT)
            END AS n_frames
     FROM m
+"""
+
+# pHash near-dup pairs (round 5): the corpus is built so ground truth is
+# id arithmetic — media_id = group*4 + variant, and the measured hamming
+# margin (within ≤ 4, cross ≥ 22, pinned in tests) means the pipeline
+# must return EXACTLY the within-group pairs or the hash breaks.
+ORACLES["mm_phash_neardup"] = """
+    SELECT CAST(a.range AS BIGINT) AS id1, CAST(b.range AS BIGINT) AS id2
+    FROM range(0, 64) a, range(0, 64) b
+    WHERE a.range < b.range AND a.range // 4 = b.range // 4
+"""
+
+# lossless decode stats (round 5): BMP/PNG/WAV/AVI round-trip bit-exact,
+# so every decode statistic replays as integer arithmetic over range()
+# — the generator pattern value-for-value (see _real_media_row).
+ORACLES["mm_lossless_decode_stats"] = """
+    WITH ids AS (SELECT CAST(t.range AS BIGINT) AS mid FROM range(0, 256) t),
+    img AS (
+        SELECT mid, mid % 16 + 4 AS w, mid % 12 + 4 AS h,
+               CASE WHEN (mid // 3) % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+        FROM ids WHERE mid % 3 = 0
+    ),
+    img_px AS (
+        SELECT i.mid,
+               CAST(SUM((i.mid*31 + (j.range//3)*7 + (j.range%3)*13) % 256) AS BIGINT) AS sum_abs,
+               CAST(MAX((i.mid*31 + (j.range//3)*7 + (j.range%3)*13) % 256) AS INT) AS peak
+        FROM img i JOIN range(0, 855) j ON j.range < i.w * i.h * 3
+        GROUP BY i.mid
+    ),
+    aud AS (SELECT mid, mid % 500 + 100 AS ns FROM ids WHERE mid % 3 = 1),
+    aud_s AS (
+        SELECT a.mid,
+               CAST(SUM(ABS((a.mid*13 + j.range*17) % 4096 - 2048)) AS BIGINT) AS sum_abs,
+               CAST(MAX(ABS((a.mid*13 + j.range*17) % 4096 - 2048)) AS INT) AS peak
+        FROM aud a JOIN range(0, 599) j ON j.range < a.ns
+        GROUP BY a.mid
+    ),
+    vid AS (
+        SELECT mid, mid % 4 + 2 AS nf, mid % 12 + 4 AS w, mid % 8 + 4 AS h
+        FROM ids WHERE mid % 3 = 2
+    ),
+    vid_px AS (
+        SELECT v.mid,
+               CAST(SUM((v.mid*31 + (j.range//3)*7 + (j.range%3)*13
+                         + (j.range//(v.h*v.w*3))*97) % 256) AS BIGINT) AS sum_abs,
+               CAST(MAX((v.mid*31 + (j.range//3)*7 + (j.range%3)*13
+                         + (j.range//(v.h*v.w*3))*97) % 256) AS INT) AS peak
+        FROM vid v JOIN range(0, 2475) j ON j.range < v.nf * v.h * v.w * 3
+        GROUP BY v.mid
+    )
+    SELECT i.mid AS media_id, i.fmt AS format,
+           CAST(i.w AS INT) AS width, CAST(i.h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS BIGINT) AS n_samples, CAST(i.w * i.h AS BIGINT) AS n_pixels,
+           p.sum_abs, p.peak
+    FROM img i JOIN img_px p USING (mid)
+    UNION ALL
+    SELECT a.mid, 'wav', CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(1 AS INT), CAST(8000 AS INT),
+           CAST(a.ns AS BIGINT), CAST(NULL AS BIGINT), s.sum_abs, s.peak
+    FROM aud a JOIN aud_s s USING (mid)
+    UNION ALL
+    SELECT v.mid, 'avi', CAST(v.w AS INT), CAST(v.h AS INT),
+           CAST(3 AS INT), CAST(NULL AS INT),
+           CAST(v.nf AS BIGINT), CAST(v.nf * v.h * v.w AS BIGINT), p.sum_abs, p.peak
+    FROM vid v JOIN vid_px p USING (mid)
 """
 
 ORACLES["g_label_propagation"] = """
@@ -5875,6 +5992,89 @@ _ROUND4_FRONT = [
 ]
 
 
+# Round-5 registration front — evidence-age refresh (VERDICT r4 items 2,
+# 5, 7).  r4 came back 50/50 green, leaving: 5 oracled queries whose only
+# hash row is r1 (three rounds stale, text.py refactored since), 49 whose
+# newest row is r2, and two NEW hash-oracled queries this round (the
+# wired pHash near-dup gate and the lossless-decode arithmetic replay).
+# Order: (a) the new queries — never driver-verified; (b) the r1-stale
+# five; (c) the 49 r2-latest, ordered by operator-file churn since r2
+# (dedup/pipelines/graph/asof/streaming/lakehouse first, untouched TPC-H
+# last, so the queries that drop out of a 50-row window are the ones
+# whose code hasn't moved in three rounds); (d) the four queries whose
+# oracle or plan was touched THIS round (fresh r4 rows, so they ride in
+# any remaining slots).
+_ROUND5_FRONT = [
+    # --- (a) new in round 5 ---
+    "mm_phash_neardup",
+    "mm_lossless_decode_stats",
+    # --- (b) only driver hash row is r1 ---
+    "text_train_split",
+    "text_repetition",
+    "text_top_terms",
+    "text_pii_redact",
+    "g5_hierarchy_roots_sql",
+    # --- (c) newest row is r2, churned operator files first ---
+    "curation_pipeline",
+    "curation_pipeline_v2",
+    "decontaminate_ngram",
+    "g_kcore",
+    "g_pagerank_int",
+    "g6_citation_map",
+    "g6_edge_citation_series",
+    "g9_year_keyed_network",
+    "asof_signup_value",
+    "range_join_price_tiers",
+    "st_tumbling_hour",
+    "st_sliding_hour_15m",
+    "st_session_5m",
+    "st_stream_stream_join",
+    "ev_funnel",
+    "ev_retention",
+    "lh_merge_upsert",
+    "lh_scd2_priority",
+    "text_vocab_oov",
+    "ann_lsh_multitable",
+    "a_rollup_orders",
+    "a_cube_orders",
+    "a_pivot_returnflag",
+    "a_median_papers",
+    "a6_flatten_distinct",
+    "j8_element_join",
+    "p5_p6_filters",
+    "w_top_supplier_per_nation",
+    "w_lag_citation_delta",
+    # TPC-H (operator files untouched since r2 — safest to defer if the
+    # window is tight)
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q20_top_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # --- (d) oracle/plan touched in round 5, hash re-verified locally;
+    # fresh r4 rows so these only need slots if the window allows ---
+    "ev_kmv_distinct",
+    "ev_kmv_overlap",
+    "text_bm25_rerank",
+    "lh_hilbert_stats",
+]
+
+
 def _reordered(front: list[str], d: dict) -> dict:
     unknown = [k for k in front if k not in d]
     assert not unknown, f"front list names unknown queries: {unknown}"
@@ -5882,12 +6082,13 @@ def _reordered(front: list[str], d: dict) -> dict:
     return {k: d[k] for k in [*front, *rest]}
 
 
-# Round-4 front wins (evidence-age refresh); the round-3 and round-2
-# fronts follow (hash-green in their rounds, so re-verification in any
+# Round-5 front wins (evidence-age refresh); the earlier rounds' fronts
+# follow (hash-green in their rounds, so re-verification in any
 # remaining driver-window slots is harmless), then everything else in
 # original order.
 QUERIES = _reordered(
-    _ROUND4_FRONT, _reordered(_ROUND3_FRONT, _reordered(_ROUND2_FRONT, QUERIES))
+    _ROUND5_FRONT,
+    _reordered(_ROUND4_FRONT, _reordered(_ROUND3_FRONT, _reordered(_ROUND2_FRONT, QUERIES))),
 )
 
 # ---------------------------------------------------------------------------

@@ -91,9 +91,14 @@ def synth_media(spark: SparkSession, n: int = 256) -> DataFrame:
 _SYNTH_PARTITIONS = 8
 
 
-def _real_media_row(mid: int) -> dict:
+def _real_media_row(mid: int, lossless: bool = False) -> dict:
     """One deterministic REAL payload keyed by media_id (shared by
-    synth_media_real and synth_media_mixed)."""
+    synth_media_real and synth_media_mixed). ``lossless=True``
+    restricts images to the bit-exact codecs (BMP/PNG) so every decode
+    statistic is a pure integer function of media_id — the
+    arithmetic-replay oracle contract (GIF palletizes >256-color
+    patterns and JPEG quantizes, so their decoded pixels are codec
+    outputs, not generator arithmetic)."""
     import numpy as np
 
     k = ("image", "audio", "video")[mid % 3]
@@ -101,8 +106,9 @@ def _real_media_row(mid: int) -> dict:
         w, h = mid % 16 + 4, mid % 12 + 4
         idx = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
         px = ((mid * 31 + (idx // 3) * 7 + (idx % 3) * 13) % 256).astype(np.uint8)
-        # rotate the four real image codecs
-        codec = (mid // 3) % 4
+        # rotate the four real image codecs (two lossless ones under
+        # the oracle contract)
+        codec = (mid // 3) % (2 if lossless else 4)
         if codec == 0:
             payload = encode_bmp(w, h, px)
         elif codec == 1:
@@ -166,6 +172,27 @@ def synth_media_real(spark: SparkSession, n: int = 256) -> DataFrame:
 
         for pdf in batches:
             rows = [_real_media_row(int(mid)) for mid in pdf["media_id"]]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return (
+        spark.range(0, n, 1, _SYNTH_PARTITIONS)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(gen, MEDIA_SCHEMA)
+    )
+
+
+def synth_media_lossless(spark: SparkSession, n: int = 256) -> DataFrame:
+    """:func:`synth_media_real` restricted to the bit-exact codecs
+    (BMP/PNG images, PCM16 WAV, uncompressed AVI): every pixel/sample
+    the decoder recovers equals the generator arithmetic, so decode
+    statistics are SQL-replayable from media_id alone (the
+    ``mm_lossless_decode_stats`` hash-oracle contract)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [_real_media_row(int(mid), lossless=True) for mid in pdf["media_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
     return (
@@ -247,6 +274,87 @@ def byte_histogram_bins(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(extract, out_schema)
+
+
+def _neardup_base_pixels(g: int, w: int = 128, h: int = 96) -> "np.ndarray":
+    """Deterministic group-g base image for the pHash near-dup corpus:
+    a seeded-LCG ±1 sign for each low-frequency DCT cell, rendered as
+    the sum of those cosine bases. Every pHash bit then sits FAR from
+    the median threshold (the coefficients are bimodal ±A, the median
+    is the gap between modes), so the hash is stable under JPEG
+    quantization and nearest-neighbor resampling while two different
+    groups differ in ~half their sign bits — measured: within-group
+    hamming ≤ 4, cross-group ≥ 22 over 16 groups × 4 variants."""
+    import numpy as np
+
+    state = (g * 2654435761 + 1) % (1 << 31)
+    signs = {}
+    for u in range(8):
+        for v in range(8):
+            if u == 0 and v == 0:
+                continue
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            signs[(u, v)] = 1.0 if (state >> 16) & 1 else -1.0
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w))
+    for (u, v), s in signs.items():
+        img += s * np.cos(np.pi * v * (xx + 0.5) / w) * np.cos(np.pi * u * (yy + 0.5) / h)
+    px = np.clip(np.rint(127.5 + 14.0 * img), 0, 255).astype(np.uint8)
+    return np.stack([px, px, px], axis=-1)
+
+
+NEARDUP_VARIANTS = 4
+
+
+def synth_image_neardup(spark: SparkSession, n_groups: int = 16) -> DataFrame:
+    """Deterministic near-duplicate image corpus for the pHash gate:
+    ``n_groups`` base images (see :func:`_neardup_base_pixels`), each
+    shipped as 4 variants — BMP original, PNG re-encode (bit-exact →
+    hamming 0), JPEG re-encode (quantized), and a 3/4 nearest-resize
+    BMP. ``media_id = group * 4 + variant``, so the ground-truth
+    near-dup pairs are pure id arithmetic: exactly the within-group
+    pairs — which is what lets the end-to-end decode → DCT → band-join
+    pipeline be HASH-oracled by a plain SQL replay over range()."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g, v = divmod(mid, NEARDUP_VARIANTS)
+                px = _neardup_base_pixels(g)
+                if v == 0:
+                    payload = encode_bmp(px.shape[1], px.shape[0], px)
+                elif v == 1:
+                    payload = encode_png(px)
+                elif v == 2:
+                    payload = encode_jpeg(px)
+                else:
+                    H, W = (px.shape[0] * 3) // 4, (px.shape[1] * 3) // 4
+                    ys = (np.arange(H) * px.shape[0] // H).clip(0, px.shape[0] - 1)
+                    xs = (np.arange(W) * px.shape[1] // W).clip(0, px.shape[1] - 1)
+                    small = px[ys][:, xs]
+                    payload = encode_bmp(W, H, small)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "payload": payload,
+                        "meta": {"width": None, "height": None, "duration_s": None},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return (
+        spark.range(0, n_groups * NEARDUP_VARIANTS, 1, _SYNTH_PARTITIONS)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(gen, MEDIA_SCHEMA)
+    )
 
 
 def phash64(media: DataFrame) -> DataFrame:

@@ -682,6 +682,85 @@ def test_decode_media_covers_all_three_image_codecs(spark):
             assert r.n_pixels == r.width * r.height
 
 
+def test_phash_roundtrip_invariance(spark):
+    """The pHash contract the near-dup gate rests on: a bit-exact PNG
+    re-encode hashes IDENTICALLY to the BMP original; JPEG re-encode
+    and 3:4 nearest-resize stay within hamming 6; different base images
+    stay >= 16 apart (the corpus is designed bimodal so every hash bit
+    sits far from the median threshold — see _neardup_base_pixels)."""
+    from iconic_data_science_spark.operators.multimodal import (
+        NEARDUP_VARIANTS,
+        phash64,
+        synth_image_neardup,
+    )
+
+    hashes = {
+        r.media_id: r.phash
+        for r in phash64(synth_image_neardup(spark, 8)).collect()
+    }
+    assert len(hashes) == 8 * NEARDUP_VARIANTS
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for g in range(8):
+        base = hashes[g * 4]
+        assert hashes[g * 4 + 1] == base, f"group {g}: PNG re-encode changed the hash"
+        assert ham(base, hashes[g * 4 + 2]) <= 6, f"group {g}: JPEG drift"
+        assert ham(base, hashes[g * 4 + 3]) <= 6, f"group {g}: resize drift"
+    for g1 in range(8):
+        for g2 in range(g1 + 1, 8):
+            for v1 in range(4):
+                for v2 in range(4):
+                    d = ham(hashes[g1 * 4 + v1], hashes[g2 * 4 + v2])
+                    assert d >= 16, (g1, v1, g2, v2, d)
+
+
+def test_phash_banded_pairs_pigeonhole(spark):
+    """phash_neardup_pairs vs brute-force popcount over synthetic
+    hashes: (a) output is always a SUBSET of the true <=max_hamming
+    pairs with exact hamming values, and (b) for pairs with hamming <
+    n_bands recall is GUARANTEED (pigeonhole: fewer flips than bands
+    leaves one band exact)."""
+    import itertools
+    import random
+
+    from iconic_data_science_spark.operators.multimodal import phash_neardup_pairs
+
+    rng = random.Random(7)
+    base = rng.getrandbits(64)
+
+    def flip(v, k):
+        for b in rng.sample(range(64), k):
+            v ^= 1 << b
+        return v
+
+    vals = [base, flip(base, 2), flip(base, 3), flip(base, 9), flip(base, 30)]
+    vals += [rng.getrandbits(64) for _ in range(20)]
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+    df = spark.createDataFrame(
+        list(enumerate(signed)), "media_id long, phash long"
+    )
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in phash_neardup_pairs(df, max_hamming=10, n_bands=4).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    true = {
+        (i, j): ham(vals[i], vals[j])
+        for i, j in itertools.combinations(range(len(vals)), 2)
+        if ham(vals[i], vals[j]) <= 10
+    }
+    assert set(got) <= set(true)
+    for k, v in got.items():
+        assert v == true[k], (k, v, true[k])
+    guaranteed = {k for k, v in true.items() if v < 4}
+    assert guaranteed <= set(got), guaranteed - set(got)
+
+
 def test_cms_estimate_is_one_sided(spark, sf_dir):
     """Count-min property: est >= true for every key, and for the
     heavy-hitter output the overshoot is bounded by d rows of ~N/w
