@@ -1281,21 +1281,27 @@ def q_w_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_signup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (temporal): each purchase event picks up the user's
     most recent prior-or-same signup value (DuckDB native ASOF JOIN is
-    the oracle; Spark side is the union+window formulation)."""
-    from iconic_data_science_spark.operators.asof import asof_join
+    the oracle). Both sides are subsets of the SAME event log, so this
+    uses the fused same-source form (one scan, one shuffle — 0.39 s vs
+    0.82 s for the general union+window asof_join at sf0.1, round-5
+    measurement); the general two-DataFrame operator stays available
+    and equivalence is pinned in tests/test_asof.py."""
+    from iconic_data_science_spark.operators.asof import asof_join_same_source
 
     cat = _cat(spark, sf_dir)
     ev = cat.events
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), F.col("ts")
+    out = asof_join_same_source(
+        ev.withColumn("ts_us", F.unix_micros("ts")),
+        key="user_id",
+        time_col="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "signup",
+        value_col="value",
+        left_cols=("event_id", "ts_us"),
     )
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        "user_id", "ts", F.col("value").alias("signup_value")
+    return out.select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("signup_value")
     )
-    return asof_join(
-        purchases, signups, key="user_id", left_time="ts", right_time="ts",
-        value_cols=["signup_value"],
-    ).select("event_id", "user_id", "ts_us", "signup_value")
 
 
 def q_st_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -153,7 +153,15 @@ def pagerank(
     unreliable, so this op is fixture-verified (analytic solutions)
     rather than oracle-hashed; at 100 TB each iteration is one shuffle
     on dst plus a broadcast of two scalars.
+
+    Loop-invariant inputs materialize ONCE before the loop (the round-5
+    rule, see label_propagation): the edge list hash-partitioned by
+    ``src`` (the per-iteration join key) and the outdeg dim derived
+    from it — otherwise K iterations re-execute the upstream edge plan
+    2K times (once for the join, once for outdeg) and re-shuffle it
+    each round.
     """
+    edges = edges.repartition("src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -161,7 +169,7 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     # ranks MUST localCheckpoint (not just persist) every iteration: the
     # plan references the previous ranks 2-3x per round, so uncut lineage
     # grows exponentially — 20 rounds OOMs merely *formatting* the plan.
@@ -227,15 +235,17 @@ def pagerank_int(
 
     Same scale shape as `pagerank`: one shuffle per iteration (contribs
     keyed on dst) + a broadcast-able outdeg dim; ranks localCheckpoint
-    every round (the lineage lesson).
+    every round (the lineage lesson); edges and outdeg materialize ONCE
+    before the loop (the loop-invariant-input rule — see `pagerank`).
     """
+    edges = edges.repartition("src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     base = (100 - damping_pct) * PAGERANK_INT_SCALE // 100
     ranks = nodes.withColumn("rank_i", F.lit(PAGERANK_INT_SCALE).cast("long")).localCheckpoint()
     for _ in range(iterations):
@@ -598,7 +608,16 @@ def label_propagation(
     localCheckpoint per round (the iterative-ops lineage rule). At K
     rounds the cost is K edge-sized shuffles, the same budget as K BFS
     hops.
+
+    The edge list itself materializes ONCE, hash-partitioned by ``dst``
+    (the per-round join key), before the loop: without this the lazy
+    ``edges`` plan — often an expensive join pipeline like the coauthor
+    build — re-executes every round, and each round's join re-shuffles
+    it (measured at sf0.1, round 5: 8.1 s → 3.0 s unbucketed). At
+    100 TB this is the difference between reading the upstream tables
+    once or K times.
     """
+    edges = edges.repartition("dst").localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(rounds):

@@ -31,6 +31,59 @@ def test_asof_join_golden(spark):
     assert out[300] is None  # key 3 has no right rows
 
 
+def test_asof_same_source_equals_general_form(spark, sf_dir):
+    """The fused same-source as-of (one scan, one shuffle — the round-5
+    asof_signup_value plan) must return row-identical results to the
+    general union+window asof_join on the events table, including the
+    dedup rule (max value at the latest right time), ties, null right
+    values, and left keys with no right rows."""
+    from iconic_data_science_spark.operators.asof import asof_join_same_source
+
+    ev_t = Catalog(spark, sf_dir).events
+    purchases = ev_t.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev_t.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("v")
+    )
+    general = {
+        r.event_id: r.v
+        for r in asof_join(
+            purchases, signups, key="user_id", left_time="ts", right_time="ts",
+            value_cols=["v"],
+        ).collect()
+    }
+    fused = {
+        r.event_id: r.value
+        for r in asof_join_same_source(
+            ev_t,
+            key="user_id",
+            time_col="ts",
+            left_pred=F.col("event_type") == "purchase",
+            right_pred=F.col("event_type") == "signup",
+            value_col="value",
+            left_cols=("event_id",),
+        ).collect()
+    }
+    assert general == fused
+    # golden edge shapes: duplicate right times (max wins), null right
+    # value at the latest time (falls back), tie time (<= matches)
+    rows = [
+        (1, 1, 10, "b", None), (2, 1, 10, "s", 5.0), (3, 1, 10, "s", 7.0),
+        (4, 1, 20, "b", None), (5, 1, 15, "s", None), (6, 2, 9, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k long, t long, typ string, v double")
+    got = {
+        r.event_id: r.v
+        for r in asof_join_same_source(
+            df, key="k", time_col="t",
+            left_pred=F.col("typ") == "b", right_pred=F.col("typ") == "s",
+            value_col="v", left_cols=("event_id",),
+        ).collect()
+    }
+    assert got == {1: 7.0, 4: 7.0, 6: None}, got
+
+
 def test_stateful_running_totals_stream_equals_batch(spark, sf_dir):
     stream = ev.running_user_totals(ev.read_event_stream(spark, sf_dir))
     q = (
