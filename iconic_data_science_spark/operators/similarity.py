@@ -603,6 +603,22 @@ def pq_codes(
     return codebook, codes
 
 
+def _dtable_hint(dtable: DataFrame, queries: DataFrame, m: int, n_codes: int,
+                 threshold_rows: int) -> DataFrame:
+    """The ADC distance table is |queries|·m·n_codes rows. Broadcasting
+    it is the right plan for bounded query sets (the common case: a
+    search batch), but it GROWS WITH THE QUERY SET — at a million
+    queries × 8 subs × 256 codes it is 2×10⁹ rows and would kill every
+    executor. Above ``threshold_rows`` the broadcast hint is withheld,
+    so the candidate⋈dtable join degrades to a shuffle on the
+    (query_id, sub, c_id) key — slower, unbounded-safe (gate-tested in
+    tests/test_ann_recall.py). One count() job on the query table pays
+    for the decision."""
+    if queries.count() * m * n_codes > threshold_rows:
+        return dtable
+    return F.broadcast(dtable)
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -613,6 +629,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dtable_broadcast_threshold_rows: int = 8_000_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, approx_d_scaled, rank) — IVF-PQ: the
     FAISS IVFADC composition (Jégou et al. 2011 §IV): the IVF stage
@@ -621,8 +638,11 @@ def ivfpq_topk(
 
     This is the production ANN memory/compute stack in one plan: cell
     assignment is an argmin over broadcast centroids (no corpus
-    shuffle), the distance table broadcasts, candidates carry m BIGINT
-    codes instead of the raw vector, and the only shuffle is the
+    shuffle), the distance table broadcasts under the
+    ``dtable_broadcast_threshold_rows`` gate (it is |queries|·m·n_codes
+    rows — bounded by the SEARCH BATCH, not the corpus; above the gate
+    it shuffle-joins instead, see ``_dtable_hint``), candidates carry
+    m BIGINT codes instead of the raw vector, and the only shuffle is the
     (query, candidate) partial-sum — over the ~nprobe/n_cells fraction
     of the corpus the IVF stage kept, which is the multiplicative win
     over plain PQ at 100 TB. Deterministic seeds everywhere (lowest-id
@@ -677,7 +697,10 @@ def ivfpq_topk(
     )
     sums = (
         cand.join(codes, "id")
-        .join(F.broadcast(dtable), ["query_id", "sub", "c_id"])
+        .join(
+            _dtable_hint(dtable, queries, m, n_codes, dtable_broadcast_threshold_rows),
+            ["query_id", "sub", "c_id"],
+        )
         .groupBy("query_id", "id")
         .agg(F.sum("d").alias("approx_d_scaled"))
     )
@@ -702,6 +725,7 @@ def pq_topk(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dtable_broadcast_threshold_rows: int = 8_000_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, approx_d_scaled, rank) — asymmetric
     distance computation (ADC) top-k over PQ codes: each query builds a
@@ -712,9 +736,13 @@ def pq_topk(
 
     Scale shape: corpus vectors are touched only through their m codes
     (the memory-compression point of PQ — 8 bytes/vector here vs 256);
-    the distance table (|queries|·m·n_codes rows) broadcasts; the only
-    shuffle is the (query_id, id) partial-sum aggregation, and top-k is
-    a per-query window. Smaller-is-nearer; ties break on neighbor id.
+    the distance table (|queries|·m·n_codes rows) broadcasts while that
+    product stays under ``dtable_broadcast_threshold_rows`` and joins
+    by shuffle beyond it (see ``_dtable_hint`` — the table grows with
+    the query set, so an unbounded query table must not broadcast);
+    the only shuffle besides that gate is the (query_id, id)
+    partial-sum aggregation, and top-k is a per-query window.
+    Smaller-is-nearer; ties break on neighbor id.
     """
     codebook, codes = pq_codes(embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
     qsubs = queries.select(
@@ -745,7 +773,10 @@ def pq_topk(
         (F.col("qv_sq") - 2 * qdot + F.col("c_sq")).alias("d"),
     )
     sums = (
-        codes.join(F.broadcast(dtable), ["sub", "c_id"])
+        codes.join(
+            _dtable_hint(dtable, queries, m, n_codes, dtable_broadcast_threshold_rows),
+            ["sub", "c_id"],
+        )
         .filter(F.col("query_id") != F.col("id"))
         .groupBy("query_id", "id")
         .agg(F.sum("d").alias("approx_d_scaled"))

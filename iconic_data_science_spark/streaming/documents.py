@@ -62,13 +62,23 @@ def stream_dedup_against_index(
     a production deployment bounds it by keying state on a crawl-batch
     column).
     """
+    # The WHOLE corpus index materializes at build time — band sigs and
+    # shingle arrays, not just the intermediate ca: every micro-batch
+    # re-executes the static side's lazy plan, so an un-checkpointed
+    # csigs recomputes all num_perm corpus permutations per batch
+    # (measured: ~1.5 s of the ~2.2 s batch at sf0.1 was corpus-side
+    # recompute; with the index checkpointed the batch spends its time
+    # on stream-side work only). In production these two frames ARE the
+    # persisted index table that write_snapshot maintains.
     ca = hashed_shingle_arrays(corpus, n=n).localCheckpoint()
-    csigs = minhash_band_sigs_from_arrays(
-        ca, num_perm=num_perm, rows_per_band=rows_per_band
-    ).select(F.col("doc_id").alias("corpus_id"), "band", "band_sig")
+    csigs = (
+        minhash_band_sigs_from_arrays(ca, num_perm=num_perm, rows_per_band=rows_per_band)
+        .select(F.col("doc_id").alias("corpus_id"), "band", "band_sig")
+        .localCheckpoint()
+    )
     carr = ca.select(
         F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("corpus_shingles")
-    )
+    ).localCheckpoint()
     na = hashed_shingle_arrays(new_docs_stream, n=n)
     nsigs = minhash_band_sigs_from_arrays(
         na, num_perm=num_perm, rows_per_band=rows_per_band, keep_shingles=True

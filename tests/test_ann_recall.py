@@ -134,6 +134,34 @@ def test_ivfpq_equals_pq_when_probing_all_cells(spark, corpora):
     assert got != {(q, n) for q, n, _, _ in full} or len(got) < len(full)
 
 
+def test_pq_dtable_broadcast_gate(spark, corpora):
+    """The ADC distance table is |queries|·m·n_codes rows — bounded by
+    the search batch, not the corpus — so it broadcasts by default but
+    MUST degrade to a shuffle join above the gate (an unbounded query
+    table would otherwise blow the broadcast). Results must be
+    identical either side of the gate."""
+    from iconic_data_science_spark.operators.similarity import ivfpq_topk, pq_topk
+    from iconic_data_science_spark.plans import inspect
+
+    corpus, queries, _ = corpora
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.approx_d_scaled, r.rank) for r in df.collect()
+        )
+
+    for op in (pq_topk, ivfpq_topk):
+        bc = op(corpus, queries, k=K)
+        sh = op(corpus, queries, k=K, dtable_broadcast_threshold_rows=0)
+        assert rows(bc) == rows(sh), op.__name__
+        # plan-level: the gated form must not broadcast the dtable side
+        # of the code join (the codebook broadcast inside dtable itself
+        # is fine — count broadcast joins drops by at least one)
+        n_bc = inspect.formatted_plan(bc).count("BroadcastHashJoin")
+        n_sh = inspect.formatted_plan(sh).count("BroadcastHashJoin")
+        assert n_sh < n_bc, (op.__name__, n_sh, n_bc)
+
+
 def test_lsh_multi_table_recall(spark, corpora):
     """A single 8-bit signature splits clusters whose center sits near a
     hyperplane (measured ~0.5-0.6 recall on this fixture); unioning
