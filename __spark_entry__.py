@@ -1304,6 +1304,47 @@ def q_asof_signup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large interval-overlap join via grid decomposition
+    (operators/asof.interval_join_grid): derive a deterministic
+    activity window per event ([minute(ts), minute(ts) + 1 +
+    event_id % 180]) and find same-user pairs of overlapping windows —
+    the concurrent-session / double-submission shape. Neither side is
+    a dimension, so instead of a broadcast nested loop the intervals
+    explode onto a 64-minute grid, equi-join on (user_id, cell), and
+    each pair is credited to exactly one cell (no dedup shuffle). The
+    oracle is the naive theta join — the grid plan must reproduce it
+    row-for-row."""
+    from iconic_data_science_spark.operators.asof import interval_join_grid
+
+    cat = _cat(spark, sf_dir)
+    iv = cat.events.select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(60_000_000)).cast("long").alias("lo"),
+    ).withColumn("hi", F.col("lo") + 1 + F.col("event_id") % 180)
+    a = iv.select(
+        "user_id", F.col("event_id").alias("id1"),
+        F.col("lo").alias("lo1"), F.col("hi").alias("hi1"),
+    )
+    b = iv.select(
+        "user_id", F.col("event_id").alias("id2"),
+        F.col("lo").alias("lo2"), F.col("hi").alias("hi2"),
+    )
+    out = interval_join_grid(
+        a, b, keys=["user_id"], l_lo="lo1", l_hi="hi1", r_lo="lo2", r_hi="hi2", grid=64
+    )
+    return (
+        out.filter(F.col("id1") < F.col("id2"))
+        .select(
+            "user_id", "id1", "id2",
+            (F.least("hi1", "hi2") - F.greatest("lo1", "lo2") + 1)
+            .cast("long")
+            .alias("overlap_min"),
+        )
+    )
+
+
 def q_st_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-surface tumbling window agg (batch semantics here; the
     identical transformation runs as a real stream in tests/test_streaming)."""
@@ -1684,6 +1725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_lag_citation_delta": q_w_lag_citation_delta,
     "w_sessionize_lag": q_w_sessionize_lag,
     "asof_signup_value": q_asof_signup_value,
+    "j_interval_overlap": q_j_interval_overlap,
     "st_tumbling_hour": q_st_tumbling_hour,
     "st_sliding_hour_15m": q_st_sliding_hour_15m,
     "st_session_5m": q_st_session_5m,
@@ -2949,6 +2991,20 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM islands
         GROUP BY user_id, island
+    """,
+    "j_interval_overlap": """
+        WITH iv AS (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts) / 60) AS BIGINT) AS lo,
+                   CAST(floor(epoch(ts) / 60) AS BIGINT) + 1 + event_id % 180 AS hi
+            FROM events
+        )
+        SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+               CAST(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) + 1 AS BIGINT)
+                   AS overlap_min
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+         AND a.event_id < b.event_id
     """,
     "asof_signup_value": """
         WITH s AS (
@@ -6014,6 +6070,7 @@ _ROUND5_FRONT = [
     # --- (a) new in round 5 ---
     "mm_phash_neardup",
     "mm_lossless_decode_stats",
+    "j_interval_overlap",
     # --- (b) only driver hash row is r1 ---
     "text_train_split",
     "text_repetition",

@@ -126,6 +126,68 @@ def asof_join_same_source(
     )
 
 
+def interval_join_grid(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    grid: int,
+) -> DataFrame:
+    """Large-large interval-overlap join (closed intervals,
+    ``l_lo <= r_hi AND r_lo <= l_hi``), keyed by ``keys`` — the
+    both-sides-big case :func:`range_join`'s docstring defers: a
+    broadcast nested loop dies when neither side is a dimension, and a
+    raw theta-join shuffles everything to one comparison site.
+
+    The grid trick (classic spatial-join decomposition, public —
+    e.g. DuckDB/PostGIS grid partitioning): explode each interval into
+    the integer grid cells it spans (``cell = floor(x / grid)``),
+    equi-join on (keys…, cell), then verify the exact overlap
+    predicate. A pair overlapping k shared cells would duplicate k
+    times; instead of a distinct shuffle, each pair is CREDITED to
+    exactly one cell — ``floor(greatest(l_lo, r_lo) / grid)``, which
+    both intervals provably span — so the join emits each pair exactly
+    once with zero dedup cost.
+
+    Scale shape: both sides shuffle ONCE on (keys…, cell) — an
+    equi-join Catalyst can hash/sort-merge and AQE can skew-split; the
+    explode factor is span/grid + 1, so ``grid`` tunes replication vs
+    cell selectivity (set it near the median interval span). No
+    broadcast, no all-pairs, no single-partition sort anywhere.
+    Returns the left columns + right columns (caller aliases
+    collisions away beforehand).
+    """
+    kl = [F.col(k) for k in keys]
+    le = left.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_lo) / grid).cast("long"),
+                F.floor(F.col(l_hi) / grid).cast("long"),
+            )
+        ),
+    )
+    re_ = right.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_lo) / grid).cast("long"),
+                F.floor(F.col(r_hi) / grid).cast("long"),
+            )
+        ),
+    )
+    overlap = (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+    credit = F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / grid).cast("long")
+    return (
+        le.join(re_, [*keys, "_cell"])
+        .filter(overlap & (F.col("_cell") == credit))
+        .drop("_cell")
+    )
+
+
 def range_join(
     facts: DataFrame,
     bands: DataFrame,

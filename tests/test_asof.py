@@ -84,6 +84,44 @@ def test_asof_same_source_equals_general_form(spark, sf_dir):
     assert got == {1: 7.0, 4: 7.0, 6: None}, got
 
 
+def test_interval_join_grid_equals_theta_join(spark):
+    """The grid-decomposed interval join must reproduce the naive
+    theta join exactly — including zero-length intervals, spans equal
+    to / crossing the grid size, negative endpoints, and boundary-cell
+    alignment — and must emit each overlapping pair EXACTLY once (the
+    credit-cell rule replaces a distinct shuffle)."""
+    import random
+
+    from iconic_data_science_spark.operators.asof import interval_join_grid
+    from iconic_data_science_spark.plans import inspect
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        k = rng.randint(0, 4)
+        lo = rng.randint(-50, 1000)
+        span = rng.choice([0, 1, 3, 63, 64, 65, 200])
+        rows.append((i, k, lo, lo + span))
+    df = spark.createDataFrame(rows, "id long, k long, lo long, hi long")
+    a = df.select("k", F.col("id").alias("id1"), F.col("lo").alias("lo1"), F.col("hi").alias("hi1"))
+    b = df.select("k", F.col("id").alias("id2"), F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
+    out = interval_join_grid(
+        a, b, keys=["k"], l_lo="lo1", l_hi="hi1", r_lo="lo2", r_hi="hi2", grid=64
+    ).filter(F.col("id1") < F.col("id2"))
+    collected = out.collect()
+    got = {(r.k, r.id1, r.id2) for r in collected}
+    assert len(collected) == len(got), "credit-cell rule emitted duplicates"
+    want = set()
+    for i, ki, li, hi_ in rows:
+        for j, kj, lj, hj in rows:
+            if i < j and ki == kj and li <= hj and lj <= hi_:
+                want.add((ki, i, j))
+    assert got == want
+    # plan: an equi-join on (key, cell) — never a nested-loop/cartesian
+    plan = inspect.formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_stateful_running_totals_stream_equals_batch(spark, sf_dir):
     stream = ev.running_user_totals(ev.read_event_stream(spark, sf_dir))
     q = (

@@ -358,6 +358,8 @@ EV_QUERIES = [
     "inc_rollup_daily",
     "ev_kmv_distinct",
     "ev_kmv_overlap",
+    # round-5 addition: grid-decomposed interval-overlap join
+    "j_interval_overlap",
 ]
 
 
