@@ -1345,6 +1345,40 @@ def q_j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (boilerplate removal — CCNet/RefinedWeb
+    stage; operators/text.line_dedup). The flat token corpus has no
+    newlines, so the query derives a lined corpus deterministically:
+    each document's tokens regroup into 10-token lines and every
+    document gains two per-source boilerplate lines (newsletter +
+    copyright) — at sf0.01 each source has 25 docs, so the boilerplate
+    crosses the min_docs=5 threshold and must be struck from every
+    document while the content lines (unique token soup) all survive,
+    in order. Output carries md5(clean_text) so rows stay narrow under
+    the hash gate; the oracle replays the lining arithmetic and the
+    strike in SQL."""
+    from iconic_data_science_spark.operators.text import line_dedup
+
+    cat = _cat(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_content = F.ceil(F.size(toks) / 10).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), n_content - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    boiler = F.array(
+        F.concat(F.lit("subscribe to the "), F.col("source"), F.lit(" newsletter")),
+        F.concat(F.lit("copyright "), F.col("source"), F.lit(" all rights reserved")),
+    )
+    lined = cat.documents.select(
+        "doc_id", F.array_join(F.concat(content, boiler), "\n").alias("text")
+    )
+    out = line_dedup(lined, min_docs=5)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("clean_text").alias("clean_fp")
+    )
+
+
 def q_st_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-surface tumbling window agg (batch semantics here; the
     identical transformation runs as a real stream in tests/test_streaming)."""
@@ -1726,6 +1760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_sessionize_lag": q_w_sessionize_lag,
     "asof_signup_value": q_asof_signup_value,
     "j_interval_overlap": q_j_interval_overlap,
+    "text_line_dedup": q_text_line_dedup,
     "st_tumbling_hour": q_st_tumbling_hour,
     "st_sliding_hour_15m": q_st_sliding_hour_15m,
     "st_session_5m": q_st_session_5m,
@@ -2991,6 +3026,43 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM islands
         GROUP BY user_id, island
+    """,
+    "text_line_dedup": """
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        ),
+        content AS (
+            SELECT toks.doc_id, CAST(g.i AS BIGINT) AS pos,
+                   array_to_string(t[g.i*10+1 : g.i*10+10], ' ') AS line
+            FROM toks, LATERAL (
+                SELECT UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS i
+            ) g
+        ),
+        boiler AS (
+            SELECT toks.doc_id,
+                   CAST(ceil(len(t)/10.0) AS BIGINT) + b.i AS pos,
+                   CASE b.i
+                        WHEN 0 THEN 'subscribe to the ' || source || ' newsletter'
+                        ELSE 'copyright ' || source || ' all rights reserved'
+                   END AS line
+            FROM toks, (VALUES (0), (1)) b(i)
+        ),
+        lines AS (SELECT * FROM content UNION ALL SELECT * FROM boiler),
+        freq AS (
+            SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5
+        ),
+        kept AS (
+            SELECT l.doc_id, l.pos, l.line
+            FROM lines l LEFT JOIN freq f ON l.line = f.line
+            WHERE f.line IS NULL
+        ),
+        nl AS (
+            SELECT doc_id, CAST(ceil(len(t)/10.0) AS BIGINT) + 2 AS n_lines FROM toks
+        )
+        SELECT k.doc_id, nl.n_lines, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(k.line, chr(10) ORDER BY k.pos)) AS clean_fp
+        FROM kept k JOIN nl ON nl.doc_id = k.doc_id
+        GROUP BY k.doc_id, nl.n_lines
     """,
     "j_interval_overlap": """
         WITH iv AS (
@@ -6071,6 +6143,7 @@ _ROUND5_FRONT = [
     "mm_phash_neardup",
     "mm_lossless_decode_stats",
     "j_interval_overlap",
+    "text_line_dedup",
     # --- (b) only driver hash row is r1 ---
     "text_train_split",
     "text_repetition",

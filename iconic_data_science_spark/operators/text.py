@@ -405,6 +405,66 @@ def fingerprint(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return documents.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
 
 
+def line_dedup(
+    documents: DataFrame,
+    min_docs: int = 5,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text) — corpus-level line
+    deduplication, the boilerplate-removal stage every web-scale
+    curation pipeline runs (CCNet, Wenzek et al. 2020 LREC; RefinedWeb,
+    Penedo et al. 2023; Gopher's repetition rules are the in-doc twin
+    `repetition_stats` already covers): a line that appears in
+    ``min_docs`` or more DISTINCT documents is boilerplate (nav bars,
+    cookie banners, footers) and is struck from every document; the
+    survivors reassemble in original order. Documents whose every line
+    was boilerplate drop out (nothing left to train on).
+
+    Scale shape: lines explode map-side with their position;
+    frequency is a (line-hash → distinct-doc count) aggregation —
+    md5 of the line travels through the exchange, never the line body;
+    the frequent set is tiny by nature (boilerplate is the head of the
+    distribution), so the strike is a BROADCAST anti-join against it —
+    the line table itself never shuffles for the membership test
+    (``broadcast_frequent=False`` falls back to a shuffle anti-join if
+    a pathological corpus makes the frequent set huge). The only other
+    shuffle is the per-document reassembly aggregation.
+    """
+    lines = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    freq = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("lh")
+    )
+    if broadcast_frequent:
+        freq = F.broadcast(freq)
+    kept = lines.join(freq, "lh", "left_anti")
+    n_lines = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    return rebuilt.join(n_lines, "doc_id").select(
+        "doc_id", "n_lines", "n_kept", "clean_text"
+    )
+
+
 def quality_percentile_gate(
     documents: DataFrame,
     drop_bottom_pct: int = 10,

@@ -31,6 +31,9 @@ DOC_QUERIES = [
     "text_inverted_index",
     "select_token_budget",
     "corpus_datacard",
+    # round-5 addition: boilerplate line dedup (src0/src1 pools make the
+    # per-source boilerplate cross min_docs on larger draws)
+    "text_line_dedup",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

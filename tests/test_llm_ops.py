@@ -682,6 +682,35 @@ def test_decode_media_covers_all_three_image_codecs(spark):
             assert r.n_pixels == r.width * r.height
 
 
+def test_line_dedup_semantics(spark):
+    """Boilerplate lines (>= min_docs distinct docs) are struck from
+    EVERY document, survivors keep their original order, a line
+    repeated within one document doesn't count as boilerplate, and a
+    document whose every line was boilerplate drops out."""
+    from iconic_data_science_spark.operators.text import line_dedup
+
+    boiler = "subscribe now"
+    docs = [
+        (1, f"alpha one\n{boiler}\nbeta two"),
+        (2, f"{boiler}\ngamma three"),
+        (3, f"delta four\n{boiler}"),
+        (4, boiler),                          # all boilerplate -> drops out
+        (5, "echo five\necho five\nzeta six"),  # in-doc repeat, not boilerplate
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, min_docs=4).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1].clean_text == "alpha one\nbeta two"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[2].clean_text == "gamma three"
+    assert out[3].clean_text == "delta four"
+    assert out[5].clean_text == "echo five\necho five\nzeta six"
+    assert out[5].n_kept == 3
+    # below threshold nothing is struck
+    full = {r.doc_id: r.n_kept for r in line_dedup(df, min_docs=5).collect()}
+    assert full == {1: 3, 2: 2, 3: 2, 4: 1, 5: 3}
+
+
 def test_phash_roundtrip_invariance(spark):
     """The pHash contract the near-dup gate rests on: a bit-exact PNG
     re-encode hashes IDENTICALLY to the BMP original; JPEG re-encode
