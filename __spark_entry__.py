@@ -677,6 +677,27 @@ def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_test_split(cat.documents)
 
 
+def q_text_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/text.
+    leakage_safe_split): documents hash on their near-dup CLUSTER
+    representative (connected components over the exact-Jaccard pairs,
+    the dedup_clusters contract), so near-duplicates never straddle
+    train and eval — the split-level twin of decontamination.
+    Singletons land exactly where text_train_split puts them. Oracle:
+    the dedup_clusters recursive-CTE replay composed with the md5
+    bucket fold on the representative."""
+    from iconic_data_science_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from iconic_data_science_spark.operators.text import leakage_safe_split
+
+    cat = _cat(spark, sf_dir)
+    pairs = (
+        ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5)
+        .select("id1", "id2")
+        .localCheckpoint()
+    )
+    return leakage_safe_split(cat.documents, dedup_clusters(pairs))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals (top-token / top-bigram
     fractions, integer-decided repetitive flag —
@@ -1761,6 +1782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_signup_value": q_asof_signup_value,
     "j_interval_overlap": q_j_interval_overlap,
     "text_line_dedup": q_text_line_dedup,
+    "text_leakage_safe_split": q_text_leakage_safe_split,
     "st_tumbling_hour": q_st_tumbling_hour,
     "st_sliding_hour_15m": q_st_sliding_hour_15m,
     "st_session_5m": q_st_session_5m,
@@ -5293,6 +5315,30 @@ ORACLES["mm_probe"] = """
     FROM m
 """
 
+# leakage-safe split (round 5): the dedup_clusters recursive-CTE replay
+# composed with the md5 bucket fold, keyed on the cluster representative.
+ORACLES["text_leakage_safe_split"] = f"""
+    WITH cl AS ({ORACLES["dedup_clusters"]}),
+    rep AS (
+        SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    ),
+    bk AS (
+        SELECT doc_id, rep,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(CAST(rep AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) % 100 AS bucket
+        FROM rep
+    )
+    SELECT doc_id, rep, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bk
+"""
+
 # pHash near-dup pairs (round 5): the corpus is built so ground truth is
 # id arithmetic — media_id = group*4 + variant, and the measured hamming
 # margin (within ≤ 4, cross ≥ 22, pinned in tests) means the pipeline
@@ -6144,6 +6190,7 @@ _ROUND5_FRONT = [
     "mm_lossless_decode_stats",
     "j_interval_overlap",
     "text_line_dedup",
+    "text_leakage_safe_split",
     # --- (b) only driver hash row is r1 ---
     "text_train_split",
     "text_repetition",

@@ -157,6 +157,49 @@ def train_val_test_split(
     )
 
 
+def leakage_safe_split(
+    documents: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """(doc_id, rep, bucket, split) — train/val/test split assigned at
+    near-dup-CLUSTER granularity: every document hashes on its cluster
+    representative (``clusters`` is (doc_id, cluster_id) from
+    :func:`~..operators.dedup.dedup_clusters` — the connected-components
+    min-id label; documents in no cluster represent themselves), so two
+    near-duplicate documents can NEVER straddle train and eval. This is
+    the split-level twin of decontamination: a plain per-doc hash split
+    (:func:`train_val_test_split`) leaks every near-dup pair that lands
+    on both sides, silently inflating eval scores.
+
+    Scale shape: ``clusters`` covers only documents that belong to some
+    near-dup pair — a small fraction of a deduplicated crawl — so the
+    representative lookup is one broadcast-able left join; the bucket
+    is the same engine-portable md5 fold as every other reproducible
+    sampler here. Same bucket thresholds as the plain split, so
+    singleton documents land EXACTLY where train_val_test_split puts
+    them (pinned by test): adopting leakage-safe splitting re-shuffles
+    only the clustered minority.
+    """
+    rep = (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("rep"))
+    )
+    b = hash_bucket("rep")
+    return rep.select(
+        "doc_id",
+        "rep",
+        b.alias("bucket"),
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def repetition_stats(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

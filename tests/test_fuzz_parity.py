@@ -31,9 +31,11 @@ DOC_QUERIES = [
     "text_inverted_index",
     "select_token_budget",
     "corpus_datacard",
-    # round-5 addition: boilerplate line dedup (src0/src1 pools make the
-    # per-source boilerplate cross min_docs on larger draws)
+    # round-5 additions: boilerplate line dedup (src0/src1 pools make the
+    # per-source boilerplate cross min_docs on larger draws) and the
+    # cluster-granular split (fuzzed corpora are dup-heavy by design)
     "text_line_dedup",
+    "text_leakage_safe_split",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

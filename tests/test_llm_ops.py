@@ -682,6 +682,34 @@ def test_decode_media_covers_all_three_image_codecs(spark):
             assert r.n_pixels == r.width * r.height
 
 
+def test_leakage_safe_split_properties(spark, sf_dir):
+    """(a) no near-dup cluster straddles splits — every member of a
+    cluster carries the cluster's split; (b) every document gets
+    exactly one row; (c) singleton documents land exactly where the
+    plain per-doc split puts them (adopting leakage-safety re-shuffles
+    only the clustered minority)."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from iconic_data_science_spark.operators.text import leakage_safe_split, train_val_test_split
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("id1", "id2").localCheckpoint()
+    clusters = dedup_clusters(pairs).localCheckpoint()
+    out = leakage_safe_split(docs, clusters).collect()
+    assert len(out) == docs.count()
+    by_doc = {r.doc_id: r for r in out}
+    cl = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    assert cl, "fixture corpus should contain near-dup clusters"
+    splits_per_cluster: dict = {}
+    for d, c in cl.items():
+        splits_per_cluster.setdefault(c, set()).add(by_doc[d].split)
+    assert all(len(s) == 1 for s in splits_per_cluster.values()), splits_per_cluster
+    plain = {r.doc_id: (r.bucket, r.split) for r in train_val_test_split(docs).collect()}
+    for d, r in by_doc.items():
+        if d not in cl:
+            assert (r.bucket, r.split) == plain[d], d
+
+
 def test_line_dedup_semantics(spark):
     """Boilerplate lines (>= min_docs distinct docs) are struck from
     EVERY document, survivors keep their original order, a line
