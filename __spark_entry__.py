@@ -677,6 +677,21 @@ def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_test_split(cat.documents)
 
 
+def q_dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication (operators/dedup.
+    duplicate_spans): maximal token spans covered by 5-grams occurring
+    twice or more anywhere in the corpus — the sub-document grain of
+    Lee et al. 2022's ExactSubstr pass, re-expressed relationally
+    (gram-hash frequency + gaps-and-islands merge) instead of a suffix
+    array. Document-level dedup keeps a page that pastes a duplicated
+    paragraph into fresh text; this finds the paragraph. Oracle replays
+    the gram hashing, frequency filter, and island merge in SQL."""
+    from iconic_data_science_spark.operators.dedup import duplicate_spans
+
+    cat = _cat(spark, sf_dir)
+    return duplicate_spans(cat.documents, n=5, min_count=2)
+
+
 def q_text_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (operators/text.
     leakage_safe_split): documents hash on their near-dup CLUSTER
@@ -1783,6 +1798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_interval_overlap": q_j_interval_overlap,
     "text_line_dedup": q_text_line_dedup,
     "text_leakage_safe_split": q_text_leakage_safe_split,
+    "dedup_dup_spans": q_dedup_dup_spans,
     "st_tumbling_hour": q_st_tumbling_hour,
     "st_sliding_hour_15m": q_st_sliding_hour_15m,
     "st_session_5m": q_st_session_5m,
@@ -3048,6 +3064,28 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM islands
         GROUP BY user_id, island
+    """,
+    "dedup_dup_spans": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+            SELECT toks.doc_id, CAST(g.i AS BIGINT) AS pos,
+                   md5(array_to_string(t[g.i+1 : g.i+5], ' ')) AS gh
+            FROM toks, LATERAL (
+                SELECT UNNEST(range(0, CAST(len(t) - 4 AS BIGINT))) AS i
+            ) g
+            WHERE len(t) >= 5
+        ),
+        freq AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) >= 2),
+        dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN freq USING (gh)),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM dup
+        )
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM isl GROUP BY doc_id, island
     """,
     "text_line_dedup": """
         WITH toks AS (
@@ -6191,6 +6229,7 @@ _ROUND5_FRONT = [
     "j_interval_overlap",
     "text_line_dedup",
     "text_leakage_safe_split",
+    "dedup_dup_spans",
     # --- (b) only driver hash row is r1 ---
     "text_train_split",
     "text_repetition",

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
 # Dot products quantize each double product to an integer lattice
@@ -567,6 +568,65 @@ def dedup_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_grams) — EXACT substring-level
+    duplication: the maximal token spans covered by n-grams that occur
+    ``min_count``+ times anywhere in the corpus (including repeats
+    within one document). This is the sub-document grain of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"
+    (their suffix-array ExactSubstr pass, re-expressed relationally at
+    n-gram resolution): document-level dedup keeps a page that pastes a
+    duplicated paragraph into fresh text — this finds the paragraph.
+
+    Span indices are 0-based token positions, inclusive: a duplicated
+    n-gram at position p covers [p, p+n-1]; overlapping/adjacent
+    duplicated grams merge into one maximal span by the classic
+    gaps-and-islands rule (island id = pos − row_number per doc).
+
+    Scale shape: gram hashes (md5 of the joined tokens) explode
+    map-side; frequency is one (hash → count) aggregation — hashes
+    travel, never gram text; the duplicated-position filter is a
+    self-join on the hash (duplicated grams are corpus-dependent, so
+    no broadcast assumption); the island merge is one doc-keyed window
+    + aggregation. Nothing quadratic, no suffix array materialization.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # the sequence end clamps at 0 (not -1) so the expression stays
+    # valid even if Catalyst evaluates it for a short doc; the when()
+    # below discards those rows
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
+    )
+    pos = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))).alias(
+            "pos", "gh"
+        ),
+    )
+    freq = pos.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= min_count)
+    dup = pos.join(freq.select("gh"), "gh").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    island = (F.col("pos") - F.row_number().over(w)).alias("island")
+    return (
+        dup.select("doc_id", "pos", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .drop("island")
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
 
 
 def decontaminate(

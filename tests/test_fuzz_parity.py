@@ -36,6 +36,8 @@ DOC_QUERIES = [
     # cluster-granular split (fuzzed corpora are dup-heavy by design)
     "text_line_dedup",
     "text_leakage_safe_split",
+    # exact substring spans (fuzzed corpora are dup-heavy: tiny vocab)
+    "dedup_dup_spans",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

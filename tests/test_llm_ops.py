@@ -682,6 +682,36 @@ def test_decode_media_covers_all_three_image_codecs(spark):
             assert r.n_pixels == r.width * r.height
 
 
+def test_duplicate_spans_semantics(spark):
+    """A paragraph shared by two docs becomes ONE maximal span in each
+    (overlapping duplicated grams merge); fresh text around it is not
+    flagged; a within-doc repeat counts toward the threshold; docs
+    shorter than n produce nothing."""
+    from iconic_data_science_spark.operators.dedup import duplicate_spans
+
+    para = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = [
+        (1, f"alpha beta gamma {para} delta epsilon"),            # para at 3..12
+        (2, f"{para} zeta eta theta iota kappa"),                 # para at 0..9
+        (3, "one two three four five one two three four five"),   # self-repeat
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.doc_id): (r.span_start, r.span_end, r.n_grams)
+           for r in duplicate_spans(df, n=5, min_count=2).collect()
+           if r.doc_id in (1, 2)}
+    # 10-token paragraph -> 6 duplicated 5-grams merging to one span
+    assert out[1] == (3, 12, 6), out
+    assert out[2] == (0, 9, 6), out
+    d3 = [(r.span_start, r.span_end, r.n_grams)
+          for r in duplicate_spans(df, n=5, min_count=2).filter(F.col("doc_id") == 3).collect()]
+    # "one two three four five" repeats within doc 3: grams at 0 and 5
+    # duplicate; grams 1-4 straddle the seam and are unique -> two
+    # separate 5-token spans
+    assert sorted(d3) == [(0, 4, 1), (5, 9, 1)], d3
+    assert duplicate_spans(df, n=5, min_count=2).filter(F.col("doc_id") == 4).count() == 0
+
+
 def test_leakage_safe_split_properties(spark, sf_dir):
     """(a) no near-dup cluster straddles splits — every member of a
     cluster carries the cluster's split; (b) every document gets
