@@ -207,6 +207,20 @@ EXCHANGE_BUDGET = {
     "decontaminate_bloom": 4,
     "ev_kmv_overlap": 4,
     "text_bm25_rerank": 1,
+    # round-5 additions: interval grid join = one (key,cell) equi-join
+    # (0 at sf0.01 where AQE broadcasts the small side; 2 allows the
+    # sort-merge plan at scale); line dedup = freq agg + reassembly +
+    # n_lines join (strike is broadcast); leakage split = pair build is
+    # checkpointed, CC ran eagerly -> rep join + bucket; dup spans =
+    # freq agg + island window; phash = the band self-join (corpus is
+    # a generated fixture); asof = the ONE window shuffle of the fused
+    # same-source form.
+    "j_interval_overlap": 2,
+    "text_line_dedup": 3,
+    "text_leakage_safe_split": 2,
+    "dedup_dup_spans": 2,
+    "mm_phash_neardup": 1,
+    "asof_signup_value": 1,
 }
 
 
