@@ -4457,6 +4457,39 @@ def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
     """
 
 
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/compression rollup per language — the
+    standard tokenizer-eval table (tokens-per-word a.k.a. fertility,
+    chars-per-token a.k.a. compression), aggregated from the oracled
+    BPE encoder's per-doc counts. Ratios are BIGINT milli-units
+    (1000·x div y) so the hash gate stays float-free. A language whose
+    fertility runs high is under-served by the merge table — the
+    signal tokenizer teams track per release."""
+    from iconic_data_science_spark.operators.bpe import bpe_token_counts
+
+    cat = _cat(spark, sf_dir)
+    counts = bpe_token_counts(cat.documents, _BPE_MERGES)
+    return (
+        counts.join(cat.documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr("1000 * n_bpe_tokens div n_words").alias("fertility_x1000"),
+            F.expr("1000 * n_chars div n_bpe_tokens").alias("chars_per_token_x1000"),
+        )
+    )
+
+
 def q_ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase credited to the user's most
     recent click/view within a 1-hour lookback (as-of union+window form,
@@ -4571,6 +4604,19 @@ ORACLES["ev_attribution"] = """
 """
 
 ORACLES["text_bpe_encode"] = _bpe_oracle_sql(_BPE_MERGES)
+ORACLES["text_bpe_fertility"] = f"""
+    WITH c AS ({ORACLES["text_bpe_encode"]}),
+    j AS (SELECT d.lang, c.n_words, c.n_chars, c.n_bpe_tokens
+          FROM c JOIN documents d USING (doc_id))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(1000 * SUM(n_bpe_tokens) // SUM(n_words) AS BIGINT) AS fertility_x1000,
+           CAST(1000 * SUM(n_chars) // SUM(n_bpe_tokens) AS BIGINT) AS chars_per_token_x1000
+    FROM j GROUP BY lang
+"""
 ORACLES["text_chunk_sliding"] = """
     WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
     x AS (
@@ -5232,6 +5278,7 @@ QUERIES.update({
     "mm_probe": q_mm_probe,
     "mm_phash_neardup": q_mm_phash_neardup,
     "mm_lossless_decode_stats": q_mm_lossless_decode_stats,
+    "text_bpe_fertility": q_text_bpe_fertility,
     "ev_kmv_distinct": q_ev_kmv_distinct,
     "ev_kmv_overlap": q_ev_kmv_overlap,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -6230,6 +6277,7 @@ _ROUND5_FRONT = [
     "text_line_dedup",
     "text_leakage_safe_split",
     "dedup_dup_spans",
+    "text_bpe_fertility",
     # --- (b) only driver hash row is r1 ---
     "text_train_split",
     "text_repetition",
