@@ -606,6 +606,25 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(cat.embeddings, _ann_queries(cat), k=5)
 
 
+def q_ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval (Kusupati et al.
+    2022, MRL): exact cosine top-5 over only the FIRST 16 of 64
+    dimensions — the coarse pass of the nested-representation stack
+    (search cheap low-dim prefixes, refine survivors at full width;
+    4× less dot-product work and memory traffic per candidate).
+    Truncation is a map-side F.slice; cosine is scale-free so no
+    re-normalization is needed; integer product lattice as everywhere,
+    so the oracle slices and replays exactly. Prefix-vs-full recall is
+    measured in tests/test_ann_recall.py."""
+    from iconic_data_science_spark.operators.similarity import brute_force_topk
+
+    cat = _cat(spark, sf_dir)
+    trunc = lambda df: df.select(  # noqa: E731
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    return brute_force_topk(trunc(cat.embeddings), trunc(_ann_queries(cat)), k=5)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-5 (the scale path)."""
     from iconic_data_science_spark.operators.similarity import lsh_topk
@@ -1752,6 +1771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "a1_salted": q_a1_salted,
     "ann_brute_topk": q_ann_brute_topk,
+    "ann_matryoshka_topk": q_ann_matryoshka_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
@@ -2536,6 +2556,30 @@ ORACLES: dict[str, str] = {
         )
         SELECT node AS doc_id, MIN(lab) AS cluster_id
         FROM reach GROUP BY node
+    """,
+    "ann_matryoshka_topk": """
+        WITH e AS (
+            SELECT vec_id, embedding[1:16] AS embedding,
+                   list_reduce(
+                       [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0) AS BIGINT)
+                        for x in embedding[1:16]], (a, b) -> a + b) AS sq
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_reduce(
+                       [CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)
+                        for i in generate_series(1, len(q.embedding))], (x, y) -> x + y)
+                   / sqrt(CAST(q.sq AS DOUBLE) * CAST(c.sq AS DOUBLE)) AS cosine
+            FROM q JOIN e c ON q.vec_id <> c.vec_id
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
     """,
     "ann_brute_topk": """
         WITH e AS (
@@ -6278,6 +6322,7 @@ _ROUND5_FRONT = [
     "text_leakage_safe_split",
     "dedup_dup_spans",
     "text_bpe_fertility",
+    "ann_matryoshka_topk",
     # --- (b) only driver hash row is r1 ---
     "text_train_split",
     "text_repetition",

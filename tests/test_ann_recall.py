@@ -134,6 +134,24 @@ def test_ivfpq_equals_pq_when_probing_all_cells(spark, corpora):
     assert got != {(q, n) for q, n, _, _ in full} or len(got) < len(full)
 
 
+def test_matryoshka_prefix_recall(spark, corpora):
+    """Truncated-prefix retrieval (the MRL coarse pass): on the
+    clustered fixture the 16-of-64-dim prefix must still recover most
+    true neighbors (cluster structure lives in every prefix), and a
+    longer prefix must not do worse than a shorter one."""
+    from pyspark.sql import functions as F
+
+    corpus, queries, exact = corpora
+
+    def trunc(df, d):
+        return df.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+
+    r16 = _recall(brute_force_topk(trunc(corpus, 16), trunc(queries, 16), k=K), exact)
+    r8 = _recall(brute_force_topk(trunc(corpus, 8), trunc(queries, 8), k=K), exact)
+    assert r16 >= 0.6, r16
+    assert r16 >= r8 - 0.1, (r8, r16)
+
+
 def test_pq_dtable_broadcast_gate(spark, corpora):
     """The ADC distance table is |queries|·m·n_codes rows — bounded by
     the search batch, not the corpus — so it broadcasts by default but
