@@ -4534,6 +4534,19 @@ def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ingestion quota (operators/events.quota_sample): the
+    first 50 events per event_type in deterministic (ts, event_id)
+    order, with admission index — reproducible crawl/pipeline budget
+    control. streaming.events.quota_sampler_state is the continuous
+    twin (explicit admitted-count state); stream==batch pinned in
+    tests/test_streaming.py."""
+    from iconic_data_science_spark.operators.events import quota_sample
+
+    cat = _cat(spark, sf_dir)
+    return quota_sample(cat.events, key_col="event_type", quota=50)
+
+
 def q_ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase credited to the user's most
     recent click/view within a 1-hour lookback (as-of union+window form,
@@ -4618,7 +4631,19 @@ QUERIES.update({
     "text_bpe_vocab": q_text_bpe_vocab,
     "curation_quality_gate": q_curation_quality_gate,
     "ev_attribution": q_ev_attribution,
+    "ev_quota_sample": q_ev_quota_sample,
 })
+
+ORACLES["ev_quota_sample"] = """
+    WITH r AS (
+        SELECT event_type AS key, event_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS BIGINT) AS seq
+        FROM events
+    )
+    SELECT key, event_id, seq FROM r WHERE seq <= 50
+"""
 
 ORACLES["ev_attribution"] = """
     WITH t AS (
@@ -6323,6 +6348,7 @@ _ROUND5_FRONT = [
     "dedup_dup_spans",
     "text_bpe_fertility",
     "ann_matryoshka_topk",
+    "ev_quota_sample",
     # --- (b) only driver hash row is r1 ---
     "text_train_split",
     "text_repetition",

@@ -90,6 +90,37 @@ def retention_cohorts(
     ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
 
 
+def quota_sample(
+    events: DataFrame,
+    key_col: str = "event_type",
+    quota: int = 50,
+) -> DataFrame:
+    """(key, event_id, seq) — per-key ingestion quota: the first
+    ``quota`` rows per key in deterministic (ts, event_id) order are
+    admitted with their admission index, the rest are dropped. The
+    crawl/pipeline budget-control shape: cap what each source may
+    contribute to a build, reproducibly (unlike rate limiters keyed on
+    wall-clock arrival). ``streaming.events.quota_sampler_state`` is
+    the continuous twin — explicit per-key admitted-count state — and
+    stream==batch over a single backfill batch is pinned in
+    tests/test_streaming.py.
+
+    Scale shape: one shuffle on the key; the window ranks only within
+    keys and the filter drops everything past the quota before any
+    downstream work. A hot source costs one skewed partition — at
+    crawl scale pre-aggregate per (key, shard) top-quota first if one
+    key dominates (the same two-phase trick as a1_salted).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy("ts", "event_id")
+    return (
+        events.withColumn("seq", F.row_number().over(w).cast("long"))
+        .filter(F.col("seq") <= quota)
+        .select(F.col(key_col).alias("key"), "event_id", "seq")
+    )
+
+
 def last_touch_attribution(
     events: DataFrame,
     lookback_s: int = 3600,

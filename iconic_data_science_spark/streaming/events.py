@@ -188,6 +188,55 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def quota_sampler_state(events: DataFrame, quota: int = 50) -> DataFrame:
+    """Continuous per-source ingestion quota — the streaming twin of
+    ``operators.events.quota_sample``: explicit per-key admitted-count
+    state (``applyInPandasWithState``), each micro-batch admitting its
+    rows in deterministic (ts, event_id) order until the key's quota is
+    spent; later batches inherit the count, so a source that filled its
+    quota contributes nothing ever after. Append-mode output of only
+    the admitted rows (key, event_id, seq). Over a single backfill
+    batch this equals the batch operator row-for-row (pinned in
+    tests/test_streaming.py); across live batches admission follows
+    batch arrival, which is the operational semantics a quota wants."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("seq", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType(), False)])
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        # the iterator may yield several Arrow chunks for one group —
+        # the deterministic (ts, event_id) admission order needs the
+        # WHOLE batch sorted, not each chunk (bounded by the group's
+        # rows in this micro-batch)
+        chunks = [pdf[["ts", "event_id"]] for pdf in pdf_iter]
+        keys, ids, seqs = [], [], []
+        if chunks and n < quota:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            take = batch["event_id"].head(max(0, quota - n))
+            for eid in take:
+                n += 1
+                keys.append(key[0])
+                ids.append(int(eid))
+                seqs.append(n)
+        state.update((n,))
+        yield pd.DataFrame({"key": keys, "event_id": pd.Series(ids, dtype="int64"),
+                            "seq": pd.Series(seqs, dtype="int64")})
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def purchase_signup_interval_join(
     purchases: DataFrame,
     signups: DataFrame,

@@ -365,8 +365,10 @@ EV_QUERIES = [
     "inc_rollup_daily",
     "ev_kmv_distinct",
     "ev_kmv_overlap",
-    # round-5 addition: grid-decomposed interval-overlap join
+    # round-5 additions: grid-decomposed interval-overlap join, quota
+    # admission (duplicate timestamps exercise the event_id tie-break)
     "j_interval_overlap",
+    "ev_quota_sample",
 ]
 
 

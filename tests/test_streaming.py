@@ -175,6 +175,24 @@ def test_streaming_funnel_equals_batch(spark, sf_dir):
         assert (got.stage_reached > i).sum() == batch[i]
 
 
+def test_quota_sampler_stream_equals_batch(spark, sf_dir):
+    """The continuous per-source quota (explicit admitted-count state)
+    must equal the batch quota_sample row-for-row over a single
+    backfill batch — same deterministic (ts, event_id) admission order,
+    same admission indices."""
+    from iconic_data_science_spark.operators.events import quota_sample
+
+    stream = ev.quota_sampler_state(ev.read_event_stream(spark, sf_dir), quota=50)
+    got = _run_stream(spark, stream, "t_quota", output_mode="append")
+    batch = quota_sample(Catalog(spark, sf_dir).events, quota=50)
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+    # every key admits at most the quota, indices are 1..n contiguous
+    pdf = got.toPandas()
+    for k, g in pdf.groupby("key"):
+        assert len(g) <= 50
+        assert sorted(g.seq) == list(range(1, len(g) + 1))
+
+
 def test_stream_dedup_equals_incremental_batch(spark, sf_dir):
     """Continuous-crawl dedup: streaming batch-vs-index == the batch
     incremental operator, jaccard bit-for-bit."""
