@@ -992,8 +992,11 @@ def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling: uncompressed AVI payloads decode in
     pure numpy (RIFF walk, BI_RGB frames) and each 0.25s tick emits the
-    nearest frame's exact integer pixel stats. Rows-only (payloads are
-    engine-generated); golden frame stats pinned in
+    nearest frame's exact integer pixel stats. HASH-ORACLED since round
+    5 (arithmetic replay — AVI is lossless, so tick existence
+    (5k < 4·nf), sampled frame (min(5k//4, nf−1); t·fps is exact
+    binary), and per-frame pixel sums all recompute from the generator
+    pattern in SQL); golden frame stats additionally pinned in
     tests/test_llm_ops.py::test_avi_roundtrip_and_frame_sample."""
     from iconic_data_science_spark.operators.multimodal import frame_sample, synth_media_real
 
@@ -5493,6 +5496,38 @@ ORACLES["text_leakage_safe_split"] = f"""
     FROM bk
 """
 
+# frame sampling (round 5): synth_media_real's AVI payloads are lossless,
+# so every sampled frame's statistics replay as integer arithmetic:
+# tick k exists while 5k < 4·nf (0.25 s ticks at 5 fps), the sampled
+# frame is min(5k//4, nf-1) (t·fps is exact binary: 0.25·5·k = 1.25k),
+# and the frame's pixel values are the generator pattern
+# (mid·31 + p·7 + c·13 + f·97) mod 256 over the frame's flat indices.
+ORACLES["mm_frame_sample"] = """
+    WITH ids AS (SELECT CAST(t.range AS BIGINT) AS mid FROM range(0, 256) t),
+    vid AS (
+        SELECT mid, mid % 4 + 2 AS nf, mid % 12 + 4 AS w, mid % 8 + 4 AS h
+        FROM ids WHERE mid % 3 = 2
+    ),
+    ticks AS (
+        SELECT v.mid, v.nf, v.w, v.h, CAST(k.range AS BIGINT) AS k,
+               LEAST(5 * k.range // 4, v.nf - 1) AS fi
+        FROM vid v JOIN range(0, 4) k ON 5 * k.range < 4 * v.nf
+    ),
+    stats AS (
+        SELECT t.mid, t.k, t.fi, t.h, t.w,
+               SUM((t.mid*31 + (t.fi*t.h*t.w + j.range//3)*7
+                    + (j.range%3)*13 + t.fi*97) % 256) AS s,
+               MAX((t.mid*31 + (t.fi*t.h*t.w + j.range//3)*7
+                    + (j.range%3)*13 + t.fi*97) % 256) AS p
+        FROM ticks t JOIN range(0, 495) j ON j.range < t.h * t.w * 3
+        GROUP BY t.mid, t.k, t.fi, t.h, t.w
+    )
+    SELECT mid AS media_id, k * 0.25 AS t_s, CAST(fi AS INT) AS frame_idx,
+           CAST(h * w AS BIGINT) AS n_pixels, CAST(s AS BIGINT) AS sum_abs,
+           CAST(p AS INT) AS peak
+    FROM stats
+"""
+
 # pHash near-dup pairs (round 5): the corpus is built so ground truth is
 # id arithmetic — media_id = group*4 + variant, and the measured hamming
 # margin (within ≤ 4, cross ≥ 22, pinned in tests) means the pipeline
@@ -6349,6 +6384,7 @@ _ROUND5_FRONT = [
     "text_bpe_fertility",
     "ann_matryoshka_topk",
     "ev_quota_sample",
+    "mm_frame_sample",  # rows-only -> arithmetic-replay oracled this round
     # --- (b) only driver hash row is r1 ---
     "text_train_split",
     "text_repetition",

@@ -61,7 +61,7 @@ def test_cache_opt_in(spark, sf_dir):
 
 def test_driver_contract_integrity():
     """Guard the driver contract against drift: every oracle belongs to
-    a declared query, the rows-only set is exactly the six documented
+    a declared query, the rows-only set is exactly the five documented
     non-hashable ops, and every query carries a docstring (the judge's
     parity citations live there)."""
     import __spark_entry__ as entrymod
@@ -72,8 +72,7 @@ def test_driver_contract_integrity():
         "a2_approx_distinct",   # HLL sketch — not exact-hashable
         "ann_ivf_kmeans",       # learned float centroids — iterative means
         "g_pagerank",           # float power iteration (g_pagerank_int is the oracled twin; g_kcore gained a recursive-peel oracle in round 2; g8_gexf gained a string_agg XML oracle in the round-2 continuation)
-        "mm_decode_stats",      # engine-generated BMP/WAV/AVI payloads (no parquet input)
-        "mm_frame_sample",      # engine-generated AVI payloads (no parquet input)
+        "mm_decode_stats",      # JPEG/GIF rows are quantized codec outputs, not replayable arithmetic (lossless twin mm_lossless_decode_stats is oracled; mm_frame_sample gained an arithmetic-replay oracle in round 5)
         "text_bpe_vocab",       # iterative BPE training loop (golden-pinned in tests/test_bpe.py)
     }
     for name, fn in qs.items():
