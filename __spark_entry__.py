@@ -3113,12 +3113,23 @@ ORACLES: dict[str, str] = {
         GROUP BY user_id, island
     """,
     "dedup_dup_spans": """
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        WITH toks AS (
+            SELECT doc_id,
+                   [list_reduce(
+                        [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                         for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                        (a, b) -> a * 16 + b) % 2147483647
+                    for tok in string_split(lower(text), ' ')] AS t
+            FROM documents
+        ),
         pos AS (
-            SELECT toks.doc_id, CAST(g.i AS BIGINT) AS pos,
-                   md5(array_to_string(t[g.i+1 : g.i+5], ' ')) AS gh
+            SELECT toks.doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+                   ((((((((t[g.i] * 1000003 + t[g.i+1]) % 2147483647)
+                       * 1000003 + t[g.i+2]) % 2147483647)
+                       * 1000003 + t[g.i+3]) % 2147483647)
+                       * 1000003 + t[g.i+4]) % 2147483647) AS gh
             FROM toks, LATERAL (
-                SELECT UNNEST(range(0, CAST(len(t) - 4 AS BIGINT))) AS i
+                SELECT UNNEST(range(1, CAST(len(t) - 3 AS BIGINT))) AS i
             ) g
             WHERE len(t) >= 5
         ),
