@@ -682,6 +682,24 @@ def test_decode_media_covers_all_three_image_codecs(spark):
             assert r.n_pixels == r.width * r.height
 
 
+def test_quota_two_phase_equals_single_and_bounds_shuffle(spark, sf_dir):
+    """The map-side bounded partial must (a) reproduce the single-phase
+    quota row-for-row and (b) emit at most quota·P rows per key into
+    the exchange (the kmv_partial_minima contract applied to quota
+    admission)."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.events import _quota_partial, quota_sample
+
+    ev = Catalog(spark, sf_dir).events
+    a = sorted((r.key, r.event_id, r.seq) for r in quota_sample(ev).collect())
+    b = sorted((r.key, r.event_id, r.seq) for r in quota_sample(ev, two_phase=True).collect())
+    assert a == b
+    p = ev.rdd.getNumPartitions()
+    partial_rows = _quota_partial(ev, "event_type", 50).groupBy("event_type").count().collect()
+    for r in partial_rows:
+        assert r["count"] <= 50 * p, (r["event_type"], r["count"], p)
+
+
 def test_duplicate_spans_semantics(spark):
     """A paragraph shared by two docs becomes ONE maximal span in each
     (overlapping duplicated grams merge); fresh text around it is not
