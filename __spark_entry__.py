@@ -6372,6 +6372,111 @@ _ROUND4_FRONT = [
 ]
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional reproducible sampling (DCLM/FineWeb-style
+    quality- or size-weighted subset): each document kept by an exact
+    integer Bernoulli draw with p = min(1, target_n·w/W_total), weight =
+    ``n_chars`` (token-budget proxy). The W_total aggregate is a 1-row
+    exchange broadcast back via cross join; the keep test itself is a
+    map-side DECIMAL comparison — bit-identical in any engine and safe
+    past int64 at 100 TB weight sums. Oracle replays the md5 fold and
+    the HUGEINT comparison."""
+    from iconic_data_science_spark.operators.sampling import weighted_bernoulli_sample
+
+    cat = _cat(spark, sf_dir)
+    return weighted_bernoulli_sample(
+        cat.documents.select("doc_id", "source", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        target_n=100,
+    )
+
+
+def q_text_rare_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality gate, integerized (CCNet §4.3 stand-in for
+    KenLM-perplexity filtering): per-document permille of bigrams whose
+    corpus frequency is < 5. One exchange counts bigrams corpus-wide;
+    the frequent head (Zipf-bounded) broadcasts back and documents
+    probe it map-side; one exchange re-groups per doc. Pure counting —
+    no floating log-probs — so the DuckDB twin reproduces every row."""
+    from iconic_data_science_spark.operators.text import rare_bigram_ratio
+
+    cat = _cat(spark, sf_dir)
+    return rare_bigram_ratio(cat.documents, min_count=5)
+
+
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC→text main-content extraction under the HASH gate: every
+    document is deterministically rendered into a full HTML page
+    (title/style/script/nav/h1/<p>-reflow/footer boilerplate, entities
+    encoded — text.synth_html), then text.html_extract strips
+    script/style/nav/footer, takes the <title> and only the <p>-block
+    text, decodes entities and collapses whitespace. Both sides are
+    pure JVM regexp/array built-ins — embarrassingly parallel, no
+    shuffle. The oracle replays the fixpoint: extraction must equal the
+    whitespace-normalized original text (and the id-derived title), so
+    any drift in either the renderer or the extractor breaks the hash."""
+    from iconic_data_science_spark.operators.text import html_extract, synth_html
+
+    cat = _cat(spark, sf_dir)
+    return html_extract(synth_html(cat.documents))
+
+
+QUERIES.update({
+    "sample_weighted": q_sample_weighted,
+    "text_rare_bigram": q_text_rare_bigram,
+    "text_html_extract": q_text_html_extract,
+})
+
+ORACLES["sample_weighted"] = """
+    WITH tot AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS w FROM documents),
+    u AS (
+        SELECT doc_id, source, n_chars,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) % 1000000 AS u
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM u, tot
+    WHERE CAST(u AS HUGEINT) * w
+          < CAST(100 * 1000000 AS HUGEINT) * CAST(n_chars AS HUGEINT)
+"""
+
+ORACLES["text_rare_bigram"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bigram
+        FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+        WHERE len(ts) >= 2
+    ),
+    cnt AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1),
+    freq AS (SELECT bigram FROM cnt WHERE n >= 5)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(1000 * SUM(CASE WHEN f.bigram IS NULL THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS rare_permille
+    FROM bg LEFT JOIN freq f USING (bigram)
+    GROUP BY 1
+"""
+
+# The synth→extract round trip is a fixpoint on documents: main-content
+# extraction of the rendered page must reproduce the whitespace-
+# normalized original text and the id-derived title.
+ORACLES["text_html_extract"] = r"""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_text
+    FROM documents
+"""
+
+
 # Round-5 registration front — evidence-age refresh (VERDICT r4 items 2,
 # 5, 7).  r4 came back 50/50 green, leaving: 5 oracled queries whose only
 # hash row is r1 (three rounds stale, text.py refactored since), 49 whose
@@ -6386,6 +6491,9 @@ _ROUND4_FRONT = [
 # any remaining slots).
 _ROUND5_FRONT = [
     # --- (a) new in round 5 ---
+    "sample_weighted",
+    "text_rare_bigram",
+    "text_html_extract",
     "mm_phash_neardup",
     "mm_lossless_decode_stats",
     "j_interval_overlap",

@@ -37,3 +37,42 @@ def stratified_hash_sample(
     return df.withColumn("_bucket", hash_bucket(key_col)).filter(
         F.col("_bucket") < rate
     ).drop("_bucket")
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_n: int,
+    bucket_space: int = 1_000_000,
+) -> DataFrame:
+    """Reproducible sampling with per-ROW weights — the quality- or
+    size-proportional corpus subset step (DCLM / FineWeb style: sample
+    documents proportionally to a quality score or token count rather
+    than uniformly). Row *i* is kept iff
+
+        (md5-fold(key) mod S) * W_total  <  target_n * weight_i * S
+
+    i.e. an independent Bernoulli draw with p_i = min(1, target_n *
+    w_i / W_total), so E[|sample|] = ``target_n`` whenever no single
+    weight saturates. Every term is an exact integer — the comparison
+    runs in DECIMAL so it is bit-identical on any engine and safe far
+    past int64 (u < 1e6 is DECIMAL(7), W_total at 100 TB-corpus scale
+    ~1e14 fits DECIMAL(20); the product stays ≤ DECIMAL(27) on both
+    sides, well under Spark's 38-digit cap). Contrast ``df.sample``:
+    partition-order-dependent and unweighted.
+
+    Plan shape: one partial+final aggregate for W_total (a 1-row
+    exchange), broadcast back via cross join — the filter itself is
+    map-side, no data shuffle, no collect. Weights must be non-negative
+    integers (cast upstream; e.g. a milli-score or ``n_chars``).
+    """
+    u = hash_bucket(key_col, bucket_space).cast("decimal(7,0)")
+    total = df.agg(
+        F.sum(F.col(weight_col)).cast("decimal(20,0)").alias("_w_total")
+    )
+    keep = u * F.col("_w_total") < (
+        F.lit(target_n * bucket_space).cast("decimal(14,0)")
+        * F.col(weight_col).cast("decimal(13,0)")
+    )
+    return df.crossJoin(F.broadcast(total)).filter(keep).drop("_w_total")

@@ -743,3 +743,146 @@ def cdc_oracle_sql(
         SELECT doc_id, chunk_idx, start, chunk_len, ch.chunk_md5, n_docs_sharing
         FROM ch JOIN sh USING (chunk_md5)
     """
+
+
+def rare_bigram_ratio(
+    documents: DataFrame,
+    min_count: int = 5,
+    broadcast_dict: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, rare_permille) — corpus-LM quality signal:
+    the per-document share of bigrams whose CORPUS frequency is below
+    ``min_count``, in integer permille (floor). The integerized stand-in
+    for KenLM-perplexity filtering (CCNet §4.3; Wenzek et al. 2020): a
+    document whose word transitions are mostly corpus-rare is noise,
+    boilerplate, or another language — exactly what LM-perplexity
+    gates catch — but the score here is pure counting, so it stays
+    hash-verifiable cross-engine (no floating log-probs).
+
+    Plan shape: one exchange to count bigrams corpus-wide, then the
+    frequent-bigram dictionary (count ≥ min_count — the HEAD of the
+    Zipf curve, small by construction) broadcasts back and each doc's
+    bigrams probe it MAP-SIDE; one final exchange re-groups per doc.
+    At 100 TB the dictionary is min_count-bounded: raise min_count (or
+    set ``broadcast_dict=False`` to fall back to a shuffle join) if the
+    frequent head outgrows the broadcast budget. Documents with fewer
+    than two tokens have no bigrams and are not emitted (documented;
+    the oracle filters identically).
+    """
+    t = F.col("_t")  # materialized once below so the split isn't re-derived per use
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+    )
+    exploded = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.filter(words(text_col), lambda w: w != "").alias("_t"),
+        )
+        .filter(F.size("_t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    freq = (
+        exploded.groupBy("bigram")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("bigram", F.lit(1).alias("_freq"))
+    )
+    dict_side = F.broadcast(freq) if broadcast_dict else freq
+    probed = exploded.join(dict_side, "bigram", "left")
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("_freq").isNull(), 1).otherwise(0)).alias("_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("1000 * _rare div n_bigrams").alias("rare_permille"),
+        )
+    )
+
+
+def synth_html(
+    documents: DataFrame, words_per_para: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, html) — deterministic HTML page per document: the text
+    re-flowed into ``words_per_para``-word ``<p>`` blocks inside
+    ``<div id="main">``, wrapped in the boilerplate a crawler actually
+    sees (title, inline style + script, nav links, footer), entities
+    encoded. Pure built-ins (split/slice/transform/concat) — the synth
+    side of the WARC→text round trip that pins :func:`html_extract`."""
+    t = F.filter(words("text"), lambda w: w != "")
+    n_paras = F.expr(f"(size(_t) + {words_per_para - 1}) div {words_per_para}")
+    para = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("_t"), i * words_per_para + 1, words_per_para), " "
+    )
+    enc = lambda c: F.replace(  # noqa: E731
+        F.replace(F.replace(c, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    paras = F.when(F.size("_t") == 0, F.lit("")).otherwise(
+        F.aggregate(
+            F.transform(F.sequence(F.lit(0), n_paras - 1), lambda i: enc(para(i))),
+            F.lit(""),
+            lambda acc, p: F.concat(acc, F.lit("<p>"), p, F.lit("</p>")),
+        )
+    )
+    did = F.col(id_col).cast("string")
+    return documents.withColumn("_t", t).select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(
+            F.lit("<html><head><title>Doc "), did, F.lit("</title>"),
+            F.lit("<style>body { font: 14px sans-serif; }</style>"),
+            F.lit("<script>var docId = "), did, F.lit(";</script></head>"),
+            F.lit('<body><nav><a href="/">Home</a> | <a href="/s/'),
+            F.col("source"), F.lit('">'), F.col("source"), F.lit("</a></nav>"),
+            F.lit('<div id="main"><h1>Doc '), did, F.lit("</h1>"),
+            paras,
+            F.lit("</div><footer>&copy; corpus mirror ("), F.col("lang"),
+            F.lit(")</footer></body></html>"),
+        ).alias("html"),
+    )
+
+
+def html_extract(
+    pages: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(doc_id, title, clean_text) — boilerplate removal / main-content
+    extraction (the trafilatura/jusText step of a crawl pipeline,
+    relationally): drop ``<script>``/``<style>`` blocks, drop
+    ``nav``/``header``/``footer`` elements, take the ``<title>`` and
+    ONLY the ``<p>``-block text (headings and link chrome are
+    boilerplate), decode entities, collapse whitespace. Every step is a
+    JVM-side regexp over one column — no Python, no shuffle: the
+    extraction is embarrassingly parallel at any corpus size, exactly
+    how a WARC→text pass must behave at 100 TB.
+
+    Pinned end-to-end by the :func:`synth_html` round trip: extracting
+    a synthesized page must reproduce the original document text
+    whitespace-normalized (hash-oracled in ``text_html_extract``)."""
+    h = F.col(html_col)
+    title = F.regexp_extract(h, "<title>(.*?)</title>", 1)
+    stripped = F.regexp_replace(
+        F.regexp_replace(h, r"(?s)<(script|style)[^>]*>.*?</\1>", " "),
+        r"(?s)<(nav|header|footer)[^>]*>.*?</\1>",
+        " ",
+    )
+    joined = F.array_join(
+        F.regexp_extract_all(stripped, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1)), " "
+    )
+    dec = lambda c: F.replace(  # noqa: E731
+        F.replace(F.replace(c, F.lit("&lt;"), F.lit("<")), F.lit("&gt;"), F.lit(">")),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    clean = F.trim(F.regexp_replace(dec(joined), r"\s+", " "))
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        dec(title).alias("title"),
+        clean.alias("clean_text"),
+    )

@@ -1192,3 +1192,76 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     assert all(h in edited_hashes for h in tail), "CDC alignment lost after edit"
     # and the sharing count sees the overlap
     assert all(r.n_docs_sharing == 2 for r in orig[1:])
+
+
+def test_rare_bigram_known_counts(spark):
+    """Hand-computed fixture: bigram 'a b' appears 3 times corpus-wide
+    (>= min_count=2 -> frequent); every other bigram is rare."""
+    from iconic_data_science_spark.operators.text import rare_bigram_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),        # bigrams: 'a b'(freq), 'b c'(rare) -> 500
+            (2, "a b a b"),      # 'a b','b a','a b' -> 1 rare of 3 -> 333
+            (3, "x"),            # no bigram -> not emitted
+            (4, ""),             # empty -> not emitted
+            (5, "q  r"),         # double space: tokens q,r -> 'q r' rare -> 1000
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.rare_permille)
+        for r in rare_bigram_ratio(docs, min_count=2).collect()
+    }
+    assert got == {1: (2, 500), 2: (3, 333), 5: (1, 1000)}
+
+
+def test_rare_bigram_broadcast_off_identical(spark, sf_dir):
+    """The shuffle-join fallback (dictionary too big to broadcast) must
+    produce exactly the broadcast plan's rows."""
+    from iconic_data_science_spark.operators.text import rare_bigram_ratio
+
+    docs = Catalog(spark, sf_dir).documents
+    a = sorted(map(tuple, rare_bigram_ratio(docs, 5, broadcast_dict=True).collect()))
+    b = sorted(map(tuple, rare_bigram_ratio(docs, 5, broadcast_dict=False).collect()))
+    assert a == b
+
+
+def test_html_extract_roundtrip(spark, sf_dir):
+    """Extraction of a synthesized page reproduces the whitespace-
+    normalized document text and drops every piece of boilerplate
+    (script/style/nav/h1/footer text must not leak into clean_text)."""
+    from iconic_data_science_spark.operators.text import html_extract, synth_html
+
+    docs = Catalog(spark, sf_dir).documents.limit(50)
+    joined = (
+        html_extract(synth_html(docs))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "title",
+            "clean_text",
+            F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm"),
+        )
+    )
+    for r in joined.collect():
+        assert r.clean_text == r.norm
+        assert r.title == f"Doc {r.doc_id}"
+        for boiler in ("docId", "Home", "font:", "corpus mirror"):
+            assert boiler not in r.clean_text
+
+
+def test_html_extract_entities_and_empty(spark):
+    """Entity-bearing text survives the encode/decode round trip exactly;
+    an empty document extracts to an empty string, not boilerplate."""
+    from iconic_data_science_spark.operators.text import html_extract, synth_html
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a < b && b > c", "en", "src0", 14),
+            (2, "", "en", "src0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r.clean_text for r in html_extract(synth_html(docs)).collect()}
+    assert got == {1: "a < b && b > c", 2: ""}

@@ -221,6 +221,13 @@ EXCHANGE_BUDGET = {
     "dedup_dup_spans": 2,
     "mm_phash_neardup": 1,
     "asof_signup_value": 1,
+    # round-5 continuation: weighted sample = the ONE 1-row W_total
+    # aggregate (the keep filter itself is map-side); rare bigram =
+    # corpus bigram count + per-doc regroup (dictionary probe is a
+    # broadcast); html extract is pure per-row expressions — zero.
+    "sample_weighted": 1,
+    "text_rare_bigram": 2,
+    "text_html_extract": 0,
 }
 
 

@@ -71,3 +71,59 @@ def test_multi_grain_buckets_align(spark, sf_dir):
     )
     assert minute_up.exceptAll(hour).count() == 0
     assert hour.exceptAll(minute_up).count() == 0
+
+
+def test_weighted_sample_determinism_and_rule(spark, sf_dir):
+    """The weighted Bernoulli sampler must (a) be identical across runs,
+    (b) reproduce the documented integer rule exactly (md5-fold draw ×
+    total weight < target × weight × space), and (c) never keep a
+    zero-weight row."""
+    import hashlib
+
+    from iconic_data_science_spark.operators.sampling import weighted_bernoulli_sample
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    got = weighted_bernoulli_sample(docs, "doc_id", "n_chars", target_n=50)
+    kept = {r.doc_id for r in got.collect()}
+    assert kept == {r.doc_id for r in got.collect()}  # rerun identical
+
+    rows = {r.doc_id: r.n_chars for r in docs.collect()}
+    total = sum(rows.values())
+    fold = lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)  # noqa: E731
+    expect = {
+        d for d, w in rows.items() if (fold(d) % 1_000_000) * total < 50 * 1_000_000 * w
+    }
+    assert kept == expect
+    # E[|kept|] = 50; a 5x band is ~7 sigma for 500 Bernoulli draws
+    assert 10 <= len(kept) <= 250
+
+    zeroed = docs.withColumn("n_chars", F.lit(0).cast("long"))
+    assert weighted_bernoulli_sample(zeroed, "doc_id", "n_chars", 50).count() == 0
+
+
+def test_weighted_sample_weight_monotone(spark, sf_dir):
+    """Scaling EVERY weight by the same factor must not change the kept
+    set (the rule is scale-free: u*W < n*w*S on both sides), and a row
+    whose weight saturates (target*w >= W) is always kept."""
+    from iconic_data_science_spark.operators.sampling import weighted_bernoulli_sample
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    base = {
+        r.doc_id
+        for r in weighted_bernoulli_sample(docs, "doc_id", "n_chars", 50).collect()
+    }
+    scaled = docs.withColumn("n_chars", (F.col("n_chars") * 7).cast("long"))
+    assert base == {
+        r.doc_id
+        for r in weighted_bernoulli_sample(scaled, "doc_id", "n_chars", 50).collect()
+    }
+    # one row with ~all the weight: p saturates at 1 regardless of draw
+    heavy = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 0, F.lit(10_000_000)).otherwise(F.lit(1)).cast("long"),
+    )
+    kept = {
+        r.doc_id
+        for r in weighted_bernoulli_sample(heavy, "doc_id", "n_chars", 10).collect()
+    }
+    assert 0 in kept
