@@ -6422,11 +6422,61 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(synth_html(cat.documents))
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic member
+    of the decontamination family (exact 5-gram, Bloom, now cosine):
+    corpus vectors within cosine ≥ 0.35 of ANY benchmark vector
+    (deterministic vec_id%25==0 split). The benchmark side collapses to
+    one broadcast row of (id, vec, sqnorm) structs; every corpus vector
+    scans it with in-row higher-order functions — ZERO shuffles, the
+    corpus read exactly once, the right shape for a tiny eval suite
+    against a 100 TB corpus. Cosines on the integer product lattice, so
+    the DuckDB join+group twin agrees bit-for-bit."""
+    from iconic_data_science_spark.operators.similarity import semantic_decontaminate
+
+    cat = _cat(spark, sf_dir)
+    emb = cat.embeddings
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.35)
+
+
 QUERIES.update({
     "sample_weighted": q_sample_weighted,
     "text_rare_bigram": q_text_rare_bigram,
     "text_html_extract": q_text_html_extract,
+    "decontaminate_semantic": q_decontaminate_semantic,
 })
+
+ORACLES["decontaminate_semantic"] = """
+    WITH e AS (
+        SELECT vec_id, embedding,
+               list_reduce(
+                   [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0) AS BIGINT)
+                    for x in embedding],
+                   (a, b) -> a + b
+               ) AS sq
+        FROM embeddings
+    ),
+    b AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+    c AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+    p AS (
+        SELECT c.vec_id,
+               list_reduce(
+                   [CAST(round(CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                               * 1000000000000.0) AS BIGINT)
+                    for i in generate_series(1, len(c.embedding))],
+                   (x, y) -> x + y
+               ) / sqrt(CAST(c.sq AS DOUBLE) * CAST(b.sq AS DOUBLE)) AS cosine
+        FROM c JOIN b ON true
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) FILTER (cosine >= 0.35) AS BIGINT) AS n_bench_hits,
+           MAX(cosine) FILTER (cosine >= 0.35) AS max_bench_cosine
+    FROM p
+    GROUP BY 1
+    HAVING COUNT(*) FILTER (cosine >= 0.35) >= 1
+"""
 
 ORACLES["sample_weighted"] = """
     WITH tot AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS w FROM documents),
@@ -6494,6 +6544,7 @@ _ROUND5_FRONT = [
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",
+    "decontaminate_semantic",
     "mm_phash_neardup",
     "mm_lossless_decode_stats",
     "j_interval_overlap",

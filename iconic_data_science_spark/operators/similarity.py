@@ -792,3 +792,71 @@ def pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, n_bench_hits, max_bench_cosine) — embedding-space
+    benchmark decontamination: corpus vectors whose cosine to ANY
+    benchmark vector reaches ``threshold``. The semantic completion of
+    the 5-gram/Bloom decontamination pair (operators/dedup.decontaminate)
+    — paraphrased eval leakage shares no exact n-gram but sits next to
+    the benchmark in embedding space (SemDeDup's cross-set cousin;
+    Abbas et al. 2023 prune WITHIN the corpus, this prunes AGAINST a
+    protected set).
+
+    Plan shape — built for a tiny eval set against a 100 TB corpus: the
+    benchmark side collapses to ONE row holding an array of (id, vec,
+    sqnorm) structs, broadcast to every task; each corpus vector scans
+    that array with in-row higher-order functions (filter/transform/
+    array_max). ZERO shuffles, no join fan-out, no regroup — the flag
+    pass is embarrassingly parallel and the corpus is read exactly once.
+    Contrast the join+groupBy form: a bench×corpus nested-loop whose
+    per-hit rows must be re-aggregated per corpus id through an
+    exchange. Eval suites are O(10⁴–10⁵) vectors — at 64–1024 dims the
+    broadcast is a few hundred MB worst-case; shard the bench side and
+    union flags if it ever outgrows the executor budget.
+
+    Cosines come off the integer product lattice (round(x·y·DOT_SCALE)
+    summed as BIGINT, see operators/dedup.embedding_cosine_pairs) so
+    both engines agree bit-for-bit; max over identical doubles is
+    engine-portable.
+    """
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: _scaled_prod(x, x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    bench_pack = bench.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("bid"), F.col(vec_col).alias("bv"), sq.alias("bsq")
+            )
+        ).alias("_bench")
+    )
+    dot_b = lambda b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(vec_col), b["bv"], _scaled_prod),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos_b = lambda b: dot_b(b) / F.sqrt(  # noqa: E731
+        F.col("_sq").cast("double") * b["bsq"].cast("double")
+    )
+    cosines = F.transform(F.col("_bench"), cos_b)
+    hits = F.filter(cosines, lambda c: c >= F.lit(float(threshold)))
+    return (
+        corpus.withColumn("_sq", sq)
+        .crossJoin(F.broadcast(bench_pack))
+        .withColumn("_hits", hits)
+        .filter(F.size("_hits") >= 1)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.size("_hits").cast("long").alias("n_bench_hits"),
+            F.array_max("_hits").alias("max_bench_cosine"),
+        )
+    )

@@ -1265,3 +1265,65 @@ def test_html_extract_entities_and_empty(spark):
     )
     got = {r.doc_id: r.clean_text for r in html_extract(synth_html(docs)).collect()}
     assert got == {1: "a < b && b > c", 2: ""}
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (round 5)
+
+
+def test_semantic_decontaminate_flags_known_neighbors(spark):
+    from iconic_data_science_spark.operators.similarity import semantic_decontaminate
+
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, embedding array<float>")  # noqa: E731
+    bench = mk([(100, [1.0, 0.0, 0.0, 0.0])])
+    corpus = mk(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),   # identical   -> cosine 1.0, flagged
+            (2, [1.0, 1.0, 0.0, 0.0]),   # 45 degrees  -> ~0.707, flagged
+            (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal  -> 0.0, clean
+            (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite    -> -1.0, clean
+        ]
+    )
+    out = {r.vec_id: r for r in semantic_decontaminate(corpus, bench, threshold=0.5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_bench_hits == 1 and out[1].max_bench_cosine == pytest.approx(1.0)
+    assert out[2].max_bench_cosine == pytest.approx(0.7071, abs=1e-3)
+
+
+def test_semantic_decontaminate_threshold_inclusive_and_multi_hit(spark):
+    from iconic_data_science_spark.operators.similarity import semantic_decontaminate
+
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, embedding array<float>")  # noqa: E731
+    # two bench vectors both at cosine 1.0 to the corpus vector -> 2 hits
+    bench = mk([(100, [1.0, 0.0]), (101, [2.0, 0.0])])
+    corpus = mk([(1, [3.0, 0.0]), (2, [0.0, 1.0])])
+    out = {r.vec_id: r for r in semantic_decontaminate(corpus, bench, threshold=1.0).collect()}
+    # threshold is inclusive (>=): cosine exactly 1.0 still flags
+    assert set(out) == {1}
+    assert out[1].n_bench_hits == 2
+
+
+def test_semantic_decontaminate_empty_bench_flags_nothing(spark):
+    from iconic_data_science_spark.operators.similarity import semantic_decontaminate
+
+    mk = lambda rows, s="vec_id long, embedding array<float>": spark.createDataFrame(rows, s)  # noqa: E731
+    corpus = mk([(1, [1.0, 0.0])])
+    bench = mk([], "vec_id long, embedding array<float>")
+    assert semantic_decontaminate(corpus, bench, threshold=0.0).count() == 0
+
+
+def test_semantic_decontaminate_corpus_side_shuffle_free(spark, sf_dir):
+    """The corpus never shuffles: the only exchange in the whole plan is
+    the 1-row bench pack aggregate (plus its broadcast)."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.similarity import semantic_decontaminate
+    from iconic_data_science_spark.plans import inspect
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    out = semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 25 != 0),
+        emb.filter(F.col("vec_id") % 25 == 0),
+        threshold=0.35,
+    )
+    assert inspect.shuffle_count(out) <= 1

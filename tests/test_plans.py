@@ -228,6 +228,7 @@ EXCHANGE_BUDGET = {
     "sample_weighted": 1,
     "text_rare_bigram": 2,
     "text_html_extract": 0,
+    "decontaminate_semantic": 1,
 }
 
 
