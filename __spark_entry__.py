@@ -6448,6 +6448,53 @@ QUERIES.update({
     "decontaminate_semantic": q_decontaminate_semantic,
 })
 
+def q_mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE under the HASH gate — the thumbnail/normalize step
+    of an image-training pipeline, end to end: the lossless image
+    corpus (BMP/PNG, generator-arithmetic pixels) goes through
+    resize_images (decode → nearest-neighbor resample to 16×16 →
+    re-encode in the same format, one mapInPandas pass) and the result
+    is decoded AGAIN by decode_media. The DuckDB twin replays the
+    resample in SQL: pixel (j,i,c) of the resized image is the
+    generator pattern at row j*h//16, col i*w//16 — so sum/peak
+    recompute exactly, and any drift in the resampler, either codec's
+    encode, or the second decode breaks the hash."""
+    from iconic_data_science_spark.operators.multimodal import (
+        decode_media,
+        resize_images,
+        synth_media_lossless,
+    )
+
+    ensure_engine_conf(spark)
+    small = resize_images(synth_media_lossless(spark, 256), width=16, height=16)
+    return decode_media(small, require_codecs=True).select(
+        "media_id", "format", "width", "height", "sum_abs", "peak"
+    )
+
+
+QUERIES.update({"mm_resize_stats": q_mm_resize_stats})
+
+# Arithmetic replay of the nearest-neighbor resample: resized pixel
+# (j,i,c) samples the generator pattern at (j*h//16, i*w//16, c).
+ORACLES["mm_resize_stats"] = """
+    WITH ids AS (SELECT CAST(t.range AS BIGINT) AS mid FROM range(0, 256) t),
+    img AS (
+        SELECT mid, mid % 16 + 4 AS w, mid % 12 + 4 AS h,
+               CASE WHEN (mid // 3) % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+        FROM ids WHERE mid % 3 = 0
+    ),
+    px AS (
+        SELECT i.mid, i.fmt,
+               (i.mid*31 + ((j.range * i.h // 16) * i.w + (k.range * i.w // 16))*7
+                + c.range*13) % 256 AS v
+        FROM img i, range(0, 16) j, range(0, 16) k, range(0, 3) c
+    )
+    SELECT mid AS media_id, fmt AS format,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS sum_abs, CAST(MAX(v) AS INT) AS peak
+    FROM px GROUP BY 1, 2
+"""
+
 ORACLES["decontaminate_semantic"] = """
     WITH e AS (
         SELECT vec_id, embedding,
@@ -6545,6 +6592,7 @@ _ROUND5_FRONT = [
     "text_rare_bigram",
     "text_html_extract",
     "decontaminate_semantic",
+    "mm_resize_stats",
     "mm_phash_neardup",
     "mm_lossless_decode_stats",
     "j_interval_overlap",

@@ -1327,3 +1327,40 @@ def test_semantic_decontaminate_corpus_side_shuffle_free(spark, sf_dir):
         threshold=0.35,
     )
     assert inspect.shuffle_count(out) <= 1
+
+
+def test_resize_identity_at_native_dims_bmp(spark):
+    """Nearest-neighbor resample at the image's own dims is the identity:
+    resize(w, h) of a w×h BMP reproduces the payload byte-for-byte."""
+    from iconic_data_science_spark.operators import multimodal as mm
+
+    media = mm.synth_media_lossless(spark, 13)  # ids 0,3,6,9,12 are images
+    src = {r.media_id: bytes(r.payload) for r in media.filter("kind = 'image'").collect()}
+    for mid, buf in src.items():
+        if mm.sniff_format(buf) != "bmp":
+            continue
+        w, h = mid % 16 + 4, mid % 12 + 4
+        one = media.filter(F.col("media_id") == mid)
+        out = mm.resize_images(one, width=w, height=h).collect()[0]
+        assert bytes(out.payload) == buf
+
+
+def test_resize_then_decode_matches_subsampled_generator(spark):
+    """Pixel sums after 16x16 resize equal the generator pattern sampled
+    at (j*h//16, i*w//16) — the mm_resize_stats oracle contract."""
+    import numpy as np
+
+    from iconic_data_science_spark.operators import multimodal as mm
+
+    media = mm.synth_media_lossless(spark, 7)
+    out = {
+        r.media_id: r.sum_abs
+        for r in mm.decode_media(
+            mm.resize_images(media, width=16, height=16), require_codecs=True
+        ).collect()
+    }
+    for mid in (0, 3, 6):
+        w, h = mid % 16 + 4, mid % 12 + 4
+        j, i, c = np.meshgrid(np.arange(16), np.arange(16), np.arange(3), indexing="ij")
+        expected = ((mid * 31 + ((j * h // 16) * w + (i * w // 16)) * 7 + c * 13) % 256).sum()
+        assert out[mid] == expected

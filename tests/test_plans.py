@@ -229,6 +229,7 @@ EXCHANGE_BUDGET = {
     "text_rare_bigram": 2,
     "text_html_extract": 0,
     "decontaminate_semantic": 1,
+    "mm_resize_stats": 0,
 }
 
 
