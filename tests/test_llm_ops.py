@@ -1364,3 +1364,34 @@ def test_resize_then_decode_matches_subsampled_generator(spark):
         j, i, c = np.meshgrid(np.arange(16), np.arange(16), np.arange(3), indexing="ij")
         expected = ((mid * 31 + ((j * h // 16) * w + (i * w // 16)) * 7 + c * 13) % 256).sum()
         assert out[mid] == expected
+
+
+def test_semantic_decontaminate_pandas_expr_equivalent(spark, sf_dir):
+    """The vectorized numpy path reproduces the expression form
+    row-for-row — including the HALF_UP product rounding."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.similarity import semantic_decontaminate
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    a = {
+        r.vec_id: (r.n_bench_hits, r.max_bench_cosine)
+        for r in semantic_decontaminate(corpus, bench, 0.35, impl="expr").collect()
+    }
+    b = {
+        r.vec_id: (r.n_bench_hits, r.max_bench_cosine)
+        for r in semantic_decontaminate(corpus, bench, 0.35, impl="pandas").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_semantic_decontaminate_bench_gate(spark):
+    from iconic_data_science_spark.operators.similarity import semantic_decontaminate
+
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, embedding array<float>")  # noqa: E731
+    bench = mk([(i, [1.0, 0.0]) for i in range(5)])
+    corpus = mk([(100, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_decontaminate(corpus, bench, 0.5, max_bench_rows=3).collect()
