@@ -6448,6 +6448,58 @@ QUERIES.update({
     "decontaminate_semantic": q_decontaminate_semantic,
 })
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard with prefix filtering (Bayardo et al.
+    WWW'07) — the LOSSLESS scale path for the similarity join: index
+    only each document's |d|−ceil(t·|d|)+1 globally-rarest shingles
+    (pigeonhole: any pair with J ≥ t must collide inside both
+    prefixes), length-filter, then verify exact Jaccard on full sets
+    for candidates only. Same output as the uncapped Σdf² join —
+    the oracle IS the uncapped threshold join — with boilerplate
+    shingles never entering the index. Complements the df cap
+    (dedup_ngram_capped), which is the lossy/cheaper knob."""
+    from iconic_data_science_spark.operators.dedup import jaccard_prefix_pairs
+
+    cat = _cat(spark, sf_dir)
+    return jaccard_prefix_pairs(cat.documents, n=3, threshold=0.5)
+
+
+QUERIES.update({"dedup_jaccard_prefix": q_dedup_jaccard_prefix})
+
+# The prefix-filtered join is exact: its oracle is the plain UNCAPPED
+# n-gram Jaccard threshold join (no df-cap CTE).
+ORACLES["dedup_jaccard_prefix"] = """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                           for i in generate_series(1, len(th)-2)]) AS s
+            FROM (
+                SELECT doc_id,
+                       [list_reduce(
+                            [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                             for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                            (a, b) -> a * 16 + b) % 2147483647
+                        for tok in string_split(lower(text), ' ')] AS th
+                FROM documents
+            )
+        )
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT id1, id2, i / (z1.sz + z2.sz - i) AS jaccard
+        FROM inter
+        JOIN sz z1 ON z1.doc_id = id1
+        JOIN sz z2 ON z2.doc_id = id2
+    ) WHERE jaccard >= 0.5
+"""
+
+
 def q_mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image RESIZE under the HASH gate — the thumbnail/normalize step
     of an image-training pipeline, end to end: the lossless image
@@ -6593,6 +6645,7 @@ _ROUND5_FRONT = [
     "text_html_extract",
     "decontaminate_semantic",
     "mm_resize_stats",
+    "dedup_jaccard_prefix",
     "mm_phash_neardup",
     "mm_lossless_decode_stats",
     "j_interval_overlap",

@@ -999,3 +999,74 @@ def minhash_lsh_incremental(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_prefix_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact all-pairs Jaccard join with PREFIX FILTERING (Bayardo,
+    Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search") —
+    the lossless alternative to the df cap: identical output to the
+    uncapped ``ngram_jaccard_pairs`` (pinned by test and by sharing its
+    oracle), at a fraction of the candidate volume.
+
+    Pruning rule: order every document's shingles by GLOBAL document
+    frequency, rarest first. If J(x,y) ≥ t then |x∩y| ≥ ceil(t·|x|),
+    so x must share a shingle inside its first |x| − ceil(t·|x|) + 1
+    ordered shingles (pigeonhole) — only that prefix is indexed, and
+    candidate pairs come from the prefix-postings self-join plus the
+    length filter t·max(|x|,|y|) ≤ min(|x|,|y|). Verification then
+    computes exact Jaccard over the FULL shingle sets for candidates
+    only. Frequent (boilerplate) shingles land at the END of every
+    ordering, so the quadratic Σdf² blow-up the df cap fights lossily
+    is avoided losslessly: hot shingles simply never enter the index
+    unless a document consists almost entirely of them.
+
+    Exactness guard: ceil(t·|x|) is evaluated in DECIMAL, not double —
+    a float ceil of 0.3·10 = 3.0000000000000004 would overestimate the
+    overlap bound and silently drop true pairs.
+
+    Plan shape: one df-count exchange, one per-doc window to rank the
+    ordering, one prefix-postings self-join keyed by (rare) shingle,
+    then the bounded candidate verify. All joins keyed by 8-byte ints.
+    """
+    t_dec = F.lit(threshold).cast("decimal(10,6)")
+    sh = hashed_shingle_table(
+        documents, n=n, id_col=id_col, text_col=text_col, max_shingle_freq=None
+    ).localCheckpoint()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    w = W.partitionBy("doc_id").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w).alias("_pos"),
+            F.count("*").over(W.partitionBy("doc_id")).alias("_sz"),
+        )
+    )
+    alpha = F.ceil(t_dec * F.col("_sz")).cast("long")
+    prefix = ranked.filter(F.col("_pos") <= F.col("_sz") - alpha + 1).select(
+        "doc_id", "shingle", "_sz"
+    )
+    p1 = prefix.select(
+        F.col("doc_id").alias("id1"), "shingle", F.col("_sz").alias("_sz1")
+    )
+    p2 = prefix.select(
+        F.col("doc_id").alias("id2"), "shingle", F.col("_sz").alias("_sz2")
+    )
+    cand = (
+        p1.join(p2, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            t_dec * F.greatest("_sz1", "_sz2")
+            <= F.least("_sz1", "_sz2").cast("decimal(20,6)")
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)

@@ -1395,3 +1395,38 @@ def test_semantic_decontaminate_bench_gate(spark):
     corpus = mk([(100, [1.0, 0.0])])
     with pytest.raises(ValueError, match="max_bench_rows"):
         semantic_decontaminate(corpus, bench, 0.5, max_bench_rows=3).collect()
+
+
+def test_jaccard_prefix_equals_uncapped_join(spark, sf_dir):
+    """Prefix filtering is lossless: identical pair set and jaccard
+    values to the uncapped threshold join."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    a = {(r.id1, r.id2): r.jaccard for r in jaccard_prefix_pairs(docs, 3, 0.5).collect()}
+    b = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 3, 0.5, max_shingle_freq=None).collect()
+    }
+    assert a == b
+
+
+def test_jaccard_prefix_boilerplate_never_indexed(spark):
+    """On a boilerplate-heavy corpus the hot shingle lands at the END of
+    every ordering and must not enter the prefix index — yet the pair
+    whose similarity IS real still comes out exact."""
+    from iconic_data_science_spark.operators.dedup import jaccard_prefix_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"unique{i} token{i} word{i} " + boiler) for i in range(20)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id1, r.id2): r.jaccard for r in jaccard_prefix_pairs(docs, 3, 0.5).collect()}
+    assert (100, 101) in out
+    # boilerplate-only overlap scores < 0.5 here and must not appear
+    assert all(p == (100, 101) or p[0] < 20 for p in out)
