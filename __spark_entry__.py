@@ -6464,7 +6464,44 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(cat.documents, n=3, threshold=0.5)
 
 
-QUERIES.update({"dedup_jaccard_prefix": q_dedup_jaccard_prefix})
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining: for the sampled query set, the
+    top-5 most-similar corpus vectors with a DIFFERENT label — the
+    contrastive-training batch-construction step. Exact lattice scan;
+    the label-inequality join predicate also excludes self."""
+    from iconic_data_science_spark.operators.similarity import hard_negative_topk
+
+    cat = _cat(spark, sf_dir)
+    return hard_negative_topk(cat.embeddings, _ann_queries(cat), k=5)
+
+
+QUERIES.update({"dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+                "ann_hard_negatives": q_ann_hard_negatives})
+
+ORACLES["ann_hard_negatives"] = """
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               list_reduce(
+                   [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0) AS BIGINT)
+                    for x in embedding], (a, b) -> a + b) AS sq
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_reduce(
+                   [CAST(round(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                               * 1000000000000.0) AS BIGINT)
+                    for i in generate_series(1, len(q.embedding))], (x, y) -> x + y)
+               / sqrt(CAST(q.sq AS DOUBLE) * CAST(c.sq AS DOUBLE)) AS cosine
+        FROM q JOIN e c ON q.label <> c.label
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+"""
 
 # The prefix-filtered join is exact: its oracle is the plain UNCAPPED
 # n-gram Jaccard threshold join (no df-cap CTE).
@@ -6646,6 +6683,7 @@ _ROUND5_FRONT = [
     "decontaminate_semantic",
     "mm_resize_stats",
     "dedup_jaccard_prefix",
+    "ann_hard_negatives",
     "mm_phash_neardup",
     "mm_lossless_decode_stats",
     "j_interval_overlap",

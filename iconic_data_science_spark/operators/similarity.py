@@ -972,3 +972,51 @@ def _semantic_decontaminate_pandas(
     return corpus.select(F.col(id_col).alias(id_col), F.col(vec_col)).mapInPandas(
         flag, out_schema
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — HARD-NEGATIVE mining for
+    contrastive training (the DPR/SimCSE batch-construction step): for
+    each query vector, the top-k most cosine-similar corpus vectors
+    with a DIFFERENT label. The closest wrong-label examples are the
+    gradient-richest negatives; random negatives go stale after the
+    first epochs.
+
+    Same exact-lattice brute scan as :func:`brute_force_topk` with the
+    label-inequality predicate pushed into the join (which also
+    excludes self — a vector shares its own label). The scale path
+    composes the same way the positives do: swap the corpus side for
+    the LSH/IVF-pruned candidate set and mine negatives within buckets.
+    """
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: _scaled_prod(x, x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mk = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sq.alias("sq"),
+        F.col(label_col).alias("lbl"),
+    )
+    corpus = mk(embeddings).repartition(par).alias("c")
+    qs = mk(queries).alias("q")
+    dot = F.aggregate(
+        F.zip_with(F.col("q.v"), F.col("c.v"), _scaled_prod),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = qs.join(corpus, F.col("q.lbl") != F.col("c.lbl")).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        _cosine(dot).alias("cosine"),
+    )
+    return _topk(pairs, k)

@@ -1430,3 +1430,18 @@ def test_jaccard_prefix_boilerplate_never_indexed(spark):
     assert (100, 101) in out
     # boilerplate-only overlap scores < 0.5 here and must not appear
     assert all(p == (100, 101) or p[0] < 20 for p in out)
+
+
+def test_hard_negatives_exclude_same_label_and_self(spark, sf_dir):
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.similarity import hard_negative_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negative_topk(emb, queries, k=5).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert labels[r.query_id] != labels[r.neighbor_id]
+        assert 1 <= r.rank <= 5

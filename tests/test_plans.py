@@ -231,6 +231,7 @@ EXCHANGE_BUDGET = {
     "decontaminate_semantic": 1,
     "mm_resize_stats": 0,
     "dedup_jaccard_prefix": 46,
+    "ann_hard_negatives": 2,
 }
 
 
