@@ -230,7 +230,7 @@ EXCHANGE_BUDGET = {
     "text_html_extract": 0,
     "decontaminate_semantic": 1,
     "mm_resize_stats": 0,
-    "dedup_jaccard_prefix": 46,
+    "dedup_jaccard_prefix": 6,
     "ann_hard_negatives": 2,
 }
 
