@@ -1098,3 +1098,86 @@ def jaccard_prefix_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def bloom_bits_array(
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """ONE row (bloom_bits array<long>) — the :func:`bloom_build` filter
+    densified into a word-indexed array (missing words = 0), the
+    broadcastable in-row-probe form of the bitset."""
+    spark = benchmark.sparkSession
+    n_words = (m_bits + 62) // 63
+    bloom = bloom_build(
+        benchmark, n=n, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, m_bits=m_bits,
+    )
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").alias("word"))
+        .join(bloom, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("word", "bits"))).alias("_wb")
+    ).select(F.transform("_wb", lambda s: s["bits"]).alias("bloom_bits"))
+
+
+def bloom_decontaminate_inrow(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """(doc_id, n_flagged_ngrams) — :func:`bloom_decontaminate` with the
+    probe evaluated IN-ROW: the densified bitset broadcasts as one
+    array row and each document tests its (distinct) shingle array with
+    a higher-order filter — no probe explode, no per-(doc, shingle)
+    groupBy, no per-doc count aggregation. Output pinned identical to
+    the join form by test.
+
+    This is the STREAMING-compatible shape: zero aggregation means the
+    crawl-ingest gate runs in watermark-free append mode (a streaming
+    groupBy would demand a watermark the gate has no use for), and the
+    batch plan drops two exchanges as a bonus. The k bit tests per
+    shingle are cheap integer ops; if a profile ever shows the HOF
+    lambda dominating (the Catalyst interpreted-lambda pathology), the
+    numpy mapInPandas twin is the known fix — at the current k=4 the
+    probe is a rounding error next to shingling.
+    """
+    from functools import reduce as _reduce
+
+    bits = F.broadcast(
+        bloom_bits_array(
+            benchmark, n=n, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, m_bits=m_bits,
+        )
+    )
+    arrays = hashed_shingle_arrays(train, n=n, id_col=id_col, text_col=text_col)
+
+    def all_bits_set(s):
+        conds = []
+        for _i, a, b in _lcg_params(num_hashes):
+            pos = ((F.lit(a) * s + F.lit(b)) % MERSENNE31) % m_bits
+            word_idx = (pos - pos % 63) / 63  # exact integer-valued double
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (pos % 63).cast("int")
+            )
+            elem = F.element_at(F.col("bloom_bits"), word_idx.cast("int") + 1)
+            conds.append(elem.bitwiseAND(mask) != 0)
+        return _reduce(lambda x, y: x & y, conds)
+
+    flagged = F.size(F.filter(F.col("shingles"), all_bits_set)).cast("long")
+    return (
+        arrays.crossJoin(bits)
+        .select("doc_id", flagged.alias("n_flagged_ngrams"))
+        .filter(F.col("n_flagged_ngrams") >= 1)
+    )

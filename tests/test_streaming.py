@@ -226,3 +226,23 @@ def test_map_side_curation_ops_compose_with_streams(spark, sf_dir):
     stream = quality_score(stream_src).join(token_counts(stream_src), "doc_id")
     got = _run_stream(spark, stream, "t_doc_quality", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_ingest_gate_bloom_decon_equals_batch(spark, sf_dir):
+    """The crawl-ingest decontamination gate runs on a document stream in
+    watermark-free append mode: the in-row Bloom probe has zero
+    aggregation (the bitset broadcasts as one dense array row), so
+    stream == the batch join-form operator row for row."""
+    from iconic_data_science_spark.operators.dedup import (
+        bloom_decontaminate,
+        bloom_decontaminate_inrow,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = bloom_decontaminate(docs.filter(F.col("doc_id") % 10 != 0), bench, n=5)
+    stream_train = sd.read_document_stream(spark, sf_dir).filter(F.col("doc_id") % 10 != 0)
+    stream = bloom_decontaminate_inrow(stream_train, bench, n=5)
+    got = _run_stream(spark, stream, "t_ingest_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
