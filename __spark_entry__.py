@@ -3657,6 +3657,7 @@ ORACLES["curation_pipeline_v2"] = ORACLES["curation_pipeline_v2"].replace("{STOP
 from iconic_data_science_spark.operators.dedup import bloom_oracle_sql as _bloom_oracle_sql  # noqa: E402
 
 ORACLES["decontaminate_bloom"] = _bloom_oracle_sql()
+ORACLES["decontaminate_bloom_inrow"] = _bloom_oracle_sql()
 
 # v3 = v2 wrapped as a CTE + the MinHash-LSH near-dup prune over the v2
 # survivors (same 3-gram Horner shingles / 16-perm / 4-row bands /
@@ -6475,8 +6476,25 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(cat.embeddings, _ann_queries(cat), k=5)
 
 
+def q_decontaminate_bloom_inrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-row (zero-aggregation) Bloom decontamination probe: the
+    densified bitset broadcasts as ONE array row and each document
+    tests its shingle array with a higher-order filter — the streaming
+    ingest-gate shape (watermark-free append), two exchanges fewer than
+    the join form in batch. Same output row-for-row as
+    decontaminate_bloom, so it shares that oracle."""
+    from iconic_data_science_spark.operators.dedup import bloom_decontaminate_inrow
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return bloom_decontaminate_inrow(train, bench, n=5)
+
+
 QUERIES.update({"dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-                "ann_hard_negatives": q_ann_hard_negatives})
+                "ann_hard_negatives": q_ann_hard_negatives,
+                "decontaminate_bloom_inrow": q_decontaminate_bloom_inrow})
 
 ORACLES["ann_hard_negatives"] = """
     WITH e AS (
@@ -6684,6 +6702,7 @@ _ROUND5_FRONT = [
     "mm_resize_stats",
     "dedup_jaccard_prefix",
     "ann_hard_negatives",
+    "decontaminate_bloom_inrow",
     "mm_phash_neardup",
     "mm_lossless_decode_stats",
     "j_interval_overlap",

@@ -232,6 +232,7 @@ EXCHANGE_BUDGET = {
     "mm_resize_stats": 0,
     "dedup_jaccard_prefix": 6,
     "ann_hard_negatives": 2,
+    "decontaminate_bloom_inrow": 3,
 }
 
 
