@@ -38,6 +38,16 @@ DOC_QUERIES = [
     "text_leakage_safe_split",
     # exact substring spans (fuzzed corpora are dup-heavy: tiny vocab)
     "dedup_dup_spans",
+    # round-5 continuation: weighted sampling (exact DECIMAL rule under
+    # tiny/degenerate weight sums), corpus-rare bigram gate, the
+    # synth→extract HTML fixpoint, the prefix-filtered exact similarity
+    # join (dup-heavy fuzz corpora stress the candidate bound), and the
+    # in-row Bloom probe sharing the join form's oracle
+    "sample_weighted",
+    "text_rare_bigram",
+    "text_html_extract",
+    "dedup_jaccard_prefix",
+    "decontaminate_bloom_inrow",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]
