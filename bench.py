@@ -115,11 +115,23 @@ def _streaming_bench(spark, sf_dir: str) -> dict:
             n_docs_new,
         )
 
+    def ingest_gate():
+        from iconic_data_science_spark.operators.dedup import bloom_decontaminate_inrow
+
+        docs = Catalog(spark, sf_dir).documents
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        stream_train = sdoc.read_document_stream(spark, sf_dir).filter(
+            F.col("doc_id") % 10 != 0
+        )
+        n_train = docs.filter(F.col("doc_id") % 10 != 0).count()
+        return bloom_decontaminate_inrow(stream_train, bench, n=5), "append", n_train
+
     pipelines = {
         "st_run_rollup": rollup,
         "st_run_session": session,
         "st_run_funnel": funnel,
         "st_run_doc_dedup": doc_dedup,
+        "st_run_ingest_gate": ingest_gate,
     }
     out: dict[str, dict] = {}
     for name, build in pipelines.items():
