@@ -6476,6 +6476,42 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(cat.embeddings, _ann_queries(cat), k=5)
 
 
+def q_sample_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group uniform reproducible sampling: 20 documents per
+    source, ranked by the md5 content hash of doc_id — the eval-set /
+    per-source-cap builder (fixed SIZE, unbiased), completing the
+    sampling family next to the rate-stratified, weight-proportional,
+    and arrival-order-quota forms. One shuffle on source; the k-cut is
+    WindowGroupLimit-pushed into each partial sort."""
+    from iconic_data_science_spark.operators.sampling import group_uniform_k
+
+    cat = _cat(spark, sf_dir)
+    return group_uniform_k(
+        cat.documents.select("doc_id", "source", "lang"), "source", "doc_id", 20
+    )
+
+
+QUERIES.update({"sample_group_k": q_sample_group_k})
+
+ORACLES["sample_group_k"] = """
+    WITH h AS (
+        SELECT doc_id, source, lang,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) AS hv
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+        FROM h
+    )
+    SELECT doc_id, source, lang FROM r WHERE rk <= 20
+"""
+
+
 def q_decontaminate_bloom_inrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The in-row (zero-aggregation) Bloom decontamination probe: the
     densified bitset broadcasts as ONE array row and each document
@@ -6703,6 +6739,7 @@ _ROUND5_FRONT = [
     "dedup_jaccard_prefix",
     "ann_hard_negatives",
     "decontaminate_bloom_inrow",
+    "sample_group_k",
     "mm_phash_neardup",
     "mm_lossless_decode_stats",
     "j_interval_overlap",

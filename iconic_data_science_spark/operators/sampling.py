@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from .text import hash_bucket
 
@@ -76,3 +77,33 @@ def weighted_bernoulli_sample(
         * F.col(weight_col).cast("decimal(13,0)")
     )
     return df.crossJoin(F.broadcast(total)).filter(keep).drop("_w_total")
+
+
+def group_uniform_k(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACTLY min(k, |group|) rows per group, uniform over the group
+    and reproducible anywhere — rank rows inside each group by the md5
+    content hash of their key and keep the first k. The eval-set /
+    per-source-cap builder: ``stratified_hash_sample`` gives a *rate*
+    (size drifts with the group), ``quota_sample`` admits by *arrival
+    order* (biased toward early rows); this is the unbiased fixed-SIZE
+    cut. Ties cannot occur (the hash is folded from the key, and equal
+    keys are ordered by the key itself as the deterministic tiebreak).
+
+    One shuffle on the group column; the rank is a window row_number —
+    Spark's WindowGroupLimit pushes the k-cut into each partial sort at
+    scale, so no group ever materializes fully sorted.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    w = W.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -233,6 +233,7 @@ EXCHANGE_BUDGET = {
     "dedup_jaccard_prefix": 6,
     "ann_hard_negatives": 2,
     "decontaminate_bloom_inrow": 3,
+    "sample_group_k": 1,
 }
 
 

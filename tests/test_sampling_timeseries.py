@@ -127,3 +127,33 @@ def test_weighted_sample_weight_monotone(spark, sf_dir):
         for r in weighted_bernoulli_sample(heavy, "doc_id", "n_chars", 10).collect()
     }
     assert 0 in kept
+
+
+def test_group_uniform_k_exact_size_and_reproducible(spark, sf_dir):
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.sampling import group_uniform_k
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source", "lang")
+    out = group_uniform_k(docs, "source", "doc_id", 7)
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    avail = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {s: min(7, n) for s, n in avail.items() if min(7, n) > 0}
+    # reproducible: same rows on a second run
+    a = sorted((r.source, r.doc_id) for r in out.collect())
+    b = sorted((r.source, r.doc_id) for r in group_uniform_k(docs, "source", "doc_id", 7).collect())
+    assert a == b
+
+
+def test_group_uniform_k_independent_of_partitioning(spark, sf_dir):
+    """The sample is content-determined: repartitioning the input must
+    not change which rows are kept (df.sample would)."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.sampling import group_uniform_k
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    a = sorted((r.source, r.doc_id) for r in group_uniform_k(docs, "source", "doc_id", 5).collect())
+    b = sorted(
+        (r.source, r.doc_id)
+        for r in group_uniform_k(docs.repartition(13), "source", "doc_id", 5).collect()
+    )
+    assert a == b
