@@ -6717,6 +6717,217 @@ ORACLES["text_html_extract"] = r"""
 """
 
 
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed multilingual mixing plan (mBERT/XLM-R
+    style alpha=0.5 resampling): per-language token counts smoothed on
+    the integer lattice (floor-sqrt — IEEE sqrt is correctly rounded,
+    so the weights are engine-exact) and turned into ppm sampling
+    rates and token allocations with bigint `div`. One language-grain
+    aggregate; the ≲10³-row stats table is pinned so derived frames
+    never re-scan the corpus."""
+    from iconic_data_science_spark.operators.mixing import temperature_mix_rates
+
+    cat = _cat(spark, sf_dir)
+    return temperature_mix_rates(cat.documents, budget_tokens=1_000_000)
+
+
+def q_mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature plan APPLIED: documents kept by a reproducible
+    md5 Bernoulli draw at their language's smoothed rate
+    (u·n_tokens_l·Σw < B·w_l·S, all integers compared in DECIMAL), so
+    expected kept tokens per language ∝ sqrt(natural share) — the
+    corpus-rebalancing step before training. Rate table broadcasts;
+    the corpus itself is filtered map-side with zero corpus
+    shuffles."""
+    from iconic_data_science_spark.operators.mixing import temperature_sample
+
+    cat = _cat(spark, sf_dir)
+    return temperature_sample(cat.documents, budget_tokens=1_000_000)
+
+
+def q_text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. ICML'09): top-8 signed
+    hashed tf-idf features per document in a FIXED 1024-dim space —
+    the bounded-vocabulary featurizer (a true vocab is unbounded and
+    skewed at 100 TB; `dim` is a constant). Signs come from the hash
+    bit above the bucket so collisions cancel in expectation; idf is
+    the integer lattice N·10⁶ div df. One corpus shuffle to the
+    (doc, feature) grain; the ≤dim-row idf table broadcasts back;
+    the per-doc k-cut is WindowGroupLimit-pushed."""
+    from iconic_data_science_spark.operators.featurize import hashed_tfidf
+
+    cat = _cat(spark, sf_dir)
+    return hashed_tfidf(cat.documents, dim=1024, top_k=8)
+
+
+_TAG_TAXONOMY = {
+    "storage": ["table", "row", "part", "batch", "parquet"],
+    "execution": ["scan", "hash", "merge", "sort", "agg"],
+    "planning": ["key", "window", "spark", "value", "line"],
+}
+
+
+def q_text_topic_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast taxonomy tagging (the FineWeb-Edu-style topic gate):
+    per-document hit counts against a keyword→topic table that
+    broadcasts and probes the corpus map-side — the only exchange is
+    the partial-aggregated (doc, topic) rollup."""
+    from iconic_data_science_spark.operators.featurize import keyword_tags
+
+    cat = _cat(spark, sf_dir)
+    return keyword_tags(cat.documents, _TAG_TAXONOMY)
+
+
+def q_mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-grain audio analysis under the HASH gate — the
+    silence-trim/VAD step: every WAV payload of the real-codec corpus
+    decodes (Arrow-batched mapInPandas, the only Python in the plan)
+    into 160-sample (20 ms) frames of exact-integer statistics
+    (energy=Σx², peak, floor-sqrt RMS, silent = energy < thr²·n). The
+    DuckDB twin replays each frame from the generator arithmetic, so
+    a sample-width, byte-order, or framing bug breaks the hash."""
+    from iconic_data_science_spark.operators.audio import audio_frame_stats
+    from iconic_data_science_spark.operators.multimodal import synth_media_real
+
+    ensure_engine_conf(spark)
+    return audio_frame_stats(synth_media_real(spark, 256), frame=160, silence_rms=1200)
+
+
+QUERIES.update({
+    "mix_temperature": q_mix_temperature,
+    "mix_temperature_sample": q_mix_temperature_sample,
+    "text_hashed_tfidf": q_text_hashed_tfidf,
+    "text_topic_tags": q_text_topic_tags,
+    "mm_audio_frames": q_mm_audio_frames,
+})
+
+_MIX_PER_LANG = """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+"""
+
+ORACLES["mix_temperature"] = f"""
+    WITH per_lang AS ({_MIX_PER_LANG}),
+    w AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+        FROM per_lang
+    ),
+    tot AS (SELECT SUM(weight) AS w_sum FROM w)
+    SELECT lang, n_docs, n_tokens, weight,
+           CAST(1000000 * weight // w_sum AS BIGINT) AS rate_ppm,
+           CAST(1000000 * weight // w_sum AS BIGINT) AS alloc_tokens
+    FROM w, tot
+"""
+
+ORACLES["mix_temperature_sample"] = f"""
+    WITH per_lang AS ({_MIX_PER_LANG}),
+    w AS (
+        SELECT lang, n_tokens AS lang_toks,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+        FROM per_lang
+    ),
+    tot AS (SELECT SUM(weight) AS w_sum FROM w),
+    d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) % 1000000 AS u
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM d JOIN w USING (lang), tot
+    WHERE CAST(u AS HUGEINT) * lang_toks * w_sum
+          < CAST(1000000 AS HUGEINT) * 1000000 * weight
+"""
+
+ORACLES["text_hashed_tfidf"] = """
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(token), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) AS h
+        FROM tk WHERE token <> ''
+    ),
+    pairs AS (
+        SELECT doc_id, h % 1024 AS feature,
+               CASE WHEN (h // 1024) % 2 = 0 THEN 1 ELSE -1 END AS sign
+        FROM hashed
+    ),
+    vals AS (
+        SELECT doc_id, feature, CAST(SUM(sign) AS BIGINT) AS value
+        FROM pairs GROUP BY 1, 2
+    ),
+    dfq AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS df FROM vals GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT v.doc_id, v.feature, v.value,
+               v.value * ((nd.n_docs * 1000000) // d.df) AS score
+        FROM vals v JOIN dfq d USING (feature), nd
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY ABS(score) DESC, feature
+        ) AS rank FROM scored
+    )
+    SELECT doc_id, feature, value, CAST(score AS BIGINT) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 8
+"""
+
+ORACLES["text_topic_tags"] = """
+    WITH kw(token, topic) AS (VALUES
+        ('agg', 'execution'), ('hash', 'execution'), ('merge', 'execution'),
+        ('scan', 'execution'), ('sort', 'execution'),
+        ('key', 'planning'), ('line', 'planning'), ('spark', 'planning'),
+        ('value', 'planning'), ('window', 'planning'),
+        ('batch', 'storage'), ('parquet', 'storage'), ('part', 'storage'),
+        ('row', 'storage'), ('table', 'storage')
+    ),
+    tk AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    )
+    SELECT doc_id, topic, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM tk JOIN kw USING (token)
+    GROUP BY 1, 2
+"""
+
+# Arithmetic replay: frame f of audio mid aggregates the generator
+# samples x_i = (mid*13 + i*17) % 4096 - 2048 for i in [160f, 160f+160).
+ORACLES["mm_audio_frames"] = """
+    WITH ids AS (SELECT CAST(t.range AS BIGINT) AS mid FROM range(0, 256) t),
+    aud AS (SELECT mid, mid % 500 + 100 AS ns FROM ids WHERE mid % 3 = 1),
+    s AS (
+        SELECT a.mid, CAST(j.range AS BIGINT) AS i,
+               (a.mid*13 + j.range*17) % 4096 - 2048 AS x
+        FROM aud a JOIN range(0, 599) j ON j.range < a.ns
+    ),
+    f AS (
+        SELECT mid AS media_id, i // 160 AS frame_no,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x*x) AS BIGINT) AS energy,
+               CAST(MAX(ABS(x)) AS BIGINT) AS peak
+        FROM s GROUP BY 1, 2
+    )
+    SELECT media_id, frame_no, n, energy, peak,
+           CAST(FLOOR(SQRT(CAST(energy // n AS DOUBLE))) AS BIGINT) AS rms,
+           CASE WHEN energy < 1440000 * n THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS silent
+    FROM f
+"""
+
+
 # Round-5 registration front — evidence-age refresh (VERDICT r4 items 2,
 # 5, 7).  r4 came back 50/50 green, leaving: 5 oracled queries whose only
 # hash row is r1 (three rounds stale, text.py refactored since), 49 whose
@@ -6731,6 +6942,11 @@ ORACLES["text_html_extract"] = r"""
 # any remaining slots).
 _ROUND5_FRONT = [
     # --- (a) new in round 5 ---
+    "mix_temperature",
+    "mix_temperature_sample",
+    "text_hashed_tfidf",
+    "text_topic_tags",
+    "mm_audio_frames",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

@@ -1,0 +1,123 @@
+"""Text featurization: the hashing trick and broadcast taxonomy tagging.
+
+Two classic pipeline steps between raw text and a trainable model:
+
+- ``hashed_tfidf`` — fixed-dimension sparse tf-idf vectors via feature
+  hashing (Weinberger et al., ICML'09): every token maps to
+  ``md5-fold(token) mod dim`` with a ±1 sign drawn from the next hash
+  bit, so the vocabulary never materializes and the feature space is
+  bounded up front — the property that makes the step viable at 100 TB
+  (a true vocabulary is unbounded and skewed; ``dim`` is a constant).
+  idf runs on an integer lattice (``N·10⁶ div df``) so scores are
+  engine-exact integers, never floats.
+
+- ``keyword_tags`` — topic tagging against a small keyword taxonomy
+  (the FineWeb-Edu-style domain/topic gate): the taxonomy broadcasts,
+  the corpus is probed map-side, and the only shuffle is the final
+  (doc, topic) partial-aggregated rollup.
+
+The reference has no featurization stage (its pipelines end at MAG
+rollups, magNets.scala:1-80); these extend the engine's text family
+for the training-data use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fold(col) -> "F.Column":
+    """48-bit md5-prefix fold — the engine's portable content hash
+    (same convention as operators/text.hash_bucket)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def hashed_tfidf(
+    documents: DataFrame,
+    dim: int = 1024,
+    top_k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, feature, value, score, rank): the ``top_k`` hashed
+    tf-idf features per document.
+
+    feature = fold(token) mod dim; sign = +1/−1 from the next hash bit
+    (``(fold div dim) mod 2``), so colliding tokens cancel in
+    expectation instead of biasing the bucket (signed feature hashing).
+    value = Σ signs over the document's tokens; df = distinct docs per
+    feature; score = value · (N·10⁶ div df) — all integer arithmetic.
+
+    Plan shape: one corpus shuffle to the (doc, feature) grain (partial
+    hash-aggregated map-side), a ≤``dim``-row df/idf table that
+    BROADCASTs back, and a per-doc window whose k-cut is
+    WindowGroupLimit-pushed.  Ranking ties break on (|score| desc,
+    feature asc) so the output is total-order deterministic.
+    """
+    toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    base = documents.select(F.col(id_col).alias("doc_id"), toks).filter(
+        F.col("token") != ""
+    )
+    pairs = base.select(
+        "doc_id", _fold(F.col("token")).alias("_h")
+    ).select(
+        "doc_id",
+        F.expr(f"_h % {int(dim)}").alias("feature"),
+        # Sign from the next hash bit above the bucket — exact integer
+        # `div` (a float divide would drift for non-power-of-two dims).
+        F.expr(f"CASE WHEN (_h div {int(dim)}) % 2 = 0 THEN 1 ELSE -1 END").alias(
+            "sign"
+        ),
+    )
+    values = pairs.groupBy("doc_id", "feature").agg(
+        F.sum("sign").cast("long").alias("value")
+    )
+    df_tbl = values.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = df_tbl.crossJoin(F.broadcast(n_docs)).select(
+        "feature", F.expr("(n_docs * 1000000) div df").alias("idf_scaled")
+    )
+    scored = (
+        values.join(F.broadcast(idf), "feature")
+        .withColumn("score", F.col("value") * F.col("idf_scaled"))
+        .select("doc_id", "feature", "value", "score")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.abs(F.col("score")).desc(), F.col("feature").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def keyword_tags(
+    documents: DataFrame,
+    taxonomy: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, topic, hits): per-document topic hit counts against a
+    keyword taxonomy.  The taxonomy is a literal (broadcast, never
+    shuffled); docs match map-side through a broadcast-hash join on
+    the token; the (doc, topic) rollup partial-aggregates before its
+    one tiny exchange.  Multi-topic keywords tag every owning topic."""
+    spark = documents.sparkSession
+    rows = [
+        (kw, topic)
+        for topic, kws in sorted(taxonomy.items())
+        for kw in sorted(set(kws))
+    ]
+    kw_tbl = spark.createDataFrame(rows, "token string, topic string")
+    toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    base = documents.select(F.col(id_col).alias("doc_id"), toks)
+    return (
+        base.join(F.broadcast(kw_tbl), "token")
+        .groupBy("doc_id", "topic")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )

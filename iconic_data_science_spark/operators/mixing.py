@@ -1,0 +1,145 @@
+"""Corpus mixing: temperature-smoothed multilingual sampling.
+
+Multilingual training corpora are never used at their natural language
+proportions — high-resource languages would drown everything else, so
+the standard recipe (mBERT/XLM-R/mT5 style exponential smoothing) draws
+language *l* with probability
+
+    q_l  ∝  p_l ** alpha,        p_l = tokens_l / total_tokens
+
+for a temperature ``alpha`` in (0, 1].  The reference has no
+multilingual pipeline (its corpus ops are MAG-notebook Scala,
+magNets.scala:1-80); this is a forward-looking engine capability for
+the 100 TB use case, built so the *plan is tiny* and the *arithmetic is
+exact*:
+
+- The per-language aggregate is one partial+final groupBy over ≲10³
+  languages — the only data-sized shuffle, and it is map-side combined.
+- Smoothing runs on an integer lattice: alpha = 1/2**k is computed as k
+  nested ``floor(sqrt(·))`` steps.  IEEE-754 ``sqrt`` is a correctly-
+  rounded operation, so ``floor(sqrt(bigint))`` is bit-identical on the
+  JVM, in DuckDB, and in any other engine — no float drift can reach
+  the emitted rates, which are integer ppm (``1e6 * w_l // Σw``).
+- The document-level sampler composes the learned per-language rate
+  with the engine's reproducible Bernoulli draw (md5-fold of doc_id):
+  keep iff  u * n_tokens_l * Σw  <  B * w_l * S,  every term integer,
+  compared in DECIMAL so it is overflow-safe far past int64 (the same
+  contract as sampling.weighted_bernoulli_sample).  Expected kept
+  tokens per language ≈ B * q_l: the temperature-resampled corpus.
+
+Plan shape for the sampler: token counting is map-side; one small
+aggregate per language; the ≲10³-row rate table broadcast-joins back
+onto the corpus (no corpus shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash_bucket
+
+
+def _nested_floor_sqrt(col, k: int):
+    """alpha = 1/2**k smoothing on the integer lattice: k nested
+    floor(sqrt(·)) steps, each exact on every IEEE-754 engine."""
+    c = col.cast("double")
+    for _ in range(k):
+        c = F.floor(F.sqrt(c)).cast("double")
+    return c.cast("long")
+
+
+def temperature_mix_rates(
+    documents: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    sqrt_steps: int = 1,
+    budget_tokens: int = 1_000_000,
+    materialize_stats: bool = True,
+) -> DataFrame:
+    """Per-language mixing plan: (lang, n_docs, n_tokens, weight,
+    rate_ppm, alloc_tokens) where weight = n_tokens smoothed by
+    alpha = 1/2**sqrt_steps, rate_ppm = 1e6*w//Σw and alloc_tokens =
+    budget*w//Σw.  One language-grain aggregate + a 1-row global sum
+    broadcast back; nothing data-sized moves twice."""
+    ws_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per_lang = (
+        documents.select(F.col(lang_col).alias("lang"), ws_tokens.alias("_t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+        .withColumn("weight", _nested_floor_sqrt(F.col("n_tokens"), sqrt_steps))
+    )
+    if materialize_stats:
+        # The language-stats table is ≲10³ rows but every frame derived
+        # from it (global weight sum here; the sampler's keep rule)
+        # would otherwise re-run the corpus-wide token count — one full
+        # 100 TB scan per derivation.  Pin it once.
+        per_lang = per_lang.localCheckpoint(eager=True)
+    total = per_lang.agg(F.sum("weight").cast("long").alias("_w_sum"))
+    # Integer division via SQL `div` (DuckDB `//`): bigint-exact on both
+    # engines — a double `/` + floor could land one off at a quotient
+    # boundary.  1e6 * w stays < 2**63 up to w ~ sqrt(1e15) token corpora.
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .withColumn("rate_ppm", F.expr("(1000000 * weight) div _w_sum"))
+        .withColumn(
+            "alloc_tokens", F.expr(f"({int(budget_tokens)} * weight) div _w_sum")
+        )
+        .select("lang", "n_docs", "n_tokens", "weight", "rate_ppm", "alloc_tokens")
+    )
+
+
+def temperature_sample(
+    documents: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sqrt_steps: int = 1,
+    budget_tokens: int = 1_000_000,
+    bucket_space: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-resampled corpus subset: documents kept by a
+    reproducible Bernoulli draw at their language's smoothed rate,
+    r_l = budget * w_l / (Σw * n_tokens_l), targeting ``budget_tokens``
+    expected kept tokens distributed ∝ w_l across languages.
+
+    Keep rule (all integers, DECIMAL compare — engine-exact):
+
+        u(doc) * n_tokens_l * Σw  <  budget * w_l * S
+
+    u ∈ [0, S) is the md5-fold bucket of doc_id.  Returns (doc_id,
+    lang, n_tokens) of kept docs.  The rate table is ≲10³ rows and
+    broadcast — the corpus itself is filtered map-side, zero corpus
+    shuffles."""
+    # Precision budget (Spark tracks decimal precision through ×):
+    # u(7) × lang_toks(16) × w_sum(12) → 7+16+1+12+1 = 37 ≤ 38, so the
+    # product is exact — no silent precision-loss rounding can occur.
+    rates = temperature_mix_rates(
+        documents, lang_col, text_col, sqrt_steps, budget_tokens
+    ).select(
+        "lang",
+        F.col("n_tokens").cast("decimal(16,0)").alias("_lang_toks"),
+        F.col("weight").cast("decimal(9,0)").alias("_w"),
+    )
+    total_w = rates.agg(F.sum("_w").cast("decimal(12,0)").alias("_w_sum"))
+    rates = rates.crossJoin(F.broadcast(total_w))
+
+    u = hash_bucket(id_col, bucket_space).cast("decimal(7,0)")
+    doc_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    keep = (u * F.col("_lang_toks") * F.col("_w_sum")) < (
+        F.lit(int(budget_tokens) * int(bucket_space)).cast("decimal(14,0)")
+        * F.col("_w")
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            doc_tokens.alias("n_tokens"),
+        )
+        .join(F.broadcast(rates), "lang")
+        .filter(keep)
+        .select("doc_id", "lang", "n_tokens")
+    )

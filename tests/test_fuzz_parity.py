@@ -48,6 +48,14 @@ DOC_QUERIES = [
     "text_html_extract",
     "dedup_jaccard_prefix",
     "decontaminate_bloom_inrow",
+    # second wave: temperature mixing (integer-sqrt weights and the
+    # DECIMAL keep rule under tiny/degenerate language groups), feature
+    # hashing (tiny-vocab corpora force real bucket collisions and sign
+    # cancellation), and the broadcast taxonomy tagger
+    "mix_temperature",
+    "mix_temperature_sample",
+    "text_hashed_tfidf",
+    "text_topic_tags",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

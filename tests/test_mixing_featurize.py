@@ -1,0 +1,149 @@
+"""Behavior tests for corpus mixing, feature hashing, taxonomy tagging,
+and frame-grain audio analysis (operators/mixing.py, featurize.py,
+audio.py). Hash parity with the DuckDB oracles is covered by
+test_oracle_parity; these pin the operator CONTRACTS."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iconic_data_science_spark.operators.audio import audio_frame_stats
+from iconic_data_science_spark.operators.featurize import hashed_tfidf, keyword_tags
+from iconic_data_science_spark.operators.mixing import (
+    temperature_mix_rates,
+    temperature_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- temperature mixing -------------------------------------------------
+
+
+def test_temperature_flattens_rates(spark):
+    """alpha=1/2 smoothing must raise the low-resource language's share
+    and lower the high-resource one's, keeping the order."""
+    rows = [(i, "w " * (10 if i % 10 else 10) + "w", "big" if i % 10 else "small")
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["lang"]: r
+        for r in temperature_mix_rates(df, sqrt_steps=1).collect()
+    }
+    nat_small = out["small"]["n_tokens"] / (
+        out["small"]["n_tokens"] + out["big"]["n_tokens"]
+    )
+    smoothed_small = out["small"]["rate_ppm"] / 1_000_000
+    assert smoothed_small > nat_small
+    assert out["big"]["rate_ppm"] > out["small"]["rate_ppm"]
+
+
+def test_temperature_zero_steps_is_natural(docs):
+    """sqrt_steps=0 must reproduce natural proportions: weight ==
+    n_tokens exactly."""
+    for r in temperature_mix_rates(docs, sqrt_steps=0).collect():
+        assert r["weight"] == r["n_tokens"]
+
+
+def test_temperature_sample_saturates_and_nests(docs):
+    """A budget ≥ the corpus token count keeps every document; a
+    smaller budget's kept set is a subset of a larger one's (the keep
+    rule is monotone in the budget)."""
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+    full = temperature_sample(docs, budget_tokens=int(total_tokens) * 2)
+    assert full.count() == n_docs
+
+    small = {r["doc_id"] for r in temperature_sample(docs, budget_tokens=2000).collect()}
+    large = {r["doc_id"] for r in temperature_sample(docs, budget_tokens=20000).collect()}
+    assert small <= large
+    assert len(small) < len(large)
+
+
+def test_temperature_sample_partitioning_invariant(docs):
+    """The kept set is a pure function of content — repartitioning must
+    not change it (the property df.sample lacks)."""
+    a = {r["doc_id"] for r in temperature_sample(docs, budget_tokens=20000).collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_sample(docs.repartition(13), budget_tokens=20000).collect()
+    }
+    assert a == b
+
+
+# --- feature hashing ----------------------------------------------------
+
+
+def test_hashed_tfidf_contract(docs):
+    out = hashed_tfidf(docs, dim=64, top_k=3)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["feature"] < 64
+        assert 1 <= r["rank"] <= 3
+        assert r["score"] != 0
+    # per-doc ranks are dense from 1
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    assert per_doc.filter(F.col("n") != F.col("mx")).count() == 0
+
+
+def test_hashed_tfidf_partitioning_invariant(docs):
+    a = sorted(map(tuple, hashed_tfidf(docs, dim=64, top_k=3).collect()))
+    b = sorted(map(tuple, hashed_tfidf(docs.repartition(7), dim=64, top_k=3).collect()))
+    assert a == b
+
+
+# --- taxonomy tagging ---------------------------------------------------
+
+
+def test_keyword_tags_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Table scan of the table"), (2, "no match here"), (3, "sort SORT sort")],
+        "doc_id long, text string",
+    )
+    tax = {"storage": ["table"], "execution": ["scan", "sort"]}
+    got = {(r["doc_id"], r["topic"]): r["hits"] for r in keyword_tags(df, tax).collect()}
+    assert got == {(1, "storage"): 2, (1, "execution"): 1, (3, "execution"): 3}
+
+
+# --- audio frames -------------------------------------------------------
+
+
+def test_audio_frame_stats_hand_signal(spark):
+    """Round-trip: a hand-built WAV (one loud, one silent frame plus a
+    short tail) must come back with exact integer statistics."""
+    import numpy as np
+
+    from iconic_data_science_spark.operators.multimodal import encode_wav
+
+    loud = np.full(160, 2000, dtype=np.int64)
+    quiet = np.full(160, 3, dtype=np.int64)
+    tail = np.array([-5, 5], dtype=np.int64)
+    samples = np.concatenate([loud, quiet, tail])
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(encode_wav(8000, samples)))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["frame_no"]: r for r in audio_frame_stats(media, frame=160).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["energy"] == 160 * 2000 * 2000
+    assert rows[0]["peak"] == 2000 and rows[0]["silent"] == 0
+    assert rows[0]["rms"] == 2000
+    assert rows[1]["energy"] == 160 * 9 and rows[1]["silent"] == 1
+    assert rows[2]["n"] == 2 and rows[2]["energy"] == 50 and rows[2]["peak"] == 5
+
+
+def test_audio_frame_stats_ignores_non_audio(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"notawav"))],
+        "media_id long, kind string, payload binary",
+    )
+    assert audio_frame_stats(media).count() == 0

@@ -234,6 +234,19 @@ EXCHANGE_BUDGET = {
     "ann_hard_negatives": 2,
     "decontaminate_bloom_inrow": 3,
     "sample_group_k": 1,
+    # round-5 continuation, second wave: mix rates = ONE language-grain
+    # aggregate (the stats table is checkpointed, so derived frames add
+    # nothing); the sampler's 3 are the tiny rate-table aggregates — the
+    # corpus itself filters map-side behind a broadcast; hashed tf-idf =
+    # (doc,feature) agg + feature df agg (exchange-reused subtree) +
+    # 1-row N + the WindowGroupLimit doc window; topic tags = the ONE
+    # (doc,topic) rollup (taxonomy is broadcast); audio frames = zero —
+    # the decode inherits scan partitioning.
+    "mix_temperature": 1,
+    "mix_temperature_sample": 3,
+    "text_hashed_tfidf": 5,
+    "text_topic_tags": 1,
+    "mm_audio_frames": 0,
 }
 
 
