@@ -6793,13 +6793,82 @@ def q_mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_stats(synth_media_real(spark, 256), frame=160, silence_rms=1200)
 
 
+def q_text_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-document repetition removal at the 10-token-window grain:
+    repeats of an already-seen window inside the SAME document are
+    dropped, first occurrence kept, order preserved — the removal twin
+    of the Gopher repetition SCORES (text_repetition) and the in-doc
+    complement of corpus-level line dedup. Entirely in-row
+    higher-order functions: a zero-shuffle map over the corpus, no
+    state crosses documents. The oracle replays it relationally
+    (unnest + first-occurrence window + ordered reassembly)."""
+    from iconic_data_science_spark.operators.text import intra_doc_dedup
+
+    cat = _cat(spark, sf_dir)
+    return intra_doc_dedup(cat.documents, window_tokens=10)
+
+
+def q_ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization at the EXACT rank-based p95: the
+    robustness step before mean/σ normalization (one fat-fingered 1e9
+    value otherwise owns the group mean). The cutoff row is selected
+    with integer arithmetic ((95·n+99) div 100) and values are only
+    compared/selected — never arithmetically combined — so raw doubles
+    stay hash-exact. One shuffle to the event_type grain; the sketch
+    twin (ev_value_quantiles) is the bounded-error scale path."""
+    from iconic_data_science_spark.operators.events import winsorize_values
+
+    cat = _cat(spark, sf_dir)
+    return winsorize_values(cat.events)
+
+
 QUERIES.update({
     "mix_temperature": q_mix_temperature,
     "mix_temperature_sample": q_mix_temperature_sample,
     "text_hashed_tfidf": q_text_hashed_tfidf,
     "text_topic_tags": q_text_topic_tags,
     "mm_audio_frames": q_mm_audio_frames,
+    "text_intra_dedup": q_text_intra_dedup,
+    "ev_winsorize": q_ev_winsorize,
 })
+
+ORACLES["text_intra_dedup"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ch AS (
+        SELECT toks.doc_id, CAST(g.i AS BIGINT) AS pos,
+               array_to_string(t[g.i*10+1 : g.i*10+10], ' ') AS chunk,
+               CAST(ceil(len(t)/10.0) AS BIGINT) AS n_chunks
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS i
+        ) g
+    ),
+    firsts AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY pos) AS rn
+        FROM ch
+    ),
+    kept AS (SELECT doc_id, n_chunks, pos, chunk FROM firsts WHERE rn = 1)
+    SELECT doc_id, n_chunks, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY 1, 2
+"""
+
+ORACLES["ev_winsorize"] = """
+    WITH r AS (
+        SELECT event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value NULLS FIRST, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    c AS (
+        SELECT event_type,
+               MAX(CASE WHEN rk = (95*n + 99)//100 THEN value END) AS cutoff
+        FROM r GROUP BY 1
+    )
+    SELECT r.event_id, r.event_type, r.value, c.cutoff,
+           LEAST(r.value, c.cutoff) AS clipped
+    FROM r JOIN c USING (event_type)
+"""
 
 _MIX_PER_LANG = """
         SELECT lang,
@@ -6947,6 +7016,8 @@ _ROUND5_FRONT = [
     "text_hashed_tfidf",
     "text_topic_tags",
     "mm_audio_frames",
+    "text_intra_dedup",
+    "ev_winsorize",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

@@ -231,3 +231,50 @@ def last_touch_attribution(
         F.when(in_window, F.col("_l_ttype")).alias("attributed_type"),
         F.when(in_window, F.unix_micros("_l_tts")).alias("attributed_ts_us"),
     )
+
+
+def winsorize_values(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    pct: int = 95,
+) -> DataFrame:
+    """(event_id, event_type, value, cutoff, clipped) — per-group
+    winsorization at an EXACT rank-based percentile: the metric-
+    robustness step before any mean/σ-based anomaly or normalization
+    pass (one fat-fingered 1e9 value otherwise owns the group mean).
+
+    The cutoff is the value at rank ceil(pct·n/100) in ascending order
+    — computed with integer arithmetic ((pct·n + 99) div 100), never a
+    float multiply, so every engine selects the same row. Values are
+    only COMPARED and SELECTED, never arithmetically combined, so raw
+    doubles stay hash-exact (the discipline float aggregation can't
+    offer). clipped = least(value, cutoff).
+
+    Plan: one shuffle to the group grain; the rank and the cutoff
+    broadcast within each window partition. For heavy-tailed group
+    cardinalities prefer the sketch twin (ev_value_quantiles, GK-style
+    bounded error) — this operator is the exact small-group-count /
+    audit-grade form.
+    """
+    from pyspark.sql import Window as W
+
+    w_rank = W.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    w_grp = W.partitionBy(group_col)
+    ranked = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(group_col).alias("event_type"),
+        F.col(value_col).alias("value"),
+    ).withColumn("_rk", F.row_number().over(w_rank)).withColumn(
+        "_n", F.count(F.lit(1)).over(w_grp)
+    )
+    cut_rank = F.expr(f"({int(pct)} * _n + 99) div 100")
+    cutoff = F.max(F.when(F.col("_rk") == cut_rank, F.col("value"))).over(w_grp)
+    return (
+        ranked.withColumn("cutoff", cutoff)
+        .withColumn("clipped", F.least(F.col("value"), F.col("cutoff")))
+        .select("event_id", "event_type", "value", "cutoff", "clipped")
+    )

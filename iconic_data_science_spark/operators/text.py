@@ -886,3 +886,61 @@ def html_extract(
         dec(title).alias("title"),
         clean.alias("clean_text"),
     )
+
+
+def intra_doc_dedup(
+    documents: DataFrame,
+    window_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_chunks, n_kept, clean_text) — IN-document repetition
+    removal at a fixed token-window grain: the document is chunked into
+    ``window_tokens``-token windows and every repeat of an
+    already-seen window (within the same document) is dropped, first
+    occurrence kept, order preserved.
+
+    This is the removal twin of `repetition_stats` (which only scores)
+    and the in-doc complement of the corpus-level `line_dedup` /
+    `dedup_dup_spans` pair: model-junk documents (looping generations,
+    scraped templates) often repeat long spans inside ONE document,
+    which corpus-frequency rules never see.
+
+    Scale shape: the whole operator is in-row higher-order functions —
+    chunking via slice/sequence, the seen-set scan via an aggregate
+    accumulator — so it is a zero-shuffle map over the corpus, no state
+    crosses documents, and the per-doc cost is O(k²) on k = chunk
+    count (k ≲ 10³ for real web documents at w=10). The oracle replays
+    it relationally (unnest + first-occurrence window + ordered
+    string_agg), so both formulations must agree chunk-for-chunk.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(window_tokens)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, i * window_tokens + 1, window_tokens), " "
+        ),
+    )
+    kept = F.aggregate(
+        chunks,
+        F.struct(
+            F.array().cast("array<string>").alias("seen"),
+            F.array().cast("array<string>").alias("out"),
+        ),
+        lambda acc, x: F.when(
+            F.array_contains(acc["seen"], x), acc
+        ).otherwise(
+            F.struct(
+                F.array_append(acc["seen"], x).alias("seen"),
+                F.array_append(acc["out"], x).alias("out"),
+            )
+        ),
+        lambda acc: acc["out"],
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_chunks.alias("n_chunks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -56,6 +56,9 @@ DOC_QUERIES = [
     "mix_temperature_sample",
     "text_hashed_tfidf",
     "text_topic_tags",
+    # in-doc window dedup: the tiny fuzz vocab makes repeated windows
+    # inside one doc likely, exercising the seen-set accumulator
+    "text_intra_dedup",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

@@ -147,3 +147,53 @@ def test_audio_frame_stats_ignores_non_audio(spark):
         "media_id long, kind string, payload binary",
     )
     assert audio_frame_stats(media).count() == 0
+
+
+# --- in-doc window dedup --------------------------------------------------
+
+
+def test_intra_doc_dedup_removes_repeats(spark):
+    from iconic_data_science_spark.operators.text import intra_doc_dedup
+
+    rep = " ".join(["w%d" % (i % 3) for i in range(3)] * 4)  # same 3-token window 4x
+    df = spark.createDataFrame(
+        [(1, rep), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in intra_doc_dedup(df, window_tokens=3).collect()}
+    assert out[1]["n_chunks"] == 4 and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] == "w0 w1 w2"
+    # no repeats -> identity
+    assert out[2]["n_kept"] == out[2]["n_chunks"] == 2
+    assert out[2]["clean_text"] == "a b c d e f"
+
+
+def test_intra_doc_dedup_keeps_first_occurrence_order(spark):
+    from iconic_data_science_spark.operators.text import intra_doc_dedup
+
+    # windows: [x x], [y y], [x x], [z z] -> keep x,y,z in order
+    df = spark.createDataFrame(
+        [(1, "x x y y x x z z")], "doc_id long, text string"
+    )
+    r = intra_doc_dedup(df, window_tokens=2).collect()[0]
+    assert r["clean_text"] == "x x y y z z"
+    assert r["n_chunks"] == 4 and r["n_kept"] == 3
+
+
+# --- winsorization --------------------------------------------------------
+
+
+def test_winsorize_exact_rank_cutoff(spark):
+    from iconic_data_science_spark.operators.events import winsorize_values
+
+    rows = [(i, "a", float(i)) for i in range(1, 101)]  # values 1..100
+    rows += [(200, "b", 5.0), (201, "b", 1e9)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = winsorize_values(df, pct=95)
+    a = out.filter("event_type = 'a'").collect()
+    # ceil(95*100/100) = 95 -> cutoff is the 95th smallest = 95.0
+    assert all(r["cutoff"] == 95.0 for r in a)
+    assert max(r["clipped"] for r in a) == 95.0
+    assert min(r["clipped"] for r in a) == 1.0
+    b = {r["event_id"]: r for r in out.filter("event_type = 'b'").collect()}
+    # n=2 -> cutoff rank ceil(1.9)=2 -> the outlier itself caps the group
+    assert b[200]["clipped"] == 5.0 and b[201]["clipped"] == 1e9

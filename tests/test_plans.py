@@ -247,6 +247,10 @@ EXCHANGE_BUDGET = {
     "text_hashed_tfidf": 5,
     "text_topic_tags": 1,
     "mm_audio_frames": 0,
+    # in-doc window dedup is pure in-row HOFs — zero; winsorize is the
+    # ONE event_type window shuffle (rank + count + cutoff share it).
+    "text_intra_dedup": 0,
+    "ev_winsorize": 1,
 }
 
 
