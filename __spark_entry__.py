@@ -6830,7 +6830,7 @@ QUERIES.update({
     "mm_audio_frames": q_mm_audio_frames,
     "text_intra_dedup": q_text_intra_dedup,
     "ev_winsorize": q_ev_winsorize,
-})
+})  # web_link_graph / web_pagerank register below their definitions
 
 ORACLES["text_intra_dedup"] = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -6850,6 +6850,101 @@ ORACLES["text_intra_dedup"] = """
     SELECT doc_id, n_chunks, CAST(COUNT(*) AS BIGINT) AS n_kept,
            string_agg(chunk, ' ' ORDER BY pos) AS clean_text
     FROM kept GROUP BY 1, 2
+"""
+
+def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link extraction under the HASH gate: deterministic pages
+    (synth_html_linked — nav links plus a related-links block wired by
+    pure id arithmetic: i → i div 2, i div 3, i div 5, self-links
+    dropped) parsed back by html_links (JVM regexps, zero shuffle) into
+    (doc_id, pos, href, anchor) rows. The oracle recomputes the
+    expected link set from the id arithmetic alone, so a drift in the
+    page synthesis OR the anchor parser breaks the hash."""
+    from iconic_data_science_spark.operators.text import html_links, synth_html_linked
+
+    cat = _cat(spark, sf_dir)
+    return html_links(synth_html_linked(cat.documents))
+
+
+def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→link-graph→quality pipeline end to end: extract the
+    deterministic link graph from rendered pages (q_web_link_graph),
+    keep the doc→doc edges, and run integer-lattice PageRank over them
+    — the link-based quality prior (Common-Crawl-style harmonic/PR
+    ranking) every web-corpus curation recipe starts from. The hub
+    shape (low ids collect in-links) makes the ranking non-trivial;
+    the oracle replays the edges arithmetically and the power
+    iteration as a recursive CTE."""
+    from iconic_data_science_spark.operators.graph import pagerank_int
+    from iconic_data_science_spark.operators.text import html_links, synth_html_linked
+
+    cat = _cat(spark, sf_dir)
+    links = html_links(synth_html_linked(cat.documents))
+    edges = (
+        links.filter(F.col("href").rlike("^/doc/[0-9]+$"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract(F.col("href"), "^/doc/([0-9]+)$", 1)
+            .cast("long")
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_int(edges, damping_pct=85, iterations=10)
+
+
+QUERIES.update({
+    "web_link_graph": q_web_link_graph,
+    "web_pagerank": q_web_pagerank,
+})
+
+ORACLES["web_link_graph"] = """
+    WITH cand AS (
+        SELECT doc_id, doc_id // r.k AS dst,
+               CASE r.k WHEN 2 THEN 0 WHEN 3 THEN 1 ELSE 2 END AS rule_ord
+        FROM documents, (VALUES (2), (3), (5)) r(k)
+    ),
+    docl AS (
+        SELECT doc_id,
+               1 + ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rule_ord) AS pos,
+               '/doc/' || CAST(dst AS VARCHAR) AS href,
+               'doc ' || CAST(dst AS VARCHAR) AS anchor
+        FROM cand WHERE dst <> doc_id
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS pos, '/' AS href, 'Home' AS anchor
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT), '/s/' || source, source FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(pos AS BIGINT), href, anchor FROM docl
+"""
+
+ORACLES["web_pagerank"] = """
+    WITH RECURSIVE ce AS (
+        SELECT DISTINCT doc_id AS citing, doc_id // r.k AS cited
+        FROM documents, (VALUES (2), (3), (5)) r(k)
+        WHERE doc_id // r.k <> doc_id
+    ),
+    nodes AS (SELECT DISTINCT v FROM (SELECT citing AS v FROM ce UNION ALL SELECT cited FROM ce)),
+    od AS (SELECT citing AS v, COUNT(*) AS deg FROM ce GROUP BY 1),
+    aug AS (
+        SELECT citing AS src, cited AS dst, 1 AS w FROM ce
+        UNION ALL
+        SELECT v, v, 0 FROM nodes
+    ),
+    oda AS (SELECT n.v, COALESCE(od.deg, 1) AS deg FROM nodes n LEFT JOIN od ON od.v = n.v),
+    pr(it, v, r) AS (
+        SELECT 0, v, CAST(1000000000 AS BIGINT) FROM nodes
+        UNION ALL
+        SELECT p.it + 1, a.dst,
+               CAST(150000000 + (85 * SUM((p.r // o.deg) * a.w)) // 100 AS BIGINT)
+        FROM pr p
+        JOIN aug a ON a.src = p.v
+        JOIN oda o ON o.v = p.v
+        WHERE p.it < 10
+        GROUP BY p.it, a.dst
+    )
+    SELECT v AS node, r AS rank_i FROM pr WHERE it = 10
 """
 
 ORACLES["ev_winsorize"] = """
@@ -7018,6 +7113,8 @@ _ROUND5_FRONT = [
     "mm_audio_frames",
     "text_intra_dedup",
     "ev_winsorize",
+    "web_link_graph",
+    "web_pagerank",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

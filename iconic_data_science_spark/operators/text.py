@@ -944,3 +944,58 @@ def intra_doc_dedup(
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def synth_html_linked(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, html) — :func:`synth_html` pages plus a deterministic
+    related-links block: document *i* links to documents ``i div 2``,
+    ``i div 3`` and ``i div 5`` (self-links dropped), giving the
+    hub-biased DAG shape real link graphs have (low ids collect
+    in-links). Pure id arithmetic, so a link-extraction pass over these
+    pages is arithmetic-replayable in SQL — the synth side of the
+    crawl → link-graph round trip."""
+    did = F.col("doc_id")
+
+    def link(dst):
+        s = dst.cast("string")
+        return F.when(
+            dst != did,
+            F.concat(F.lit('<a href="/doc/'), s, F.lit('">doc '), s, F.lit("</a>")),
+        ).otherwise(F.lit(""))
+
+    block = F.concat(
+        F.lit('<div id="related">'),
+        link(F.expr(f"{id_col} div 2")),
+        link(F.expr(f"{id_col} div 3")),
+        link(F.expr(f"{id_col} div 5")),
+        F.lit("</div>"),
+    )
+    return synth_html(documents).withColumn(
+        "html",
+        F.replace(
+            F.col("html"), F.lit("</div><footer>"), F.concat(block, F.lit("</div><footer>"))
+        ),
+    )
+
+
+def html_links(
+    pages: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(doc_id, pos, href, anchor) — anchor extraction from rendered
+    pages: the link-graph construction step of a crawl pipeline (the
+    edges PageRank-style quality signals and frontier schedulers
+    consume). Pure JVM regexps over one column — no Python, no
+    shuffle; ``pos`` is the in-page link order so the output is
+    deterministic row-for-row."""
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit('<a href="[^"]*">[^<]*</a>'), 0
+    )
+    exploded = pages.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tags).alias("pos", "_tag")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.regexp_extract(F.col("_tag"), '<a href="([^"]*)"', 1).alias("href"),
+        F.regexp_extract(F.col("_tag"), ">([^<]*)</a>", 1).alias("anchor"),
+    )

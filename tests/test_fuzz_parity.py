@@ -59,6 +59,9 @@ DOC_QUERIES = [
     # in-doc window dedup: the tiny fuzz vocab makes repeated windows
     # inside one doc likely, exercising the seen-set accumulator
     "text_intra_dedup",
+    # crawl link extraction: fuzzed ids/sources exercise the synth →
+    # parse round trip and the self-link drop on tiny id ranges
+    "web_link_graph",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

@@ -197,3 +197,37 @@ def test_winsorize_exact_rank_cutoff(spark):
     b = {r["event_id"]: r for r in out.filter("event_type = 'b'").collect()}
     # n=2 -> cutoff rank ceil(1.9)=2 -> the outlier itself caps the group
     assert b[200]["clipped"] == 5.0 and b[201]["clipped"] == 1e9
+
+
+# --- crawl link graph -----------------------------------------------------
+
+
+def test_html_links_parses_hand_page(spark):
+    from iconic_data_science_spark.operators.text import html_links
+
+    page = '<html><body><a href="/x">First</a> text <a href="/y/z">Sec ond</a></body></html>'
+    df = spark.createDataFrame([(5, page)], "doc_id long, html string")
+    rows = sorted(map(tuple, html_links(df).collect()))
+    assert rows == [(5, 0, "/x", "First"), (5, 1, "/y/z", "Sec ond")]
+
+
+def test_synth_html_linked_rules(spark):
+    from iconic_data_science_spark.operators.text import html_links, synth_html_linked
+
+    df = spark.createDataFrame(
+        [(0, "a b", "src0", "en"), (30, "a b", "src1", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    links = html_links(synth_html_linked(df))
+    doc_links = {
+        r["doc_id"]: [x["href"] for x in links.filter(links.doc_id == r["doc_id"])
+                      .orderBy("pos").collect() if x["href"].startswith("/doc/")]
+        for r in df.select("doc_id").collect()
+    }
+    # doc 0: every rule yields 0 -> self-links dropped -> none
+    assert doc_links[0] == []
+    # doc 30: div 2/3/5 -> 15, 10, 6 in rule order
+    assert doc_links[30] == ["/doc/15", "/doc/10", "/doc/6"]
+    # nav links always present at pos 0/1
+    nav = links.filter("doc_id = 0").orderBy("pos").collect()[:2]
+    assert [n["href"] for n in nav] == ["/", "/s/src0"]

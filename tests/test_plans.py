@@ -251,6 +251,11 @@ EXCHANGE_BUDGET = {
     # ONE event_type window shuffle (rank + count + cutoff share it).
     "text_intra_dedup": 0,
     "ev_winsorize": 1,
+    # link extraction is pure per-row regexps (zero); web_pagerank
+    # shows 0 because the iterative ranks are localCheckpointed — the
+    # per-iteration exchanges already ran (same contract as g4/clusters)
+    "web_link_graph": 0,
+    "web_pagerank": 0,
 }
 
 
