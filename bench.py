@@ -70,6 +70,14 @@ HEADLINE = [
     "lh_hilbert_stats",
     "text_cdc_chunks",
     "g_label_propagation",
+    # round-5 second-continuation additions: temperature resampling
+    # (map-side keep rule), fixed-dim feature hashing (the corpus
+    # explode/regroup), in-doc window dedup (pure in-row HOFs), and the
+    # crawl->links->PageRank composition (iterative, checkpointed)
+    "mix_temperature_sample",
+    "text_hashed_tfidf",
+    "text_intra_dedup",
+    "web_pagerank",
 ]
 
 
