@@ -6893,10 +6893,31 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, damping_pct=85, iterations=10)
 
 
+def q_ev_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users per event type from MERGED hourly
+    KMV panes: raw events are scanned once (bounded map-side partial,
+    ≤k sketch rows per pane); every 3-hour window estimate is computed
+    by re-ranking the union of its panes' minima — k-minima of a union
+    == k-minima of the k-minima, so merging sketches is exact. The
+    naive sliding COUNT(DISTINCT) rescans each event window_hours
+    times and shuffles raw keys; this is the mergeability argument for
+    sketches at 100 TB, realized in the plan. Same LCG/estimator
+    literals as ev_kmv_distinct; epoch-hour panes are TZ-free."""
+    from iconic_data_science_spark.operators.sketch import kmv_sliding_distinct
+
+    cat = _cat(spark, sf_dir)
+    return kmv_sliding_distinct(cat.events, window_hours=3)
+
+
 QUERIES.update({
     "web_link_graph": q_web_link_graph,
     "web_pagerank": q_web_pagerank,
+    "ev_kmv_sliding": q_ev_kmv_sliding,
 })
+
+from iconic_data_science_spark.operators.sketch import kmv_sliding_oracle_sql as _kmv_sliding_oracle_sql  # noqa: E402
+
+ORACLES["ev_kmv_sliding"] = _kmv_sliding_oracle_sql(window_hours=3)
 
 ORACLES["web_link_graph"] = """
     WITH cand AS (
@@ -7115,6 +7136,7 @@ _ROUND5_FRONT = [
     "ev_winsorize",
     "web_link_graph",
     "web_pagerank",
+    "ev_kmv_sliding",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

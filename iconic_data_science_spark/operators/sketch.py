@@ -424,3 +424,160 @@ def histogram_quantiles(
         .groupBy(F.col("grp").alias(group_col), F.col("p_pct").cast("long").alias("p_pct"))
         .agg(F.min("bin").alias("q_bin"))
     )
+
+
+def kmv_sliding_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_hours: int = 3,
+    k: int = KMV_K,
+) -> DataFrame:
+    """(event_type, win_end_hour, n_panes, est_distinct) — sliding-
+    window distinct counts from MERGED per-hour KMV sketches: the
+    estimate for window ending at hour *w* covers hours
+    [w-window_hours+1, w], and is computed by merging the hourly pane
+    sketches — the raw data is scanned ONCE to build panes; every
+    window estimate after that touches only sketch rows (≤ k per
+    pane). This is the property sketches exist for at 100 TB: a naive
+    sliding COUNT(DISTINCT) rescans each event ``window_hours`` times
+    and shuffles raw keys; here the re-use is free because k-minima of
+    a union == k-minima of the per-pane k-minima (the same merge rule
+    `kmv_overlap` uses across groups, applied across TIME).
+
+    Window end hours are the observed pane hours per type (no empty
+    windows emitted). Hours are epoch hours (unix div 3600) — TZ-free.
+    Same LCG/estimator literals as :func:`kmv_distinct`, so the DuckDB
+    twin replays everything exactly.
+    """
+    hour = F.expr(f"unix_timestamp({ts_col}) div 3600")
+    hashed = events.filter(F.col(key_col).isNotNull()).select(
+        F.concat_ws("|", F.col(type_col), hour.cast("string")).alias("grp"),
+        (
+            (((F.col(key_col) % MERSENNE31) + MERSENNE31) % MERSENNE31)
+            * F.lit(KMV_A)
+            + F.lit(KMV_B)
+        ).cast("long").__mod__(MERSENNE31).alias("h"),
+    )
+    # bounded map-side partial, then the exact per-pane k-minima
+    pane_rows = kmv_partial_minima(hashed, k=k).distinct()
+    w_pane = W.partitionBy("grp").orderBy("h")
+    panes = (
+        pane_rows.withColumn("rn", F.row_number().over(w_pane))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.substring_index(F.col("grp"), "|", 1).alias("event_type"),
+            F.substring_index(F.col("grp"), "|", -1).cast("long").alias("pane_hour"),
+            "h",
+        )
+        # ≤ k rows per pane — pin them: four frames derive from the
+        # pane table (fan-out, observed hours, window minima, pane
+        # counts) and each would otherwise re-run the raw scan + the
+        # map-side partial. This is the "build the sketch ONCE" half
+        # of the mergeability contract.
+        .localCheckpoint(eager=True)
+    )
+    # fan each pane's ≤k sketch rows into the window_hours windows it
+    # serves — sketch-row-sized data, not raw data
+    fanned = panes.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("pane_hour"), F.col("pane_hour") + (window_hours - 1))
+        ).alias("win_end_hour"),
+        F.col("pane_hour"),
+        "h",
+    )
+    observed = panes.select("event_type", F.col("pane_hour").alias("win_end_hour")).distinct()
+    merged = (
+        fanned.join(observed, ["event_type", "win_end_hour"], "left_semi")
+        .select(
+            "event_type",
+            "win_end_hour",
+            "pane_hour",
+            "h",
+        )
+    )
+    w_win = W.partitionBy("event_type", "win_end_hour").orderBy("h")
+    top = (
+        merged.select("event_type", "win_end_hour", "h").distinct()
+        .withColumn("rn", F.row_number().over(w_win))
+        .filter(F.col("rn") <= k)
+    )
+    n_panes = merged.groupBy("event_type", "win_end_hour").agg(
+        F.countDistinct("pane_hour").cast("long").alias("n_panes")
+    )
+    est = (
+        top.groupBy("event_type", "win_end_hour")
+        .agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
+        .select(
+            "event_type",
+            "win_end_hour",
+            F.when(F.col("n_seen") < k, F.col("n_seen"))
+            .otherwise(F.expr(f"CAST({(k - 1) * MERSENNE31} AS BIGINT) div h_k"))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+    return est.join(n_panes, ["event_type", "win_end_hour"]).select(
+        "event_type", "win_end_hour", "n_panes", "est_distinct"
+    )
+
+
+def kmv_sliding_oracle_sql(
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    table: str = "events",
+    window_hours: int = 3,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB twin of :func:`kmv_sliding_distinct` — same LCG, same
+    pane→window fan-out, same merge (distinct minima re-ranked), same
+    estimator and small-set rule."""
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT {type_col} AS event_type,
+                   CAST(floor(epoch({ts_col})) AS BIGINT) // 3600 AS pane_hour,
+                   ((({key_col} % {MERSENNE31}) + {MERSENNE31}) % {MERSENNE31}
+                    * {KMV_A} + {KMV_B}) % {MERSENNE31} AS h
+            FROM {table}
+            WHERE {key_col} IS NOT NULL
+        ),
+        pane AS (
+            SELECT event_type, pane_hour, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, pane_hour ORDER BY h) AS rn
+            FROM d
+        ),
+        panes AS (SELECT event_type, pane_hour, h FROM pane WHERE rn <= {k}),
+        observed AS (SELECT DISTINCT event_type, pane_hour FROM panes),
+        fanned AS (
+            SELECT p.event_type, p.pane_hour + g.i AS win_end_hour, p.pane_hour, p.h
+            FROM panes p, LATERAL (
+                SELECT UNNEST(range(0, {window_hours})) AS i
+            ) g
+        ),
+        merged AS (
+            SELECT f.* FROM fanned f
+            JOIN observed o ON o.event_type = f.event_type
+                           AND o.pane_hour = f.win_end_hour
+        ),
+        topk AS (
+            SELECT event_type, win_end_hour, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, win_end_hour ORDER BY h) AS rn
+            FROM (SELECT DISTINCT event_type, win_end_hour, h FROM merged)
+        ),
+        np AS (
+            SELECT event_type, win_end_hour,
+                   CAST(COUNT(DISTINCT pane_hour) AS BIGINT) AS n_panes
+            FROM merged GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT event_type, win_end_hour, COUNT(*) AS n_seen, MAX(h) AS h_k
+            FROM topk WHERE rn <= {k} GROUP BY 1, 2
+        )
+        SELECT e.event_type, e.win_end_hour, np.n_panes,
+               CAST(CASE WHEN e.n_seen < {k} THEN e.n_seen
+                    ELSE {(k - 1) * MERSENNE31} // e.h_k END AS BIGINT) AS est_distinct
+        FROM est e JOIN np USING (event_type, win_end_hour)
+    """

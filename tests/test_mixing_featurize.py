@@ -231,3 +231,38 @@ def test_synth_html_linked_rules(spark):
     # nav links always present at pos 0/1
     nav = links.filter("doc_id = 0").orderBy("pos").collect()[:2]
     assert [n["href"] for n in nav] == ["/", "/s/src0"]
+
+
+# --- sliding KMV ------------------------------------------------------------
+
+
+def test_kmv_sliding_merge_is_exact(spark, sf_dir):
+    """The window estimate from MERGED hourly panes must equal
+    kmv_distinct computed directly on the window's raw events —
+    k-minima of a union == k-minima of the per-pane k-minima."""
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_sliding_distinct,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    slid = {
+        (r["event_type"], r["win_end_hour"]): r["est_distinct"]
+        for r in kmv_sliding_distinct(ev, window_hours=3).collect()
+    }
+    assert slid
+    # verify a handful of windows against the direct sketch of the raw slice
+    some = sorted(slid)[:5] + sorted(slid)[-5:]
+    hour = F.expr("unix_timestamp(ts) div 3600")
+    for etype, w in some:
+        raw = ev.filter(
+            (F.col("event_type") == etype)
+            & hour.between(w - 2, w)
+        )
+        direct = {
+            r["event_type"]: r["est_distinct"] for r in kmv_distinct(raw).collect()
+        }
+        assert direct[etype] == slid[(etype, w)], (etype, w)

@@ -256,6 +256,10 @@ EXCHANGE_BUDGET = {
     # per-iteration exchanges already ran (same contract as g4/clusters)
     "web_link_graph": 0,
     "web_pagerank": 0,
+    # sliding KMV: pane sketches are checkpointed (raw scan + partial
+    # ran once); the 6 remaining exchanges all carry ≤k-row sketch
+    # grain (fan-out semi-join, window minima, pane counts, final join)
+    "ev_kmv_sliding": 6,
 }
 
 
