@@ -6909,11 +6909,65 @@ def q_ev_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_sliding_distinct(cat.events, window_hours=3)
 
 
+def q_text_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale (the
+    DCLM/FineWeb-Edu gate: train a small model offline, score
+    everything online): 256 integer micro-weights over the signed
+    feature-hashing space, forward pass fully IN-ROW (one aggregate
+    HOF per document, weights a plan literal) — zero shuffles, zero
+    joins, no Python. The weight vector here is a deterministic
+    stand-in derived from the feature id (w_f = (f·2654435761 mod
+    2001) − 1000 — no trained artifact exists in this sandbox, the
+    contract is the scoring plumbing), which also lets the oracle
+    replay the model arithmetically instead of embedding 256
+    literals."""
+    from iconic_data_science_spark.operators.featurize import linear_classifier_gate
+
+    cat = _cat(spark, sf_dir)
+    weights = [((f * 2654435761) % 2001) - 1000 for f in range(256)]
+    return linear_classifier_gate(cat.documents, weights, bias_micro=0)
+
+
 QUERIES.update({
     "web_link_graph": q_web_link_graph,
     "web_pagerank": q_web_pagerank,
     "ev_kmv_sliding": q_ev_kmv_sliding,
+    "text_classifier_gate": q_text_classifier_gate,
 })
+
+ORACLES["text_classifier_gate"] = """
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(token), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) AS h
+        FROM nz
+    ),
+    c AS (
+        SELECT doc_id,
+               (CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+               * (((h % 256) * 2654435761) % 2001 - 1000) AS contrib
+        FROM hashed
+    ),
+    n AS (
+        SELECT d.doc_id, CAST(COUNT(t.token) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN nz t USING (doc_id) GROUP BY 1
+    ),
+    s AS (
+        SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS logit FROM c GROUP BY 1
+    )
+    SELECT n.doc_id, n.n_tokens,
+           CAST(COALESCE(s.logit, 0) AS BIGINT) AS logit_micro,
+           CAST(CASE WHEN COALESCE(s.logit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM n LEFT JOIN s USING (doc_id)
+"""
 
 from iconic_data_science_spark.operators.sketch import kmv_sliding_oracle_sql as _kmv_sliding_oracle_sql  # noqa: E402
 
@@ -7137,6 +7191,7 @@ _ROUND5_FRONT = [
     "web_link_graph",
     "web_pagerank",
     "ev_kmv_sliding",
+    "text_classifier_gate",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

@@ -121,3 +121,54 @@ def keyword_tags(
         .groupBy("doc_id", "topic")
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
+
+
+def linear_classifier_gate(
+    documents: DataFrame,
+    weights_micro: list[int],
+    bias_micro: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, logit_micro, keep) — linear text-classifier
+    INFERENCE over hashed features: the quality-classifier gate every
+    modern curation recipe runs at full corpus scale (DCLM / FineWeb-Edu
+    style — train small offline, score everything online).  The model
+    is ``len(weights_micro)`` integer micro-weights over the same
+    signed feature-hashing space as :func:`hashed_tfidf`; since the
+    dot product distributes over tokens,
+
+        logit = bias + Σ_buckets value_b · w_b
+              = bias + Σ_tokens sign(tok) · w[fold(tok) mod dim]
+
+    the whole forward pass runs IN-ROW (one aggregate HOF per document,
+    the weight vector a plan literal): zero shuffles, zero joins, no
+    Python — scoring 100 TB is exactly one map pass.  keep = logit > 0.
+    Integer micro-units end to end, so any engine replays it
+    bit-for-bit."""
+    dim = len(weights_micro)
+    w_arr = F.array(*[F.lit(int(w)) for w in weights_micro])
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")  # noqa: E731
+    # hash each token ONCE into an array, then fold — lambdas get no
+    # common-subexpression elimination (the Catalyst duplication
+    # pitfall in SCALE.md), so referencing h(t) twice inside the
+    # aggregate would run md5 twice per token.
+    hashes = F.transform(toks, h)
+    # integer floor(h/dim) without a drift-prone float divide: the
+    # numerator h - h%dim is an exact multiple of dim, so the IEEE
+    # quotient is the exact integer for ANY dim (not just powers of 2)
+    hdiv = lambda hv: ((hv - hv % dim) / dim).cast("long")  # noqa: E731
+    contrib = lambda hv: (  # noqa: E731
+        F.when(hdiv(hv) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+        * F.element_at(w_arr, (hv % dim + 1).cast("int"))
+    )
+    logit = F.aggregate(
+        hashes, F.lit(int(bias_micro)).cast("long"), lambda acc, hv: acc + contrib(hv)
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        logit.alias("logit_micro"),
+        (logit > 0).cast("long").alias("keep"),
+    )

@@ -62,6 +62,9 @@ DOC_QUERIES = [
     # crawl link extraction: fuzzed ids/sources exercise the synth →
     # parse round trip and the self-link drop on tiny id ranges
     "web_link_graph",
+    # classifier inference: tiny vocab forces bucket collisions and
+    # sign cancellation through the in-row fold
+    "text_classifier_gate",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

@@ -266,3 +266,49 @@ def test_kmv_sliding_merge_is_exact(spark, sf_dir):
             r["event_type"]: r["est_distinct"] for r in kmv_distinct(raw).collect()
         }
         assert direct[etype] == slid[(etype, w)], (etype, w)
+
+
+# --- classifier gate --------------------------------------------------------
+
+
+def test_classifier_gate_hand_model(spark):
+    """Hand-checkable model: weight 1000 on every bucket makes the
+    logit = Σ signs; an empty-ish doc scores the bias."""
+    from iconic_data_science_spark.operators.featurize import linear_classifier_gate
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           linear_classifier_gate(df, [1000] * 16, bias_micro=7).collect()}
+    # same token twice -> same sign twice -> logit = 7 + 2*sign*1000
+    assert out[2]["logit_micro"] in (7 + 2000, 7 - 2000)
+    assert out[2]["n_tokens"] == 2
+    # keep is the strict logit > 0 gate
+    for r in out.values():
+        assert r["keep"] == (1 if r["logit_micro"] > 0 else 0)
+
+
+def test_classifier_gate_distributes_over_buckets(spark, sf_dir):
+    """The in-row token fold must equal the bucket-space dot product
+    computed via hashed features (the algebra the docstring claims)."""
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.operators.featurize import (
+        hashed_tfidf,
+        linear_classifier_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).cache()
+    dim = 64
+    weights = [((f * 97) % 201) - 100 for f in range(dim)]
+    gate = {r["doc_id"]: r["logit_micro"] for r in
+            linear_classifier_gate(docs, weights, bias_micro=0).collect()}
+    # bucket values via the hashed_tfidf pipeline's (doc,feature,value)
+    # grain (top_k = dim so nothing is cut)
+    feats = hashed_tfidf(docs, dim=dim, top_k=dim).collect()
+    agg: dict = {}
+    for r in feats:
+        agg[r["doc_id"]] = agg.get(r["doc_id"], 0) + r["value"] * weights[r["feature"]]
+    assert agg == {k: v for k, v in gate.items() if k in agg}
+    docs.unpersist()

@@ -260,6 +260,9 @@ EXCHANGE_BUDGET = {
     # ran once); the 6 remaining exchanges all carry ≤k-row sketch
     # grain (fan-out semi-join, window minima, pane counts, final join)
     "ev_kmv_sliding": 6,
+    # classifier inference is one in-row fold over a literal weight
+    # vector — the zero-shuffle contract IS the operator's point
+    "text_classifier_gate": 0,
 }
 
 
