@@ -6928,12 +6928,93 @@ def q_text_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_classifier_gate(cat.documents, weights, bias_micro=0)
 
 
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second-continuation capstone: exact dedup → classifier gate
+    → temperature resampling, composed in cost order (hash groupBy
+    first, then two map passes; the sampling RATES are learned on the
+    gated corpus, not the raw one — gating shifts language shares, and
+    sampling at pre-gate rates would mis-allocate the budget). Returns
+    the (doc_id, lang, n_tokens) training subset. Every stage is
+    individually hash-oracled; the composition is oracled end to end
+    by chaining the stage CTEs."""
+    from iconic_data_science_spark.operators.dedup import exact_dedup
+    from iconic_data_science_spark.operators.featurize import linear_classifier_gate
+    from iconic_data_science_spark.operators.mixing import temperature_sample
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    canon = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    survivors = docs.join(canon, "doc_id", "left_semi")
+    weights = [((f * 2654435761) % 2001) - 1000 for f in range(256)]
+    kept_ids = (
+        linear_classifier_gate(survivors, weights, bias_micro=0)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    gated = survivors.join(kept_ids, "doc_id", "left_semi")
+    return temperature_sample(gated, budget_tokens=500_000)
+
+
 QUERIES.update({
     "web_link_graph": q_web_link_graph,
     "web_pagerank": q_web_pagerank,
     "ev_kmv_sliding": q_ev_kmv_sliding,
     "text_classifier_gate": q_text_classifier_gate,
+    "curation_pipeline_v4": q_curation_pipeline_v4,
 })
+
+ORACLES["curation_pipeline_v4"] = """
+    WITH canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    surv AS (SELECT d.* FROM documents d JOIN canon USING (doc_id)),
+    tk AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM surv
+    ),
+    nz AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(token), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) AS h
+        FROM nz
+    ),
+    logit AS (
+        SELECT doc_id,
+               SUM((CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+                   * (((h % 256) * 2654435761) % 2001 - 1000)) AS l
+        FROM hashed GROUP BY 1
+    ),
+    gated AS (
+        SELECT s.* FROM surv s JOIN logit ON logit.doc_id = s.doc_id
+        WHERE logit.l > 0
+    ),
+    per_lang AS (
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_toks
+        FROM gated GROUP BY 1
+    ),
+    w AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(lang_toks AS DOUBLE))) AS BIGINT) AS weight
+        FROM per_lang
+    ),
+    tot AS (SELECT SUM(weight) AS w_sum FROM w),
+    d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) % 1000000 AS u
+        FROM gated
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM d JOIN w USING (lang), tot
+    WHERE CAST(u AS HUGEINT) * lang_toks * w_sum
+          < CAST(500000 AS HUGEINT) * 1000000 * weight
+"""
 
 ORACLES["text_classifier_gate"] = """
     WITH tk AS (
@@ -7192,6 +7273,7 @@ _ROUND5_FRONT = [
     "web_pagerank",
     "ev_kmv_sliding",
     "text_classifier_gate",
+    "curation_pipeline_v4",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

@@ -65,6 +65,9 @@ DOC_QUERIES = [
     # classifier inference: tiny vocab forces bucket collisions and
     # sign cancellation through the in-row fold
     "text_classifier_gate",
+    # the composed v4 pipeline (dup-heavy fuzz corpora stress the
+    # exact-dedup stage; gate + post-gate rate learning ride along)
+    "curation_pipeline_v4",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

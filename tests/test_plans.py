@@ -263,6 +263,9 @@ EXCHANGE_BUDGET = {
     # classifier inference is one in-row fold over a literal weight
     # vector — the zero-shuffle contract IS the operator's point
     "text_classifier_gate": 0,
+    # v4 = exact-dedup groupBy + canonical/gate semi-joins + the
+    # language-grain aggregates (classifier stage itself adds zero)
+    "curation_pipeline_v4": 5,
 }
 
 
