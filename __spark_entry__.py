@@ -6963,6 +6963,72 @@ QUERIES.update({
     "curation_pipeline_v4": q_curation_pipeline_v4,
 })
 
+def q_ev_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted value rollup on an exact integer lattice:
+    Σ value_cents · (10⁶ div 2^age_buckets) per event type, age in
+    24-hour buckets from the newest event — the freshness-weighted
+    engagement feature, computed so partial aggregation, re-ordering,
+    and engine swaps cannot change a bit (float exponential decay can
+    do none of those). 1-row reference broadcast, map-side weighting,
+    one group rollup."""
+    from iconic_data_science_spark.operators.decay import decayed_value
+
+    cat = _cat(spark, sf_dir)
+    return decayed_value(cat.events, bucket_hours=24, max_age_buckets=20)
+
+
+def q_mm_video_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection under the HASH gate — the shot-segmentation
+    grain completing the multimodal frame-level trio (image resize,
+    audio frames, video cuts): every adjacent frame pair of every real
+    AVI decodes (mapInPandas) into exact-integer per-pair statistics
+    (Σ|Δpixel|, value count, an integer threshold flag at the
+    generator's expected inter-frame delta so both flag values occur).
+    The DuckDB twin replays each delta from the generator arithmetic —
+    a frame-walk or channel-order bug breaks the hash."""
+    from iconic_data_science_spark.operators.multimodal import synth_media_real
+    from iconic_data_science_spark.operators.video import video_scene_cuts
+
+    ensure_engine_conf(spark)
+    return video_scene_cuts(synth_media_real(spark, 256))
+
+
+QUERIES.update({
+    "ev_decayed_value": q_ev_decayed_value,
+    "mm_video_cuts": q_mm_video_cuts,
+})
+
+from iconic_data_science_spark.operators.decay import decay_oracle_sql as _decay_oracle_sql  # noqa: E402
+
+ORACLES["ev_decayed_value"] = _decay_oracle_sql(bucket_hours=24, max_age_buckets=20)
+
+# Arithmetic replay: value (f, j) of video mid is
+# (mid*31 + (f*h*w + j//3)*7 + (j%3)*13 + f*97) % 256 — the frame-pair
+# delta recomputes both frames' values per position.
+ORACLES["mm_video_cuts"] = """
+    WITH ids AS (SELECT CAST(t.range AS BIGINT) AS mid FROM range(0, 256) t),
+    vid AS (
+        SELECT mid, mid % 4 + 2 AS nf, mid % 12 + 4 AS w, mid % 8 + 4 AS h
+        FROM ids WHERE mid % 3 = 2
+    ),
+    pairs AS (
+        SELECT v.mid, CAST(f.range AS BIGINT) AS f, v.nf, v.w, v.h
+        FROM vid v JOIN range(1, 5) f ON f.range < v.nf
+    ),
+    d AS (
+        SELECT p.mid, p.f AS frame_no, CAST(p.h * p.w * 3 AS BIGINT) AS n_values,
+               CAST(SUM(ABS(
+                   (p.mid*31 + (p.f*p.h*p.w + j.range//3)*7 + (j.range%3)*13 + p.f*97) % 256
+                 - (p.mid*31 + ((p.f-1)*p.h*p.w + j.range//3)*7 + (j.range%3)*13 + (p.f-1)*97) % 256
+               )) AS BIGINT) AS delta
+        FROM pairs p JOIN range(0, 495) j ON j.range < p.h * p.w * 3
+        GROUP BY 1, 2, 3
+    )
+    SELECT mid AS media_id, frame_no, n_values, delta,
+           CAST(CASE WHEN delta * 2 > 241 * n_values THEN 1 ELSE 0 END AS BIGINT) AS cut
+    FROM d
+"""
+
 ORACLES["curation_pipeline_v4"] = """
     WITH canon AS (
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
@@ -7274,6 +7340,8 @@ _ROUND5_FRONT = [
     "ev_kmv_sliding",
     "text_classifier_gate",
     "curation_pipeline_v4",
+    "ev_decayed_value",
+    "mm_video_cuts",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

@@ -134,12 +134,27 @@ def _streaming_bench(spark, sf_dir: str) -> dict:
         n_train = docs.filter(F.col("doc_id") % 10 != 0).count()
         return bloom_decontaminate_inrow(stream_train, bench, n=5), "append", n_train
 
+    def classifier_gate():
+        from iconic_data_science_spark.operators.featurize import linear_classifier_gate
+        from iconic_data_science_spark.streaming import documents as sdoc2
+
+        n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+        weights = [((f * 2654435761) % 2001) - 1000 for f in range(256)]
+        return (
+            linear_classifier_gate(
+                sdoc2.read_document_stream(spark, sf_dir), weights, bias_micro=0
+            ),
+            "append",
+            n_docs,
+        )
+
     pipelines = {
         "st_run_rollup": rollup,
         "st_run_session": session,
         "st_run_funnel": funnel,
         "st_run_doc_dedup": doc_dedup,
         "st_run_ingest_gate": ingest_gate,
+        "st_run_classifier": classifier_gate,
     }
     out: dict[str, dict] = {}
     for name, build in pipelines.items():

@@ -312,3 +312,61 @@ def test_classifier_gate_distributes_over_buckets(spark, sf_dir):
         agg[r["doc_id"]] = agg.get(r["doc_id"], 0) + r["value"] * weights[r["feature"]]
     assert agg == {k: v for k, v in gate.items() if k in agg}
     docs.unpersist()
+
+
+# --- decayed value ----------------------------------------------------------
+
+
+def test_decayed_value_hand_ledger(spark):
+    """Two events 24h apart: the older one's cents carry half weight."""
+    import datetime as dt
+
+    from iconic_data_science_spark.operators.decay import decayed_value
+
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        (1, t0, "a", 10.00),                       # age 0  -> w = 1_000_000
+        (2, t0 - dt.timedelta(hours=24), "a", 10.00),  # age 1 -> w = 500_000
+        (3, t0 - dt.timedelta(hours=24 * 30), "a", 10.00),  # age 30 > cap -> 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = decayed_value(df, bucket_hours=24, max_age_buckets=20).collect()[0]
+    assert out["n_events"] == 3
+    assert out["decayed_micro"] == 1000 * 1_000_000 + 1000 * 500_000
+
+
+def test_decayed_value_partition_invariant(spark, sf_dir):
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.decay import decayed_value
+
+    ev = Catalog(spark, sf_dir).events
+    a = sorted(map(tuple, decayed_value(ev).collect()))
+    b = sorted(map(tuple, decayed_value(ev.repartition(17)).collect()))
+    assert a == b
+
+
+# --- video scene cuts -------------------------------------------------------
+
+
+def test_video_cuts_hand_frames(spark):
+    """Hand-built AVI: identical frames -> delta 0; a full black->white
+    flip -> delta 255 per value and a cut."""
+    import numpy as np
+
+    from iconic_data_science_spark.operators.multimodal import encode_avi
+    from iconic_data_science_spark.operators.video import video_scene_cuts
+
+    h, w = 4, 4
+    black = np.zeros((h, w, 3), dtype=np.uint8)
+    white = np.full((h, w, 3), 255, dtype=np.uint8)
+    frames = np.stack([black, black, white])
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(encode_avi(w, h, 5, frames)))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["frame_no"]: r for r in video_scene_cuts(media).collect()}
+    assert rows[1]["delta"] == 0 and rows[1]["cut"] == 0
+    assert rows[2]["delta"] == 255 * h * w * 3 and rows[2]["cut"] == 1
+    assert rows[2]["n_values"] == h * w * 3

@@ -266,6 +266,10 @@ EXCHANGE_BUDGET = {
     # v4 = exact-dedup groupBy + canonical/gate semi-joins + the
     # language-grain aggregates (classifier stage itself adds zero)
     "curation_pipeline_v4": 5,
+    # decay = the 1-row reference aggregate + the group rollup (the
+    # weighting itself is map-side); video cuts = pure mapInPandas
+    "ev_decayed_value": 2,
+    "mm_video_cuts": 0,
 }
 
 

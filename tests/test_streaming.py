@@ -246,3 +246,21 @@ def test_streaming_ingest_gate_bloom_decon_equals_batch(spark, sf_dir):
     stream = bloom_decontaminate_inrow(stream_train, bench, n=5)
     got = _run_stream(spark, stream, "t_ingest_gate", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_classifier_gate_equals_batch(spark, sf_dir):
+    """Ingest-time quality scoring: the in-row classifier forward pass
+    (weights a plan literal, zero aggregation) runs on a document
+    stream in watermark-free append mode; stream == batch row for
+    row — score-at-ingest needs no separate batch rescoring job."""
+    from iconic_data_science_spark.operators.featurize import linear_classifier_gate
+    from iconic_data_science_spark.streaming import documents as sd
+
+    weights = [((f * 2654435761) % 2001) - 1000 for f in range(256)]
+    docs = Catalog(spark, sf_dir).documents
+    batch = linear_classifier_gate(docs, weights, bias_micro=0)
+    stream = linear_classifier_gate(
+        sd.read_document_stream(spark, sf_dir), weights, bias_micro=0
+    )
+    got = _run_stream(spark, stream, "t_classifier_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
