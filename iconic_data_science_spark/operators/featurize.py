@@ -148,7 +148,13 @@ def linear_classifier_gate(
     bit-for-bit."""
     dim = len(weights_micro)
     w_arr = F.array(*[F.lit(int(w)) for w in weights_micro])
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    # NULL text scores like empty text (n_tokens 0, logit = bias) —
+    # without the coalesce the whole row would null out while a SQL
+    # twin's LEFT-JOIN shape emits 0s.
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
     h = lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")  # noqa: E731
     # hash each token ONCE into an array, then fold — lambdas get no
     # common-subexpression elimination (the Catalyst duplication

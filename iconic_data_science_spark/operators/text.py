@@ -914,7 +914,9 @@ def intra_doc_dedup(
     it relationally (unnest + first-occurrence window + ordered
     string_agg), so both formulations must agree chunk-for-chunk.
     """
-    toks = F.split(F.col(text_col), " ")
+    # NULL text behaves like empty text (one empty chunk kept) instead
+    # of nulling the whole row — keeps the relational twin's shape.
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(window_tokens)).cast("long")
     chunks = F.transform(
         F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
