@@ -6993,10 +6993,92 @@ def q_mm_video_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_scene_cuts(synth_media_real(spark, 256))
 
 
+def q_text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence statistics within a 3-token forward window —
+    the GloVe/PMI corpus builder. Pairs are constructed IN-ROW
+    (slice/transform over the token array: no positional self-join, so
+    the corpus never shuffles against itself), partial-aggregated into
+    ONE (w1, w2) rollup, min-count 5; unigram counts broadcast back
+    and lift_ppm is the documented nested integer expression — every
+    engine computes the identical value."""
+    from iconic_data_science_spark.operators.featurize import window_cooccurrence
+
+    cat = _cat(spark, sf_dir)
+    return window_cooccurrence(cat.documents, window=3, min_count=5)
+
+
+def q_mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio sample-rate-normalization pipeline end to end under
+    the HASH gate (the audio twin of mm_resize_stats): every WAV
+    decodes, decimates by 2 (integer decimation — each output byte a
+    pure function of the input), re-encodes at 4 kHz, then flows
+    through the frame analyzer AGAIN — so the resampler, both codec
+    passes, and the framing are all under the hash. The oracle replays
+    each frame from the generator arithmetic at stride 2."""
+    from iconic_data_science_spark.operators.audio import audio_frame_stats, resample_audio
+    from iconic_data_science_spark.operators.multimodal import synth_media_real
+
+    ensure_engine_conf(spark)
+    half = resample_audio(synth_media_real(spark, 256), factor=2)
+    return audio_frame_stats(half, frame=160, silence_rms=1200)
+
+
 QUERIES.update({
     "ev_decayed_value": q_ev_decayed_value,
     "mm_video_cuts": q_mm_video_cuts,
+    "text_cooccurrence": q_text_cooccurrence,
+    "mm_audio_resample": q_mm_audio_resample,
 })
+
+ORACLES["text_cooccurrence"] = """
+    WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+    p AS (
+        SELECT t[g.i + 1] AS w1, t[g.i + 1 + j.range] AS w2
+        FROM toks,
+             LATERAL (SELECT UNNEST(range(0, len(t))) AS i) g,
+             range(1, 4) j
+        WHERE g.i + j.range < len(t)
+    ),
+    pairs AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_n
+        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    uni AS (
+        SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST(t) AS w FROM toks) u GROUP BY 1
+    ),
+    tot AS (SELECT SUM(pair_n) AS t_all FROM pairs)
+    SELECT p.w1, p.w2, p.pair_n, u1.n AS w1_n, u2.n AS w2_n,
+           CAST((((p.pair_n * 1000000) // u1.n) * tot.t_all) // u2.n AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2, tot
+"""
+
+ORACLES["mm_audio_resample"] = """
+    WITH ids AS (SELECT CAST(t.range AS BIGINT) AS mid FROM range(0, 256) t),
+    aud AS (
+        SELECT mid, (mid % 500 + 100 + 1) // 2 AS ns
+        FROM ids WHERE mid % 3 = 1
+    ),
+    s AS (
+        SELECT a.mid, CAST(j.range AS BIGINT) AS i,
+               (a.mid*13 + (2*j.range)*17) % 4096 - 2048 AS x
+        FROM aud a JOIN range(0, 300) j ON j.range < a.ns
+    ),
+    f AS (
+        SELECT mid AS media_id, i // 160 AS frame_no,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x*x) AS BIGINT) AS energy,
+               CAST(MAX(ABS(x)) AS BIGINT) AS peak
+        FROM s GROUP BY 1, 2
+    )
+    SELECT media_id, frame_no, n, energy, peak,
+           CAST(FLOOR(SQRT(CAST(energy // n AS DOUBLE))) AS BIGINT) AS rms,
+           CASE WHEN energy < 1440000 * n THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS silent
+    FROM f
+"""
 
 from iconic_data_science_spark.operators.decay import decay_oracle_sql as _decay_oracle_sql  # noqa: E402
 
@@ -7342,6 +7424,8 @@ _ROUND5_FRONT = [
     "curation_pipeline_v4",
     "ev_decayed_value",
     "mm_video_cuts",
+    "text_cooccurrence",
+    "mm_audio_resample",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

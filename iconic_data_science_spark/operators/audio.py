@@ -96,3 +96,41 @@ def _isqrt(v: int) -> int:
     import math
 
     return math.isqrt(v)
+
+
+def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Same frame shape in, same frame shape out, payloads replaced by
+    integer-decimated WAVs (keep every ``factor``-th sample, sample
+    rate divided by ``factor``) — the sample-rate-normalization step of
+    an audio pipeline, as one Arrow-batched ``mapInPandas`` pass over
+    audio rows (the audio twin of multimodal.resize_images; non-audio
+    rows pass through untouched). Integer decimation (no filter) keeps
+    every output byte a pure function of the input — the
+    arithmetic-replay oracle contract."""
+    from pyspark.sql import types as T
+
+    fr = int(factor)
+
+    def resample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .multimodal import decode_wav, encode_wav
+
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                payload = bytes(row["payload"])
+                if row["kind"] == "audio":
+                    rate, _, samples = decode_wav(payload)
+                    payload = encode_wav(rate // fr, samples[::fr])
+                out.append((int(row["media_id"]), row["kind"], payload))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return media.select("media_id", "kind", "payload").mapInPandas(resample, schema)

@@ -178,3 +178,69 @@ def linear_classifier_gate(
         logit.alias("logit_micro"),
         (logit > 0).cast("long").alias("keep"),
     )
+
+
+def window_cooccurrence(
+    documents: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, pair_n, w1_n, w2_n, lift_ppm) — ordered word
+    co-occurrence counts within a ``window``-token forward window: the
+    corpus statistic GloVe/PMI embeddings and collocation extractors
+    are built from.
+
+    Scale shape: pairs are constructed IN-ROW (slice/transform over
+    the token array — no positional self-join, which would shuffle the
+    corpus against itself), then partial-aggregated into ONE (w1, w2)
+    rollup; unigram counts join back broadcast (a min-count-gated
+    vocabulary is small by construction at any corpus size).
+
+    lift_ppm is DEFINED as the nested integer expression
+    ``((pair_n·10⁶ div w1_n) · T) div w2_n`` (T = total pair slots) so
+    every engine computes the identical value; the first factor is ≤
+    10⁶, so the product stays under 2⁶³ for T < ~9·10¹² pair slots —
+    shard or rescale beyond that (docstring contract, not a silent
+    overflow: DuckDB raises, Spark wraps)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    k = int(window)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: F.transform(
+                F.slice(toks, i + 2, k),
+                lambda w2: F.struct(
+                    F.element_at(toks, (i + 1).cast("int")).alias("w1"),
+                    w2.alias("w2"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        documents.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_count)
+    )
+    uni = (
+        documents.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = pairs.agg(F.sum("pair_n").cast("long").alias("_t"))
+    return (
+        pairs.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("w1_n"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("w2_n"))), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            "w1_n",
+            "w2_n",
+            F.expr("(((pair_n * 1000000) div w1_n) * _t) div w2_n").alias("lift_ppm"),
+        )
+    )

@@ -68,6 +68,9 @@ DOC_QUERIES = [
     # the composed v4 pipeline (dup-heavy fuzz corpora stress the
     # exact-dedup stage; gate + post-gate rate learning ride along)
     "curation_pipeline_v4",
+    # co-occurrence: tiny fuzz vocab makes the min-count gate and the
+    # window boundary (docs shorter than the window) both bind
+    "text_cooccurrence",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

@@ -370,3 +370,55 @@ def test_video_cuts_hand_frames(spark):
     assert rows[1]["delta"] == 0 and rows[1]["cut"] == 0
     assert rows[2]["delta"] == 255 * h * w * 3 and rows[2]["cut"] == 1
     assert rows[2]["n_values"] == h * w * 3
+
+
+# --- co-occurrence ----------------------------------------------------------
+
+
+def test_cooccurrence_hand_counts(spark):
+    """'a b a b': forward window 2 gives (a,b)x2, (b,a)x1, (a,a)x1,
+    (b,b)x1 — check with min_count 1 and the lift expression."""
+    from iconic_data_science_spark.operators.featurize import window_cooccurrence
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           window_cooccurrence(df, window=2, min_count=1).collect()}
+    assert out[("a", "b")]["pair_n"] == 2
+    assert out[("b", "a")]["pair_n"] == 1
+    assert out[("a", "a")]["pair_n"] == 1
+    assert out[("b", "b")]["pair_n"] == 1
+    # unigram counts and the documented lift expression
+    r = out[("a", "b")]
+    assert r["w1_n"] == 2 and r["w2_n"] == 2
+    t = sum(x["pair_n"] for x in out.values())
+    assert r["lift_ppm"] == ((2 * 1_000_000) // 2) * t // 2
+
+
+def test_cooccurrence_short_docs_no_pairs(spark):
+    from iconic_data_science_spark.operators.featurize import window_cooccurrence
+
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert window_cooccurrence(df, window=3, min_count=1).count() == 0
+
+
+# --- audio resample ---------------------------------------------------------
+
+
+def test_resample_audio_halves_and_decimates(spark):
+    import numpy as np
+
+    from iconic_data_science_spark.operators.audio import resample_audio
+    from iconic_data_science_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = np.arange(11, dtype=np.int64) * 100 - 500
+    media = spark.createDataFrame(
+        [(3, "audio", bytearray(encode_wav(8000, samples))),
+         (4, "image", bytearray(b"not-audio"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in resample_audio(media, factor=2).collect()}
+    rate, _, got = decode_wav(bytes(rows[3]["payload"]))
+    assert rate == 4000
+    assert list(got) == list(samples[::2])
+    # non-audio payloads pass through byte-identical
+    assert bytes(rows[4]["payload"]) == b"not-audio"

@@ -270,6 +270,11 @@ EXCHANGE_BUDGET = {
     # weighting itself is map-side); video cuts = pure mapInPandas
     "ev_decayed_value": 2,
     "mm_video_cuts": 0,
+    # co-occurrence: the ONE (w1,w2) rollup + unigram/total aggregates
+    # (pairs built in-row, no positional self-join); resample chain is
+    # two mapInPandas passes, zero shuffle
+    "text_cooccurrence": 5,
+    "mm_audio_resample": 0,
 }
 
 
