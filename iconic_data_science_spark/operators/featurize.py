@@ -204,29 +204,37 @@ def window_cooccurrence(
     10⁶, so the product stays under 2⁶³ for T < ~9·10¹² pair slots —
     shard or rescale beyond that (docstring contract, not a silent
     overflow: DuckDB raises, Spark wraps)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
     k = int(window)
+    # Materialize the token array as a NAMED column before the lambda
+    # tree: an unnamed split() referenced inside transform/slice
+    # lambdas is re-evaluated per lambda call (the Catalyst
+    # no-CSE-in-lambdas pitfall, SCALE.md) — per-doc cost went
+    # quadratic in tokens; a column reference evaluates once per row.
+    tok_col = F.col("_t")
     pair_structs = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 1),
+            F.sequence(F.lit(0), F.size(tok_col) - 1),
             lambda i: F.transform(
-                F.slice(toks, i + 2, k),
+                F.slice(tok_col, i + 2, k),
                 lambda w2: F.struct(
-                    F.element_at(toks, (i + 1).cast("int")).alias("w1"),
+                    F.element_at(tok_col, (i + 1).cast("int")).alias("w1"),
                     w2.alias("w2"),
                 ),
             ),
         )
     )
+    toked = documents.select(F.split(F.lower(F.col(text_col)), " ").alias("_t"))
     pairs = (
-        documents.select(F.explode(pair_structs).alias("p"))
+        toked.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
         .filter(F.col("pair_n") >= min_count)
     )
     uni = (
-        documents.select(F.explode(toks).alias("w"))
+        documents.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+        )
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

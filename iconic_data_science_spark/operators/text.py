@@ -916,13 +916,20 @@ def intra_doc_dedup(
     """
     # NULL text behaves like empty text (one empty chunk kept) instead
     # of nulling the whole row — keeps the relational twin's shape.
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    # The token array is materialized as a NAMED column before the
+    # chunking lambda: an unnamed split() referenced inside a lambda is
+    # re-evaluated per chunk (the Catalyst no-CSE-in-lambdas pitfall,
+    # SCALE.md), turning per-doc cost quadratic.
+    toks = F.col("_t")
     n_chunks = F.ceil(F.size(toks) / F.lit(window_tokens)).cast("long")
     chunks = F.transform(
         F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
         lambda i: F.array_join(
             F.slice(toks, i * window_tokens + 1, window_tokens), " "
         ),
+    )
+    documents = documents.withColumn(
+        "_t", F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     )
     kept = F.aggregate(
         chunks,
