@@ -7023,12 +7023,60 @@ def q_mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_stats(half, frame=160, silence_rms=1200)
 
 
+def q_lh_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning — the retention step completing the lakehouse
+    maintenance family (MERGE/SCD2/snapshots/diff/compaction/layout):
+    a deterministic version→file ledger derived from orders (file =
+    (year, month) with row-count size; file f's last referenced
+    version is (file_id·3 + part) mod 5) classified against retention
+    horizon 3 into live / retained / deletable. Metadata grain only —
+    one ledger groupBy plus a broadcast 1-row current-version max."""
+    from iconic_data_science_spark.operators.lakehouse import vacuum_plan
+
+    cat = _cat(spark, sf_dir)
+    inventory = cat.orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("part"),
+        F.month("o_orderdate").cast("long").alias("file_id"),
+    ).agg(F.count("*").cast("long").alias("size"))
+    refs = inventory.select(
+        "file_id",
+        "part",
+        "size",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("file_id") * 3 + F.col("part")) % 5).cast("int"))
+        ).alias("_v"),
+    ).select("file_id", "part", "size", F.col("_v").cast("long").alias("version"))
+    return vacuum_plan(refs, retain_from_version=3)
+
+
 QUERIES.update({
     "ev_decayed_value": q_ev_decayed_value,
     "mm_video_cuts": q_mm_video_cuts,
     "text_cooccurrence": q_text_cooccurrence,
     "mm_audio_resample": q_mm_audio_resample,
+    "lh_vacuum_plan": q_lh_vacuum_plan,
 })
+
+ORACLES["lh_vacuum_plan"] = """
+    WITH inv AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS part,
+               CAST(month(o_orderdate) AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS size
+        FROM orders GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT file_id, part, size,
+               CAST(0 AS BIGINT) AS first_version,
+               (file_id * 3 + part) % 5 AS last_version
+        FROM inv
+    ),
+    cur AS (SELECT MAX(last_version) AS c FROM f)
+    SELECT file_id, part, size, first_version, last_version,
+           CASE WHEN last_version = cur.c THEN 'live'
+                WHEN last_version >= 3 THEN 'retained'
+                ELSE 'deletable' END AS status
+    FROM f, cur
+"""
 
 ORACLES["text_cooccurrence"] = """
     WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
@@ -7426,6 +7474,7 @@ _ROUND5_FRONT = [
     "mm_video_cuts",
     "text_cooccurrence",
     "mm_audio_resample",
+    "lh_vacuum_plan",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

@@ -527,3 +527,40 @@ def compaction_oracle_sql(inventory_sql: str, target: int = COMPACTION_TARGET_RO
         )
         SELECT part, file_id, size, group_idx, group_fill FROM walk
     """
+
+
+def vacuum_plan(
+    refs: DataFrame,
+    retain_from_version: int,
+    current_version: int | None = None,
+) -> DataFrame:
+    """(file_id, part, size, first_version, last_version, status) — the
+    VACUUM planning step every table format runs after compaction:
+    given the version→file reference ledger (one row per (version,
+    file_id) with the file's partition and size), classify every file
+    as ``live`` (referenced by the current version), ``retained``
+    (dropped from the log, but at/after the retention horizon — still
+    needed for time travel), or ``deletable`` (last referenced before
+    ``retain_from_version``; physically reclaimable).
+
+    Pure metadata work: one groupBy over the ledger (file count grain,
+    never data grain) and, when ``current_version`` is not pinned, a
+    1-row max-version aggregate broadcast back — the same plan at ten
+    files or ten billion."""
+    per_file = refs.groupBy("file_id", "part", "size").agg(
+        F.min("version").cast("long").alias("first_version"),
+        F.max("version").cast("long").alias("last_version"),
+    )
+    if current_version is None:
+        cur = refs.agg(F.max("version").cast("long").alias("_cur"))
+        per_file = per_file.crossJoin(F.broadcast(cur))
+    else:
+        per_file = per_file.withColumn("_cur", F.lit(int(current_version)).cast("long"))
+    status = (
+        F.when(F.col("last_version") == F.col("_cur"), "live")
+        .when(F.col("last_version") >= retain_from_version, "retained")
+        .otherwise("deletable")
+    )
+    return per_file.select(
+        "file_id", "part", "size", "first_version", "last_version", status.alias("status")
+    )

@@ -422,3 +422,26 @@ def test_resample_audio_halves_and_decimates(spark):
     assert list(got) == list(samples[::2])
     # non-audio payloads pass through byte-identical
     assert bytes(rows[4]["payload"]) == b"not-audio"
+
+
+# --- vacuum plan ------------------------------------------------------------
+
+
+def test_vacuum_plan_classification(spark):
+    from iconic_data_science_spark.operators.lakehouse import vacuum_plan
+
+    rows = [
+        # (version, file_id, part, size)
+        (0, 1, 0, 10), (1, 1, 0, 10), (2, 1, 0, 10),   # last=2 < 3 -> deletable
+        (0, 2, 0, 20), (3, 2, 0, 20),                   # last=3 >= 3, < cur -> retained
+        (0, 3, 0, 30), (4, 3, 0, 30),                   # last=4 == cur -> live
+    ]
+    df = spark.createDataFrame(rows, "version long, file_id long, part long, size long")
+    got = {r["file_id"]: r for r in vacuum_plan(df, retain_from_version=3).collect()}
+    assert got[1]["status"] == "deletable" and got[1]["last_version"] == 2
+    assert got[2]["status"] == "retained"
+    assert got[3]["status"] == "live" and got[3]["first_version"] == 0
+    # pinned current_version overrides the ledger max
+    got5 = {r["file_id"]: r for r in
+            vacuum_plan(df, retain_from_version=3, current_version=5).collect()}
+    assert got5[3]["status"] == "retained"

@@ -275,6 +275,9 @@ EXCHANGE_BUDGET = {
     # two mapInPandas passes, zero shuffle
     "text_cooccurrence": 5,
     "mm_audio_resample": 0,
+    # vacuum: inventory agg + ledger groupBy + the 1-row current-version
+    # max — all metadata grain
+    "lh_vacuum_plan": 3,
 }
 
 
