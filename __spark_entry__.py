@@ -7049,13 +7049,43 @@ def q_lh_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vacuum_plan(refs, retain_from_version=3)
 
 
+def q_ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix (the Markov/Sankey builder):
+    consecutive event pairs per user in deterministic (ts, event_id)
+    order → transition counts + integer-ppm conditional probabilities.
+    ONE user-grain window shuffle; the (from,to) rollup and the
+    broadcast marginal are ≤|event types|² rows."""
+    from iconic_data_science_spark.operators.events import transition_matrix
+
+    cat = _cat(spark, sf_dir)
+    return transition_matrix(cat.events)
+
+
 QUERIES.update({
     "ev_decayed_value": q_ev_decayed_value,
     "mm_video_cuts": q_mm_video_cuts,
     "text_cooccurrence": q_text_cooccurrence,
     "mm_audio_resample": q_mm_audio_resample,
     "lh_vacuum_plan": q_lh_vacuum_plan,
+    "ev_transition_matrix": q_ev_transition_matrix,
 })
+
+ORACLES["ev_transition_matrix"] = """
+    WITH seq AS (
+        SELECT user_id, event_type AS to_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_n FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n, m.from_n,
+           CAST((c.n * 1000000) // m.from_n AS BIGINT) AS prob_ppm
+    FROM c JOIN m USING (from_type)
+"""
 
 ORACLES["lh_vacuum_plan"] = """
     WITH inv AS (
@@ -7475,6 +7505,7 @@ _ROUND5_FRONT = [
     "text_cooccurrence",
     "mm_audio_resample",
     "lh_vacuum_plan",
+    "ev_transition_matrix",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

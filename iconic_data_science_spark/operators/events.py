@@ -278,3 +278,56 @@ def winsorize_values(
         .withColumn("clipped", F.least(F.col("value"), F.col("cutoff")))
         .select("event_id", "event_type", "value", "cutoff", "clipped")
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n, from_n, prob_ppm) — the user-journey
+    transition matrix (the Markov/Sankey step of product analytics):
+    consecutive event pairs per user in deterministic (ts, event_id)
+    order, rolled up to transition counts and integer-ppm conditional
+    probabilities (n·10⁶ div from_n, so the matrix hashes identically
+    on any engine).
+
+    Plan: ONE shuffle to the user grain (the lag window), then a tiny
+    (from, to) rollup that partial-aggregates map-side; the from-grain
+    marginal joins back broadcast (≤ |event types|² rows end to end).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("to_type"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(
+            W.partitionBy("u").orderBy(F.col("_ts").asc(), F.col("_id").asc())
+        ))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # ≤ |event types|² rows; both the marginal and the final join
+        # derive from it — pin so the user-grain window runs once.
+        .localCheckpoint(eager=True)
+    )
+    marginal = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("from_n"))
+    return (
+        counts.join(F.broadcast(marginal), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "from_n",
+            F.expr("(n * 1000000) div from_n").alias("prob_ppm"),
+        )
+    )

@@ -445,3 +445,31 @@ def test_vacuum_plan_classification(spark):
     got5 = {r["file_id"]: r for r in
             vacuum_plan(df, retain_from_version=3, current_version=5).collect()}
     assert got5[3]["status"] == "retained"
+
+
+# --- transition matrix ------------------------------------------------------
+
+
+def test_transition_matrix_hand_journeys(spark):
+    import datetime as dt
+
+    from iconic_data_science_spark.operators.events import transition_matrix
+
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t + 0 * s, 10, "view"), (2, t + 1 * s, 10, "click"),
+        (3, t + 2 * s, 10, "buy"),
+        (4, t + 0 * s, 20, "view"), (5, t + 1 * s, 20, "click"),
+        (6, t + 2 * s, 20, "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r["from_type"], r["to_type"]): r for r in transition_matrix(df).collect()}
+    assert got[("view", "click")]["n"] == 2
+    assert got[("click", "buy")]["n"] == 1 and got[("click", "view")]["n"] == 1
+    # view -> click is the only view transition: 1_000_000 ppm
+    assert got[("view", "click")]["prob_ppm"] == 1_000_000
+    # click splits evenly
+    assert got[("click", "buy")]["prob_ppm"] == 500_000
+    # no cross-user pair: user 20's first event never follows user 10's last
+    assert ("buy", "view") not in got

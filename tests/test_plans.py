@@ -278,6 +278,9 @@ EXCHANGE_BUDGET = {
     # vacuum: inventory agg + ledger groupBy + the 1-row current-version
     # max — all metadata grain
     "lh_vacuum_plan": 3,
+    # transition matrix: the tiny (from,to) table is checkpointed, so
+    # the only visible exchange is its own broadcast-side derivation
+    "ev_transition_matrix": 1,
 }
 
 
