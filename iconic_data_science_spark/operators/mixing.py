@@ -114,18 +114,41 @@ def temperature_sample(
     lang, n_tokens) of kept docs.  The rate table is ≲10³ rows and
     broadcast — the corpus itself is filtered map-side, zero corpus
     shuffles."""
+    rates = temperature_mix_rates(
+        documents, lang_col, text_col, sqrt_steps, budget_tokens
+    )
+    return temperature_sample_against_rates(
+        documents, rates, lang_col, text_col, id_col, budget_tokens, bucket_space
+    )
+
+
+def temperature_sample_against_rates(
+    documents: DataFrame,
+    rates: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = 1_000_000,
+    bucket_space: int = 1_000_000,
+) -> DataFrame:
+    """The keep rule of :func:`temperature_sample` applied against a
+    PRECOMPUTED rate table (the output frame of
+    :func:`temperature_mix_rates`, usually built once on the static
+    corpus). Because the filter is a pure map over the input behind a
+    broadcast — zero aggregation — ``documents`` may be a STREAM: the
+    crawl-ingest resampling gate runs in watermark-free append mode,
+    admitting each arriving document at its language's learned rate,
+    stream == batch row for row."""
     # Precision budget (Spark tracks decimal precision through ×):
     # u(7) × lang_toks(16) × w_sum(12) → 7+16+1+12+1 = 37 ≤ 38, so the
     # product is exact — no silent precision-loss rounding can occur.
-    rates = temperature_mix_rates(
-        documents, lang_col, text_col, sqrt_steps, budget_tokens
-    ).select(
-        "lang",
+    r = rates.select(
+        F.col("lang").alias("lang"),
         F.col("n_tokens").cast("decimal(16,0)").alias("_lang_toks"),
         F.col("weight").cast("decimal(9,0)").alias("_w"),
     )
-    total_w = rates.agg(F.sum("_w").cast("decimal(12,0)").alias("_w_sum"))
-    rates = rates.crossJoin(F.broadcast(total_w))
+    total_w = r.agg(F.sum("_w").cast("decimal(12,0)").alias("_w_sum"))
+    r = r.crossJoin(F.broadcast(total_w))
 
     u = hash_bucket(id_col, bucket_space).cast("decimal(7,0)")
     doc_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
@@ -139,7 +162,7 @@ def temperature_sample(
             F.col(lang_col).alias("lang"),
             doc_tokens.alias("n_tokens"),
         )
-        .join(F.broadcast(rates), "lang")
+        .join(F.broadcast(r), "lang")
         .filter(keep)
         .select("doc_id", "lang", "n_tokens")
     )

@@ -264,3 +264,25 @@ def test_streaming_classifier_gate_equals_batch(spark, sf_dir):
     )
     got = _run_stream(spark, stream, "t_classifier_gate", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_temperature_gate_equals_batch(spark, sf_dir):
+    """The temperature-resampling gate on a document stream: rates are
+    learned ONCE on the static corpus, the stream is admitted map-side
+    behind a broadcast (zero aggregation, watermark-free append);
+    stream == the batch sampler row for row."""
+    from iconic_data_science_spark.operators.mixing import (
+        temperature_mix_rates,
+        temperature_sample,
+        temperature_sample_against_rates,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = temperature_sample(docs, budget_tokens=20_000)
+    rates = temperature_mix_rates(docs, budget_tokens=20_000)
+    stream = temperature_sample_against_rates(
+        sd.read_document_stream(spark, sf_dir), rates, budget_tokens=20_000
+    )
+    got = _run_stream(spark, stream, "t_temp_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
