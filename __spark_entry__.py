@@ -7061,6 +7061,21 @@ def q_ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(cat.events)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CONTAINMENT join (|x∩y|/|x| ≥ 0.5 on 3-gram shingles) —
+    the asymmetric member of the similarity-join family: symmetric
+    Jaccard misses a short document duplicated INSIDE a long one
+    (syndication, quoting) because the union is dominated by the long
+    side. Contained-side prefix filtering (pigeonhole on the
+    globally-rarest ⌈(1−t)|x|⌉+1 shingles, DECIMAL ceil), full
+    container postings, per-pair array-intersect verify. Oracle = the
+    naive directed theta join reproduced row-for-row."""
+    from iconic_data_science_spark.operators.dedup import containment_pairs
+
+    cat = _cat(spark, sf_dir)
+    return containment_pairs(cat.documents, n=3, threshold=0.5)
+
+
 QUERIES.update({
     "ev_decayed_value": q_ev_decayed_value,
     "mm_video_cuts": q_mm_video_cuts,
@@ -7068,7 +7083,39 @@ QUERIES.update({
     "mm_audio_resample": q_mm_audio_resample,
     "lh_vacuum_plan": q_lh_vacuum_plan,
     "ev_transition_matrix": q_ev_transition_matrix,
+    "dedup_containment": q_dedup_containment,
 })
+
+ORACLES["dedup_containment"] = """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                           for i in generate_series(1, len(th)-2)]) AS s
+            FROM (
+                SELECT doc_id,
+                       [list_reduce(
+                            [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                             for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                            (a, b) -> a * 16 + b) % 2147483647
+                        for tok in string_split(lower(text), ' ')] AS th
+                FROM documents
+            )
+        )
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+    )
+    SELECT i.id_contained, i.id_container, i.inter,
+           z.sz AS size_contained,
+           CAST((i.inter * 100) // z.sz AS BIGINT) AS containment_pct
+    FROM inter i JOIN sz z ON z.doc_id = i.id_contained
+    WHERE i.inter >= CAST(ceil(CAST(0.5 AS DECIMAL(10,6)) * z.sz) AS BIGINT)
+"""
 
 ORACLES["ev_transition_matrix"] = """
     WITH seq AS (
@@ -7506,6 +7553,7 @@ _ROUND5_FRONT = [
     "mm_audio_resample",
     "lh_vacuum_plan",
     "ev_transition_matrix",
+    "dedup_containment",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

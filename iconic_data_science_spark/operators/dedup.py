@@ -1181,3 +1181,84 @@ def bloom_decontaminate_inrow(
         .select("doc_id", flagged.alias("n_flagged_ngrams"))
         .filter(F.col("n_flagged_ngrams") >= 1)
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_contained, id_container, inter, size_contained,
+    containment_pct) — exact CONTAINMENT join: ordered pairs where
+    |x∩y| / |x| ≥ threshold on n-gram shingle sets. The asymmetric
+    twin of the Jaccard family: symmetric similarity misses a short
+    document duplicated INSIDE a long one (syndicated articles, quoted
+    posts, page-in-crawl-of-site), because the union in J's
+    denominator is dominated by the long side. This is the
+    sub-document-grain complement of dedup_dup_spans at whole-doc
+    grain.
+
+    Pruning: the prefix rule applies to the CONTAINED side only —
+    C(x→y) ≥ t forces x to share a shingle within its |x|−⌈t·|x|⌉+1
+    globally-rarest shingles (pigeonhole; ceil in DECIMAL so float
+    error can never over-prune) — while the container side must be
+    fully indexed (no length bound constrains y). Candidates =
+    prefix(x) ⋈ postings(y); hot shingles only reach the join when a
+    document consists almost entirely of boilerplate (they sort to the
+    END of every prefix ordering). Verification intersects the two
+    full shingle ARRAYS per candidate pair — O(|candidates|·|d|), the
+    SCALE.md verify rule.
+    """
+    t_dec = F.lit(threshold).cast("decimal(10,6)")
+    arrs = hashed_shingle_arrays(
+        documents, n=n, id_col=id_col, text_col=text_col
+    ).withColumn("_sz", F.size("shingles").cast("long")).localCheckpoint()
+
+    posting = arrs.select(
+        F.col("doc_id").alias("id_container"), F.explode("shingles").alias("shingle")
+    )
+    freq = posting.groupBy("shingle").agg(F.count("*").alias("_df"))
+    x_post = arrs.select(
+        F.col("doc_id").alias("id_contained"),
+        F.col("_sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    w = W.partitionBy("id_contained").orderBy("_df", "shingle")
+    min_inter = F.ceil(t_dec * F.col("_sz")).cast("long")
+    prefix = (
+        x_post.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= F.col("_sz") - min_inter + 1)
+        .select("id_contained", "shingle")
+    )
+    cands = (
+        prefix.join(posting, "shingle")
+        .filter(F.col("id_contained") != F.col("id_container"))
+        .select("id_contained", "id_container")
+        .distinct()
+    )
+    a_x = arrs.select(
+        F.col("doc_id").alias("id_contained"),
+        F.col("shingles").alias("_sx"),
+        F.col("_sz").alias("size_contained"),
+    )
+    a_y = arrs.select(
+        F.col("doc_id").alias("id_container"), F.col("shingles").alias("_sy")
+    )
+    inter = F.size(F.array_intersect("_sx", "_sy")).cast("long")
+    keep = F.col("inter") >= F.ceil(t_dec * F.col("size_contained")).cast("long")
+    return (
+        cands.join(a_x, "id_contained")
+        .join(a_y, "id_container")
+        .withColumn("inter", inter)
+        .filter(keep)
+        .select(
+            "id_contained",
+            "id_container",
+            "inter",
+            "size_contained",
+            F.expr("(inter * 100) div size_contained").alias("containment_pct"),
+        )
+    )

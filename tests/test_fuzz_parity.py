@@ -71,6 +71,9 @@ DOC_QUERIES = [
     # co-occurrence: tiny fuzz vocab makes the min-count gate and the
     # window boundary (docs shorter than the window) both bind
     "text_cooccurrence",
+    # containment join: dup-heavy fuzz corpora produce real contained
+    # pairs and exercise the contained-side-only prefix rule
+    "dedup_containment",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

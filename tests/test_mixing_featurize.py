@@ -473,3 +473,59 @@ def test_transition_matrix_hand_journeys(spark):
     assert got[("click", "buy")]["prob_ppm"] == 500_000
     # no cross-user pair: user 20's first event never follows user 10's last
     assert ("buy", "view") not in got
+
+
+# --- containment join -------------------------------------------------------
+
+
+def test_containment_short_in_long(spark):
+    """A short doc fully contained in a long one is found in the
+    contained->container direction; the reverse direction fails the
+    threshold (the asymmetry symmetric Jaccard lacks)."""
+    from iconic_data_science_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join("w%d" % i for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here entirely")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_contained"], r["id_container"]): r
+           for r in containment_pairs(df, n=3, threshold=0.8).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["containment_pct"] == 100
+    assert (2, 1) not in got           # long is NOT contained in short
+    assert all(3 not in k for k in got)
+
+
+def test_containment_matches_naive(spark, sf_dir):
+    """Prefix-filtered candidates + array verify must equal the naive
+    all-pairs theta join on the same shingle sets."""
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.operators.dedup import (
+        containment_pairs,
+        hashed_shingle_arrays,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = sorted(map(tuple, containment_pairs(docs, n=3, threshold=0.5).collect()))
+    sh = hashed_shingle_arrays(docs, n=3).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("x"), "s")
+    b = sh.select(F.col("doc_id").alias("y"), "s")
+    inter = (
+        a.join(b, "s").filter("x <> y").groupBy("x", "y").count()
+    )
+    szs = {r["doc_id"]: r["n"] for r in
+           hashed_shingle_arrays(docs, n=3)
+           .select("doc_id", F.size("shingles").alias("n")).collect()}
+    import math
+
+    naive = sorted(
+        (r["x"], r["y"], r["count"], szs[r["x"]], r["count"] * 100 // szs[r["x"]])
+        for r in inter.collect()
+        if r["count"] >= math.ceil(0.5 * szs[r["x"]])
+    )
+    assert fast == naive

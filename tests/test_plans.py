@@ -281,6 +281,10 @@ EXCHANGE_BUDGET = {
     # transition matrix: the tiny (from,to) table is checkpointed, so
     # the only visible exchange is its own broadcast-side derivation
     "ev_transition_matrix": 1,
+    # containment: shingle arrays checkpointed; visible exchanges are
+    # the candidate distinct + verify join (posting/freq derive from
+    # the checkpoint)
+    "dedup_containment": 2,
 }
 
 
