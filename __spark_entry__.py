@@ -7076,6 +7076,19 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(cat.documents, n=3, threshold=0.5)
 
 
+def q_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST hourly volume anomalies: |n_h − median| > 3·MAD per
+    event type — the median-absolute-deviation twin of the z-score
+    flags (one outage hour owns a mean/σ baseline, breaks neither
+    median). Counts, lower medians (deterministic tie order), MAD, and
+    the compare are all integers — engine-exact with no float at any
+    step. One hourly rollup + two rank windows at (type, hour) grain."""
+    from iconic_data_science_spark.operators.timeseries import mad_anomaly_hours
+
+    cat = _cat(spark, sf_dir)
+    return mad_anomaly_hours(cat.events, k=3)
+
+
 QUERIES.update({
     "ev_decayed_value": q_ev_decayed_value,
     "mm_video_cuts": q_mm_video_cuts,
@@ -7084,7 +7097,43 @@ QUERIES.update({
     "lh_vacuum_plan": q_lh_vacuum_plan,
     "ev_transition_matrix": q_ev_transition_matrix,
     "dedup_containment": q_dedup_containment,
+    "ts_anomaly_mad": q_ts_anomaly_mad,
 })
+
+ORACLES["ts_anomaly_mad"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, hour, n,
+               MAX(CASE WHEN rk = (m + 1) // 2 THEN n END)
+                   OVER (PARTITION BY event_type) AS med
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY n, hour) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS m
+            FROM c
+        )
+    ),
+    mad AS (
+        SELECT event_type, hour, n, med, d,
+               MAX(CASE WHEN rk = (m + 1) // 2 THEN d END)
+                   OVER (PARTITION BY event_type) AS mad
+        FROM (
+            SELECT *, ABS(n - med) AS d,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ABS(n - med), hour) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS m
+            FROM med
+        )
+    )
+    SELECT event_type, hour, n, med, mad,
+           CAST(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END AS BIGINT) AS anomalous
+    FROM mad
+"""
 
 ORACLES["dedup_containment"] = """
     WITH sh AS (
@@ -7554,6 +7603,7 @@ _ROUND5_FRONT = [
     "lh_vacuum_plan",
     "ev_transition_matrix",
     "dedup_containment",
+    "ts_anomaly_mad",
     "sample_weighted",
     "text_rare_bigram",
     "text_html_extract",

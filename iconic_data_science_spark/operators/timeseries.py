@@ -94,3 +94,70 @@ def anomaly_hours(
             .alias("is_anomaly"),
         )
     )
+
+
+def mad_anomaly_hours(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    k: int = 3,
+) -> DataFrame:
+    """(event_type, hour, n, med, mad, anomalous) — ROBUST hourly
+    volume anomaly flags via the median absolute deviation: flag hour
+    h iff |n_h − median| > k·MAD. The robust twin of the z-score
+    flags (ts_anomaly_hours): one fat-fingered or outage hour owns a
+    mean/σ rule's baseline, but breaks neither median.
+
+    Everything is INTEGER — counts, the lower median (the value at
+    rank ⌈m/2⌉ with a deterministic (value, hour) tie order), MAD of
+    integer deviations, and the k·MAD compare — so any engine replays
+    it bit-for-bit; no float enters at any step. MAD = 0 (a majority
+    of identical hourly counts) flags every deviating hour, the
+    documented degenerate behavior of the estimator.
+
+    Plan: one hourly-count rollup off the scan, then two rank windows
+    over the (type, hour) grain — dimension-sized (types × hours), not
+    data-sized."""
+    from pyspark.sql import Window as W
+
+    hour = F.expr(f"unix_timestamp({ts_col}) div 3600")
+    counts = (
+        events.select(F.col(type_col).alias("event_type"), hour.alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # dimension-sized (types × hours); four frames derive from it
+        .localCheckpoint(eager=True)
+    )
+    w_grp = W.partitionBy("event_type")
+    w_med = w_grp.orderBy(F.col("n").asc(), F.col("hour").asc())
+    med_tbl = (
+        counts.withColumn("_rk", F.row_number().over(w_med))
+        .withColumn("_m", F.count(F.lit(1)).over(w_grp))
+        .withColumn(
+            "_med_val",
+            F.max(F.when(F.col("_rk") == F.expr("(_m + 1) div 2"), F.col("n"))).over(
+                w_grp
+            ),
+        )
+        .select("event_type", "hour", "n", F.col("_med_val").alias("med"))
+    )
+    dev = med_tbl.withColumn("_d", F.abs(F.col("n") - F.col("med")))
+    w_mad = w_grp.orderBy(F.col("_d").asc(), F.col("hour").asc())
+    mad_tbl = (
+        dev.withColumn("_rk", F.row_number().over(w_mad))
+        .withColumn("_m", F.count(F.lit(1)).over(w_grp))
+        .withColumn(
+            "_mad_val",
+            F.max(F.when(F.col("_rk") == F.expr("(_m + 1) div 2"), F.col("_d"))).over(
+                w_grp
+            ),
+        )
+    )
+    return mad_tbl.select(
+        "event_type",
+        "hour",
+        "n",
+        "med",
+        F.col("_mad_val").alias("mad"),
+        (F.col("_d") > F.lit(int(k)) * F.col("_mad_val")).cast("long").alias("anomalous"),
+    )

@@ -529,3 +529,31 @@ def test_containment_matches_naive(spark, sf_dir):
         if r["count"] >= math.ceil(0.5 * szs[r["x"]])
     )
     assert fast == naive
+
+
+# --- MAD anomaly ------------------------------------------------------------
+
+
+def test_mad_anomaly_hand_series(spark):
+    """9 calm hours + 1 spike: the spike flags under MAD but would
+    also shift a mean/σ baseline — here the median is untouched."""
+    import datetime as dt
+
+    from iconic_data_science_spark.operators.timeseries import mad_anomaly_hours
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(10):
+        burst = 500 if h == 9 else (10 + h % 3)  # calm: 10/11/12
+        for i in range(burst):
+            rows.append((eid, t0 + dt.timedelta(hours=h, seconds=i), "a"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["hour"] - rows[0][1].timestamp() // 3600: r
+           for r in mad_anomaly_hours(df, k=3).collect()}
+    flagged = {h for h, r in out.items() if r["anomalous"] == 1}
+    assert flagged == {9}
+    r0 = next(iter(out.values()))
+    assert r0["med"] == 11  # lower median of {10,10,10,11,11,11,12,12,12,500}
+    assert r0["mad"] == 1

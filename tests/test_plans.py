@@ -285,6 +285,9 @@ EXCHANGE_BUDGET = {
     # the candidate distinct + verify join (posting/freq derive from
     # the checkpoint)
     "dedup_containment": 2,
+    # MAD anomaly: hourly counts checkpointed; the rank windows share
+    # one (type)-grain exchange at dimension size
+    "ts_anomaly_mad": 1,
 }
 
 
