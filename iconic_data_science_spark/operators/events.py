@@ -67,20 +67,24 @@ def retention_cohorts(
     (user, week) before the count — the shuffle carries user×week rows,
     not raw events.
     """
-    wk = (F.datediff(F.to_date("ts"), F.lit(epoch).cast("date"))).cast("long")
+    # Integer week arithmetic (never floor-of-double): subtract
+    # pmod(d,7) so the `div` is an exact floored division — identical
+    # to DuckDB's integer `//` for EVERY d including pre-epoch negative
+    # day counts (bare `div` truncates toward zero and would diverge
+    # there; floor(double/7) was the old bug this replaces).
+    def _week(date_expr: str):
+        d = f"datediff({date_expr}, date '{epoch}')"
+        return F.expr(f"({d} - pmod({d}, 7)) div 7").cast("long")
+
+    wk = _week("to_date(ts)")
     first = (
         events.filter(F.col("event_type") == cohort_event)
         .groupBy("user_id")
         .agg(F.min("ts").alias("_first_ts"))
-        .select(
-            "user_id",
-            F.floor(
-                F.datediff(F.to_date("_first_ts"), F.lit(epoch).cast("date")) / 7
-            ).cast("long").alias("cohort_week"),
-        )
+        .select("user_id", _week("to_date(_first_ts)").alias("cohort_week"))
     )
     act = (
-        events.select("user_id", F.floor(wk / 7).cast("long").alias("week"))
+        events.select("user_id", wk.alias("week"))
         .distinct()
         .join(first, "user_id")
         .filter(F.col("week") >= F.col("cohort_week"))
@@ -143,13 +147,24 @@ def _quota_partial(events: DataFrame, key_col: str, quota: int) -> DataFrame:
     def partial(batches):
         import pandas as pd
 
+        # Sort key mirrors the JVM single-phase orderBy("ts","event_id")
+        # EXACTLY, including its NULLS FIRST default: a null ts arrives
+        # here as pandas NaT, whose comparisons are unordered — raw
+        # tuple sort would diverge from (and crash against) the pinned
+        # row-identical contract. (is-not-null, ts-or-sentinel, id):
+        # null-ts rows sort first among themselves by event_id.
+        def _jvm_order(pair):
+            ts, eid = pair
+            isna = pd.isna(ts)
+            return (not isna, 0 if isna else ts, eid)
+
         state: dict = {}
         for pdf in batches:
             for k, g in pdf.groupby(key_col, sort=False, dropna=False):
                 key = None if (k is None or (isinstance(k, float) and k != k)) else k
                 cand = state.setdefault(key, [])
                 cand.extend(zip(g["ts"], g["event_id"]))
-                cand.sort()
+                cand.sort(key=_jvm_order)
                 del cand[quota:]
         rows = [
             {key_col: k, "ts": ts, "event_id": int(eid)}

@@ -142,18 +142,47 @@ def temperature_sample_against_rates(
     # Precision budget (Spark tracks decimal precision through ×):
     # u(7) × lang_toks(16) × w_sum(12) → 7+16+1+12+1 = 37 ≤ 38, so the
     # product is exact — no silent precision-loss rounding can occur.
+    # Every cast below is guarded: under Spark's non-ANSI semantics a
+    # decimal overflow is a silent NULL, which here would make the keep
+    # predicate NULL and return an EMPTY sample instead of erroring.
+    # bucket_space and budget are Python ints → validated eagerly;
+    # weight is data → guarded with raise_error on the tiny rates table.
+    if bucket_space > 10_000_000:
+        raise ValueError(
+            f"bucket_space={bucket_space} exceeds 1e7; u is compared in "
+            "decimal(7,0) and larger spaces would overflow to NULL"
+        )
+    if int(budget_tokens) * int(bucket_space) >= 10**28:
+        raise ValueError(
+            f"budget_tokens*bucket_space = {int(budget_tokens) * int(bucket_space)} "
+            "exceeds the decimal(28,0) literal budget"
+        )
     r = rates.select(
         F.col("lang").alias("lang"),
         F.col("n_tokens").cast("decimal(16,0)").alias("_lang_toks"),
-        F.col("weight").cast("decimal(9,0)").alias("_w"),
+        F.when(
+            F.col("weight") > F.lit(999_999_999),
+            F.raise_error(
+                F.concat(
+                    F.lit("temperature_sample_against_rates: weight overflows "
+                          "decimal(9,0) for lang="),
+                    F.col("lang").cast("string"),
+                )
+            ).cast("decimal(9,0)"),
+        )
+        .otherwise(F.col("weight").cast("decimal(9,0)"))
+        .alias("_w"),
     )
     total_w = r.agg(F.sum("_w").cast("decimal(12,0)").alias("_w_sum"))
     r = r.crossJoin(F.broadcast(total_w))
 
     u = hash_bucket(id_col, bucket_space).cast("decimal(7,0)")
     doc_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    # budget*space as decimal(28,0): 28 + 9 + 1 = 38 on the RHS product,
+    # exact up to the validated 1e28 bound (a 100 TB-scale budget of
+    # 1e14 tokens × the 1e7 max bucket space = 1e21 fits with room).
     keep = (u * F.col("_lang_toks") * F.col("_w_sum")) < (
-        F.lit(int(budget_tokens) * int(bucket_space)).cast("decimal(14,0)")
+        F.lit(str(int(budget_tokens) * int(bucket_space))).cast("decimal(28,0)")
         * F.col("_w")
     )
     return (

@@ -68,13 +68,33 @@ def weighted_bernoulli_sample(
     map-side, no data shuffle, no collect. Weights must be non-negative
     integers (cast upstream; e.g. a milli-score or ``n_chars``).
     """
+    # Guarded casts: a non-ANSI decimal overflow is a silent NULL that
+    # would silently EMPTY the sample (NULL keep predicate) — validate
+    # the Python-int parameters eagerly and fail loudly on data.
+    if bucket_space > 10_000_000:
+        raise ValueError(
+            f"bucket_space={bucket_space} exceeds 1e7 (u is decimal(7,0))"
+        )
+    if int(target_n) * int(bucket_space) >= 10**20:
+        raise ValueError(
+            f"target_n*bucket_space = {int(target_n) * int(bucket_space)} "
+            "exceeds the decimal(20,0) literal budget"
+        )
     u = hash_bucket(key_col, bucket_space).cast("decimal(7,0)")
+    # Sum in decimal (precision 30) so W_total cannot wrap int64 at
+    # 100 TB weight sums; u(7) × W_total(30) → 38 digits, exactly at
+    # Spark's cap but never past it.
     total = df.agg(
-        F.sum(F.col(weight_col)).cast("decimal(20,0)").alias("_w_total")
+        F.sum(F.col(weight_col).cast("decimal(20,0)")).alias("_w_total")
     )
+    w_i = F.when(
+        F.col(weight_col) >= F.lit(10_000_000_000_000),
+        F.raise_error(
+            F.lit("weighted_bernoulli_sample: weight overflows decimal(13,0)")
+        ).cast("decimal(13,0)"),
+    ).otherwise(F.col(weight_col).cast("decimal(13,0)"))
     keep = u * F.col("_w_total") < (
-        F.lit(target_n * bucket_space).cast("decimal(14,0)")
-        * F.col(weight_col).cast("decimal(13,0)")
+        F.lit(str(int(target_n) * int(bucket_space))).cast("decimal(20,0)") * w_i
     )
     return df.crossJoin(F.broadcast(total)).filter(keep).drop("_w_total")
 

@@ -127,13 +127,29 @@ def kmv_hashes(
     return events.select(F.col(group_col).alias("grp"), h.cast("long").alias("h"))
 
 
-def kmv_partial_minima(hashed: DataFrame, k: int = KMV_K) -> DataFrame:
+def kmv_partial_minima(
+    hashed: DataFrame, k: int = KMV_K, group_cols: tuple = ("grp",)
+) -> DataFrame:
     """Map-side bounded partial: ≤ k smallest DISTINCT hashes per group
     PER INPUT PARTITION, held as Arrow-batched per-partition state in
     ``mapInPandas`` (the only bounded-state aggregation Spark exposes
     without a JVM Aggregator). No shuffle here — the exchange after
     this step carries ≤ k·P rows per group instead of the full distinct
-    (group, hash) cardinality. Null keys contribute no hash."""
+    (group, hash) cardinality. Null keys contribute no hash.
+
+    ``group_cols`` may name several columns — a composite group (e.g.
+    (event_type, pane_hour) in :func:`kmv_sliding_distinct`) is carried
+    as real typed columns, never packed into a delimited string (a key
+    value containing the delimiter would silently corrupt the panes)."""
+    cols = list(group_cols)
+
+    def _norm(v):
+        # Normalize a group key element: a numeric column with nulls
+        # reaches pandas as float64 + NaN, and NaN keys (a) don't merge
+        # across batches (NaN != NaN) and (b) fail the Arrow cast back
+        # to the declared type. Null groups stay a single None-keyed
+        # group, matching what GROUP BY does JVM-side.
+        return None if (v is None or (isinstance(v, float) and v != v)) else v
 
     def partial_topk(batches):
         import numpy as np
@@ -141,27 +157,25 @@ def kmv_partial_minima(hashed: DataFrame, k: int = KMV_K) -> DataFrame:
 
         state: dict = {}
         for pdf in batches:
-            for grp, s in pdf.groupby("grp", sort=False, dropna=False)["h"]:
+            for grp, s in pdf.groupby(cols, sort=False, dropna=False)["h"]:
                 arr = s.dropna().to_numpy(dtype="int64")
                 if not len(arr):
                     continue
-                # Normalize the group key: a numeric grp column with
-                # nulls reaches pandas as float64 + NaN, and NaN keys
-                # (a) don't merge across batches (NaN != NaN) and
-                # (b) fail the Arrow cast back to the declared grp
-                # type. Null groups stay a single None-keyed group,
-                # matching what GROUP BY does JVM-side.
-                key = None if (grp is None or (isinstance(grp, float) and grp != grp)) else grp
+                key = tuple(
+                    _norm(v) for v in (grp if isinstance(grp, tuple) else (grp,))
+                )
                 prev = state.get(key)
                 merged = np.unique(arr if prev is None else np.concatenate([prev, arr]))
                 state[key] = merged[:k]  # np.unique sorts → k smallest distinct
         yield pd.DataFrame(
-            [(grp, int(hv)) for grp, mins in state.items() for hv in mins],
-            columns=["grp", "h"],
+            [(*grp, int(hv)) for grp, mins in state.items() for hv in mins],
+            columns=[*cols, "h"],
         )
 
-    grp_type = hashed.schema["grp"].dataType.simpleString()
-    return hashed.mapInPandas(partial_topk, f"grp {grp_type}, h long")
+    fields = ", ".join(
+        f"{c} {hashed.schema[c].dataType.simpleString()}" for c in cols
+    )
+    return hashed.mapInPandas(partial_topk, f"{fields}, h long")
 
 
 def kmv_distinct(
@@ -452,8 +466,12 @@ def kmv_sliding_distinct(
     twin replays everything exactly.
     """
     hour = F.expr(f"unix_timestamp({ts_col}) div 3600")
+    # (event_type, pane_hour) carried as two real columns — a delimited
+    # concat_ws key would silently corrupt panes for any event_type
+    # containing the delimiter.
     hashed = events.filter(F.col(key_col).isNotNull()).select(
-        F.concat_ws("|", F.col(type_col), hour.cast("string")).alias("grp"),
+        F.col(type_col).alias("event_type"),
+        hour.cast("long").alias("pane_hour"),
         (
             (((F.col(key_col) % MERSENNE31) + MERSENNE31) % MERSENNE31)
             * F.lit(KMV_A)
@@ -461,16 +479,14 @@ def kmv_sliding_distinct(
         ).cast("long").__mod__(MERSENNE31).alias("h"),
     )
     # bounded map-side partial, then the exact per-pane k-minima
-    pane_rows = kmv_partial_minima(hashed, k=k).distinct()
-    w_pane = W.partitionBy("grp").orderBy("h")
+    pane_rows = kmv_partial_minima(
+        hashed, k=k, group_cols=("event_type", "pane_hour")
+    ).distinct()
+    w_pane = W.partitionBy("event_type", "pane_hour").orderBy("h")
     panes = (
         pane_rows.withColumn("rn", F.row_number().over(w_pane))
         .filter(F.col("rn") <= k)
-        .select(
-            F.substring_index(F.col("grp"), "|", 1).alias("event_type"),
-            F.substring_index(F.col("grp"), "|", -1).cast("long").alias("pane_hour"),
-            "h",
-        )
+        .select("event_type", "pane_hour", "h")
         # ≤ k rows per pane — pin them: four frames derive from the
         # pane table (fan-out, observed hours, window minima, pane
         # counts) and each would otherwise re-run the raw scan + the

@@ -1445,3 +1445,37 @@ def test_hard_negatives_exclude_same_label_and_self(spark, sf_dir):
         assert r.query_id != r.neighbor_id
         assert labels[r.query_id] != labels[r.neighbor_id]
         assert 1 <= r.rank <= 5
+
+
+def test_quota_two_phase_null_ts_matches_jvm_nulls_first(spark):
+    """ADVICE r5 pin: a NULL ts reaches the two-phase partial as pandas
+    NaT (unordered comparisons) — the partial's sort key must mirror the
+    JVM single-phase NULLS FIRST order so the pinned row-identical
+    contract holds even with null timestamps."""
+    import datetime as dt
+
+    from iconic_data_science_spark.operators.events import quota_sample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for k in ("a", "b"):
+        for i in range(10):
+            ts = None if i % 3 == 0 else t0 + dt.timedelta(seconds=i)
+            rows.append((eid, ts, k))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    single = sorted((r.key, r.event_id, r.seq) for r in quota_sample(ev, quota=5).collect())
+    double = sorted(
+        (r.key, r.event_id, r.seq)
+        for r in quota_sample(ev, quota=5, two_phase=True).collect()
+    )
+    assert single == double
+    # null-ts rows are admitted FIRST (JVM nulls-first), ordered by id
+    by_key = {}
+    for key, eid_, seq in single:
+        by_key.setdefault(key, []).append((seq, eid_))
+    for key, admitted in by_key.items():
+        ids = [e for _, e in sorted(admitted)]
+        null_ids = [e for e in ids if e % 10 % 3 == 0]
+        assert ids[: len(null_ids)] == sorted(null_ids), (key, ids)

@@ -557,3 +557,58 @@ def test_mad_anomaly_hand_series(spark):
     r0 = next(iter(out.values()))
     assert r0["med"] == 11  # lower median of {10,10,10,11,11,11,12,12,12,500}
     assert r0["mad"] == 1
+
+
+# --- ADVICE r5 regression pins ---------------------------------------------
+
+
+def test_temperature_sample_large_budget_not_empty(spark):
+    """budget_tokens >= 1e8 used to overflow the decimal(14,0) keep
+    literal to NULL and silently return an EMPTY sample; the widened
+    decimal(28,0) literal must keep the rule exact — a budget at twice
+    the corpus token count keeps EVERY document."""
+    from iconic_data_science_spark.operators.mixing import temperature_sample
+
+    rows = [(i, "w " * 9 + "w", "en" if i % 2 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = temperature_sample(df, budget_tokens=10**12).count()
+    assert kept == 200
+
+
+def test_temperature_sample_param_overflow_raises(spark):
+    """Out-of-range parameters must raise eagerly, never silently
+    NULL-out the keep predicate."""
+    import pytest as _pytest
+
+    from iconic_data_science_spark.operators.mixing import temperature_sample
+
+    df = spark.createDataFrame([(1, "a b", "en")], "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError, match="bucket_space"):
+        temperature_sample(df, bucket_space=10**8)
+    with _pytest.raises(ValueError, match="decimal"):
+        temperature_sample(df, budget_tokens=10**23, bucket_space=10**6)
+
+
+def test_kmv_sliding_delimiter_in_event_type(spark, sf_dir):
+    """An event_type containing '|' must not corrupt pane keys: the
+    composite (event_type, pane_hour) group is carried as typed columns,
+    so renaming a type to contain the old delimiter leaves every
+    estimate identical (bijection invariance)."""
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.sketch import kmv_sliding_distinct
+
+    ev = Catalog(spark, sf_dir).events
+    plain = {
+        (r["event_type"], r["win_end_hour"]): (r["n_panes"], r["est_distinct"])
+        for r in kmv_sliding_distinct(ev, window_hours=3).collect()
+    }
+    piped = {
+        (r["event_type"], r["win_end_hour"]): (r["n_panes"], r["est_distinct"])
+        for r in kmv_sliding_distinct(
+            ev.withColumn("event_type", F.concat(F.col("event_type"), F.lit("|x"))),
+            window_hours=3,
+        ).collect()
+    }
+    assert piped == {(f"{t}|x", w): v for (t, w), v in plain.items()}

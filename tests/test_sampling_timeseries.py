@@ -157,3 +157,25 @@ def test_group_uniform_k_independent_of_partitioning(spark, sf_dir):
         for r in group_uniform_k(docs.repartition(13), "source", "doc_id", 5).collect()
     )
     assert a == b
+
+
+def test_weighted_sample_large_target_not_empty(spark, sf_dir):
+    """target_n*bucket_space >= 1e14 used to overflow the decimal(14,0)
+    literal to NULL (empty sample); with the widened literal a target
+    beyond the row count keeps every row, and a too-large parameter
+    raises instead of silently emptying."""
+    import pytest as _pytest
+
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.sampling import weighted_bernoulli_sample
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    n = docs.count()
+    kept = weighted_bernoulli_sample(docs, "doc_id", "w", target_n=10**9).count()
+    assert kept == n
+    with _pytest.raises(ValueError, match="bucket_space"):
+        weighted_bernoulli_sample(docs, "doc_id", "w", target_n=10, bucket_space=10**8)
+    with _pytest.raises(ValueError, match="decimal"):
+        weighted_bernoulli_sample(docs, "doc_id", "w", target_n=10**15)
