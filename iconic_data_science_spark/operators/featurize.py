@@ -180,6 +180,259 @@ def linear_classifier_gate(
     )
 
 
+def hashed_features(
+    documents: DataFrame,
+    dim: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, feature, x) — the signed hashed bag-of-words at the
+    (doc, bucket) grain: x = Σ over the doc's tokens of ±1 with
+    feature = fold(token) mod dim, sign from the next hash bit — the
+    SAME feature space :func:`linear_classifier_gate` scores in-row and
+    :func:`hashed_tfidf` weighs.  Factored out so the trainer and the
+    oracle share one definition.  One corpus shuffle (map-side partial
+    to ≤ dim rows per doc)."""
+    toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    base = documents.select(F.col(id_col).alias("doc_id"), toks).filter(
+        F.col("token") != ""
+    )
+    return (
+        base.select("doc_id", _fold(F.col("token")).alias("_h"))
+        .select(
+            "doc_id",
+            F.expr(f"_h % {int(dim)}").alias("feature"),
+            F.expr(f"CASE WHEN (_h div {int(dim)}) % 2 = 0 THEN 1 ELSE -1 END").alias(
+                "sign"
+            ),
+        )
+        .groupBy("doc_id", "feature")
+        .agg(F.sum("sign").cast("long").alias("x"))
+    )
+
+
+def train_linear_classifier(
+    documents: DataFrame,
+    label_col,
+    dim: int = 256,
+    epochs: int = 12,
+    lr_milli: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(feature, weight_micro) — a DISTRIBUTED pocket-perceptron trainer
+    for :func:`linear_classifier_gate`, closing the train half of the
+    DCLM/FineWeb-Edu recipe (train small offline, score everything
+    online; the reference trains nothing — its pipelines end at MAG
+    rollups, magNets.scala:1-80).  ``label_col`` is a Column evaluating
+    to y ∈ {+1, −1} over ``documents`` (e.g. a heuristic quality rule —
+    exactly how real curation classifiers bootstrap their labels).
+
+    The recurrence is full-batch, all-integer, and therefore
+    deterministic, partitioning-invariant, and replayable by any SQL
+    engine (:func:`train_oracle_sql` unrolls it as chained CTEs):
+
+        w_0 = 0,  b_0 = 0
+        m_i       = b_t + Σ_f x_if · w_tf                  (margins)
+        err_t     = #{ i : (m_i > 0) ≠ (y_i = 1) }         (pocket stat)
+        M         = { i : y_i · m_i ≤ 0 }                  (update set)
+        w_{t+1,f} = w_tf + (lr·Σ_{i∈M} y_i·x_if) div (t+1) (harmonic step)
+        b_{t+1}   = b_t  + (lr·Σ_{i∈M} y_i) div (t+1)
+
+    returning the POCKET weights: the w_t with the smallest err_t over
+    t ∈ {0..epochs}, earliest epoch on ties.  Full-batch perceptron
+    updates oscillate (the step magnitude is comparable to ‖w‖); the
+    harmonic 1/t decay damps the orbit and the pocket rule makes the
+    output the best iterate rather than the last — both pieces exact
+    integer arithmetic (`div` truncation matches DuckDB's `//`), no
+    float, no sampling, no seed.  The bias is emitted as feature −1.
+
+    Scale shape (the k-means driver-tier discipline, similarity.py:283):
+    the (doc, feature) design matrix and the label table materialize
+    ONCE before the loop, repartitioned by doc_id so the per-epoch
+    margin aggregate and the mis→pairs join are both co-partitioned.
+    The weight vector itself lives as ≤ dim+1 INTEGERS on the driver —
+    bounded by construction (dim is a compile-time constant, the same
+    bound that lets the gate embed it as a plan literal) — entering
+    each epoch as a broadcast LocalRelation and leaving as one
+    collected ≤ dim+1-row gradient.  Chaining epochs as lineage
+    (weights_t a DataFrame referenced 5× by epoch t+1) was measured
+    EXPONENTIAL in Spark's planner past ~10 epochs even with
+    per-epoch localCheckpoints (4.5×/epoch planning blow-up, driver
+    OOM at 16) — the literal-weights form makes every epoch's plan
+    independent and O(1).  Per epoch: one co-partitioned doc-grain
+    aggregate + one ≤ dim-row collect.  Corpus-sized data never
+    reaches the driver; the classifier itself never sees this loop —
+    scoring 100 TB remains the gate's single map pass.
+    """
+    spark = documents.sparkSession
+    d, ep = int(dim), int(epochs)
+    pairs = (
+        hashed_features(documents, dim=d, id_col=id_col, text_col=text_col)
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        documents.select(
+            F.col(id_col).alias("doc_id"), label_col.cast("long").alias("y")
+        )
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def _tdiv(a: int, b: int) -> int:
+        # truncation toward zero — Spark `div` / DuckDB `//` semantics
+        # (Python's // floors, which differs for negative gradients)
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def _margins(w: dict[int, int]):
+        w_df = spark.createDataFrame(
+            [(f, w[f]) for f in range(d)], "feature long, wv long"
+        )
+        sums = (
+            pairs.join(F.broadcast(w_df), "feature")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("wv")).cast("long").alias("s"))
+        )
+        return labels.join(sums, "doc_id", "left").select(
+            "doc_id",
+            "y",
+            (F.coalesce(F.col("s"), F.lit(0)) + F.lit(w[-1]).cast("long")).alias("m"),
+        )
+
+    w = {f: 0 for f in range(-1, d)}
+    best_w, best_err = dict(w), None
+    for t in range(ep + 1):
+        margins = _margins(w)
+        mis = margins.filter(F.col("y") * F.col("m") <= 0)
+        # ONE distributed pass per epoch: the pocket error count, the
+        # bias gradient, and the ≤ dim-row feature gradient collect
+        # together (the gradient rows are the only driver traffic).
+        stats = (
+            pairs.join(mis.select("doc_id", "y"), "doc_id")
+            .groupBy("feature")
+            .agg(F.sum(F.col("y") * F.col("x")).cast("long").alias("g"))
+            .unionByName(
+                margins.agg(
+                    F.lit(-1).cast("long").alias("feature"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("y") * F.col("m") <= 0, F.col("y"))),
+                        F.lit(0),
+                    ).cast("long").alias("g"),
+                )
+            )
+            .unionByName(
+                margins.agg(
+                    F.lit(-2).cast("long").alias("feature"),
+                    F.count(
+                        F.when((F.col("m") > 0) != (F.col("y") == 1), F.lit(1))
+                    ).cast("long").alias("g"),
+                )
+            )
+        ).collect()
+        grad = {int(r["feature"]): int(r["g"]) for r in stats}
+        err = grad.pop(-2)
+        if best_err is None or err < best_err:
+            best_w, best_err = dict(w), err
+        if t == ep:
+            break
+        for f, g in grad.items():
+            w[f] = w[f] + _tdiv(g * int(lr_milli), t + 1)
+    return spark.createDataFrame(
+        sorted((f, wv) for f, wv in best_w.items()),
+        "feature long, weight_micro long",
+    )
+
+
+def train_oracle_sql(
+    label_sql: str,
+    dim: int = 256,
+    epochs: int = 12,
+    lr_milli: int = 1000,
+    table: str = "documents",
+) -> str:
+    """The ANSI-SQL replay of :func:`train_linear_classifier`: the epoch
+    recurrence unrolled as chained CTEs (m0/e0 → g0 → w1 → m1/e1 → …),
+    one block per epoch, then the pocket argmin over the unioned
+    (t, err) rows — the same generated-oracle pattern as
+    kmv_sliding_oracle_sql.  ``label_sql`` is a SQL expression over the
+    ``documents`` row yielding y ∈ {+1, −1}.  DuckDB's integer ``//``
+    truncates toward zero exactly like Spark's ``div``, so the harmonic
+    step replays bit-for-bit."""
+    d, ep = int(dim), int(epochs)
+    head = f"""
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM {table}
+    ),
+    hashed AS MATERIALIZED (
+        SELECT doc_id,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(token), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) AS h
+        FROM tk WHERE token <> ''
+    ),
+    px AS MATERIALIZED (
+        SELECT doc_id, h % {d} AS f,
+               CAST(SUM(CASE WHEN (h // {d}) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS x
+        FROM hashed GROUP BY 1, 2
+    ),
+    lab AS MATERIALIZED (SELECT doc_id, CAST({label_sql} AS BIGINT) AS y FROM {table}),
+    w0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS f, CAST(0 AS BIGINT) AS wv
+           FROM range(-1, {d}))"""
+    blocks = []
+    for t in range(ep + 1):
+        blocks.append(f"""
+    mm{t} AS MATERIALIZED (
+        SELECT p.doc_id, CAST(SUM(p.x * w.wv) AS BIGINT) AS s
+        FROM px p JOIN w{t} w ON w.f = p.f GROUP BY 1
+    ),
+    m{t} AS MATERIALIZED (
+        SELECT l.doc_id, l.y,
+               COALESCE(mm.s, 0) + (SELECT wv FROM w{t} WHERE f = -1) AS m
+        FROM lab l LEFT JOIN mm{t} mm USING (doc_id)
+    ),
+    e{t} AS MATERIALIZED (
+        SELECT CAST({t} AS BIGINT) AS t, CAST(COUNT(*) FILTER (
+            WHERE (m > 0) <> (y = 1)) AS BIGINT) AS err
+        FROM m{t}
+    )""")
+        if t == ep:
+            break
+        blocks.append(f"""
+    g{t} AS MATERIALIZED (
+        SELECT p.f, CAST(SUM(m.y * p.x) AS BIGINT) AS g
+        FROM px p JOIN m{t} m USING (doc_id)
+        WHERE m.y * m.m <= 0 GROUP BY 1
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               CAST(COALESCE(SUM(y), 0) AS BIGINT)
+        FROM m{t} WHERE y * m <= 0
+    ),
+    w{t + 1} AS MATERIALIZED (
+        SELECT w.f,
+               CAST(w.wv + (COALESCE(g.g, 0) * {int(lr_milli)}) // {t + 1}
+                    AS BIGINT) AS wv
+        FROM w{t} w LEFT JOIN g{t} g USING (f)
+    )""")
+    all_err = " UNION ALL ".join(f"SELECT * FROM e{t}" for t in range(ep + 1))
+    all_w = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS t, f, wv FROM w{t}" for t in range(ep + 1)
+    )
+    return (
+        head + "," + ",".join(blocks)
+        + f""",
+    allerr AS ({all_err}),
+    best AS (SELECT t FROM allerr ORDER BY err ASC, t ASC LIMIT 1),
+    allw AS ({all_w})
+    SELECT f AS feature, wv AS weight_micro
+    FROM allw WHERE t = (SELECT t FROM best)"""
+    )
+
+
 def window_cooccurrence(
     documents: DataFrame,
     window: int = 3,

@@ -612,3 +612,83 @@ def test_kmv_sliding_delimiter_in_event_type(spark, sf_dir):
         ).collect()
     }
     assert piped == {(f"{t}|x", w): v for (t, w), v in plain.items()}
+
+
+# --- distributed classifier training (round 6) ------------------------------
+
+
+def test_trainer_learns_separable_rule(spark):
+    """A trivially separable label (docs containing 'zebra') must be
+    learned essentially perfectly: the pocket weights' error on the
+    training set reaches 0 (perceptron convergence on separable data)."""
+    from iconic_data_science_spark.operators.featurize import (
+        linear_classifier_gate,
+        train_linear_classifier,
+    )
+
+    rows = []
+    for i in range(120):
+        base = ["alpha", "beta", "gamma", "delta"][i % 4]
+        words = [base] * 5 + (["zebra"] if i % 3 == 0 else ["yak"])
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    label = F.when(F.array_contains(F.split(F.col("text"), " "), "zebra"), 1).otherwise(-1)
+    w = train_linear_classifier(df, label, dim=64, epochs=16)
+    wm = {int(r["feature"]): int(r["weight_micro"]) for r in w.collect()}
+    weights = [wm.get(f, 0) for f in range(64)]
+    got = linear_classifier_gate(df, weights, bias_micro=wm.get(-1, 0)).collect()
+    want = {i: (1 if i % 3 == 0 else 0) for i in range(120)}
+    errs = sum(1 for r in got if r["keep"] != want[r["doc_id"]])
+    assert errs == 0, f"{errs} training errors on separable data"
+
+
+def test_trainer_partitioning_invariant(spark, sf_dir):
+    """Full-batch integer recurrence ⇒ the learned weights are a pure
+    function of the data, not its partitioning."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.featurize import train_linear_classifier
+
+    docs = Catalog(spark, sf_dir).documents
+    label = F.when(F.col("doc_id") % 3 == 0, 1).otherwise(-1)
+    a = sorted(
+        (r["feature"], r["weight_micro"])
+        for r in train_linear_classifier(docs, label, dim=64, epochs=4).collect()
+    )
+    b = sorted(
+        (r["feature"], r["weight_micro"])
+        for r in train_linear_classifier(
+            docs.repartition(13), label, dim=64, epochs=4
+        ).collect()
+    )
+    assert a == b
+
+
+def test_trainer_pocket_beats_final_epoch(spark, sf_dir):
+    """The pocket rule must return the argmin-error iterate: its error
+    is ≤ the error of every epoch the trainer visited (checked against
+    the keyword seed rule the registered query trains on)."""
+    import __spark_entry__ as entrymod
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.featurize import (
+        linear_classifier_gate,
+        train_linear_classifier,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    label = entrymod._quality_label_col()
+    lab = {r["doc_id"]: r["y"] for r in docs.select("doc_id", label.alias("y")).collect()}
+
+    def err_of(weights_df):
+        wm = {int(r["feature"]): int(r["weight_micro"]) for r in weights_df.collect()}
+        weights = [wm.get(f, 0) for f in range(256)]
+        g = linear_classifier_gate(docs, weights, bias_micro=wm.get(-1, 0)).collect()
+        return sum(1 for r in g if (r["logit_micro"] > 0) != (lab[r["doc_id"]] == 1))
+
+    e4 = err_of(train_linear_classifier(docs, label, dim=256, epochs=4))
+    e8 = err_of(train_linear_classifier(docs, label, dim=256, epochs=8))
+    # pocket error is monotone non-increasing in the epoch budget
+    assert e8 <= e4
+    # and the trained model beats the all-negative majority baseline
+    majority = min(sum(1 for y in lab.values() if y == 1),
+                   sum(1 for y in lab.values() if y == -1))
+    assert e8 < majority
