@@ -7660,10 +7660,33 @@ def q_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(gated, budget_tokens=500_000)
 
 
+def q_ann_ivf_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on the INTEGER lattice — the hash-oracled twin
+    of the rows-only float `ann_ivf_kmeans` (r5 verdict item 3, the
+    same float→int move as g_pagerank→g_pagerank_int): quantize
+    components to round(x·1000) BIGINTs, then 3 exact Lloyd rounds
+    (argmin Σ(q−c)², trunc-div centroid means, empty cells carry) and
+    the final assignment with its exact squared distance. Any drift in
+    seeding, distance, tie-break, or update breaks the hash; the float
+    original keeps the recall contract (test_ann_recall.py), this twin
+    carries the correctness gate. Per round: map-side argmin over K
+    literal centroids + one K×(dim+1)-row exchange — corpus scanned,
+    never moved."""
+    from iconic_data_science_spark.operators.similarity import kmeans_int_assign
+
+    cat = _cat(spark, sf_dir)
+    return kmeans_int_assign(cat.embeddings, n_cells=8, n_iters=3)
+
+
 QUERIES.update({
     "text_classifier_train": q_text_classifier_train,
     "curation_pipeline_v5": q_curation_pipeline_v5,
+    "ann_ivf_kmeans_int": q_ann_ivf_kmeans_int,
 })
+
+from iconic_data_science_spark.operators.similarity import kmeans_int_oracle_sql as _kmeans_int_oracle_sql  # noqa: E402
+
+ORACLES["ann_ivf_kmeans_int"] = _kmeans_int_oracle_sql(n_cells=8, n_iters=3)
 
 from iconic_data_science_spark.operators.featurize import train_oracle_sql as _train_oracle_sql  # noqa: E402
 

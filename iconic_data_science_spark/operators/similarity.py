@@ -1020,3 +1020,224 @@ def hard_negative_topk(
         _cosine(dot).alias("cosine"),
     )
     return _topk(pairs, k)
+
+
+def kmeans_int_assign(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, c_id, d2) — Lloyd's k-means ON THE INTEGER LATTICE: the
+    hash-oracled twin of :func:`kmeans_centroids` (the same
+    float→integer move as graph.pagerank_int vs graph.pagerank; r5
+    verdict item 3). Components quantize once to ``round(x·scale)``
+    BIGINTs; every Lloyd round is then exact integer arithmetic both
+    engines replay bit-for-bit:
+
+        assignment: argmin_c Σ_i (q_i − c_i)²   (ties → smallest c_id)
+        update:     c'_i = Σ_{v∈cell} q_i div |cell|   (trunc div;
+                    empty cells keep their previous centroid)
+
+    seeded by the farthest-point (k-center greedy) rule the float
+    trainer uses — smallest-id seeding can start all K seeds inside one
+    cluster when ids correlate with content — run over the same
+    deterministic md5-ordered sample and on the SAME integer lattice
+    (squared L2, ties → smallest id), so the oracle replays seeding
+    too. Returns the assignment under the FINAL centroids with its
+    exact squared distance, so any drift anywhere in the loop breaks
+    the hash — :func:`kmeans_int_oracle_sql` unrolls seeding and rounds
+    as chained CTEs.
+
+    Scale shape (the kmeans_centroids distributed-tier discipline):
+    the seed sample is ONE TakeOrdered job (bounded ``seed_sample``
+    rows to the driver — the FAISS posture: train on a sample);
+    centroids are bounded K×dim driver metadata embedded as plan
+    literals each round — assignment is a map-side argmax over a
+    K-element expression array (zero joins, zero shuffles) and the
+    update is ONE partial-aggregated groupBy(c_id) collecting K rows.
+    Per iteration: one K×(dim+1)-row exchange; the corpus is scanned,
+    never moved. (Weights-as-literals also sidesteps the exponential
+    planner blow-up chained iterative DataFrames hit — see
+    featurize.train_linear_classifier.)
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
+    )
+    e = embeddings.select(F.col(id_col).alias("id"), q.alias("q")).localCheckpoint(
+        eager=True
+    )
+    k = int(n_cells)
+    seed_sample = max(10_000, 100 * k)
+    h = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    samp = (
+        e.select("id", "q", h.alias("_h"))
+        .orderBy("_h", "id")
+        .limit(seed_sample)
+        .collect()
+    )
+    samp.sort(key=lambda r: r["id"])
+    sq = [[int(x) for x in r["q"]] for r in samp]
+
+    def _d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # greedy k-center on the lattice: start at the smallest sampled id,
+    # then repeatedly take the point FARTHEST from its nearest chosen
+    # seed (ties → smallest id; python max is stable → first max wins
+    # on the id-sorted sample)
+    chosen = [0]
+    nearest = [_d2(v, sq[0]) for v in sq]
+    for _ in range(k - 1):
+        nxt = max(range(len(sq)), key=lambda i: nearest[i])
+        chosen.append(nxt)
+        dn = [_d2(v, sq[nxt]) for v in sq]
+        nearest = [min(a, b) for a, b in zip(nearest, dn)]
+    cents: list[tuple[int, list[int]]] = [
+        (cid, list(sq[i])) for cid, i in enumerate(chosen)
+    ]
+    dim = len(cents[0][1])
+
+    def _tdiv(a: int, b: int) -> int:
+        qq = abs(a) // b
+        return qq if a >= 0 else -qq
+
+    def _assign(cs):
+        structs = []
+        for cid, cv in cs:
+            lit_cv = F.array(*[F.lit(int(x)) for x in cv])
+            d2 = F.aggregate(
+                F.zip_with(F.col("q"), lit_cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("c_id")))
+        best = F.array_min(F.array(*structs))
+        return e.select(
+            F.col("id"), best["c_id"].alias("c_id"), best["d2"].alias("d2")
+        )
+
+    for _ in range(int(n_iters)):
+        assign = _assign(cents)
+        agg = (
+            assign.join(e, "id")
+            .groupBy("c_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("q", i + 1)).cast("long").alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        upd = {
+            int(r["c_id"]): [_tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)]
+            for r in agg
+        }
+        cents = [(cid, upd.get(cid, cv)) for cid, cv in cents]
+    return _assign(cents).select(F.col("id").alias("vec_id"), "c_id", "d2")
+
+
+def kmeans_int_oracle_sql(
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    dim: int = _DIM,
+    table: str = "embeddings",
+) -> str:
+    """ANSI-SQL replay of :func:`kmeans_int_assign`: quantize → greedy
+    k-center seeding over the md5-ordered sample (k−1 unrolled argmax
+    blocks) → ``n_iters`` unrolled (distance, argmin, update) CTE
+    blocks → final assignment. MATERIALIZED throughout (chained CTEs
+    re-inline exponentially otherwise — the featurize.train_oracle_sql
+    lesson)."""
+    k, it, sc, d = int(n_cells), int(n_iters), int(scale), int(dim)
+    seed_sample = max(10_000, 100 * k)
+    head = f"""
+    WITH qx AS MATERIALIZED (
+        SELECT vec_id, CAST(r.range AS BIGINT) AS pos,
+               CAST(ROUND(CAST(embedding[r.range] AS DOUBLE) * {sc}) AS BIGINT) AS qv
+        FROM {table}, range(1, {d + 1}) r
+    ),
+    sampids AS MATERIALIZED (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   list_reduce(
+                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                        for c in string_split_regex(
+                            substr(md5(CAST(vec_id AS VARCHAR)), 1, 12), '')],
+                       (a, b) -> a * 16 + b
+                   ) AS _h
+            FROM {table}
+            ORDER BY _h, vec_id LIMIT {seed_sample}
+        )
+    ),
+    sq AS MATERIALIZED (
+        SELECT q.* FROM qx q JOIN sampids USING (vec_id)
+    ),
+    pick0 AS (SELECT MIN(vec_id) AS vec_id FROM sq),
+    sv0 AS MATERIALIZED (
+        SELECT pos, qv FROM sq WHERE vec_id = (SELECT vec_id FROM pick0)
+    ),
+    nd0 AS MATERIALIZED (
+        SELECT v.vec_id, CAST(SUM((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS m
+        FROM sq v JOIN sv0 c USING (pos) GROUP BY 1
+    )"""
+    seed_blocks = []
+    for j in range(1, k):
+        seed_blocks.append(f"""
+    pick{j} AS (SELECT vec_id FROM nd{j - 1} ORDER BY m DESC, vec_id ASC LIMIT 1),
+    sv{j} AS MATERIALIZED (
+        SELECT pos, qv FROM sq WHERE vec_id = (SELECT vec_id FROM pick{j})
+    ),
+    sd{j} AS MATERIALIZED (
+        SELECT v.vec_id, CAST(SUM((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS dj
+        FROM sq v JOIN sv{j} c USING (pos) GROUP BY 1
+    ),
+    nd{j} AS MATERIALIZED (
+        SELECT n.vec_id, LEAST(n.m, s.dj) AS m
+        FROM nd{j - 1} n JOIN sd{j} s USING (vec_id)
+    )""")
+    c0 = f"""
+    c0 AS MATERIALIZED (
+        {" UNION ALL ".join(f"SELECT CAST({j} AS BIGINT) AS c_id, pos, qv FROM sv{j}" for j in range(k))}
+    )"""
+    head = head + "," + ",".join(seed_blocks) + "," + c0
+    blocks = []
+    for t in range(1, it + 2):
+        p = t - 1
+        blocks.append(f"""
+    d{t} AS MATERIALIZED (
+        SELECT v.vec_id, c.c_id,
+               CAST(SUM((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS d2
+        FROM qx v JOIN c{p} c USING (pos) GROUP BY 1, 2
+    ),
+    a{t} AS MATERIALIZED (
+        SELECT vec_id, CAST(c_id AS BIGINT) AS c_id, d2 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2 ASC, c_id ASC) AS rn
+            FROM d{t}
+        ) WHERE rn = 1
+    )""")
+        if t == it + 1:
+            break
+        blocks.append(f"""
+    u{t} AS (
+        SELECT a.c_id, q.pos,
+               CAST(SUM(q.qv) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS qv
+        FROM a{t} a JOIN qx q USING (vec_id) GROUP BY 1, 2
+    ),
+    c{t} AS MATERIALIZED (
+        SELECT c.c_id, c.pos, COALESCE(u.qv, c.qv) AS qv
+        FROM c{p} c LEFT JOIN u{t} u ON u.c_id = c.c_id AND u.pos = c.pos
+    )""")
+    return (
+        head + "," + ",".join(blocks)
+        + f"\n    SELECT vec_id, c_id, d2 FROM a{it + 1}"
+    )

@@ -190,3 +190,27 @@ def test_lsh_multi_table_recall(spark, corpora):
     r3 = _recall(lsh_topk(corpus, queries, k=K, n_tables=3), exact)
     assert r3 >= r1
     assert r3 >= 0.8
+
+
+def test_kmeans_int_recovers_clusters_and_is_partition_invariant(spark, corpora):
+    """The integer-lattice twin must (a) recover the planted clusters
+    with the same ≥95% purity bar as the float trainer and (b) return
+    identical assignments under any input partitioning (exact integer
+    recurrence — the property the hash oracle certifies)."""
+    from collections import Counter, defaultdict
+
+    from iconic_data_science_spark.operators.similarity import kmeans_int_assign
+
+    corpus, _, _ = corpora
+    assign = kmeans_int_assign(corpus, n_cells=N_CLUSTERS, n_iters=5)
+    joined = corpus.select("vec_id", "label").join(assign, "vec_id").collect()
+    by_cell = defaultdict(list)
+    for r in joined:
+        by_cell[r.c_id].append(r.label)
+    pure = sum(Counter(labs).most_common(1)[0][1] for labs in by_cell.values())
+    assert pure / len(joined) >= 0.95
+
+    again = kmeans_int_assign(corpus.repartition(13), n_cells=N_CLUSTERS, n_iters=5)
+    a = sorted((r.vec_id, r.c_id, r.d2) for r in assign.collect())
+    b = sorted((r.vec_id, r.c_id, r.d2) for r in again.collect())
+    assert a == b
