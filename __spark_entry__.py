@@ -7678,11 +7678,36 @@ def q_ann_ivf_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_int_assign(cat.embeddings, n_cells=8, n_iters=3)
 
 
+def q_g3_personal_net_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's SALTED pair build (r5 verdict item 5): the
+    mega-ego O(k²) explosion spreads over buckets² reducer keys
+    instead of one (personal_net.personal_net_salted). Row-identical
+    to g3_personal_net for any bucket count — it shares the flagship's
+    hash oracle, so the driver gate IS the oracle-equality proof; the
+    mega-ego fixture timing lives in SCALE.md."""
+    from iconic_data_science_spark.operators.personal_net import personal_net_salted
+
+    cat = _cat(spark, sf_dir)
+    years = magmap.paper_years(cat).filter(F.col("year") == 1995)
+    edges = (
+        coauthor_edges(
+            magmap.paa(cat), years, min_papers_together=2, max_authors_per_paper=256
+        )
+        .select("ego", "alter_id", "first_year")
+        .localCheckpoint()
+    )
+    egos = edges.select("ego").filter(F.col("ego") % 10 == 0).distinct()
+    return personal_net_salted(edges, egos=egos, buckets=4)
+
+
 QUERIES.update({
     "text_classifier_train": q_text_classifier_train,
     "curation_pipeline_v5": q_curation_pipeline_v5,
     "ann_ivf_kmeans_int": q_ann_ivf_kmeans_int,
+    "g3_personal_net_salted": q_g3_personal_net_salted,
 })
+
+ORACLES["g3_personal_net_salted"] = ORACLES["g3_personal_net"]
 
 from iconic_data_science_spark.operators.similarity import kmeans_int_oracle_sql as _kmeans_int_oracle_sql  # noqa: E402
 

@@ -127,3 +127,101 @@ def personal_net(edges: DataFrame, egos: DataFrame | None = None) -> DataFrame:
         "alter2",
         F.greatest("y1", "y2", "y3").alias("year"),
     )
+
+
+def _pairs_plain(focal: DataFrame) -> DataFrame:
+    c1, c2 = focal.alias("c1"), focal.alias("c2")
+    return c1.join(
+        c2,
+        (F.col("c1.ego") == F.col("c2.ego"))
+        & (F.col("c1.alter_id") < F.col("c2.alter_id")),
+    ).select(
+        F.col("c1.ego").alias("ego"),
+        F.col("c1.alter_id").alias("alter1"),
+        F.col("c2.alter_id").alias("alter2"),
+        F.col("c1.first_year").alias("y1"),
+        F.col("c2.first_year").alias("y2"),
+    )
+
+
+def _pairs_salted(focal: DataFrame, buckets: int) -> DataFrame:
+    b = F.pmod(F.hash("alter_id"), F.lit(int(buckets)))
+    rng = F.explode(F.sequence(F.lit(0), F.lit(int(buckets) - 1)))
+    c1 = focal.withColumn("_b1", b).withColumn("_b2", rng).alias("c1")
+    c2 = focal.withColumn("_b2", b).withColumn("_b1", rng).alias("c2")
+    return c1.join(
+        c2,
+        (F.col("c1.ego") == F.col("c2.ego"))
+        & (F.col("c1._b1") == F.col("c2._b1"))
+        & (F.col("c1._b2") == F.col("c2._b2"))
+        & (F.col("c1.alter_id") < F.col("c2.alter_id")),
+    ).select(
+        F.col("c1.ego").alias("ego"),
+        F.col("c1.alter_id").alias("alter1"),
+        F.col("c2.alter_id").alias("alter2"),
+        F.col("c1.first_year").alias("y1"),
+        F.col("c2.first_year").alias("y2"),
+    )
+
+
+def personal_net_salted(
+    edges: DataFrame,
+    egos: DataFrame | None = None,
+    buckets: int = 8,
+    hot_threshold: int = 2048,
+) -> DataFrame:
+    """:func:`personal_net` with a TARGETED-SALT pair build — the
+    mega-ego defense (SURVEY §7 risk register; r5 verdict item 5).
+
+    The plain J4 self-join hashes every row of an ego to ONE reducer,
+    so a 100k-alter ego concentrates its 10¹⁰-pair O(k²) explosion in
+    a single task no matter how many executors exist; AQE can split the
+    post-shuffle partition but every pair of the hot key still ships
+    through one exchange key. The defense: detect egos with ≥
+    ``hot_threshold`` alters (one map-side-partial count over the focal
+    table — the hot SET is small by definition and broadcasts), build
+    their pairs through a salted join — both sides carry the alter's
+    deterministic bucket b = pmod(hash(alter_id), B) and each side
+    explodes over the OTHER side's bucket range, joining on
+    (ego, b1, b2) so the hot ego's pair space splits into B²
+    independent reducer keys (the a1_salted two-phase idea applied to
+    a self-join's quadratic key) — and union them with the plain-join
+    pairs of everything else.
+
+    Salting ONLY the hot slice matters as much as salting at all: the
+    B× row replication applied to the whole edge table was MEASURED
+    slower than the skew it fixes (sf0.1 + 10k-alter ego: salt-all
+    13.1 s vs plain 5.8 s vs targeted 2.6 s — SCALE.md), because the
+    cold 99.99% pays B× sort/shuffle for pairs that were never
+    concentrated. Every (alter1 < alter2) pair lands in exactly one
+    block on exactly one side of the hot/cold split, so the output is
+    row-identical to ``personal_net`` for ANY (buckets, hot_threshold)
+    (oracle-equality pinned by sharing its hash oracle; salt values
+    never reach the output). The closure probe is keyed on the
+    (alter1, alter2) PAIR — already quadratic-key-spread — and stays
+    unsalted.
+    """
+    e = edges.select("ego", "alter_id", "first_year")
+    focal = e
+    if egos is not None:
+        focal = e.join(egos.select("ego").distinct(), "ego", "left_semi")
+    # focal feeds three consumers (hot count, hot semi, cold anti) —
+    # materialize once (the multi-consumer-frame rule, SURVEY §4)
+    focal = focal.localCheckpoint(eager=True)
+    hot = (
+        focal.groupBy("ego")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= int(hot_threshold))
+        .select("ego")
+    )
+    focal_hot = focal.join(F.broadcast(hot), "ego", "left_semi")
+    focal_cold = focal.join(F.broadcast(hot), "ego", "left_anti")
+    pairs = _pairs_plain(focal_cold).unionByName(_pairs_salted(focal_hot, buckets))
+    ap = e.select(
+        F.col("ego").alias("alter1"),
+        F.col("alter_id").alias("alter2"),
+        F.col("first_year").alias("y3"),
+    )
+    return pairs.join(ap, ["alter1", "alter2"]).select(
+        "ego", "alter1", "alter2", F.greatest("y1", "y2", "y3").alias("year")
+    )

@@ -50,3 +50,17 @@ def test_personal_net_triadic_closure(spark):
     assert not any(t[0] == 2 and t[1] == 1 and t[2] == 4 for t in result)
     # triangular order holds
     assert all(t[1] < t[2] for t in result)
+
+
+def test_salted_equals_plain_any_buckets(spark):
+    """personal_net_salted must be row-identical to personal_net for
+    every bucket count — salt values spread the pair build across
+    buckets² reducer keys but never reach the output."""
+    from iconic_data_science_spark.operators.personal_net import personal_net_salted
+
+    edges = _edges(spark).select("ego", "alter_id", "first_year")
+    plain = sorted(map(tuple, personal_net(edges).collect()))
+    assert plain
+    for b in (1, 3, 8):
+        salted = sorted(map(tuple, personal_net_salted(edges, buckets=b).collect()))
+        assert salted == plain, f"buckets={b}"
