@@ -81,7 +81,6 @@ def ego_indicators(triples: DataFrame, author_country: DataFrame) -> DataFrame:
     alter_c = author_country.select(
         F.col("author").alias("alter_id"), F.col("country").alias("alter_country")
     )
-    t = triples.join(F.broadcast(ego_c), "ego", "left").join(F.broadcast(alter_c), "alter_id", "left")
     domestic = F.col("alter_country") == F.col("ego_country")
     # Five countDistincts in one agg would Expand the triple table 5x
     # before the shuffle. Instead: dedup to alter level first (each
@@ -97,10 +96,16 @@ def ego_indicators(triples: DataFrame, author_country: DataFrame) -> DataFrame:
     # full scan + shuffle for a separate countDistinct(year) agg
     # (the fan-out is the expensive input; sets are bounded by the year
     # range per alter). Measured ~25% off the sf0.1 median.
-    alter_level = t.groupBy("ego", "alter_id").agg(
-        F.max("alter_country").alias("alter_country"),
-        F.max("ego_country").alias("ego_country"),
-        F.collect_set("year").alias("yrs"),
+    # The country broadcast-joins attach AFTER the alter-grain dedup:
+    # each (ego, alter) carries one country pair, so joining at the
+    # deduped grain is equivalent — and the fan-out shuffle then moves
+    # only (ego, alter, year-partials), no string columns (round-6
+    # narrowing; the integer-keys-through-exchanges rule).
+    alter_level = (
+        triples.groupBy("ego", "alter_id")
+        .agg(F.collect_set("year").alias("yrs"))
+        .join(F.broadcast(ego_c), "ego", "left")
+        .join(F.broadcast(alter_c), "alter_id", "left")
     )
     return alter_level.groupBy("ego").agg(
         F.count("*").alias("n_coauthors"),
