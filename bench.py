@@ -156,9 +156,7 @@ def _streaming_bench(spark, sf_dir: str) -> dict:
         "st_run_ingest_gate": ingest_gate,
         "st_run_classifier": classifier_gate,
     }
-    out: dict[str, dict] = {}
-    for name, build in pipelines.items():
-        df, mode, rows = build()
+    def _drain(df, mode) -> float:
         t0 = time.perf_counter()
         q = (
             df.writeStream.outputMode(mode)
@@ -170,7 +168,19 @@ def _streaming_bench(spark, sf_dir: str) -> dict:
             q.processAllAvailable()
         finally:
             q.stop()
-        sec = time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    # Same warm discipline as the batch queries (one untimed run so the
+    # sample measures steady state, not codegen/JVM warm-up), honored
+    # by the same flag.
+    warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    out: dict[str, dict] = {}
+    for name, build in pipelines.items():
+        if warm:
+            df, mode, _ = build()
+            _drain(df, mode)
+        df, mode, rows = build()
+        sec = _drain(df, mode)
         out[name] = {
             "sec": round(sec, 3),
             "input_rows": rows,

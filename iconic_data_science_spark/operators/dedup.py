@@ -1262,3 +1262,37 @@ def containment_pairs(
             F.expr("(inter * 100) div size_contained").alias("containment_pct"),
         )
     )
+
+
+def minhash_band_sig_array(num_perm: int = 16, rows_per_band: int = 4):
+    """array<string> Column of per-band signature strings (index =
+    band + 1) computed IN-ROW from a ``shingles`` column — the same
+    permutation minima and '-'-joined signatures as
+    :func:`minhash_band_sigs_from_arrays` (pinned by test), but kept as
+    one array per document instead of exploded rows. This is what lets
+    a STREAM probe a broadcast bucket index with one scalar-key hash
+    join per band — no explode, no cross-band duplicate pairs, no
+    streaming state (streaming/documents.py). Empty-shingle documents
+    yield '' signatures, which match nothing (the row form filters
+    band_sig != '' out of the index)."""
+    perms = _lcg_params(num_perm)
+
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform("shingles", lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31)
+        )
+
+    mins = [perm_min(a, b) for _, a, b in perms]
+    n_bands = num_perm // rows_per_band
+    return F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    mins[i].cast("string")
+                    for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+                ],
+            )
+            for band in range(n_bands)
+        ]
+    )

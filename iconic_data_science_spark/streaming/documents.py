@@ -48,6 +48,7 @@ def stream_dedup_against_index(
     num_perm: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    index_broadcast_threshold_rows: int = 2_000_000,
 ) -> DataFrame:
     """(corpus_id, new_id, jaccard) append stream — incoming documents
     that near-duplicate the existing corpus.
@@ -79,6 +80,81 @@ def stream_dedup_against_index(
     carr = ca.select(
         F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("corpus_shingles")
     ).localCheckpoint()
+    # Size-gated IN-ROW index probe (the IVFPQ
+    # dtable_broadcast_threshold_rows pattern, r5 verdict item 6): the
+    # join+dropDuplicates form pays a streaming STATE STORE for the
+    # cross-band candidate dedup — measured as ~2/3 of each micro-batch
+    # (3.3 s vs 1.2 s stateless at sf0.1) even though a new_id's
+    # duplicates can only ever come from its own row's bands. Under the
+    # gate, the bucket index collapses to ONE broadcast row mapping
+    # 'band:sig' → corpus ids (the bloom_decontaminate_inrow shape):
+    # each stream row probes the map for its ≤ n_bands keys, flattens,
+    # and array_distinct's its candidates entirely IN-ROW — zero
+    # shuffles, zero state, pure append. Above the threshold the
+    # pipeline falls back to the shuffled join + stateful dedup
+    # unchanged. csigs is counted, not guessed: it is already
+    # checkpointed, so the count is a cached-partition scan, paid once
+    # at pipeline build.
+    inter = F.size(F.array_intersect("shingles", "corpus_shingles"))
+    union = F.size("shingles") + F.size("corpus_shingles") - inter
+    if csigs.count() <= int(index_broadcast_threshold_rows):
+        from ..operators.dedup import minhash_band_sig_array
+
+        n_bands = num_perm // rows_per_band
+        na = hashed_shingle_arrays(new_docs_stream, n=n).withColumn(
+            # NAMED column: the 16-permutation signature expression must
+            # evaluate once per row, not once per band reference (the
+            # lambda/no-CSE pitfall, SCALE.md)
+            "_sigs",
+            minhash_band_sig_array(num_perm=num_perm, rows_per_band=rows_per_band),
+        )
+        # one broadcast hash join per band, each on a SCALAR key: O(1)
+        # hashmap probes (a single-row map column would linear-scan its
+        # entries per lookup — measured 3x SLOWER than the stateful
+        # form), no explode, and — because each join contributes one
+        # array column rather than rows — no cross-band duplicate pairs
+        # to dedup, hence no streaming state. All four joins probe the
+        # SAME 'band:sig'-keyed bucket frame, so Catalyst reuses one
+        # broadcast exchange per micro-batch instead of building four.
+        bucket = (
+            csigs.select(
+                F.concat(
+                    F.col("band").cast("string"), F.lit(":"), F.col("band_sig")
+                ).alias("_bk"),
+                "corpus_id",
+            )
+            .groupBy("_bk")
+            .agg(F.collect_list("corpus_id").alias("_bids"))
+            .localCheckpoint()
+        )
+        for band in range(n_bands):
+            b_ren = bucket.withColumnRenamed("_bk", f"_k{band}").withColumnRenamed(
+                "_bids", f"_ids{band}"
+            )
+            na = na.withColumn(
+                f"_k{band}",
+                F.concat(
+                    F.lit(str(band)), F.lit(":"), F.element_at("_sigs", band + 1)
+                ),
+            ).join(F.broadcast(b_ren), f"_k{band}", "left")
+        cands = F.array_distinct(
+            F.flatten(
+                F.filter(
+                    F.array(*[F.col(f"_ids{b}") for b in range(n_bands)]),
+                    lambda ids: ids.isNotNull(),
+                )
+            )
+        )
+        probed = na.select(
+            F.col("doc_id").alias("new_id"),
+            "shingles",
+            F.explode(cands).alias("corpus_id"),
+        )
+        return (
+            probed.join(F.broadcast(carr), "corpus_id")
+            .select("corpus_id", "new_id", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     na = hashed_shingle_arrays(new_docs_stream, n=n)
     nsigs = minhash_band_sigs_from_arrays(
         na, num_perm=num_perm, rows_per_band=rows_per_band, keep_shingles=True
@@ -88,8 +164,6 @@ def stream_dedup_against_index(
         .select("corpus_id", "new_id", "shingles")
         .dropDuplicates(["corpus_id", "new_id"])
     )
-    inter = F.size(F.array_intersect("shingles", "corpus_shingles"))
-    union = F.size("shingles") + F.size("corpus_shingles") - inter
     return (
         cand.join(carr, "corpus_id")
         .select("corpus_id", "new_id", (inter / union).alias("jaccard"))
