@@ -7700,12 +7700,161 @@ def q_g3_personal_net_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personal_net_salted(edges, egos=egos, buckets=4)
 
 
+def q_text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate operating-curve sweep — the eval step between training and
+    the 100 TB scoring pass: confusion counts + integer-ppm
+    precision/recall of the stand-in-weight gate against the keyword
+    seed rule at five thresholds. One in-row scoring pass, a
+    ≤5×-constant fan-out over the literal threshold array, one tiny
+    groupBy — the cost is the same single corpus map the gate itself
+    costs."""
+    from iconic_data_science_spark.operators.featurize import (
+        classifier_threshold_eval,
+    )
+
+    cat = _cat(spark, sf_dir)
+    weights = [((f * 2654435761) % 2001) - 1000 for f in range(256)]
+    return classifier_threshold_eval(
+        cat.documents, weights, _quality_label_col(), bias_micro=0,
+        thresholds_micro=(-2000, -1000, 0, 1000, 2000),
+    )
+
+
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding audit: exact-Jaccard ground truth vs the LSH
+    candidate set ON THIS CORPUS — (n_true, n_candidates, n_found,
+    n_missed, recall_ppm, cand_precision_ppm) in one row. The
+    measurement a production dedup publishes next to its (num_perm,
+    rows_per_band) choice instead of trusting the iid-minhash formula;
+    at 100 TB the same audit runs on a content-hash sample (banding
+    recall is a per-pair property, so the sample estimate is
+    unbiased)."""
+    from iconic_data_science_spark.operators.dedup import minhash_recall_eval
+
+    cat = _cat(spark, sf_dir)
+    return minhash_recall_eval(
+        cat.documents, n=3, num_perm=16, rows_per_band=4, threshold=0.5
+    )
+
+
 QUERIES.update({
     "text_classifier_train": q_text_classifier_train,
     "curation_pipeline_v5": q_curation_pipeline_v5,
     "ann_ivf_kmeans_int": q_ann_ivf_kmeans_int,
     "g3_personal_net_salted": q_g3_personal_net_salted,
+    "text_classifier_eval": q_text_classifier_eval,
+    "dedup_minhash_eval": q_dedup_minhash_eval,
 })
+
+ORACLES["dedup_minhash_eval"] = """
+    WITH sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                           for i in generate_series(1, len(th)-2)]) AS s
+            FROM (
+                SELECT doc_id,
+                       [list_reduce(
+                            [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                             for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                            (a, b) -> a * 16 + b) % 2147483647
+                        for tok in string_split(lower(text), ' ')] AS th
+                FROM documents
+            )
+        )
+    ),
+    sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS MATERIALIZED (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS MATERIALIZED (
+        SELECT i.id1, i.id2,
+               CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) AS jaccard
+        FROM inter i JOIN sz z1 ON z1.doc_id = i.id1
+                     JOIN sz z2 ON z2.doc_id = i.id2
+    ),
+    perms AS (SELECT * FROM {PERMS}),
+    sig AS MATERIALIZED (
+        SELECT doc_id, i, MIN((a * shingle + b) % 2147483647) AS minhash
+        FROM sh CROSS JOIN perms GROUP BY 1, 2
+    ),
+    bs AS MATERIALIZED (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY i) AS band_sig
+        FROM sig GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+        FROM bs b1 JOIN bs b2 ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+                              AND b1.doc_id < b2.doc_id
+    ),
+    agg AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM jac WHERE jaccard >= 0.5) AS n_true_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM jac j JOIN cand c ON c.id1 = j.id1 AND c.id2 = j.id2
+             WHERE j.jaccard >= 0.5) AS n_found_pairs
+    )
+    SELECT n_true_pairs, n_candidates, n_found_pairs,
+           n_true_pairs - n_found_pairs AS n_missed,
+           CAST(CASE WHEN n_true_pairs = 0 THEN -1
+                ELSE (n_found_pairs * 1000000) // n_true_pairs END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN n_candidates = 0 THEN -1
+                ELSE (n_found_pairs * 1000000) // n_candidates END AS BIGINT) AS cand_precision_ppm
+    FROM agg
+"""
+ORACLES["dedup_minhash_eval"] = ORACLES["dedup_minhash_eval"].replace(
+    "{PERMS}", _perm_table_sql(16)
+)
+
+ORACLES["text_classifier_eval"] = f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' '))
+               AS token
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(token), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) AS h
+        FROM nz
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM((CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+                   * (((h % 256) * 2654435761) % 2001 - 1000)) AS BIGINT) AS logit
+        FROM hashed GROUP BY 1
+    ),
+    scored AS (
+        SELECT d.doc_id, COALESCE(s.logit, 0) AS logit,
+               CAST({_TRAIN_LABEL_SQL} AS BIGINT) AS y
+        FROM documents d LEFT JOIN s USING (doc_id)
+    ),
+    thr(thr_micro) AS (
+        VALUES (CAST(-2000 AS BIGINT)), (-1000), (0), (1000), (2000)
+    ),
+    c AS (
+        SELECT t.thr_micro,
+               CAST(COUNT(*) FILTER (WHERE logit > t.thr_micro AND y = 1) AS BIGINT) AS tp,
+               CAST(COUNT(*) FILTER (WHERE logit > t.thr_micro AND y <> 1) AS BIGINT) AS fp,
+               CAST(COUNT(*) FILTER (WHERE logit <= t.thr_micro AND y = 1) AS BIGINT) AS fn,
+               CAST(COUNT(*) FILTER (WHERE logit <= t.thr_micro AND y <> 1) AS BIGINT) AS tn
+        FROM scored, thr t GROUP BY 1
+    )
+    SELECT thr_micro, tp, fp, fn, tn,
+           CAST(CASE WHEN tp + fp = 0 THEN -1
+                ELSE (tp * 1000000) // (tp + fp) END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN tp + fn = 0 THEN -1
+                ELSE (tp * 1000000) // (tp + fn) END AS BIGINT) AS recall_ppm
+    FROM c
+"""
 
 ORACLES["g3_personal_net_salted"] = ORACLES["g3_personal_net"]
 
@@ -7781,6 +7930,88 @@ ORACLES["curation_pipeline_v5"] = f"""
     WHERE CAST(u AS HUGEINT) * lang_toks * w_sum
           < CAST(500000 AS HUGEINT) * 1000000 * weight
 """
+
+
+# Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
+# r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
+# driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
+# rows-only). This round adds 4 queries — 4 + 45 = 49, so for the first
+# time the whole remaining debt fits one ~50-row window. Order:
+# (a) the 4 new round-6 queries (never driver-attempted);
+# (b) stale queries whose operator files churned THIS round (events.py
+#     retention fix, similarity.py kmeans additions) — highest
+#     re-verification value;
+# (c) the rest of the stale cohort, non-TPC-H first;
+# (d) the two r1 rows-only queries (weaker check, cheap);
+# (e) the TPC-H tail (operator files untouched since r2 — safest to
+#     drop if the window is tighter than 50);
+# (f) slot ~50: g7_ego_indicators — fresh r4/r5 rows but its plan
+#     changed this round (country joins moved after the dedup).
+_ROUND6_FRONT = [
+    # --- (a) new in round 6 ---
+    "text_classifier_train",
+    "curation_pipeline_v5",
+    "ann_ivf_kmeans_int",
+    "g3_personal_net_salted",
+    "text_classifier_eval",
+    "dedup_minhash_eval",
+    # --- (b) stale + this-round operator churn ---
+    "ev_retention",
+    "ev_funnel",
+    "ann_lsh_multitable",
+    # --- (c) stale, non-TPC-H ---
+    "asof_signup_value",
+    "range_join_price_tiers",
+    "st_tumbling_hour",
+    "st_sliding_hour_15m",
+    "st_session_5m",
+    "st_stream_stream_join",
+    "lh_merge_upsert",
+    "lh_scd2_priority",
+    "text_vocab_oov",
+    "g6_edge_citation_series",
+    "g9_year_keyed_network",
+    "a_rollup_orders",
+    "a_cube_orders",
+    "a_pivot_returnflag",
+    "a_median_papers",
+    "a6_flatten_distinct",
+    "j8_element_join",
+    "p5_p6_filters",
+    "w_top_supplier_per_nation",
+    "w_lag_citation_delta",
+    # --- (e) TPC-H tail ---
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q20_top_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # --- (d) r1 rows-only (weak check — first slots past the window;
+    # a2_approx_distinct rides iff the window is 50) ---
+    "a2_approx_distinct",
+    "g_pagerank",
+    # --- (f) plan changed this round, fresh r4/r5 rows ---
+    "g7_ego_indicators",
+    "ev_kmv_sliding",
+    "mix_temperature_sample",
+    "sample_weighted",
+    "ev_quota_sample",
+]
 
 
 # Round-5 registration front — evidence-age refresh (VERDICT r4 items 2,
@@ -7910,13 +8141,16 @@ def _reordered(front: list[str], d: dict) -> dict:
     return {k: d[k] for k in [*front, *rest]}
 
 
-# Round-5 front wins (evidence-age refresh); the earlier rounds' fronts
-# follow (hash-green in their rounds, so re-verification in any
+# Round-6 front wins (the full stale-cohort flush); the earlier rounds'
+# fronts follow (hash-green in their rounds, so re-verification in any
 # remaining driver-window slots is harmless), then everything else in
 # original order.
 QUERIES = _reordered(
-    _ROUND5_FRONT,
-    _reordered(_ROUND4_FRONT, _reordered(_ROUND3_FRONT, _reordered(_ROUND2_FRONT, QUERIES))),
+    _ROUND6_FRONT,
+    _reordered(
+        _ROUND5_FRONT,
+        _reordered(_ROUND4_FRONT, _reordered(_ROUND3_FRONT, _reordered(_ROUND2_FRONT, QUERIES))),
+    ),
 )
 
 # ---------------------------------------------------------------------------

@@ -1296,3 +1296,79 @@ def minhash_band_sig_array(num_perm: int = 16, rows_per_band: int = 4):
             for band in range(n_bands)
         ]
     )
+
+
+def minhash_recall_eval(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-row recall/precision audit of the MinHash-LSH banding against
+    exact Jaccard ground truth — the measurement every production dedup
+    should publish next to its index parameters (banding trades recall
+    for scale; this quantifies the trade on the actual corpus instead
+    of the iid-minhash formula):
+
+      (n_true_pairs, n_candidates, n_found_pairs, n_missed,
+       recall_ppm, cand_precision_ppm)
+
+    n_true = exact-Jaccard pairs ≥ threshold over the UNCAPPED shingle
+    universe; n_candidates = distinct banded bucket-join pairs; n_found
+    = candidates that verify ≥ threshold. Because the LSH verify
+    computes Jaccard over the same full shingle sets, found ⊆ true, so
+    missed = true − found without an anti-join and output precision is
+    1 by construction — cand_precision_ppm measures the WASTED verify
+    work instead (candidates that fail the threshold).
+
+    Plan: the shingle table builds ONCE (checkpointed) and feeds the
+    exact join, the signatures, and the verify; the three counts are
+    1-row aggregates broadcast-crossed into the single output row —
+    audit cost ≈ one exact join + one LSH pass, nothing new. At 100 TB
+    run it on a stratified sample (`sampling.stratified_hash_sample`)
+    — the banding recall is a per-pair property, so a content-hash
+    sample estimates it unbiasedly; the full exact join stays a
+    small-corpus/sample tool by nature (Σ df²).
+    """
+    arrays = hashed_shingle_arrays(
+        documents, n=n, id_col=id_col, text_col=text_col
+    ).localCheckpoint()
+    sh = arrays.select("doc_id", F.explode("shingles").alias("shingle")).localCheckpoint()
+    exact = _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    band_sigs = minhash_band_sigs_from_arrays(
+        arrays, num_perm=num_perm, rows_per_band=rows_per_band
+    )
+    b1 = band_sigs.select(F.col("doc_id").alias("id1"), "band", "band_sig")
+    b2 = band_sigs.select(F.col("doc_id").alias("id2"), "band", "band_sig")
+    cands = (
+        b1.join(b2, ["band", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .localCheckpoint()
+    )
+    found = _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_cand = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_found = found.agg(F.count(F.lit(1)).cast("long").alias("n_found_pairs"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_found_pairs",
+            (F.col("n_true_pairs") - F.col("n_found_pairs")).alias("n_missed"),
+            F.expr(
+                "CASE WHEN n_true_pairs = 0 THEN -1L "
+                "ELSE (n_found_pairs * 1000000) div n_true_pairs END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN -1L "
+                "ELSE (n_found_pairs * 1000000) div n_candidates END"
+            ).alias("cand_precision_ppm"),
+        )
+    )

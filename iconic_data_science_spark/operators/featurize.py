@@ -505,3 +505,57 @@ def window_cooccurrence(
             F.expr("(((pair_n * 1000000) div w1_n) * _t) div w2_n").alias("lift_ppm"),
         )
     )
+
+
+def classifier_threshold_eval(
+    documents: DataFrame,
+    weights_micro: list[int],
+    label_col,
+    bias_micro: int = 0,
+    thresholds_micro: tuple[int, ...] = (-2000, -1000, 0, 1000, 2000),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(thr_micro, tp, fp, fn, tn, precision_ppm, recall_ppm) — the
+    operating-curve sweep that closes the train→eval→deploy loop for
+    the quality gate: confusion counts and integer-ppm precision/recall
+    of ``logit > thr`` against ``label_col`` (y ∈ {+1, −1}) at each
+    candidate threshold. This is how a real curation pipeline picks the
+    gate's keep-rate/quality trade-off before burning a 100 TB scoring
+    pass on it.
+
+    Plan shape: ONE in-row scoring pass (the gate's zero-shuffle
+    forward pass via :func:`linear_classifier_gate`), each scored row
+    fans out over the literal threshold array (≤ |thresholds|×, tiny
+    constant), and one partial-aggregated groupBy(thr) — a ≤
+    |thresholds|-row exchange. Ratios are integer ppm (``n·10⁶ div
+    d``), division-by-zero → −1 sentinel, so the sweep hash-matches any
+    engine."""
+    scored = linear_classifier_gate(
+        documents, weights_micro, bias_micro=bias_micro,
+        id_col=id_col, text_col=text_col,
+    ).select("doc_id", "logit_micro")
+    labels = documents.select(
+        F.col(id_col).alias("doc_id"), label_col.cast("long").alias("y")
+    )
+    thr = F.explode(
+        F.array(*[F.lit(int(t)).cast("long") for t in thresholds_micro])
+    ).alias("thr_micro")
+    base = scored.join(labels, "doc_id").select("logit_micro", "y", thr)
+    pred_pos = F.col("logit_micro") > F.col("thr_micro")
+    actual_pos = F.col("y") == 1
+    counts = base.groupBy("thr_micro").agg(
+        F.count(F.when(pred_pos & actual_pos, 1)).cast("long").alias("tp"),
+        F.count(F.when(pred_pos & ~actual_pos, 1)).cast("long").alias("fp"),
+        F.count(F.when(~pred_pos & actual_pos, 1)).cast("long").alias("fn"),
+        F.count(F.when(~pred_pos & ~actual_pos, 1)).cast("long").alias("tn"),
+    )
+    return counts.select(
+        "thr_micro", "tp", "fp", "fn", "tn",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN -1L ELSE (tp * 1000000) div (tp + fp) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN -1L ELSE (tp * 1000000) div (tp + fn) END"
+        ).alias("recall_ppm"),
+    )

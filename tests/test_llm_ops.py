@@ -1479,3 +1479,25 @@ def test_quota_two_phase_null_ts_matches_jvm_nulls_first(spark):
         ids = [e for _, e in sorted(admitted)]
         null_ids = [e for e in ids if e % 10 % 3 == 0]
         assert ids[: len(null_ids)] == sorted(null_ids), (key, ids)
+
+
+def test_minhash_recall_eval_consistency(spark, sf_dir):
+    """The audit row must be internally consistent and agree with the
+    pipelines it audits: found == minhash_lsh_pairs count, true ==
+    uncapped exact-join count, found <= min(true, candidates)."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_recall_eval,
+        ngram_jaccard_pairs,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    r = minhash_recall_eval(docs, n=3, num_perm=16, rows_per_band=4, threshold=0.5).collect()[0]
+    n_lsh = minhash_lsh_pairs(docs, n=3, num_perm=16, rows_per_band=4, threshold=0.5).count()
+    n_exact = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_freq=None).count()
+    assert r["n_found_pairs"] == n_lsh
+    assert r["n_true_pairs"] == n_exact
+    assert r["n_missed"] == n_exact - n_lsh
+    assert r["n_found_pairs"] <= min(r["n_true_pairs"], r["n_candidates"])
+    assert 0 <= r["recall_ppm"] <= 10**6

@@ -692,3 +692,39 @@ def test_trainer_pocket_beats_final_epoch(spark, sf_dir):
     majority = min(sum(1 for y in lab.values() if y == 1),
                    sum(1 for y in lab.values() if y == -1))
     assert e8 < majority
+
+
+def test_threshold_eval_hand_counts(spark):
+    """Hand-checkable sweep: weight 1000 on every bucket makes the
+    logit = 1000·Σsigns; four docs with known sign sums and labels give
+    exact confusion counts at thresholds −1 500/0/1 500."""
+    from iconic_data_science_spark.operators.featurize import (
+        classifier_threshold_eval,
+        linear_classifier_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f"), (4, "")],
+        "doc_id long, text string",
+    )
+    weights = [1000] * 64
+    logits = {
+        r["doc_id"]: r["logit_micro"]
+        for r in linear_classifier_gate(docs, weights).collect()
+    }
+    label = F.when(F.col("doc_id") <= 2, 1).otherwise(-1)
+    y = {1: 1, 2: 1, 3: -1, 4: -1}
+    out = {
+        r["thr_micro"]: r
+        for r in classifier_threshold_eval(
+            docs, weights, label, thresholds_micro=(-1500, 0, 1500)
+        ).collect()
+    }
+    for thr, r in out.items():
+        tp = sum(1 for d in y if logits[d] > thr and y[d] == 1)
+        fp = sum(1 for d in y if logits[d] > thr and y[d] == -1)
+        fn = sum(1 for d in y if logits[d] <= thr and y[d] == 1)
+        tn = sum(1 for d in y if logits[d] <= thr and y[d] == -1)
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), thr
+        want_p = -1 if tp + fp == 0 else (tp * 10**6) // (tp + fp)
+        assert r["precision_ppm"] == want_p
