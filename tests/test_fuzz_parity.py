@@ -74,6 +74,12 @@ DOC_QUERIES = [
     # containment join: dup-heavy fuzz corpora produce real contained
     # pairs and exercise the contained-side-only prefix rule
     "dedup_containment",
+    # round-6 audits: the threshold sweep under tiny/degenerate logit
+    # distributions (all-positive, all-negative, empty-text docs), and
+    # the banding audit where dup-heavy corpora make true pairs and the
+    # tiny vocab forces real signature collisions
+    "text_classifier_eval",
+    "dedup_minhash_eval",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]
