@@ -288,6 +288,26 @@ EXCHANGE_BUDGET = {
     # MAD anomaly: hourly counts checkpointed; the rank windows share
     # one (type)-grain exchange at dimension size
     "ts_anomaly_mad": 1,
+    # round-6 additions.
+    # trainer/kmeans twins: per-epoch/per-round exchanges already ran
+    # behind driver-literal state (the k-means tier discipline); the
+    # returned frame is a literal / a map-side argmin over checkpoints
+    "text_classifier_train": 0,
+    "ann_ivf_kmeans_int": 0,
+    # v5 keeps v4's shape (dedup groupBy + semi-joins + language aggs);
+    # the trained weights enter as a plan literal, adding zero
+    "curation_pipeline_v5": 5,
+    # targeted salt: plain G3's exchanges on BOTH pair paths (cold plain
+    # + hot salted) + the hot-set count — the price of the dual-path
+    # skew split; the salted path itself adds no extra exchange class
+    "g3_personal_net_salted": 10,
+    # threshold sweep: one in-row scoring pass + the ≤|thr|-row rollup
+    "text_classifier_eval": 1,
+    # banding audit: three audited sub-pipelines (exact join, signature
+    # build off the checkpointed arrays, candidate distinct + verify)
+    # each contribute their own aggregates; all capped by the shared
+    # shingle checkpoint
+    "dedup_minhash_eval": 16,
 }
 
 
