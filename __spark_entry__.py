@@ -7737,6 +7737,20 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step of ExactSubstr (Lee et al. 2022 §4.2): cut every
+    corpus-duplicated 5-gram span out of the training text. Rides the
+    dedup_dup_spans plan + one doc-grain join; the excision is an
+    in-row filter over the token array. Untouched documents pass
+    through bit-identical (the oracle hashes the full cleaned corpus,
+    so both the cut positions and the pass-through are under the
+    gate)."""
+    from iconic_data_science_spark.operators.dedup import strip_duplicate_spans
+
+    cat = _cat(spark, sf_dir)
+    return strip_duplicate_spans(cat.documents, n=5, min_count=2)
+
+
 QUERIES.update({
     "text_classifier_train": q_text_classifier_train,
     "curation_pipeline_v5": q_curation_pipeline_v5,
@@ -7744,7 +7758,43 @@ QUERIES.update({
     "g3_personal_net_salted": q_g3_personal_net_salted,
     "text_classifier_eval": q_text_classifier_eval,
     "dedup_minhash_eval": q_dedup_minhash_eval,
+    "dedup_span_strip": q_dedup_span_strip,
 })
+
+ORACLES["dedup_span_strip"] = f"""
+    WITH spans AS MATERIALIZED ({ORACLES["dedup_dup_spans"]}),
+    base AS MATERIALIZED (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    tok AS (
+        SELECT b.doc_id, CAST(g.i AS BIGINT) AS i, b.t[g.i] AS tok
+        FROM base b, LATERAL (
+            SELECT UNNEST(range(1, CAST(len(t) + 1 AS BIGINT))) AS i
+        ) g
+    ),
+    kept AS (
+        SELECT k.doc_id, k.i, k.tok
+        FROM tok k LEFT JOIN spans s
+          ON s.doc_id = k.doc_id
+         AND k.i - 1 BETWEEN s.span_start AND s.span_end
+        WHERE s.doc_id IS NULL
+    ),
+    reasm AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_agg,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY 1
+    ),
+    has_span AS (SELECT DISTINCT doc_id FROM spans)
+    SELECT b.doc_id,
+           CASE WHEN h.doc_id IS NULL THEN b.text
+                ELSE COALESCE(r.clean_agg, '') END AS clean_text,
+           CAST(COALESCE(len(b.t), 0) AS BIGINT) AS n_tokens,
+           CASE WHEN h.doc_id IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(b.t) - COALESCE(r.n_kept, 0) AS BIGINT) END AS n_removed
+    FROM base b
+    LEFT JOIN has_span h ON h.doc_id = b.doc_id
+    LEFT JOIN reasm r ON r.doc_id = b.doc_id
+"""
 
 ORACLES["dedup_minhash_eval"] = """
     WITH sh AS MATERIALIZED (
@@ -7955,6 +8005,7 @@ _ROUND6_FRONT = [
     "g3_personal_net_salted",
     "text_classifier_eval",
     "dedup_minhash_eval",
+    "dedup_span_strip",
     # --- (b) stale + this-round operator churn ---
     "ev_retention",
     "ev_funnel",

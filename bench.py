@@ -78,6 +78,15 @@ HEADLINE = [
     "text_hashed_tfidf",
     "text_intra_dedup",
     "web_pagerank",
+    # round-6 additions: the integer k-means twin (map-side argmin over
+    # literal centroids), the gate operating-curve sweep (one in-row
+    # scoring pass), and the targeted-salt flagship (hot-set detection
+    # riding plain G3). The trainer and the banding audit are excluded
+    # by design: one is epoch-latency-bound, the other a sample-scale
+    # Σdf² audit — neither measures a plan.
+    "ann_ivf_kmeans_int",
+    "text_classifier_eval",
+    "g3_personal_net_salted",
 ]
 
 

@@ -1372,3 +1372,62 @@ def minhash_recall_eval(
             ).alias("cand_precision_ppm"),
         )
     )
+
+
+def strip_duplicate_spans(
+    documents: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_removed) — the ACTION step of
+    the ExactSubstr pass (Lee et al. 2022 §4.2: having found the
+    corpus-duplicated spans, cut them out of the training text):
+    every token position covered by a :func:`duplicate_spans` span is
+    removed and the survivors re-join on single spaces. Documents with
+    no duplicated span pass through UNCHANGED (bit-identical text,
+    nulls included) — the pass is a targeted excision, not a rewrite.
+
+    Scale shape: rides duplicate_spans' plan (gram-hash frequency +
+    island merge — BIGINT keys through every exchange) plus ONE
+    (doc_id)-grain join of the span list back onto the corpus; spans
+    per doc are a handful of (start, end) structs, so the excision is
+    an in-row filter/transform over the token array — no explode, no
+    per-token shuffle. Maximal islands are disjoint by construction,
+    so each token tests against non-overlapping intervals.
+    """
+    spans = duplicate_spans(
+        documents, n=n, min_count=min_count, id_col=id_col, text_col=text_col
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    # named token-array column: lambdas get no CSE (SCALE.md), an
+    # inline split would re-tokenize per element access
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), " ").alias("_t"),
+    ).join(per_doc, "doc_id", "left")
+    idx = F.sequence(F.lit(0), F.size("_t") - 1)
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_sp"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept_idx = F.filter(idx, lambda i: ~covered(i))
+    clean = F.concat_ws(
+        " ", F.transform(kept_idx, lambda i: F.element_at("_t", (i + 1).cast("int")))
+    )
+    n_tokens = F.size("_t").cast("long")
+    return base.select(
+        "doc_id",
+        F.when(F.col("_sp").isNull(), F.col("_text"))
+        .otherwise(clean)
+        .alias("clean_text"),
+        F.when(n_tokens < 0, F.lit(0)).otherwise(n_tokens).cast("long").alias("n_tokens"),
+        F.when(F.col("_sp").isNull(), F.lit(0))
+        .otherwise(n_tokens - F.size(kept_idx))
+        .cast("long")
+        .alias("n_removed"),
+    )

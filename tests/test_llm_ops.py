@@ -1501,3 +1501,31 @@ def test_minhash_recall_eval_consistency(spark, sf_dir):
     assert r["n_missed"] == n_exact - n_lsh
     assert r["n_found_pairs"] <= min(r["n_true_pairs"], r["n_candidates"])
     assert 0 <= r["recall_ppm"] <= 10**6
+
+
+def test_strip_duplicate_spans_semantics(spark):
+    """The excision cuts exactly the flagged span tokens: the pasted
+    paragraph disappears from both hosts, fresh text survives, clean
+    docs pass through bit-identical (trailing/odd whitespace included),
+    and a fully-duplicated doc empties."""
+    from iconic_data_science_spark.operators.dedup import strip_duplicate_spans
+
+    para = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = [
+        (1, f"alpha beta gamma {para} delta epsilon"),
+        (2, f"{para} zeta eta theta iota kappa"),
+        (3, "one two three four five six"),      # clean, passes through
+        (4, para),                                # fully duplicated? only if repeated
+        (5, para),                                # ...5 shares all grams with 4
+        (6, None),                                # null text passes through
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_duplicate_spans(df, n=5, min_count=2).collect()}
+    assert out[1].clean_text == "alpha beta gamma delta epsilon"
+    assert out[1].n_removed == 10
+    assert out[2].clean_text == "zeta eta theta iota kappa"
+    assert out[3].clean_text == "one two three four five six"
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 10
+    assert out[5].clean_text == "" and out[5].n_removed == 10
+    assert out[6].clean_text is None and out[6].n_removed == 0

@@ -308,6 +308,9 @@ EXCHANGE_BUDGET = {
     # each contribute their own aggregates; all capped by the shared
     # shingle checkpoint
     "dedup_minhash_eval": 16,
+    # span strip: dup-spans' gram-frequency + island exchanges feed the
+    # doc-grain span join; excision is in-row over the token array
+    "dedup_span_strip": 2,
 }
 
 
