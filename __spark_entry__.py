@@ -7751,6 +7751,52 @@ def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(cat.documents, n=5, min_count=2)
 
 
+def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact value-bucket quality deciles (text.quality_deciles) — the
+    curriculum/filter-sweep input. Deliberately NOT a global rank
+    window: the integer score has ≤1001 values, so cutoffs come from a
+    bounded histogram and attach back by broadcast — corpus scanned,
+    never globally sorted."""
+    from iconic_data_science_spark.operators.text import quality_deciles
+
+    cat = _cat(spark, sf_dir)
+    return quality_deciles(cat.documents)
+
+
+def q_mix_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting on the integer lattice (Xie et
+    al. 2023 reduced to its deterministic Hedge core): per-source
+    excess loss = ppm of documents where the stand-in quality gate
+    DISAGREES with the keyword seed rule (the 'hard for the proxy'
+    signal), then 5 multiplicative-weight rounds upweight the hard
+    sources. The corpus pass is one in-row scoring + a source-grain
+    aggregate; the rounds run over bounded domain metadata. Oracle
+    unrolls the rounds as chained CTEs over the gate replay."""
+    from iconic_data_science_spark.operators.featurize import linear_classifier_gate
+    from iconic_data_science_spark.operators.mixing import domain_reweight
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    weights = [((f * 2654435761) % 2001) - 1000 for f in range(256)]
+    scored = linear_classifier_gate(docs, weights, bias_micro=0).select(
+        "doc_id", "keep"
+    )
+    lab = docs.select(
+        "doc_id", F.col("source"), _quality_label_col().alias("_y")
+    )
+    losses = (
+        lab.join(scored, "doc_id")
+        .groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.expr(
+                "(1000000 * count(CASE WHEN (keep = 1) != (_y = 1) THEN 1 END)) "
+                "div count(1)"
+            ).cast("long").alias("loss_ppm")
+        )
+    )
+    return domain_reweight(losses, rounds=5, eta_milli=500)
+
+
 QUERIES.update({
     "text_classifier_train": q_text_classifier_train,
     "curation_pipeline_v5": q_curation_pipeline_v5,
@@ -7759,7 +7805,80 @@ QUERIES.update({
     "text_classifier_eval": q_text_classifier_eval,
     "dedup_minhash_eval": q_dedup_minhash_eval,
     "dedup_span_strip": q_dedup_span_strip,
+    "text_quality_deciles": q_text_quality_deciles,
+    "mix_domain_reweight": q_mix_domain_reweight,
 })
+
+ORACLES["text_quality_deciles"] = """
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(coalesce(text, '')) AS BIGINT) AS nc,
+               CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                    t -> t <> '')) AS BIGINT) AS nw,
+               CAST(len(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '', 'g'))
+                    AS BIGINT) AS na
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN nc = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (LEAST(nw, 100) * na * 1000) // (100 * nc) END AS score_milli
+        FROM base
+    ),
+    hist AS (
+        SELECT score_milli, CAST(COUNT(*) AS BIGINT) AS c
+        FROM scored GROUP BY 1
+    ),
+    cuts AS (
+        SELECT score_milli,
+               CAST((10 * COALESCE(SUM(c) OVER (ORDER BY score_milli
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                    // (SELECT SUM(c) FROM hist) AS BIGINT) AS decile
+        FROM hist
+    )
+    SELECT s.doc_id, s.score_milli, c.decile
+    FROM scored s JOIN cuts c USING (score_milli)
+"""
+
+from iconic_data_science_spark.operators.mixing import domain_reweight_oracle_sql as _domain_reweight_oracle_sql  # noqa: E402
+
+_REWEIGHT_LOSS_CTE = f"""
+        WITH tk AS (
+            SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' '))
+                   AS token
+            FROM documents
+        ),
+        nz AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        hashed AS (
+            SELECT doc_id,
+                   list_reduce(
+                       [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                        for c in string_split_regex(substr(md5(token), 1, 12), '')],
+                       (a, b) -> a * 16 + b
+                   ) AS h
+            FROM nz
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(SUM((CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+                       * (((h % 256) * 2654435761) % 2001 - 1000)) AS BIGINT) AS logit
+            FROM hashed GROUP BY 1
+        ),
+        j AS (
+            SELECT d.source,
+                   CASE WHEN COALESCE(s.logit, 0) > 0 THEN 1 ELSE 0 END AS keep,
+                   CASE WHEN CAST({_TRAIN_LABEL_SQL} AS BIGINT) = 1 THEN 1 ELSE 0 END AS y
+            FROM documents d LEFT JOIN s USING (doc_id)
+        )
+        SELECT source AS domain,
+               CAST((1000000 * COUNT(CASE WHEN keep <> y THEN 1 END)) // COUNT(*)
+                    AS BIGINT) AS loss_ppm
+        FROM j GROUP BY 1
+"""
+
+ORACLES["mix_domain_reweight"] = _domain_reweight_oracle_sql(
+    f"SELECT * FROM ({_REWEIGHT_LOSS_CTE})", rounds=5, eta_milli=500
+)
 
 ORACLES["dedup_span_strip"] = f"""
     WITH spans AS MATERIALIZED ({ORACLES["dedup_dup_spans"]}),
@@ -8006,6 +8125,8 @@ _ROUND6_FRONT = [
     "text_classifier_eval",
     "dedup_minhash_eval",
     "dedup_span_strip",
+    "text_quality_deciles",
+    "mix_domain_reweight",
     # --- (b) stale + this-round operator churn ---
     "ev_retention",
     "ev_funnel",

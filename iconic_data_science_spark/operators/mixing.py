@@ -195,3 +195,92 @@ def temperature_sample_against_rates(
         .filter(keep)
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+def domain_reweight(
+    domain_losses: DataFrame,
+    rounds: int = 5,
+    eta_milli: int = 500,
+    domain_col: str = "domain",
+    loss_col: str = "loss_ppm",
+) -> DataFrame:
+    """(domain, loss_ppm, w_ppm) — multiplicative-weights domain
+    reweighting on the integer lattice: the DoReMi idea (Xie et al.
+    2023, public NeurIPS paper — upweight the domains the proxy model
+    finds HARD) reduced to its deterministic core, a Hedge update over
+    per-domain excess-loss statistics:
+
+        w ← w · (1000 + (eta · loss) div 10⁶) div 1000      (tilt)
+        w ← (w · 10⁶) div Σw                                 (normalize)
+
+    ``rounds`` iterations from uniform w = 10⁶ ppm. Every step is
+    truncating integer arithmetic, so the rounds do NOT collapse into
+    one closed-form power (each normalization re-truncates) and any
+    SQL engine replays them exactly — the oracle unrolls the rounds as
+    chained CTEs over the ≤ |domains|-row table.
+
+    Scale shape: the DISTRIBUTED work is upstream (whatever corpus
+    pass produced ``domain_losses`` — e.g. the per-source gate failure
+    rates in the registered query); domains are bounded metadata
+    (10²-10³), so the rounds run on collected integers and the result
+    re-enters the plan as a literal frame (the trainer/k-means driver
+    tier — chaining 5 tiny DataFrame rounds through the planner is
+    the measured exponential pitfall, featurize.py)."""
+    spark = domain_losses.sparkSession
+    rows = sorted(
+        (r[domain_col], int(r[loss_col]))
+        for r in domain_losses.select(domain_col, loss_col).collect()
+    )
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    w = {d: 1_000_000 for d, _ in rows}
+    loss = dict(rows)
+    for _ in range(int(rounds)):
+        for d in w:
+            w[d] = _tdiv(
+                w[d] * (1000 + _tdiv(int(eta_milli) * loss[d], 1_000_000)), 1000
+            )
+        s = sum(w.values())
+        for d in w:
+            w[d] = _tdiv(w[d] * 1_000_000, s)
+    return spark.createDataFrame(
+        [(d, loss[d], w[d]) for d, _ in rows],
+        f"{domain_col} string, loss_ppm long, w_ppm long",
+    )
+
+
+def domain_reweight_oracle_sql(
+    loss_cte: str,
+    rounds: int = 5,
+    eta_milli: int = 500,
+) -> str:
+    """ANSI-SQL replay of :func:`domain_reweight`: ``loss_cte`` must
+    SELECT (domain, loss_ppm); the rounds unroll as chained CTEs
+    (MATERIALIZED — the usual inline-explosion guard, though the
+    tables are tiny)."""
+    head = f"""
+    WITH losses AS MATERIALIZED ({loss_cte}),
+    w0 AS MATERIALIZED (
+        SELECT domain, loss_ppm, CAST(1000000 AS BIGINT) AS w FROM losses
+    )"""
+    blocks = []
+    for t in range(1, int(rounds) + 1):
+        p = t - 1
+        blocks.append(f"""
+    t{t} AS MATERIALIZED (
+        SELECT domain, loss_ppm,
+               (w * (1000 + ({int(eta_milli)} * loss_ppm) // 1000000)) // 1000 AS w
+        FROM w{p}
+    ),
+    w{t} AS MATERIALIZED (
+        SELECT domain, loss_ppm,
+               CAST((w * 1000000) // (SELECT SUM(w) FROM t{t}) AS BIGINT) AS w
+        FROM t{t}
+    )""")
+    return (
+        head + "," + ",".join(blocks)
+        + f"\n    SELECT domain, loss_ppm, w AS w_ppm FROM w{int(rounds)}"
+    )

@@ -1008,3 +1008,55 @@ def html_links(
         F.regexp_extract(F.col("_tag"), '<a href="([^"]*)"', 1).alias("href"),
         F.regexp_extract(F.col("_tag"), ">([^<]*)</a>", 1).alias("anchor"),
     )
+
+def quality_deciles(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, score_milli, decile) — exact value-bucket deciles of an
+    integer quality score, the input every curriculum/filter-sweep step
+    needs (FineWeb-style: train on the top deciles, or order batches
+    easy→hard).
+
+    score_milli = (min(n_words,100) · n_alpha · 1000) div (100 · n_chars)
+    — the engine's length×cleanliness heuristic on the integer lattice
+    (quality_score keeps the float twin for human consumption). The
+    decile of a score VALUE v is (10 · #{docs with score < v}) div N —
+    all ties share one decile, so the assignment is a pure function of
+    the value distribution, independent of any row order.
+
+    Scale shape — deliberately NOT a global rank window (that is a
+    single-partition sort of the corpus): score_milli has ≤ 1001
+    distinct values, so the cutoffs come from a BOUNDED histogram (one
+    partial-aggregated groupBy), the cumulative rule runs over ≤ 1001
+    rows, and the decile attaches back through a broadcast join — the
+    corpus is scanned, never globally sorted."""
+    from pyspark.sql import Window as W
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(F.lower(t), " ")
+    n_chars = F.length(t).cast("long")
+    n_words = F.size(F.filter(toks, lambda x: x != "")).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
+    score = F.when(F.col("_nc") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("(least(_nw, 100L) * _na * 1000L) div (100L * _nc)")
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("_nc"),
+        n_words.alias("_nw"),
+        n_alpha.alias("_na"),
+    ).select("doc_id", score.alias("score_milli"))
+    hist = base.groupBy("score_milli").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    w = W.orderBy("score_milli").rowsBetween(W.unboundedPreceding, -1)
+    total = hist.agg(F.sum("_c").cast("long").alias("_n"))
+    cuts = (
+        hist.withColumn("_below", F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "score_milli",
+            F.expr("(10 * _below) div _n").cast("long").alias("decile"),
+        )
+    )
+    return base.join(F.broadcast(cuts), "score_milli").select(
+        "doc_id", "score_milli", "decile"
+    )

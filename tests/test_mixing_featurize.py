@@ -728,3 +728,35 @@ def test_threshold_eval_hand_counts(spark):
         assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), thr
         want_p = -1 if tp + fp == 0 else (tp * 10**6) // (tp + fp)
         assert r["precision_ppm"] == want_p
+
+
+def test_domain_reweight_upweights_hard_domains(spark):
+    """Higher-loss domains must end with strictly higher weight; equal
+    losses tie exactly; weights renormalize to ~1e6 ppm each round."""
+    from iconic_data_science_spark.operators.mixing import domain_reweight
+
+    losses = spark.createDataFrame(
+        [("easy", 100_000), ("hard", 600_000), ("mid", 300_000), ("mid2", 300_000)],
+        "domain string, loss_ppm long",
+    )
+    out = {r.domain: r.w_ppm for r in domain_reweight(losses, rounds=5).collect()}
+    assert out["hard"] > out["mid"] > out["easy"]
+    assert out["mid"] == out["mid2"]
+    assert abs(sum(out.values()) - 1_000_000) <= len(out)  # div truncation slack
+
+
+def test_quality_deciles_value_bucket_rule(spark):
+    """All ties share one decile; the decile of a value equals
+    (10·#below) div N; empty/null text lands in decile 0 with score 0."""
+    from iconic_data_science_spark.operators.text import quality_deciles
+
+    rows = [(i, "word " * (i + 1) + "word") for i in range(20)]
+    rows += [(100, None), (101, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.score_milli, r.decile) for r in quality_deciles(df).collect()}
+    assert out[100] == (0, 0) and out[101] == (0, 0)
+    scores = sorted(s for s, _ in out.values())
+    n = len(out)
+    for doc, (s, d) in out.items():
+        below = sum(1 for x in scores if x < s)
+        assert d == (10 * below) // n, (doc, s, d)

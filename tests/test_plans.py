@@ -311,6 +311,13 @@ EXCHANGE_BUDGET = {
     # span strip: dup-spans' gram-frequency + island exchanges feed the
     # doc-grain span join; excision is in-row over the token array
     "dedup_span_strip": 2,
+    # deciles: corpus->histogram partial agg; the global-order window
+    # and total agg run over the <=1001-row histogram (the bounded
+    # single-partition exchange is the point of the value-bucket form)
+    "text_quality_deciles": 4,
+    # reweight rounds run on collected domain metadata; the corpus
+    # pass's source-grain agg is upstream of the returned literal
+    "mix_domain_reweight": 0,
 }
 
 
