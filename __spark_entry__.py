@@ -7809,6 +7809,78 @@ QUERIES.update({
     "mix_domain_reweight": q_mix_domain_reweight,
 })
 
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalization (text.normalize_text): lowercase →
+    strip URLs → strip non-alphanumerics → collapse whitespace → trim,
+    in a pure JVM regexp chain with RE2-safe character classes so the
+    oracle replays it byte-for-byte. Zero shuffles — the pass that must
+    precede any content-hash dedup of web text."""
+    from iconic_data_science_spark.operators.text import normalize_text
+
+    cat = _cat(spark, sf_dir)
+    return normalize_text(cat.documents)
+
+
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-identifier confusion matrix (text.langid_confusion):
+    the stopword-vote predictor against the labeled lang column —
+    per-language precision/recall fall out of the matrix, telling you
+    whether the langid gate is safe to filter on. One langid pass +
+    one (true, pred)-grain rollup."""
+    from iconic_data_science_spark.operators.text import langid_confusion
+
+    cat = _cat(spark, sf_dir)
+    return langid_confusion(cat.documents)
+
+
+QUERIES["text_normalize"] = q_text_normalize
+QUERIES["text_langid_eval"] = q_text_langid_eval
+
+ORACLES["text_normalize"] = """
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(lower(text), 'https?://[^ ]*', ' ', 'g'),
+                   '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text,
+           CAST(CASE WHEN trim(regexp_replace(
+                    regexp_replace(
+                        regexp_replace(lower(text), 'https?://[^ ]*', ' ', 'g'),
+                        '[^a-z0-9 ]', ' ', 'g'),
+                    ' +', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(
+                    regexp_replace(
+                        regexp_replace(lower(text), 'https?://[^ ]*', ' ', 'g'),
+                        '[^a-z0-9 ]', ' ', 'g'),
+                    ' +', ' ', 'g')), ' ')) END AS BIGINT) AS n_tokens
+    FROM documents
+"""
+
+ORACLES["text_langid_eval"] = """
+    WITH sw AS (SELECT * FROM {STOPWORDS}),
+    toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+    hits AS (
+        SELECT doc_id, lang, COUNT(*) AS hits
+        FROM toks JOIN sw USING (word) GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT doc_id, lang, hits,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+        FROM hits
+    ),
+    preds AS (
+        SELECT d.doc_id, d.lang AS true_lang, COALESCE(r.lang, 'und') AS pred_lang
+        FROM documents d
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (doc_id)
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM preds GROUP BY 1, 2
+"""
+ORACLES["text_langid_eval"] = ORACLES["text_langid_eval"].replace(
+    "{STOPWORDS}", _stopword_table_sql()
+)
+
 ORACLES["text_quality_deciles"] = """
     WITH base AS (
         SELECT doc_id,
@@ -8127,6 +8199,8 @@ _ROUND6_FRONT = [
     "dedup_span_strip",
     "text_quality_deciles",
     "mix_domain_reweight",
+    "text_normalize",
+    "text_langid_eval",
     # --- (b) stale + this-round operator churn ---
     "ev_retention",
     "ev_funnel",

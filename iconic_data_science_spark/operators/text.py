@@ -1060,3 +1060,54 @@ def quality_deciles(
     return base.join(F.broadcast(cuts), "score_milli").select(
         "doc_id", "score_milli", "decile"
     )
+
+def normalize_text(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, norm_text, n_tokens) — the CCNet-style normalization
+    pass that precedes hashing/dedup in every web-corpus pipeline
+    (lowercase → strip URLs → strip non-alphanumerics → collapse
+    whitespace → trim): two near-identical pages must normalize to one
+    string BEFORE exact/MinHash dedup or the dedup only sees the byte
+    noise. Pure JVM regexp chain over conservative character classes
+    (identical semantics in Java regex and DuckDB's RE2) — zero
+    shuffles, zero Python; null text normalizes to null (pass-through,
+    the LEFT-JOIN discipline)."""
+    t = F.col(text_col)
+    norm = F.lower(t)
+    norm = F.regexp_replace(norm, "https?://[^ ]*", " ")
+    norm = F.regexp_replace(norm, "[^a-z0-9 ]", " ")
+    norm = F.trim(F.regexp_replace(norm, " +", " "))
+    n_tokens = F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm_text"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+
+
+def langid_confusion(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    true_lang_col: str = "lang",
+) -> DataFrame:
+    """(true_lang, pred_lang, n) — the confusion matrix of the
+    stopword-vote language identifier against the corpus's labeled
+    language column: the eval step that tells you whether the langid
+    gate is safe to filter on (per-language precision/recall fall out
+    of the matrix rows/columns). One langid pass + one tiny
+    (true, pred)-grain rollup."""
+    preds = language_id(documents, id_col=id_col, text_col=text_col).select(
+        "doc_id", "pred_lang"
+    )
+    truth = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(true_lang_col).alias("true_lang")
+    )
+    return (
+        truth.join(preds, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -1529,3 +1529,22 @@ def test_strip_duplicate_spans_semantics(spark):
     assert out[4].clean_text == "" and out[4].n_removed == 10
     assert out[5].clean_text == "" and out[5].n_removed == 10
     assert out[6].clean_text is None and out[6].n_removed == 0
+
+
+def test_normalize_text_rules(spark):
+    """Hand cases: URL stripped, punctuation to space, whitespace
+    collapsed, case folded, null passes through, empty counts 0."""
+    from iconic_data_science_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Visit https://example.com/x?a=1 NOW!!"),
+        (2, "  Hello,   World!  "),
+        (3, None),
+        (4, "...***..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.norm_text, r.n_tokens) for r in normalize_text(df).collect()}
+    assert out[1] == ("visit now", 2)
+    assert out[2] == ("hello world", 2)
+    assert out[3] == (None, None)
+    assert out[4] == ("", 0)

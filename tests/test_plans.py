@@ -318,6 +318,11 @@ EXCHANGE_BUDGET = {
     # reweight rounds run on collected domain metadata; the corpus
     # pass's source-grain agg is upstream of the returned literal
     "mix_domain_reweight": 0,
+    # normalization is a pure regexp map; langid eval = the doc-grain
+    # hit rollup + vote window + the truth join + the (true,pred)
+    # rollup (stopwords broadcast)
+    "text_normalize": 0,
+    "text_langid_eval": 4,
 }
 
 
