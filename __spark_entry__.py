@@ -7837,6 +7837,91 @@ def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_normalize"] = q_text_normalize
 QUERIES["text_langid_eval"] = q_text_langid_eval
 
+
+def q_dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-loop index maintenance (dedup.minhash_index_upsert): the
+    even-doc_id half is the persisted MinHash index, the odd half is
+    the incoming crawl batch; batch docs near-duplicating the corpus
+    (band candidates + exact Jaccard ≥ 0.5) are refused, survivors
+    union in tagged 'new', re-crawled ids stay idempotent. Returns the
+    next index generation's (doc_id, band, band_sig, origin) rows —
+    the step that keeps streaming doc-dedup's static side current. In
+    production the result lands via lakehouse.write_snapshot
+    (versioned index generations)."""
+    from iconic_data_science_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_upsert,
+    )
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    index = minhash_index_build(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return minhash_index_upsert(index, batch).select(
+        "doc_id", F.col("band").cast("long").alias("band"), "band_sig", "origin"
+    )
+
+
+QUERIES["dedup_index_upsert"] = q_dedup_index_upsert
+
+ORACLES["dedup_index_upsert"] = """
+    WITH shA AS MATERIALIZED (
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest([((th[i] * 1000003 + th[i+1]) % 2147483647 * 1000003 + th[i+2]) % 2147483647
+                           for i in generate_series(1, len(th)-2)]) AS s
+            FROM (
+                SELECT doc_id,
+                       [list_reduce(
+                            [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                             for c in string_split_regex(substr(md5(tok), 1, 12), '')],
+                            (a, b) -> a * 16 + b) % 2147483647
+                        for tok in string_split(lower(text), ' ')] AS th
+                FROM documents
+            )
+        )
+    ),
+    perms AS (SELECT * FROM {PERMS}),
+    sig AS MATERIALIZED (
+        SELECT doc_id, i, MIN((a * shingle + b) % 2147483647) AS minhash
+        FROM shA CROSS JOIN perms GROUP BY 1, 2
+    ),
+    bs AS MATERIALIZED (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY i) AS band_sig
+        FROM sig GROUP BY 1, 2
+    ),
+    bsE AS (SELECT * FROM bs WHERE doc_id % 2 = 0),
+    bsO AS (SELECT * FROM bs WHERE doc_id % 2 = 1),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT o.doc_id AS new_id, e.doc_id AS corpus_id
+        FROM bsO o JOIN bsE e ON o.band = e.band AND o.band_sig = e.band_sig
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shA GROUP BY 1),
+    ji AS (
+        SELECT c.new_id, c.corpus_id, COUNT(*) AS i
+        FROM cand c
+        JOIN shA a ON a.doc_id = c.new_id
+        JOIN shA b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT DISTINCT j.new_id AS doc_id
+        FROM ji j JOIN sz zo ON zo.doc_id = j.new_id
+                  JOIN sz ze ON ze.doc_id = j.corpus_id
+        WHERE CAST(j.i AS DOUBLE) / (zo.n + ze.n - j.i) >= 0.5
+    )
+    SELECT doc_id, CAST(band AS BIGINT) AS band, band_sig,
+           'corpus' AS origin
+    FROM bsE
+    UNION ALL
+    SELECT doc_id, CAST(band AS BIGINT) AS band, band_sig, 'new'
+    FROM bsO WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+ORACLES["dedup_index_upsert"] = ORACLES["dedup_index_upsert"].replace(
+    "{PERMS}", _perm_table_sql(16)
+)
+
 ORACLES["text_normalize"] = """
     SELECT doc_id,
            trim(regexp_replace(
@@ -8201,6 +8286,7 @@ _ROUND6_FRONT = [
     "mix_domain_reweight",
     "text_normalize",
     "text_langid_eval",
+    "dedup_index_upsert",
     # --- (b) stale + this-round operator churn ---
     "ev_retention",
     "ev_funnel",

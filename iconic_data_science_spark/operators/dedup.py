@@ -1431,3 +1431,79 @@ def strip_duplicate_spans(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def minhash_index_upsert(
+    index: DataFrame,
+    new_docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    drop_near_dups: bool = True,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The crawl-loop INDEX MAINTENANCE step: fold a new crawl batch
+    into the persisted MinHash index and return the next index version
+    — (doc_id, band, band_sig, shingles, origin).
+
+    ``index`` is the current persisted index (same columns, origin
+    'corpus'); ``new_docs`` is the raw (doc_id, text) batch. Semantics:
+
+    1. signatures + shingle arrays for the batch compute map-side
+       (the zero-explode array form);
+    2. when ``drop_near_dups``, batch docs that near-duplicate the
+       EXISTING corpus (band-bucket candidates, exact array-Jaccard ≥
+       threshold — exactly `minhash_lsh_incremental`'s rule) are NOT
+       admitted: the index stays a canonical-document index instead of
+       accreting every mirror of itself (the production crawl
+       contract);
+    3. survivors union in with origin 'new'; doc_ids already present
+       keep their EXISTING rows (idempotent re-ingest — a re-crawled
+       id never duplicates or flips its signature rows).
+
+    Scale shape: batch-side work is map-side; the candidate join keys
+    on (band, band_sig); the id-dedup is one left-anti on doc_id; the
+    corpus index is touched only through those joins — never rebuilt.
+    In production the result lands via ``lakehouse.write_snapshot``,
+    giving versioned/time-travelable index generations.
+    """
+    na = hashed_shingle_arrays(new_docs, n=n).localCheckpoint()
+    nsigs = minhash_band_sigs_from_arrays(
+        na, num_perm=num_perm, rows_per_band=rows_per_band, keep_shingles=True
+    )
+    if drop_near_dups:
+        csigs = index.select(
+            F.col("doc_id").alias("corpus_id"),
+            "band",
+            "band_sig",
+            F.col("shingles").alias("corpus_shingles"),
+        )
+        inter = F.size(F.array_intersect("shingles", "corpus_shingles"))
+        union = F.size("shingles") + F.size("corpus_shingles") - inter
+        dup_ids = (
+            nsigs.join(csigs, ["band", "band_sig"])
+            .select("doc_id", "corpus_id", "shingles", "corpus_shingles")
+            .dropDuplicates(["doc_id", "corpus_id"])
+            .filter((inter / union) >= threshold)
+            .select("doc_id")
+            .distinct()
+        )
+        nsigs = nsigs.join(dup_ids, "doc_id", "left_anti")
+    admitted = nsigs.join(
+        index.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).select("doc_id", "band", "band_sig", "shingles", F.lit("new").alias("origin"))
+    return index.select(
+        "doc_id", "band", "band_sig", "shingles", F.lit("corpus").alias("origin")
+    ).unionByName(admitted)
+
+
+def minhash_index_build(
+    corpus: DataFrame, n: int = 3, num_perm: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, band_sig, shingles) — the persisted-index layout
+    :func:`minhash_index_upsert` maintains, built from scratch (the
+    bootstrap generation). Map-side signatures off the array form."""
+    ca = hashed_shingle_arrays(corpus, n=n)
+    return minhash_band_sigs_from_arrays(
+        ca, num_perm=num_perm, rows_per_band=rows_per_band, keep_shingles=True
+    ).select("doc_id", "band", "band_sig", "shingles")

@@ -1548,3 +1548,43 @@ def test_normalize_text_rules(spark):
     assert out[2] == ("hello world", 2)
     assert out[3] == (None, None)
     assert out[4] == ("", 0)
+
+
+def test_index_upsert_contract(spark, sf_dir):
+    """(a) near-dup batch docs are refused, fresh ones admitted;
+    (b) re-ingesting an already-indexed id is idempotent (rows
+    unchanged); (c) every admitted doc's rows are tagged 'new'."""
+    from iconic_data_science_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_upsert,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight again"),
+         (2, "completely different corpus content about databases and queries here")],
+        "doc_id long, text string",
+    )
+    index = minhash_index_build(corpus).localCheckpoint()
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight again"),  # dup of 0
+         (3, "fresh unrelated sentence with many novel tokens inside it today"),
+         (0, "the quick brown fox jumps over the lazy dog tonight again")],  # re-crawl
+        "doc_id long, text string",
+    )
+    out = minhash_index_upsert(index, batch).collect()
+    by_origin = {}
+    for r in out:
+        by_origin.setdefault(r.origin, set()).add(r.doc_id)
+    assert by_origin["corpus"] == {0, 2}
+    assert by_origin["new"] == {3}  # 1 refused (near-dup), 0 idempotent
+    # idempotence: corpus rows identical to the input index
+    idx_rows = sorted((r.doc_id, r.band, r.band_sig) for r in index.collect())
+    out_corpus = sorted(
+        (r.doc_id, r.band, r.band_sig) for r in out if r.origin == "corpus"
+    )
+    assert idx_rows == out_corpus
+    # second upsert of the same batch admits nothing further
+    nxt = minhash_index_upsert(
+        minhash_index_upsert(index, batch).drop("origin").localCheckpoint(), batch
+    )
+    assert {r.doc_id for r in nxt.collect()} == {0, 2, 3}

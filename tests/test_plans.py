@@ -323,6 +323,9 @@ EXCHANGE_BUDGET = {
     # rollup (stopwords broadcast)
     "text_normalize": 0,
     "text_langid_eval": 4,
+    # upsert: candidate bucket join + pair dedup + the two anti-joins;
+    # batch signatures compute map-side off the checkpointed arrays
+    "dedup_index_upsert": 4,
 }
 
 
