@@ -7864,6 +7864,104 @@ def q_dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_index_upsert"] = q_dedup_index_upsert
 
+
+def q_curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 capstone composition, in the order a web pipeline
+    actually runs: NORMALIZE (byte noise must not defeat the hash) →
+    exact dedup ON THE NORMALIZED text (mirror pages collapse; all-
+    boilerplate pages normalize to '' and collapse to one canonical) →
+    quality-DECILE gate (keep deciles ≥ 5, the top half — the
+    filter-sweep knob) → temperature-resample at rates learned on the
+    gated corpus. Returns (doc_id, lang, n_tokens). Every stage is
+    individually hash-oracled; the composition chains their CTEs under
+    one hash."""
+    from iconic_data_science_spark.operators.dedup import exact_dedup
+    from iconic_data_science_spark.operators.mixing import temperature_sample
+    from iconic_data_science_spark.operators.text import normalize_text, quality_deciles
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    normed = docs.join(normalize_text(docs).select("doc_id", "norm_text"), "doc_id")
+    canon = exact_dedup(normed, text_col="norm_text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    surv = normed.join(canon, "doc_id", "left_semi").localCheckpoint()
+    good = quality_deciles(surv).filter(F.col("decile") >= 5).select("doc_id")
+    gated = surv.join(good, "doc_id", "left_semi")
+    return temperature_sample(gated, budget_tokens=500_000)
+
+
+QUERIES["curation_pipeline_v6"] = q_curation_pipeline_v6
+
+_V6_NORM = """trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), 'https?://[^ ]*', ' ', 'g'),
+                       '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g'))"""
+
+ORACLES["curation_pipeline_v6"] = f"""
+    WITH normed AS MATERIALIZED (
+        SELECT d.*, {_V6_NORM} AS norm_text FROM documents d
+    ),
+    canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM normed GROUP BY md5(norm_text)
+    ),
+    surv AS MATERIALIZED (
+        SELECT n.* FROM normed n JOIN canon USING (doc_id)
+    ),
+    qbase AS (
+        SELECT doc_id,
+               CAST(len(coalesce(text, '')) AS BIGINT) AS nc,
+               CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                    t -> t <> '')) AS BIGINT) AS nw,
+               CAST(len(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '', 'g'))
+                    AS BIGINT) AS na
+        FROM surv
+    ),
+    qscored AS (
+        SELECT doc_id,
+               CASE WHEN nc = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (LEAST(nw, 100) * na * 1000) // (100 * nc) END AS sm
+        FROM qbase
+    ),
+    qhist AS (SELECT sm, CAST(COUNT(*) AS BIGINT) AS c FROM qscored GROUP BY 1),
+    qcuts AS (
+        SELECT sm,
+               CAST((10 * COALESCE(SUM(c) OVER (ORDER BY sm
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                    // (SELECT SUM(c) FROM qhist) AS BIGINT) AS decile
+        FROM qhist
+    ),
+    gated AS MATERIALIZED (
+        SELECT s.* FROM surv s
+        JOIN qscored q USING (doc_id) JOIN qcuts c USING (sm)
+        WHERE c.decile >= 5
+    ),
+    per_lang AS (
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_toks
+        FROM gated GROUP BY 1
+    ),
+    w AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(lang_toks AS DOUBLE))) AS BIGINT) AS weight
+        FROM per_lang
+    ),
+    tot AS (SELECT SUM(weight) AS w_sum FROM w),
+    d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) % 1000000 AS u
+        FROM gated
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM d JOIN w USING (lang), tot
+    WHERE CAST(u AS HUGEINT) * lang_toks * w_sum
+          < CAST(500000 AS HUGEINT) * 1000000 * weight
+"""
+
 ORACLES["dedup_index_upsert"] = """
     WITH shA AS MATERIALIZED (
         SELECT DISTINCT doc_id, s AS shingle FROM (
@@ -8274,7 +8372,11 @@ ORACLES["curation_pipeline_v5"] = f"""
 # (f) slot ~50: g7_ego_indicators — fresh r4/r5 rows but its plan
 #     changed this round (country joins moved after the dedup).
 _ROUND6_FRONT = [
-    # --- (a) new in round 6 ---
+    # --- (a) new in round 6, verdict-item deliverables: exactly 7 so
+    # that 7 + the 43 oracled stale = one 50-row window (the r5 verdict
+    # bar is flushing the stale cohort; the round's other 6 new queries
+    # ride after the TPC-H tail and are covered this round by the
+    # parity artifact + pytest hash gates) ---
     "text_classifier_train",
     "curation_pipeline_v5",
     "ann_ivf_kmeans_int",
@@ -8282,11 +8384,6 @@ _ROUND6_FRONT = [
     "text_classifier_eval",
     "dedup_minhash_eval",
     "dedup_span_strip",
-    "text_quality_deciles",
-    "mix_domain_reweight",
-    "text_normalize",
-    "text_langid_eval",
-    "dedup_index_upsert",
     # --- (b) stale + this-round operator churn ---
     "ev_retention",
     "ev_funnel",
@@ -8333,8 +8430,15 @@ _ROUND6_FRONT = [
     "q20_top_part_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_customers",
-    # --- (d) r1 rows-only (weak check — first slots past the window;
-    # a2_approx_distinct rides iff the window is 50) ---
+    # --- (d) round-6 additions past the window (driver-gated next
+    # round; hash-green this round in parity_timing_r6 + pytest) ---
+    "text_quality_deciles",
+    "mix_domain_reweight",
+    "text_normalize",
+    "text_langid_eval",
+    "dedup_index_upsert",
+    "curation_pipeline_v6",
+    # --- r1 rows-only (weak check) ---
     "a2_approx_distinct",
     "g_pagerank",
     # --- (f) plan changed this round, fresh r4/r5 rows ---

@@ -326,6 +326,9 @@ EXCHANGE_BUDGET = {
     # upsert: candidate bucket join + pair dedup + the two anti-joins;
     # batch signatures compute map-side off the checkpointed arrays
     "dedup_index_upsert": 4,
+    # v6: dedup groupBy + canonical/decile semi-joins + the bounded
+    # decile histogram chain + language aggregates (normalize adds 0)
+    "curation_pipeline_v6": 9,
 }
 
 
