@@ -7893,6 +7893,27 @@ def q_curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["curation_pipeline_v6"] = q_curation_pipeline_v6
 
+
+def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decile gate in its streaming-compatible form
+    (text.quality_gate_against_cutoff): cutoff learned once on the
+    static corpus, admission a pure in-row score+compare behind a
+    1-row broadcast — stream == batch pinned in test_streaming. Here
+    the batch form carries the driver hash."""
+    from iconic_data_science_spark.operators.text import quality_gate_against_cutoff
+
+    cat = _cat(spark, sf_dir)
+    return quality_gate_against_cutoff(cat.documents, cat.documents, min_decile=5)
+
+
+QUERIES["text_quality_gate"] = q_text_quality_gate
+
+ORACLES["text_quality_gate"] = f"""
+    WITH dec AS MATERIALIZED ({ORACLES["text_quality_deciles"]}),
+    cut AS (SELECT MIN(score_milli) AS c FROM dec WHERE decile >= 5)
+    SELECT doc_id, score_milli FROM dec, cut WHERE score_milli >= cut.c
+"""
+
 _V6_NORM = """trim(regexp_replace(
                    regexp_replace(
                        regexp_replace(lower(text), 'https?://[^ ]*', ' ', 'g'),
@@ -8438,6 +8459,7 @@ _ROUND6_FRONT = [
     "text_langid_eval",
     "dedup_index_upsert",
     "curation_pipeline_v6",
+    "text_quality_gate",
     # --- r1 rows-only (weak check) ---
     "a2_approx_distinct",
     "g_pagerank",

@@ -1009,6 +1009,60 @@ def html_links(
         F.regexp_extract(F.col("_tag"), ">([^<]*)</a>", 1).alias("anchor"),
     )
 
+
+def quality_score_milli(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, score_milli) — the integer quality score alone, as a
+    pure map (no aggregation), so it applies identically to a batch
+    frame or an APPEND STREAM. score_milli =
+    (min(n_words,100) · n_alpha · 1000) div (100 · n_chars); empty/null
+    text scores 0."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(F.lower(t), " ")
+    n_chars = F.length(t).cast("long")
+    n_words = F.size(F.filter(toks, lambda x: x != "")).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
+    score = F.when(F.col("_nc") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("(least(_nw, 100L) * _na * 1000L) div (100L * _nc)")
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("_nc"),
+        n_words.alias("_nw"),
+        n_alpha.alias("_na"),
+    ).select("doc_id", score.alias("score_milli"))
+
+
+def quality_gate_against_cutoff(
+    documents: DataFrame,
+    static_corpus: DataFrame,
+    min_decile: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score_milli) of documents at or above the static
+    corpus's ``min_decile`` quality cutoff — the decile gate in its
+    STREAMING-compatible form: the cutoff value (smallest score_milli
+    whose decile ≥ min_decile on the static corpus) is one broadcast
+    row; the gate itself is a pure in-row score + compare, so
+    ``documents`` may be an append stream (the temperature-gate
+    pattern: learn on the static corpus, admit at ingest,
+    stream == batch row for row)."""
+    cut = (
+        quality_deciles(static_corpus, id_col=id_col, text_col=text_col)
+        .filter(F.col("decile") >= int(min_decile))
+        .agg(F.min("score_milli").alias("_cut"))
+        .localCheckpoint(eager=True)
+    )
+    scored = quality_score_milli(documents, id_col=id_col, text_col=text_col)
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .filter(F.col("score_milli") >= F.col("_cut"))
+        .select("doc_id", "score_milli")
+    )
+
+
 def quality_deciles(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1032,20 +1086,7 @@ def quality_deciles(
     corpus is scanned, never globally sorted."""
     from pyspark.sql import Window as W
 
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.split(F.lower(t), " ")
-    n_chars = F.length(t).cast("long")
-    n_words = F.size(F.filter(toks, lambda x: x != "")).cast("long")
-    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
-    score = F.when(F.col("_nc") == 0, F.lit(0).cast("long")).otherwise(
-        F.expr("(least(_nw, 100L) * _na * 1000L) div (100L * _nc)")
-    )
-    base = documents.select(
-        F.col(id_col).alias("doc_id"),
-        n_chars.alias("_nc"),
-        n_words.alias("_nw"),
-        n_alpha.alias("_na"),
-    ).select("doc_id", score.alias("score_milli"))
+    base = quality_score_milli(documents, id_col=id_col, text_col=text_col)
     hist = base.groupBy("score_milli").agg(F.count(F.lit(1)).cast("long").alias("_c"))
     w = W.orderBy("score_milli").rowsBetween(W.unboundedPreceding, -1)
     total = hist.agg(F.sum("_c").cast("long").alias("_n"))

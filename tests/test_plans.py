@@ -329,6 +329,8 @@ EXCHANGE_BUDGET = {
     # v6: dedup groupBy + canonical/decile semi-joins + the bounded
     # decile histogram chain + language aggregates (normalize adds 0)
     "curation_pipeline_v6": 9,
+    # gate: in-row score behind the 1-row checkpointed cutoff broadcast
+    "text_quality_gate": 0,
 }
 
 

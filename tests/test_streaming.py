@@ -288,6 +288,23 @@ def test_streaming_temperature_gate_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
 
 
+def test_streaming_quality_gate_equals_batch(spark, sf_dir):
+    """The quality-decile gate on a document stream: the cutoff is
+    learned ONCE on the static corpus (bounded histogram), the stream
+    is admitted by a pure in-row score+compare behind a 1-row
+    broadcast (watermark-free append); stream == batch row for row."""
+    from iconic_data_science_spark.operators.text import quality_gate_against_cutoff
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = quality_gate_against_cutoff(docs, docs, min_decile=5)
+    stream = quality_gate_against_cutoff(
+        sd.read_document_stream(spark, sf_dir), docs, min_decile=5
+    )
+    got = _run_stream(spark, stream, "t_quality_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
 def test_stream_dedup_fallback_path_equals_gated(spark, sf_dir):
     """Above the index broadcast threshold the pipeline falls back to
     the shuffled join + stateful dedup; both paths must produce the
