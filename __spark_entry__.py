@@ -7907,12 +7907,7 @@ def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_quality_gate"] = q_text_quality_gate
-
-ORACLES["text_quality_gate"] = f"""
-    WITH dec AS MATERIALIZED ({ORACLES["text_quality_deciles"]}),
-    cut AS (SELECT MIN(score_milli) AS c FROM dec WHERE decile >= 5)
-    SELECT doc_id, score_milli FROM dec, cut WHERE score_milli >= cut.c
-"""
+# (oracle assigned after ORACLES["text_quality_deciles"] below)
 
 _V6_NORM = """trim(regexp_replace(
                    regexp_replace(
@@ -8114,6 +8109,12 @@ ORACLES["text_quality_deciles"] = """
     )
     SELECT s.doc_id, s.score_milli, c.decile
     FROM scored s JOIN cuts c USING (score_milli)
+"""
+
+ORACLES["text_quality_gate"] = f"""
+    WITH dec AS MATERIALIZED ({ORACLES["text_quality_deciles"]}),
+    cut AS (SELECT MIN(score_milli) AS c FROM dec WHERE decile >= 5)
+    SELECT doc_id, score_milli FROM dec, cut WHERE score_milli >= cut.c
 """
 
 from iconic_data_science_spark.operators.mixing import domain_reweight_oracle_sql as _domain_reweight_oracle_sql  # noqa: E402
