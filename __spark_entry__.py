@@ -7909,6 +7909,22 @@ def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_quality_gate"] = q_text_quality_gate
 # (oracle assigned after ORACLES["text_quality_deciles"] below)
 
+
+def q_ann_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality vs the labeled column — the clustering member
+    of the eval trio (classifier sweep, banding audit, this): per
+    kmeans_int cell, size, majority label and integer-ppm purity. One
+    exact assignment pass + label-dimension-sized rollups; the oracle
+    chains the unrolled k-means replay into the purity CTEs."""
+    from iconic_data_science_spark.operators.similarity import kmeans_cluster_eval
+
+    cat = _cat(spark, sf_dir)
+    return kmeans_cluster_eval(cat.embeddings, n_cells=8, n_iters=3)
+
+
+QUERIES["ann_cluster_eval"] = q_ann_cluster_eval
+
+
 _V6_NORM = """trim(regexp_replace(
                    regexp_replace(
                        regexp_replace(lower(text), 'https?://[^ ]*', ' ', 'g'),
@@ -8308,6 +8324,32 @@ from iconic_data_science_spark.operators.similarity import kmeans_int_oracle_sql
 
 ORACLES["ann_ivf_kmeans_int"] = _kmeans_int_oracle_sql(n_cells=8, n_iters=3)
 
+ORACLES["ann_cluster_eval"] = f"""
+    WITH assign AS MATERIALIZED (
+        {_kmeans_int_oracle_sql(n_cells=8, n_iters=3)}
+    ),
+    labeled AS (
+        SELECT a.vec_id, a.c_id, CAST(e.label AS BIGINT) AS label
+        FROM assign a JOIN embeddings e USING (vec_id)
+    ),
+    per AS (
+        SELECT c_id, label, CAST(COUNT(*) AS BIGINT) AS ln
+        FROM labeled GROUP BY 1, 2
+    ),
+    tot AS (SELECT c_id, CAST(SUM(ln) AS BIGINT) AS n FROM per GROUP BY 1),
+    top AS (
+        SELECT c_id, label AS top_label, ln AS top_n FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_id
+                                         ORDER BY ln DESC, label ASC) AS rn
+            FROM per
+        ) WHERE rn = 1
+    )
+    SELECT t.c_id, t.n, p.top_label, p.top_n,
+           CAST((p.top_n * 1000000) // t.n AS BIGINT) AS purity_ppm
+    FROM tot t JOIN top p USING (c_id)
+"""
+
+
 from iconic_data_science_spark.operators.featurize import train_oracle_sql as _train_oracle_sql  # noqa: E402
 
 ORACLES["text_classifier_train"] = _train_oracle_sql(
@@ -8461,6 +8503,7 @@ _ROUND6_FRONT = [
     "dedup_index_upsert",
     "curation_pipeline_v6",
     "text_quality_gate",
+    "ann_cluster_eval",
     # --- r1 rows-only (weak check) ---
     "a2_approx_distinct",
     "g_pagerank",

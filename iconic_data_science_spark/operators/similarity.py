@@ -1241,3 +1241,56 @@ def kmeans_int_oracle_sql(
         head + "," + ",".join(blocks)
         + f"\n    SELECT vec_id, c_id, d2 FROM a{it + 1}"
     )
+
+
+def kmeans_cluster_eval(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(c_id, n, top_label, top_n, purity_ppm) — clustering quality
+    against a labeled column: per learned cell, the size, the majority
+    label (ties → smallest label), and its integer-ppm share. The
+    measurement that tells you whether IVF cells are usable as topic
+    shards / dedup blocks before building on them — the clustering
+    member of the eval trio (classifier sweep, banding audit, this).
+
+    Plan: one :func:`kmeans_int_assign` pass (exact, hash-replayable),
+    one (cell, label) rollup, one ≤ K·|labels| argmax — everything
+    after the assignment is label-dimension-sized."""
+    assign = kmeans_int_assign(
+        embeddings, n_cells=n_cells, n_iters=n_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    labeled = assign.join(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(label_col).cast("long").alias("label")
+        ),
+        "vec_id",
+    )
+    per = labeled.groupBy("c_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("ln")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_id").orderBy(F.col("ln").desc(), F.col("label").asc())
+    tot = per.groupBy("c_id").agg(F.sum("ln").cast("long").alias("n"))
+    top = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("c_id", F.col("label").alias("top_label"), F.col("ln").alias("top_n"))
+    )
+    return (
+        tot.join(top, "c_id")
+        .select(
+            "c_id",
+            "n",
+            "top_label",
+            "top_n",
+            F.expr("(top_n * 1000000) div n").cast("long").alias("purity_ppm"),
+        )
+    )

@@ -214,3 +214,16 @@ def test_kmeans_int_recovers_clusters_and_is_partition_invariant(spark, corpora)
     a = sorted((r.vec_id, r.c_id, r.d2) for r in assign.collect())
     b = sorted((r.vec_id, r.c_id, r.d2) for r in again.collect())
     assert a == b
+
+
+def test_cluster_eval_purity_on_planted_clusters(spark, corpora):
+    """On the planted fixture every learned cell must be ≥95% pure and
+    the per-cell counts must sum to the corpus size."""
+    from iconic_data_science_spark.operators.similarity import kmeans_cluster_eval
+
+    corpus, _, _ = corpora
+    out = kmeans_cluster_eval(corpus, n_cells=N_CLUSTERS, n_iters=5).collect()
+    assert sum(r.n for r in out) == corpus.count()
+    assert all(r.purity_ppm >= 950_000 for r in out), [
+        (r.c_id, r.purity_ppm) for r in out
+    ]

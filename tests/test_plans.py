@@ -331,6 +331,9 @@ EXCHANGE_BUDGET = {
     "curation_pipeline_v6": 9,
     # gate: in-row score behind the 1-row checkpointed cutoff broadcast
     "text_quality_gate": 0,
+    # cluster eval: assignment is map-side over literal centroids (its
+    # rounds already ran); label join + the two cell-grain rollups
+    "ann_cluster_eval": 4,
 }
 
 
