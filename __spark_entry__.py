@@ -7925,6 +7925,56 @@ def q_ann_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_cluster_eval"] = q_ann_cluster_eval
 
 
+def q_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the crawl link graph — the
+    site/community grouping step (mirror detection, per-site quotas,
+    crawl frontier partitioning): extract links (pure JVM regexps),
+    treat edges undirected, run the engine's three-tier CC
+    (dedup_clusters: local union-find under 2M pairs, broadcast/shuffle
+    min-label + pointer-jump fixpoint above). cluster_id = the
+    component's minimum doc id; oracle replays reachability as a
+    recursive CTE."""
+    from iconic_data_science_spark.operators.dedup import dedup_clusters
+    from iconic_data_science_spark.operators.text import html_links, synth_html_linked
+
+    cat = _cat(spark, sf_dir)
+    links = html_links(synth_html_linked(cat.documents))
+    edges = (
+        links.filter(F.col("href").rlike("^/doc/[0-9]+$"))
+        .select(
+            F.col("doc_id").alias("id1"),
+            F.regexp_extract(F.col("href"), "^/doc/([0-9]+)$", 1)
+            .cast("long")
+            .alias("id2"),
+        )
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+    return dedup_clusters(edges)
+
+
+QUERIES["web_components"] = q_web_components
+
+ORACLES["web_components"] = """
+    WITH RECURSIVE ce AS (
+        SELECT DISTINCT doc_id AS src, doc_id // r.k AS dst
+        FROM documents, (VALUES (2), (3), (5)) r(k)
+        WHERE doc_id // r.k <> doc_id
+    ),
+    und AS (
+        SELECT src AS a, dst AS b FROM ce
+        UNION SELECT dst, src FROM ce
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, r.lab FROM und u JOIN reach r ON r.node = u.b
+    )
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+"""
+
+
 _V6_NORM = """trim(regexp_replace(
                    regexp_replace(
                        regexp_replace(lower(text), 'https?://[^ ]*', ' ', 'g'),
@@ -8504,6 +8554,7 @@ _ROUND6_FRONT = [
     "curation_pipeline_v6",
     "text_quality_gate",
     "ann_cluster_eval",
+    "web_components",
     # --- r1 rows-only (weak check) ---
     "a2_approx_distinct",
     "g_pagerank",

@@ -334,6 +334,10 @@ EXCHANGE_BUDGET = {
     # cluster eval: assignment is map-side over literal centroids (its
     # rounds already ran); label join + the two cell-grain rollups
     "ann_cluster_eval": 4,
+    # web CC: link edges -> three-tier dedup_clusters; the local
+    # union-find tier returns a literal at sf gate size (0 visible);
+    # budget covers the edge distinct
+    "web_components": 2,
 }
 
 
