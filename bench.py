@@ -157,6 +157,21 @@ def _streaming_bench(spark, sf_dir: str) -> dict:
             n_docs,
         )
 
+    def quality_gate():
+        from iconic_data_science_spark.operators.text import (
+            quality_gate_against_cutoff,
+        )
+
+        docs = Catalog(spark, sf_dir).documents
+        n_docs = docs.count()
+        return (
+            quality_gate_against_cutoff(
+                sdoc.read_document_stream(spark, sf_dir), docs, min_decile=5
+            ),
+            "append",
+            n_docs,
+        )
+
     pipelines = {
         "st_run_rollup": rollup,
         "st_run_session": session,
@@ -164,6 +179,7 @@ def _streaming_bench(spark, sf_dir: str) -> dict:
         "st_run_doc_dedup": doc_dedup,
         "st_run_ingest_gate": ingest_gate,
         "st_run_classifier": classifier_gate,
+        "st_run_quality_gate": quality_gate,
     }
     def _drain(df, mode) -> float:
         t0 = time.perf_counter()
