@@ -1030,6 +1030,26 @@ def kmeans_int_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """See :func:`kmeans_int_centroids` (training) and
+    :func:`kmeans_int_assign_against` (assignment) — this is their
+    composition, and the docstring below describes the whole loop."""
+    cents = kmeans_int_centroids(
+        embeddings, n_cells=n_cells, n_iters=n_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return kmeans_int_assign_against(
+        embeddings, cents, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+
+
+def kmeans_int_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
     """(vec_id, c_id, d2) — Lloyd's k-means ON THE INTEGER LATTICE: the
     hash-oracled twin of :func:`kmeans_centroids` (the same
     float→integer move as graph.pagerank_int vs graph.pagerank; r5
@@ -1141,7 +1161,39 @@ def kmeans_int_assign(
             for r in agg
         }
         cents = [(cid, upd.get(cid, cv)) for cid, cv in cents]
-    return _assign(cents).select(F.col("id").alias("vec_id"), "c_id", "d2")
+    return cents
+
+
+def kmeans_int_assign_against(
+    embeddings: DataFrame,
+    cents: list,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, c_id, d2) — the assignment half of the integer k-means
+    alone, against PRECOMPUTED centroid literals: a pure map (quantize
+    + argmin over a K-element expression array — zero joins, zero
+    aggregation), so ``embeddings`` may be an APPEND STREAM: the
+    embed-at-ingest cell router (shard incoming vectors into IVF cells
+    as they arrive), stream == batch row for row."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
+    )
+    structs = []
+    for cid, cv in cents:
+        lit_cv = F.array(*[F.lit(int(x)) for x in cv])
+        d2 = F.aggregate(
+            F.zip_with(F.col("_q"), lit_cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("c_id")))
+    best = F.array_min(F.array(*structs))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), q.alias("_q")
+    ).select("vec_id", best["c_id"].alias("c_id"), best["d2"].alias("d2"))
 
 
 def kmeans_int_oracle_sql(

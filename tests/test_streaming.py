@@ -344,3 +344,30 @@ def test_stream_dedup_fallback_path_equals_gated(spark, sf_dir):
     fallback = run(0)
     assert gated == fallback
     assert gated
+
+
+def test_streaming_kmeans_cell_router_equals_batch(spark, sf_dir):
+    """Embed-at-ingest cell routing: centroids train once on the static
+    corpus (exact integer Lloyd), incoming vectors are assigned by a
+    pure map over centroid literals (zero joins, zero state);
+    stream == batch row for row."""
+    import os
+
+    from iconic_data_science_spark.operators.similarity import (
+        kmeans_int_assign_against,
+        kmeans_int_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = kmeans_int_centroids(emb, n_cells=8, n_iters=3)
+    batch = kmeans_int_assign_against(emb, cents)
+    schema = emb.schema
+    stream_src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    stream = kmeans_int_assign_against(stream_src, cents)
+    got = _run_stream(spark, stream, "t_kmeans_router", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
