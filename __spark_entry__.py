@@ -7955,6 +7955,89 @@ def q_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["web_components"] = q_web_components
 
+
+def q_sample_global_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fixed-size uniform sample (sampling.global_uniform_n):
+    exactly N rows by md5-rank of the key — one TakeOrdered, no global
+    sort; the 'give me exactly 1000 docs, reproducibly' primitive the
+    reference approximates with shuf -n 1000 (scripts/get_samples.sh:7),
+    made engine- and partitioning-stable."""
+    from iconic_data_science_spark.operators.sampling import global_uniform_n
+
+    cat = _cat(spark, sf_dir)
+    return global_uniform_n(
+        cat.documents.select("doc_id", "lang", "source"), "doc_id", 100
+    )
+
+
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length percentiles per source from a unit-width integer-bin
+    histogram (sketch.histogram_quantiles over token counts) — the
+    max_seq_len / packing-capacity planning input: one bounded-state
+    histogram per source, exact BIGINT cumulative rule, no sort of the
+    corpus."""
+    from iconic_data_science_spark.operators.sketch import histogram_quantiles
+
+    cat = _cat(spark, sf_dir)
+    toks = cat.documents.select(
+        F.col("source").alias("grp_src"),
+        F.size(F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+                        lambda t: t != "")).cast("double").alias("n_tokens"),
+    )
+    return histogram_quantiles(
+        toks, value_col="n_tokens", group_col="grp_src",
+        percentiles=(50, 90, 99), max_bin=1000,
+    ).withColumnRenamed("grp_src", "source")
+
+
+QUERIES["sample_global_n"] = q_sample_global_n
+QUERIES["text_length_quantiles"] = q_text_length_quantiles
+
+ORACLES["sample_global_n"] = """
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) AS _h
+        FROM documents
+        ORDER BY _h, doc_id LIMIT 100
+    )
+"""
+
+ORACLES["text_length_quantiles"] = """
+    WITH base AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                    t -> t <> '')) AS DOUBLE) AS n_tokens
+        FROM documents
+    ),
+    hist AS (
+        SELECT source AS grp,
+               LEAST(CAST(FLOOR(n_tokens) AS BIGINT), 1000) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, bin, cnt,
+               CAST(SUM(cnt) OVER (
+                   PARTITION BY grp ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+    ps AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(p_pct)),
+    x AS (
+        SELECT cum.grp, cum.bin, cum.cum, tot.n, ps.p_pct
+        FROM cum JOIN tot USING (grp) CROSS JOIN ps
+    )
+    SELECT grp AS source, CAST(p_pct AS BIGINT) AS p_pct, MIN(bin) AS q_bin
+    FROM x WHERE 100 * cum >= p_pct * n
+    GROUP BY 1, 2
+"""
+
 ORACLES["web_components"] = """
     WITH RECURSIVE ce AS (
         SELECT DISTINCT doc_id AS src, doc_id // r.k AS dst
@@ -8555,6 +8638,8 @@ _ROUND6_FRONT = [
     "text_quality_gate",
     "ann_cluster_eval",
     "web_components",
+    "sample_global_n",
+    "text_length_quantiles",
     # --- r1 rows-only (weak check) ---
     "a2_approx_distinct",
     "g_pagerank",

@@ -127,3 +127,30 @@ def group_uniform_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def global_uniform_n(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """EXACTLY min(n, |df|) rows, uniform over the whole input and
+    reproducible anywhere — the global fixed-size cut completing the
+    sampling family (stratified = per-stratum RATE, group_k = per-GROUP
+    size, quota = arrival order, weighted = per-row weights; this is
+    "give me exactly N, same N on any engine/partitioning"). Rank by
+    the md5 content hash of the key (ties → the key itself) and keep
+    the first n: one TakeOrderedAndProject — no global sort
+    materializes, each partition forwards ≤ n candidates.
+
+    Contrast ``df.sample``: partition-order-dependent and
+    approximately-sized; ``df.limit``: arbitrary rows."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h", key_col)
+        .limit(int(n))
+        .drop("_h")
+    )

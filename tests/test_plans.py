@@ -338,6 +338,12 @@ EXCHANGE_BUDGET = {
     # union-find tier returns a literal at sf gate size (0 visible);
     # budget covers the edge distinct
     "web_components": 2,
+    # global-n: TakeOrderedAndProject, no full exchange; length
+    # quantiles = per-source histogram agg + cumulative window +
+    # totals agg + the percentile-rollup exchange — all at histogram
+    # grain (≤1001 bins × sources) after the one corpus aggregation
+    "sample_global_n": 0,
+    "text_length_quantiles": 4,
 }
 
 

@@ -179,3 +179,17 @@ def test_weighted_sample_large_target_not_empty(spark, sf_dir):
         weighted_bernoulli_sample(docs, "doc_id", "w", target_n=10, bucket_space=10**8)
     with _pytest.raises(ValueError, match="decimal"):
         weighted_bernoulli_sample(docs, "doc_id", "w", target_n=10**15)
+
+
+def test_global_uniform_n_exact_and_partition_invariant(spark, sf_dir):
+    """Exactly n rows, identical set under repartitioning, nested in a
+    larger n (prefix property of the md5 ranking)."""
+    from iconic_data_science_spark.operators.sampling import global_uniform_n
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    a = sorted(r.doc_id for r in global_uniform_n(docs, "doc_id", 50).collect())
+    assert len(a) == 50
+    b = sorted(r.doc_id for r in global_uniform_n(docs.repartition(13), "doc_id", 50).collect())
+    assert a == b
+    big = sorted(r.doc_id for r in global_uniform_n(docs, "doc_id", 100).collect())
+    assert set(a) <= set(big)
