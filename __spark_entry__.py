@@ -7990,8 +7990,67 @@ def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("grp_src", "source")
 
 
+def q_text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Gopher quality rule set (Rae et al. 2021 §A1.1)
+    as integer-decided per-document flags + the keep verdict
+    (text.gopher_quality_flags): word count, mean word length,
+    symbol ratio, alphabetic-word share, stopword presence — every
+    comparison cross-multiplied on the integer lattice, zero shuffle.
+    Composes with repetition_stats as the full §A1.1 filter."""
+    from iconic_data_science_spark.operators.text import gopher_quality_flags
+
+    cat = _cat(spark, sf_dir)
+    return gopher_quality_flags(cat.documents)
+
+
 QUERIES["sample_global_n"] = q_sample_global_n
 QUERIES["text_length_quantiles"] = q_text_length_quantiles
+QUERIES["text_gopher_flags"] = q_text_gopher_flags
+
+ORACLES["text_gopher_flags"] = """
+    WITH base AS (
+        SELECT doc_id,
+               coalesce(text, '') AS t,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum([CAST(len(x) AS BIGINT) for x in toks]) AS BIGINT) AS tc,
+               CAST(len(t) - len(regexp_replace(t, '[#…]', '', 'g')) AS BIGINT) AS ns,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS aw,
+               CAST(len(list_filter(toks, x -> list_contains({SW_ARRAY}, x))) AS BIGINT) AS sh
+        FROM base
+    ),
+    f AS (
+        SELECT doc_id, n_words, COALESCE(tc, 0) AS tc, ns, aw, sh,
+               CAST(n_words < 50 OR n_words > 100000 AS BIGINT) AS f_word_count,
+               CAST(COALESCE(tc, 0) < 3 * n_words
+                    OR COALESCE(tc, 0) > 10 * n_words AS BIGINT) AS f_mean_word_len,
+               CAST(10 * ns > n_words AS BIGINT) AS f_symbol_ratio,
+               CAST(5 * aw < 4 * n_words AS BIGINT) AS f_alpha_words,
+               CAST(sh < 2 AS BIGINT) AS f_stopwords
+        FROM m
+    )
+    SELECT doc_id, n_words,
+           CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+                ELSE (tc * 1000) // n_words END AS mean_word_len_milli,
+           CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+                ELSE (ns * 1000000) // n_words END AS symbol_word_ppm,
+           CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+                ELSE (aw * 1000000) // n_words END AS alpha_word_ppm,
+           sh AS stopword_hits,
+           f_word_count, f_mean_word_len, f_symbol_ratio, f_alpha_words,
+           f_stopwords,
+           CAST(f_word_count + f_mean_word_len + f_symbol_ratio
+                + f_alpha_words + f_stopwords = 0 AS BIGINT) AS keep
+    FROM f
+"""
+ORACLES["text_gopher_flags"] = ORACLES["text_gopher_flags"].replace(
+    "{SW_ARRAY}", _stopword_array_sql()
+)
 
 ORACLES["sample_global_n"] = """
     SELECT doc_id, lang, source FROM (
@@ -8640,6 +8699,7 @@ _ROUND6_FRONT = [
     "web_components",
     "sample_global_n",
     "text_length_quantiles",
+    "text_gopher_flags",
     # --- r1 rows-only (weak check) ---
     "a2_approx_distinct",
     "g_pagerank",

@@ -1152,3 +1152,85 @@ def langid_confusion(
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+def gopher_quality_flags(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len_milli, symbol_word_ppm,
+    alpha_word_ppm, stopword_hits, f_*, keep) — the canonical Gopher
+    document-quality RULE SET (Rae et al. 2021 §A1.1, public paper),
+    each rule an integer-decided flag (1 = violates):
+
+      f_word_count      n_words outside [50, 100000]
+      f_mean_word_len   mean word length outside [3, 10] chars
+      f_symbol_ratio    '#'/'…'-to-word ratio > 0.1
+      f_alpha_words     < 80% of words contain an alphabetic char
+      f_stopwords       fewer than 2 stopword hits
+
+    keep = 1 iff no flag fires. Every ratio is compared on the integer
+    lattice (cross-multiplication, never float division), so the
+    decision — the thing pipelines branch on — hashes identically on
+    any engine; milli/ppm diagnostic columns are integer `div`s. Pure
+    per-row expressions, zero shuffle: the 100 TB gate is one map pass.
+    (The repetition half of §A1.1 is `repetition_stats`; the two
+    compose as the full Gopher filter.)"""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+    n_words = F.size(toks).cast("long")
+    # word-length stats over the token array (in-row)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, "[#…]", ""))
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    sw = F.array(*[F.lit(w) for w in all_stopwords()])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long")
+
+    f_word_count = ((n_words < 50) | (n_words > 100_000)).cast("long")
+    # 3 <= total_chars/n_words <= 10  <=>  3*n <= chars AND chars <= 10*n
+    f_mean_word_len = (
+        (total_chars < 3 * n_words) | (total_chars > 10 * n_words)
+    ).cast("long")
+    # symbols/words > 0.1  <=>  10*symbols > words
+    f_symbol_ratio = (10 * n_symbols > n_words).cast("long")
+    # alpha_words/words < 0.8  <=>  5*alpha < 4*words
+    f_alpha_words = (5 * alpha_words < 4 * n_words).cast("long")
+    f_stopwords = (stop_hits < 2).cast("long")
+    flags = f_word_count + f_mean_word_len + f_symbol_ratio + f_alpha_words + f_stopwords
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        total_chars.alias("_tc"),
+        n_symbols.alias("_ns"),
+        alpha_words.alias("_aw"),
+        stop_hits.alias("stopword_hits"),
+        f_word_count.alias("f_word_count"),
+        f_mean_word_len.alias("f_mean_word_len"),
+        f_symbol_ratio.alias("f_symbol_ratio"),
+        f_alpha_words.alias("f_alpha_words"),
+        f_stopwords.alias("f_stopwords"),
+        (flags == 0).cast("long").alias("keep"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0L ELSE (_tc * 1000) div n_words END"
+        ).alias("mean_word_len_milli"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0L ELSE (_ns * 1000000) div n_words END"
+        ).alias("symbol_word_ppm"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0L ELSE (_aw * 1000000) div n_words END"
+        ).alias("alpha_word_ppm"),
+        "stopword_hits",
+        "f_word_count",
+        "f_mean_word_len",
+        "f_symbol_ratio",
+        "f_alpha_words",
+        "f_stopwords",
+        "keep",
+    )

@@ -1588,3 +1588,28 @@ def test_index_upsert_contract(spark, sf_dir):
         minhash_index_upsert(index, batch).drop("origin").localCheckpoint(), batch
     )
     assert {r.doc_id for r in nxt.collect()} == {0, 2, 3}
+
+
+def test_gopher_flags_hand_rules(spark):
+    """Each rule fires on a purpose-built doc and the clean doc keeps."""
+    from iconic_data_science_spark.operators.text import gopher_quality_flags
+
+    clean = ("the quick brown fox jumps over a lazy dog and then " * 6).strip()  # 66 words
+    rows = [
+        (1, clean),                                    # keeps
+        (2, "short text with the and"),                # word count < 50
+        (3, ("a b " * 30).strip() + " the and"),       # mean word len < 3
+        (4, clean + " " + "# " * 20),                  # symbol ratio
+        (5, ("12345 67890 " * 30).strip() + " the and"),  # alpha words < 80%
+        (6, ("zzz qqq xxx www vvv " * 12).strip()),    # no stopwords
+        (7, None),                                     # null: word count flag
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert out[1].keep == 1, out[1]
+    assert out[2].f_word_count == 1 and out[2].keep == 0
+    assert out[3].f_mean_word_len == 1
+    assert out[4].f_symbol_ratio == 1
+    assert out[5].f_alpha_words == 1
+    assert out[6].f_stopwords == 1
+    assert out[7].f_word_count == 1 and out[7].n_words == 0

@@ -344,6 +344,9 @@ EXCHANGE_BUDGET = {
     # grain (≤1001 bins × sources) after the one corpus aggregation
     "sample_global_n": 0,
     "text_length_quantiles": 4,
+    # gopher rules: pure per-row expressions — zero shuffle is the
+    # operator's contract
+    "text_gopher_flags": 0,
 }
 
 
