@@ -371,3 +371,17 @@ def test_streaming_kmeans_cell_router_equals_batch(spark, sf_dir):
     stream = kmeans_int_assign_against(stream_src, cents)
     got = _run_stream(spark, stream, "t_kmeans_router", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_gopher_gate_equals_batch(spark, sf_dir):
+    """The Gopher rule set is pure per-row expressions, so it runs on a
+    document stream in watermark-free append mode; stream == batch row
+    for row (flag-at-ingest needs no batch rescoring)."""
+    from iconic_data_science_spark.operators.text import gopher_quality_flags
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = gopher_quality_flags(docs)
+    stream = gopher_quality_flags(sd.read_document_stream(spark, sf_dir))
+    got = _run_stream(spark, stream, "t_gopher_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
