@@ -8003,9 +8003,68 @@ def q_text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(cat.documents)
 
 
+def q_curation_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation stack in production cost order — cheap
+    structural rules first, the trained model last, resampling at the
+    end — every stage an already-oracled engine operator:
+
+      normalize → exact dedup ON NORMALIZED text → Gopher rule set
+      (keep = no flag) → repetition filter (Gopher §A1.1's other half)
+      → TRAIN the classifier on the structural survivors → score with
+      the learned literal weights → temperature-resample at rates
+      learned on the gated corpus.
+
+    Returns (doc_id, lang, n_tokens). One chained-CTE oracle hashes
+    normalization, dedup, both rule families, all 12 training epochs,
+    inference, and the sampler — the whole pipeline under one hash."""
+    from iconic_data_science_spark.operators.dedup import exact_dedup
+    from iconic_data_science_spark.operators.featurize import (
+        linear_classifier_gate,
+        train_linear_classifier,
+    )
+    from iconic_data_science_spark.operators.mixing import temperature_sample
+    from iconic_data_science_spark.operators.text import (
+        gopher_quality_flags,
+        normalize_text,
+        repetition_stats,
+    )
+
+    cat = _cat(spark, sf_dir)
+    docs = cat.documents
+    normed = docs.join(normalize_text(docs).select("doc_id", "norm_text"), "doc_id")
+    canon = exact_dedup(normed, text_col="norm_text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    surv = normed.join(canon, "doc_id", "left_semi").localCheckpoint()
+    gop = gopher_quality_flags(surv).filter(F.col("keep") == 1).select("doc_id")
+    rep = (
+        repetition_stats(surv)
+        .filter(~F.col("repetitive"))
+        .select("doc_id")
+    )
+    structural = (
+        surv.join(gop, "doc_id", "left_semi")
+        .join(rep, "doc_id", "left_semi")
+        .localCheckpoint()
+    )
+    trained = train_linear_classifier(
+        structural, _quality_label_col(), dim=256, epochs=12
+    )
+    w_map = {int(r["feature"]): int(r["weight_micro"]) for r in trained.collect()}
+    weights = [w_map.get(f, 0) for f in range(256)]
+    kept = (
+        linear_classifier_gate(structural, weights, bias_micro=w_map.get(-1, 0))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    gated = structural.join(kept, "doc_id", "left_semi")
+    return temperature_sample(gated, budget_tokens=500_000)
+
+
 QUERIES["sample_global_n"] = q_sample_global_n
 QUERIES["text_length_quantiles"] = q_text_length_quantiles
 QUERIES["text_gopher_flags"] = q_text_gopher_flags
+QUERIES["curation_pipeline_v7"] = q_curation_pipeline_v7
 
 ORACLES["text_gopher_flags"] = """
     WITH base AS (
@@ -8051,6 +8110,7 @@ ORACLES["text_gopher_flags"] = """
 ORACLES["text_gopher_flags"] = ORACLES["text_gopher_flags"].replace(
     "{SW_ARRAY}", _stopword_array_sql()
 )
+
 
 ORACLES["sample_global_n"] = """
     SELECT doc_id, lang, source FROM (
@@ -8185,6 +8245,134 @@ ORACLES["curation_pipeline_v6"] = f"""
     WHERE CAST(u AS HUGEINT) * lang_toks * w_sum
           < CAST(500000 AS HUGEINT) * 1000000 * weight
 """
+
+from iconic_data_science_spark.operators.featurize import train_oracle_sql as _train_oracle_sql  # noqa: E402,F811
+
+ORACLES["curation_pipeline_v7"] = f"""
+    WITH normed AS MATERIALIZED (
+        SELECT d.*, {_V6_NORM} AS norm_text FROM documents d
+    ),
+    canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM normed GROUP BY md5(norm_text)
+    ),
+    surv AS MATERIALIZED (
+        SELECT n.* FROM normed n JOIN canon USING (doc_id)
+    ),
+    gb AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           x -> x <> '') AS toks
+        FROM surv
+    ),
+    gm AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_sum([CAST(len(x) AS BIGINT) for x in toks]), 0)
+                    AS BIGINT) AS tc,
+               CAST(len(t) - len(regexp_replace(t, '[#…]', '', 'g')) AS BIGINT) AS ns,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS aw,
+               CAST(len(list_filter(toks, x -> list_contains({{SW_ARRAY}}, x))) AS BIGINT) AS sh
+        FROM gb
+    ),
+    gok AS (
+        SELECT doc_id FROM gm
+        WHERE n_words >= 50 AND n_words <= 100000
+          AND tc >= 3 * n_words AND tc <= 10 * n_words
+          AND 10 * ns <= n_words
+          AND 5 * aw >= 4 * n_words
+          AND sh >= 2
+    ),
+    rt AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM surv),
+    rtc AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(l) AS tok FROM rt) GROUP BY 1, 2
+    ),
+    rtd AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(MAX(c) AS BIGINT) AS top_token_count
+        FROM rtc GROUP BY 1
+    ),
+    rbc AS (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([l[i] || ' ' || l[i+1] for i in generate_series(1, len(l)-1)]) AS bg
+              FROM rt)
+        GROUP BY 1, 2
+    ),
+    rbd AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_count
+        FROM rbc GROUP BY 1
+    ),
+    rok AS (
+        SELECT rtd.doc_id
+        FROM rtd LEFT JOIN rbd ON rtd.doc_id = rbd.doc_id
+        WHERE NOT ((top_token_count * 5 > n_tokens)
+                   OR (COALESCE(top_bigram_count, 0) * 50 > COALESCE(n_bigrams, 0) * 9))
+    ),
+    structural AS MATERIALIZED (
+        SELECT s.* FROM surv s JOIN gok USING (doc_id) JOIN rok USING (doc_id)
+    ),
+    trained AS MATERIALIZED (
+        {_train_oracle_sql(_TRAIN_LABEL_SQL, dim=256, epochs=12, table="structural")}
+    ),
+    tk7 AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM structural
+    ),
+    hashed7 AS (
+        SELECT doc_id,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(token), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) AS h
+        FROM tk7 WHERE token <> ''
+    ),
+    px7 AS (
+        SELECT doc_id, h % 256 AS f,
+               CAST(SUM(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS x
+        FROM hashed7 GROUP BY 1, 2
+    ),
+    logit7 AS (
+        SELECT s.doc_id,
+               (SELECT weight_micro FROM trained WHERE feature = -1)
+               + COALESCE(SUM(p.x * t.weight_micro), 0) AS l
+        FROM structural s
+        LEFT JOIN px7 p ON p.doc_id = s.doc_id
+        LEFT JOIN trained t ON t.feature = p.f
+        GROUP BY 1
+    ),
+    gated AS MATERIALIZED (
+        SELECT s.* FROM structural s JOIN logit7 ON logit7.doc_id = s.doc_id
+        WHERE logit7.l > 0
+    ),
+    per_lang AS (
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_toks
+        FROM gated GROUP BY 1
+    ),
+    w AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(lang_toks AS DOUBLE))) AS BIGINT) AS weight
+        FROM per_lang
+    ),
+    tot AS (SELECT SUM(weight) AS w_sum FROM w),
+    d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) % 1000000 AS u
+        FROM gated
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM d JOIN w USING (lang), tot
+    WHERE CAST(u AS HUGEINT) * lang_toks * w_sum
+          < CAST(500000 AS HUGEINT) * 1000000 * weight
+"""
+ORACLES["curation_pipeline_v7"] = ORACLES["curation_pipeline_v7"].replace(
+    "{SW_ARRAY}", _stopword_array_sql()
+)
 
 ORACLES["dedup_index_upsert"] = """
     WITH shA AS MATERIALIZED (
@@ -8700,6 +8888,7 @@ _ROUND6_FRONT = [
     "sample_global_n",
     "text_length_quantiles",
     "text_gopher_flags",
+    "curation_pipeline_v7",
     # --- r1 rows-only (weak check) ---
     "a2_approx_distinct",
     "g_pagerank",

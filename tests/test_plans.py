@@ -347,6 +347,11 @@ EXCHANGE_BUDGET = {
     # gopher rules: pure per-row expressions — zero shuffle is the
     # operator's contract
     "text_gopher_flags": 0,
+    # v7: structural stages are semi-joins off the checkpointed
+    # survivor frames; visible exchanges are the language aggregates +
+    # the gate semi-join (training's per-epoch exchanges already ran
+    # behind the literal weights)
+    "curation_pipeline_v7": 5,
 }
 
 
