@@ -1042,6 +1042,45 @@ def kmeans_int_assign(
     )
 
 
+def _kmeans_int_argmin(cs, q_col: str = "q"):
+    """struct(d2, c_id) argmin expression over centroid literals: the
+    map-side assignment shared by training and serving — ties break to
+    the smallest c_id because array_min orders structs field-wise."""
+    structs = []
+    for cid, cv in cs:
+        lit_cv = F.array(*[F.lit(int(x)) for x in cv])
+        d2 = F.aggregate(
+            F.zip_with(F.col(q_col), lit_cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("c_id")))
+    return F.array_min(F.array(*structs))
+
+
+def _kmeans_int_update_plan(e: DataFrame, cs, dim: int) -> DataFrame:
+    """One Lloyd centroid-update round as a SINGLE plan: argmin over
+    centroid literals computed in the same projection that carries
+    ``q``, then a partial-aggregated groupBy(c_id) — ZERO joins, so the
+    corpus is scanned once and only the K×(dim+1)-row aggregate moves.
+    (r6 verdict item 2: the previous form recovered ``q`` by re-joining
+    the assignment back to the corpus — two full-corpus exchanges + an
+    SMJ per iteration, all avoidable because the argmin already reads
+    ``q``. test_plans.py pins this plan join-free.)"""
+    best = _kmeans_int_argmin(cs)
+    return (
+        e.select(best["c_id"].alias("c_id"), F.col("q"))
+        .groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("q", i + 1)).cast("long").alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+    )
+
+
 def kmeans_int_centroids(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -1075,11 +1114,13 @@ def kmeans_int_centroids(
     the seed sample is ONE TakeOrdered job (bounded ``seed_sample``
     rows to the driver — the FAISS posture: train on a sample);
     centroids are bounded K×dim driver metadata embedded as plan
-    literals each round — assignment is a map-side argmax over a
-    K-element expression array (zero joins, zero shuffles) and the
-    update is ONE partial-aggregated groupBy(c_id) collecting K rows.
-    Per iteration: one K×(dim+1)-row exchange; the corpus is scanned,
-    never moved. (Weights-as-literals also sidesteps the exponential
+    literals each round — assignment is a map-side argmin over a
+    K-element expression array computed in the same projection that
+    carries the quantized vector, and the update is ONE
+    partial-aggregated groupBy(c_id) collecting K rows
+    (:func:`_kmeans_int_update_plan`, pinned join-free in
+    test_plans.py). Per iteration: one K×(dim+1)-row exchange; the
+    corpus is scanned, never moved. (Weights-as-literals also sidesteps the exponential
     planner blow-up chained iterative DataFrames hit — see
     featurize.train_linear_classifier.)
     """
@@ -1127,35 +1168,8 @@ def kmeans_int_centroids(
         qq = abs(a) // b
         return qq if a >= 0 else -qq
 
-    def _assign(cs):
-        structs = []
-        for cid, cv in cs:
-            lit_cv = F.array(*[F.lit(int(x)) for x in cv])
-            d2 = F.aggregate(
-                F.zip_with(F.col("q"), lit_cv, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            structs.append(F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("c_id")))
-        best = F.array_min(F.array(*structs))
-        return e.select(
-            F.col("id"), best["c_id"].alias("c_id"), best["d2"].alias("d2")
-        )
-
     for _ in range(int(n_iters)):
-        assign = _assign(cents)
-        agg = (
-            assign.join(e, "id")
-            .groupBy("c_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("q", i + 1)).cast("long").alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()
-        )
+        agg = _kmeans_int_update_plan(e, cents, dim).collect()
         upd = {
             int(r["c_id"]): [_tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)]
             for r in agg

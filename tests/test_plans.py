@@ -165,6 +165,35 @@ def test_corpus_shuffle_no_global_window(spark, sf01):
     assert "Window" in plan
 
 
+def test_kmeans_int_update_round_is_join_free(spark, sf01):
+    """r6 verdict item 2: the Lloyd centroid update must NOT re-join the
+    corpus to itself to recover the quantized vectors — the argmin
+    expression already reads ``q``, so one scan feeds the groupBy(c_id)
+    directly. Pin: zero joins of any kind in the update round's plan,
+    and exactly one exchange (the K-row partial→final aggregate)."""
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.operators.similarity import (
+        _DIM,
+        _kmeans_int_update_plan,
+    )
+
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1000)).cast("long"),
+    )
+    e = emb.select(F.col("vec_id").alias("id"), q.alias("q"))
+    cents = [(cid, [cid] * _DIM) for cid in range(8)]
+    upd = _kmeans_int_update_plan(e, cents, _DIM)
+    plan = inspect.formatted_plan(upd)
+    assert "Join" not in plan, "centroid update re-joins the corpus"
+    assert inspect.shuffle_count(upd) == 1
+    # partial + final hash aggregation: the map-side combine means only
+    # K×(dim+1) rows cross the one exchange
+    assert plan.count(") HashAggregate") == 2
+
+
 # Exchange-count budgets: the shuffle counts the current plans produce.
 # A regression that adds a shuffle to a headline query must fail loudly
 # here and be either fixed or consciously re-budgeted. (Iterative

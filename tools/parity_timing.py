@@ -1,7 +1,12 @@
 """Driver-mimic: run every queries() entry against its DuckDB oracle at a
 given SF and record per-query wall time + pass/fail.  Usage:
 
-    python tools/parity_timing.py [sf_dir] [out_json]
+    python tools/parity_timing.py [sf_dir] [out_json] [only_csv]
+
+``only_csv`` (optional) restricts the run to a comma-separated subset of
+query names — subset probes MUST write to their own out_json, never over
+a full-catalog artifact (r6 lesson: the end-of-round snapshot clobbered
+the 206/206 artifact with a 28-query partial).
 
 This is a builder-side diagnostic (the real gate is the driver's
 CORRECTNESS_r{N}.json); it exists to (a) pre-validate all queries at the
@@ -30,6 +35,14 @@ def main() -> int:
     spark = get_spark(app_name="parity-timing")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if len(sys.argv) > 3:
+        only = [s for s in sys.argv[3].split(",") if s]
+        unknown = [s for s in only if s not in queries]
+        assert not unknown, f"unknown queries: {unknown}"
+        assert out not in (
+            "/root/repo/parity_timing.json",
+        ), "subset probes must use their own out file"
+        queries = {k: queries[k] for k in only}
     results: dict[str, dict] = {}
     t_all = time.time()
     for i, (name, fn) in enumerate(queries.items()):
