@@ -266,7 +266,10 @@ def q_g7_alter_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB posture variant of A2: approx_count_distinct (HLL sketch).
     No oracle — sketches don't hash-match exact engines; the driver
-    records the rows-only check."""
+    records the rows-only check. Exact hash-oracled twin: the same
+    per-author grain computed with exact countDistinct inside
+    `g7_ego_indicators` (A2); sketch-vs-exact error is bounded in
+    tests/test_engine_surface.py."""
     cat = _cat(spark, sf_dir)
     return (
         magmap.paa(cat)
@@ -366,27 +369,15 @@ def q_g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=3)
 
 
-def q_g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the citation DAG (10 iterations). No oracle —
-    float power iteration doesn't hash across engines; verified against
-    analytic fixtures in tests/test_graph.py. Output rounded for a
-    stable rows-only record."""
-    from iconic_data_science_spark.operators.graph import pagerank
-
-    cat = _cat(spark, sf_dir)
-    edges = magmap.citation_edges(cat).select(
-        F.col("citing").alias("src"), F.col("cited").alias("dst")
-    )
-    pr = pagerank(edges, damping=0.85, iterations=10)
-    return pr.select("node", F.round("rank", 9).alias("rank"))
-
-
 def q_g_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-lattice PageRank over the citation DAG — the power
     iteration defined AS integer arithmetic (floor divisions, fixed 10
-    rounds) so ranks hash identically across engines; the float
-    `g_pagerank` twin stays rows-only by nature. Ranking agreement with
-    the float variant is pinned in tests/test_graph.py."""
+    rounds) so ranks hash identically across engines. The float variant
+    (graph.pagerank, 0.85 damping) is rows-only by nature and was
+    RETIRED from the registry in round 7 (r6 verdict item 6) so every
+    registry entry is hash-oracled or golden-pinned; the float operator
+    itself remains, verified against analytic fixtures and
+    ranking-agreement with this twin in tests/test_graph.py."""
     from iconic_data_science_spark.operators.graph import pagerank_int
 
     cat = _cat(spark, sf_dir)
@@ -1753,7 +1744,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g5_hierarchy_roots_sql": q_g5_hierarchy_roots_sql,
     "g4_bfs": q_g4_bfs,
     "g_triangle_count": q_g_triangle_count,
-    "g_pagerank": q_g_pagerank,
     "g_pagerank_int": q_g_pagerank_int,
     "g_kcore": q_g_kcore,
     "u3_except_authors": q_u3_except_authors,
@@ -3758,24 +3748,6 @@ def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(cat.embeddings, _ann_queries(cat), k=5, n_tables=3)
 
 
-def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF over LEARNED centroids: Lloyd's k-means (farthest-point
-    seeded, 3 iterations; driver-local numpy tier when the corpus fits
-    the deterministic sample, fused distributed loop above it) feeds
-    the same cell-restricted probe as ann_ivf_topk. Iterative float
-    means → rows-only check (the driver's weaker gate for iterative
-    algorithms); recall vs brute force is asserted in
-    tests/test_ann_recall.py on clustered fixtures."""
-    from iconic_data_science_spark.operators.similarity import (
-        ivf_topk,
-        kmeans_centroids,
-    )
-
-    cat = _cat(spark, sf_dir)
-    cents = kmeans_centroids(cat.embeddings, n_cells=8, n_iters=3)
-    return ivf_topk(cat.embeddings, _ann_queries(cat), k=5, centroids=cents, nprobe=2)
-
-
 # ---------------------------------------------------------------------------
 # TPC-H-shape suite (the classic decision-support operator shapes the
 # reference never wrote but the engine must cover: EXISTS / NOT EXISTS,
@@ -4135,7 +4107,6 @@ def q_q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({
     "ann_lsh_multitable": q_ann_lsh_multitable,
-    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q4_order_priority": q_q4_order_priority,
     "q7_volume_shipping": q_q7_volume_shipping,
@@ -7662,8 +7633,10 @@ def q_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means on the INTEGER lattice — the hash-oracled twin
-    of the rows-only float `ann_ivf_kmeans` (r5 verdict item 3, the
-    same float→int move as g_pagerank→g_pagerank_int): quantize
+    of the float IVF-over-learned-centroids pipeline (r5 verdict item
+    3, the same float→int move as g_pagerank→g_pagerank_int; the float
+    registry entry was RETIRED in round 7 per r6 verdict item 6 — the
+    operators kmeans_centroids/ivf_topk remain, recall-tested): quantize
     components to round(x·1000) BIGINTs, then 3 exact Lloyd rounds
     (argmin Σ(q−c)², trunc-div centroid means, empty cells carry) and
     the final assignment with its exact squared distance. Any drift in
@@ -9021,22 +8994,119 @@ _ROUND5_FRONT = [
 ]
 
 
+# Registry entries retired in round 7 (r6 verdict item 6): the float
+# rows-only twins whose exact integer counterparts carry the hash gate.
+# The operators (graph.pagerank, similarity.kmeans_centroids/ivf_topk)
+# remain, tested directly; older rounds' front lists still name the
+# retired entries, so the reorder filters them instead of asserting.
+_RETIRED = frozenset({"ann_ivf_kmeans", "g_pagerank"})
+
+
 def _reordered(front: list[str], d: dict) -> dict:
+    front = [k for k in front if k not in _RETIRED]
     unknown = [k for k in front if k not in d]
     assert not unknown, f"front list names unknown queries: {unknown}"
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in [*front, *rest]}
 
 
-# Round-6 front wins (the full stale-cohort flush); the earlier rounds'
-# fronts follow (hash-green in their rounds, so re-verification in any
+# Round-7 registration front — the r6 verdict's evidence-debt flush
+# (item 1): slots 1–13 are the 13 queries that have NEVER had a driver
+# CORRECTNESS row (hash-green in the full parity artifact + pytest, but
+# zero hard driver evidence); slots 14–50 are 37 of the 42 whose newest
+# driver row is r3 (three rounds stale), ordered flagship-first, then
+# the pack/mix/ts + churned dedup/text/ann families, then events/graph/
+# lakehouse, TPC-H q2 last. The cut leaves exactly 5 queries with
+# pre-r4 latest evidence: j_full_outer_halves and
+# w_ntile_balance_quartiles (operator files untouched since r3,
+# pytest-parity green every round) and the three documented rows-only
+# entries (mm_decode_stats, text_bpe_vocab — golden-pinned twins — and
+# a2_approx_distinct, r1, whose exact twin grain rides in
+# g7_ego_indicators) — trading an oracled-hash window slot for a
+# rows-only refresh is the worse use of the 50-row window.
+_ROUND7_FRONT = [
+    # --- (a) never driver-verified (r6 verdict "What's missing" #1) ---
+    "ann_cluster_eval",
+    "curation_pipeline_v6",
+    "curation_pipeline_v7",
+    "dedup_index_upsert",
+    "mix_domain_reweight",
+    "sample_global_n",
+    "text_gopher_flags",
+    "text_langid_eval",
+    "text_length_quantiles",
+    "text_normalize",
+    "text_quality_deciles",
+    "text_quality_gate",
+    "web_components",
+    # --- (b) r3-stale: flagship + its own evidence first ---
+    "g3_personal_net",
+    "g3_personal_net_flatmap",
+    "g8_gexf",
+    "a5_coauthor_list",
+    "o2_topk_authors",
+    # --- (c) r3-stale: pack/mix/sample/ts family ---
+    "pack_sequences",
+    "pack_bins_nextfit",
+    "pack_manifest",
+    "mix_epochs",
+    "corpus_shuffle",
+    "select_token_budget",
+    "sample_stratified",
+    "ts_multi_grain_counts",
+    "ts_anomaly_hours",
+    "inc_rollup_daily",
+    # --- (d) r3-stale: dedup/text/ann (operator files churned since) ---
+    "dedup_passage",
+    "dedup_incremental",
+    "semdedup_prune",
+    "text_chunk_sliding",
+    "text_bm25_topk",
+    "text_inverted_index",
+    "text_bpe_encode",
+    "text_lang_confusion",
+    "text_cdc_chunks",
+    "curation_quality_gate",
+    "corpus_datacard",
+    "ann_pq_topk",
+    # --- (e) r3-stale: events/graph/lakehouse/misc ---
+    "ev_attribution",
+    "ev_cms_heavy_hitters",
+    "ev_value_quantiles",
+    "g_sssp",
+    "g_label_propagation",
+    "lh_snapshot_diff",
+    "lh_zorder_stats",
+    "disambig_candidates",
+    "w_sessionize_lag",
+    "q2_min_balance_supplier",
+    # --- past the 50-row window: the consciously deferred tail (the
+    # k-means family's changed training plan is hash-proven by the
+    # committed subset probe parity_kmeans_fix_r7.json + pytest parity;
+    # ann_ivf_kmeans_int keeps its fresh r6 hash row) ---
+    "ann_ivf_kmeans_int",
+    "j_full_outer_halves",
+    "w_ntile_balance_quartiles",
+    "mm_decode_stats",
+    "text_bpe_vocab",
+]
+
+
+# Round-7 front wins (evidence-debt flush); the earlier rounds' fronts
+# follow (hash-green in their rounds, so re-verification in any
 # remaining driver-window slots is harmless), then everything else in
 # original order.
 QUERIES = _reordered(
-    _ROUND6_FRONT,
+    _ROUND7_FRONT,
     _reordered(
-        _ROUND5_FRONT,
-        _reordered(_ROUND4_FRONT, _reordered(_ROUND3_FRONT, _reordered(_ROUND2_FRONT, QUERIES))),
+        _ROUND6_FRONT,
+        _reordered(
+            _ROUND5_FRONT,
+            _reordered(
+                _ROUND4_FRONT,
+                _reordered(_ROUND3_FRONT, _reordered(_ROUND2_FRONT, QUERIES)),
+            ),
+        ),
     ),
 )
 

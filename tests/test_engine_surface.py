@@ -68,15 +68,51 @@ def test_driver_contract_integrity():
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs), "orphan oracle entries"
+    # round 7 retired the float rows-only twins ann_ivf_kmeans and
+    # g_pagerank from the registry (exact integer twins carry the hash
+    # gate; the float operators stay, tested directly)
     assert set(qs) - set(os_) == {
-        "a2_approx_distinct",   # HLL sketch — not exact-hashable
-        "ann_ivf_kmeans",       # learned float centroids — iterative means
-        "g_pagerank",           # float power iteration (g_pagerank_int is the oracled twin; g_kcore gained a recursive-peel oracle in round 2; g8_gexf gained a string_agg XML oracle in the round-2 continuation)
+        "a2_approx_distinct",   # HLL sketch — not exact-hashable (exact twin grain in g7_ego_indicators)
         "mm_decode_stats",      # JPEG/GIF rows are quantized codec outputs, not replayable arithmetic (lossless twin mm_lossless_decode_stats is oracled; mm_frame_sample gained an arithmetic-replay oracle in round 5)
         "text_bpe_vocab",       # iterative BPE training loop (golden-pinned in tests/test_bpe.py)
     }
     for name, fn in qs.items():
         assert fn.__doc__, f"{name} has no docstring"
+    # every rows-only entry must point at its exact twin / golden in its
+    # docstring (r6 verdict item 6: the registry is 100% oracled OR
+    # carries a one-line pointer to exact evidence)
+    twin_pointer = {
+        "a2_approx_distinct": "countDistinct",
+        "mm_decode_stats": "mm_lossless_decode_stats",
+        "text_bpe_vocab": "test_bpe.py",
+    }
+    for name, needle in twin_pointer.items():
+        assert needle in qs[name].__doc__, f"{name} lacks twin pointer"
+
+
+def test_a2_hll_tracks_exact_count(spark, sf_dir):
+    """The HLL rows-only query's estimates stay within the documented
+    relative-error band of the exact per-author distinct counts (the
+    exact twin grain `g7_ego_indicators` also carries)."""
+    import __spark_entry__ as entrymod
+
+    approx = {
+        r["author"]: r["approx_papers"]
+        for r in entrymod.queries()["a2_approx_distinct"](spark, sf_dir).collect()
+    }
+    from iconic_data_science_spark import magmap
+
+    exact = {
+        r["author"]: r["papers"]
+        for r in magmap.paa(Catalog(spark, sf_dir))
+        .groupBy("author")
+        .agg(F.countDistinct("paper").alias("papers"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for a, est in approx.items():
+        # approx_count_distinct default rsd=0.05; generous 3-sigma-ish band
+        assert abs(est - exact[a]) <= max(2, 0.15 * exact[a]), (a, est, exact[a])
 
 
 def test_catalog_validate(spark, sf_dir, tmp_path):
