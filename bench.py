@@ -118,18 +118,59 @@ def _streaming_bench(spark, sf_dir: str) -> dict:
     def funnel():
         return sev.funnel_stage_state(sev.read_event_stream(spark, sf_dir)), "update", n_events
 
+    # Doc-dedup measures PROBE throughput against a standing index (r6
+    # verdict item 4): the index is built once per bench session (the
+    # production shape — a persisted table the crawl loop maintains via
+    # minhash_index_upsert/write_snapshot), and the stream input is the
+    # documents file replicated DOC_REPLICAS× into a temp dir so probe
+    # work dominates the fixed availableNow micro-batch overhead (~1 s)
+    # instead of drowning in it at 2.5k rows.
+    DOC_REPLICAS = 8
+    from iconic_data_science_spark.operators.dedup import minhash_index_build
+
+    _corpus = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 2 == 0)
+    _doc_index = minhash_index_build(
+        _corpus, n=3, num_perm=16, rows_per_band=4
+    ).localCheckpoint()
+
+    def _replicated_docs_dir() -> str:
+        import shutil
+        import tempfile
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"ids_bench_docs_x{DOC_REPLICAS}_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        os.makedirs(base, exist_ok=True)
+        for i in range(DOC_REPLICAS):
+            dst = os.path.join(base, f"documents_{i}.parquet")
+            if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+                shutil.copyfile(src, dst)
+        return base
+
     def doc_dedup():
-        docs = Catalog(spark, sf_dir).documents
-        corpus = docs.filter(F.col("doc_id") % 2 == 0)
-        stream_new = sdoc.read_document_stream(spark, sf_dir).filter(
-            F.col("doc_id") % 2 == 1
+        rep_dir = _replicated_docs_dir()
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).schema
+        stream_new = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .load(rep_dir)
+            .filter(F.col("doc_id") % 2 == 1)
         )
         return (
             sdoc.stream_dedup_against_index(
-                stream_new, corpus, n=3, num_perm=16, rows_per_band=4, threshold=0.5
+                stream_new,
+                index=_doc_index,
+                n=3,
+                num_perm=16,
+                rows_per_band=4,
+                threshold=0.5,
             ),
             "append",
-            n_docs_new,
+            n_docs_new * DOC_REPLICAS,
         )
 
     def ingest_gate():

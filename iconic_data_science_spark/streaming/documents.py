@@ -43,43 +43,74 @@ def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_against_index(
     new_docs_stream: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     n: int = 3,
     num_perm: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.5,
     index_broadcast_threshold_rows: int = 2_000_000,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """(corpus_id, new_id, jaccard) append stream — incoming documents
     that near-duplicate the existing corpus.
 
-    ``corpus`` is static: its shingle arrays + band signatures are
-    computed once here (in production: read from the persisted index
-    table that ``write_snapshot`` maintains). The stream side is
-    entirely map-side until the stream-static candidate join; the
-    verify touches only candidate rows and is a per-row array
-    expression, so state is bounded to the candidate-pair
-    ``dropDuplicates`` set (no watermark needed for a finite backfill;
-    a production deployment bounds it by keying state on a crawl-batch
-    column).
+    Pass EITHER ``corpus`` (raw documents — shingle arrays + band
+    signatures are computed once here) OR ``index``: the persisted
+    (doc_id, band, band_sig, shingles) layout that
+    ``dedup.minhash_index_build`` bootstraps and
+    ``dedup.minhash_index_upsert`` maintains (landing via
+    ``lakehouse.write_snapshot``). The ``index`` form is the production
+    steady state — the crawl loop pays the signature build once per
+    index generation, not once per stream restart (r6 verdict item 4:
+    the bench now measures probe throughput against a standing index,
+    not index-build jitter). The stream side is entirely map-side until
+    the stream-static candidate join; the verify touches only candidate
+    rows and is a per-row array expression, so state is bounded to the
+    candidate-pair ``dropDuplicates`` set (no watermark needed for a
+    finite backfill; a production deployment bounds it by keying state
+    on a crawl-batch column).
     """
-    # The WHOLE corpus index materializes at build time — band sigs and
-    # shingle arrays, not just the intermediate ca: every micro-batch
-    # re-executes the static side's lazy plan, so an un-checkpointed
-    # csigs recomputes all num_perm corpus permutations per batch
-    # (measured: ~1.5 s of the ~2.2 s batch at sf0.1 was corpus-side
-    # recompute; with the index checkpointed the batch spends its time
-    # on stream-side work only). In production these two frames ARE the
-    # persisted index table that write_snapshot maintains.
-    ca = hashed_shingle_arrays(corpus, n=n).localCheckpoint()
-    csigs = (
-        minhash_band_sigs_from_arrays(ca, num_perm=num_perm, rows_per_band=rows_per_band)
-        .select(F.col("doc_id").alias("corpus_id"), "band", "band_sig")
-        .localCheckpoint()
-    )
-    carr = ca.select(
-        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("corpus_shingles")
-    ).localCheckpoint()
+    if (corpus is None) == (index is None):
+        raise ValueError("pass exactly one of corpus= or index=")
+    if index is not None:
+        # Persisted-index layout: band rows repeat the shingle array, so
+        # the doc-grain array table is a doc_id-dedup away. Both frames
+        # checkpoint — every micro-batch re-executes the static side's
+        # lazy plan otherwise.
+        csigs = (
+            index.select(F.col("doc_id").alias("corpus_id"), "band", "band_sig")
+            .localCheckpoint()
+        )
+        carr = (
+            index.select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("shingles").alias("corpus_shingles"),
+            )
+            .dropDuplicates(["corpus_id"])
+            .localCheckpoint()
+        )
+    else:
+        # The WHOLE corpus index materializes at build time — band sigs
+        # and shingle arrays, not just the intermediate ca: every
+        # micro-batch re-executes the static side's lazy plan, so an
+        # un-checkpointed csigs recomputes all num_perm corpus
+        # permutations per batch (measured: ~1.5 s of the ~2.2 s batch
+        # at sf0.1 was corpus-side recompute; with the index
+        # checkpointed the batch spends its time on stream-side work
+        # only). In production these two frames ARE the persisted index
+        # table that write_snapshot maintains.
+        ca = hashed_shingle_arrays(corpus, n=n).localCheckpoint()
+        csigs = (
+            minhash_band_sigs_from_arrays(
+                ca, num_perm=num_perm, rows_per_band=rows_per_band
+            )
+            .select(F.col("doc_id").alias("corpus_id"), "band", "band_sig")
+            .localCheckpoint()
+        )
+        carr = ca.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("shingles").alias("corpus_shingles"),
+        ).localCheckpoint()
     # Size-gated IN-ROW index probe (the IVFPQ
     # dtable_broadcast_threshold_rows pattern, r5 verdict item 6): the
     # join+dropDuplicates form pays a streaming STATE STORE for the

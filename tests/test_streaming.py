@@ -213,6 +213,38 @@ def test_stream_dedup_equals_incremental_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
 
 
+def test_stream_dedup_prebuilt_index_equals_corpus_form(spark, sf_dir):
+    """stream_dedup_against_index(index=...) — the production steady
+    state probing a standing (doc_id, band, band_sig, shingles) table
+    — must produce exactly the rows the corpus= form computes from raw
+    documents (same signatures, same jaccard, bit for bit)."""
+    from iconic_data_science_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_lsh_incremental,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = minhash_lsh_incremental(
+        corpus, docs.filter(F.col("doc_id") % 2 == 1),
+        n=3, num_perm=16, rows_per_band=4, threshold=0.5,
+    )
+    idx = minhash_index_build(corpus, n=3, num_perm=16, rows_per_band=4)
+    stream_new = sd.read_document_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    out = sd.stream_dedup_against_index(
+        stream_new, index=idx, n=3, num_perm=16, rows_per_band=4, threshold=0.5
+    )
+    got = _run_stream(spark, out, "t_doc_dedup_idx", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        sd.stream_dedup_against_index(stream_new, corpus, index=idx)
+    with pytest.raises(ValueError, match="exactly one"):
+        sd.stream_dedup_against_index(stream_new)
+
+
 def test_map_side_curation_ops_compose_with_streams(spark, sf_dir):
     """The per-row curation transforms (quality scoring, token counts)
     apply unchanged to a document stream — map-side operators are
