@@ -71,7 +71,11 @@ def author_stats(paa: DataFrame, citation_edges: DataFrame) -> DataFrame:
     )
 
 
-def ego_indicators(triples: DataFrame, author_country: DataFrame) -> DataFrame:
+def ego_indicators(
+    triples: DataFrame,
+    author_country: DataFrame,
+    single_exchange: bool = True,
+) -> DataFrame:
     """A2 countDistinct family + domestic split per ego.
 
     (ego, n_coauthors, years_collaborated, n_alter_countries,
@@ -85,22 +89,36 @@ def ego_indicators(triples: DataFrame, author_country: DataFrame) -> DataFrame:
     # Five countDistincts in one agg would Expand the triple table 5x
     # before the shuffle. Instead: dedup to alter level first (each
     # alter carries exactly one country, so every remaining indicator is
-    # a plain agg or single-distinct there), years in a separate
-    # single-distinct agg (no Expand either), broadcast-join the two
-    # ego-level results. Shuffled volume drops from 5x|triples| to
-    # ~2x|triples| narrow rows; also makes the aggregation
-    # duplicate-insensitive, so the input can skip its own distinct.
+    # a plain agg or single-distinct there), broadcast-join the country
+    # dims at the deduped grain (each (ego, alter) carries one country
+    # pair, so this is equivalent — and the fan-out shuffle then moves
+    # only (ego, alter, year-partials), no string columns).
     # years_collaborated rides the SAME aggregation chain: collect_set
     # of years at alter level, flatten-distinct at ego level (the A6/X1
     # built-in) — one pass over the pair fan-out instead of a second
-    # full scan + shuffle for a separate countDistinct(year) agg
-    # (the fan-out is the expensive input; sets are bounded by the year
-    # range per alter). Measured ~25% off the sf0.1 median.
-    # The country broadcast-joins attach AFTER the alter-grain dedup:
-    # each (ego, alter) carries one country pair, so joining at the
-    # deduped grain is equivalent — and the fan-out shuffle then moves
-    # only (ego, alter, year-partials), no string columns (round-6
-    # narrowing; the integer-keys-through-exchanges rule).
+    # full scan + shuffle for a separate countDistinct(year) agg.
+    #
+    # Round-7 measurements (sf0.1 bucketed, median of 5, row-identical
+    # all four ways — SCALE.md):
+    # * n_alter_countries as size(array_distinct(collect_list)) instead
+    #   of countDistinct: the ego-grain agg stops triggering the
+    #   two-phase distinct rewrite (an Expand ×2 across the ego
+    #   exchange) — 3.35 s → 2.75 s, 9 → 8 exchanges, in BOTH regimes.
+    # * single_exchange=True: repartition("ego") BEFORE the alter-grain
+    #   agg. HashPartitioning(ego) satisfies both groupBys' clustered
+    #   distributions, so the pair agg AND the ego rollup run
+    #   exchange-free behind the one repartition — 2.75 s → 2.17 s
+    #   (1.55× vs round-6 form overall). The trade is skew exposure: the
+    #   two-phase form spreads a mega-ego's pairs by hash(ego, alter)
+    #   before the (much smaller) pair-grain ego exchange, while this
+    #   form lands the ego's WHOLE raw fan-out in one partition (an
+    #   aggregation exchange — AQE cannot split it). Bounded-k corpora
+    #   (author collaboration: k ≤ ~10³ alters × decades of years) stay
+    #   far from the cliff; for celebrity-graph inputs pass
+    #   single_exchange=False (the g3 targeted-salt regime lesson:
+    #   choose by hot-key mass, not by default).
+    if single_exchange:
+        triples = triples.repartition("ego")
     alter_level = (
         triples.groupBy("ego", "alter_id")
         .agg(F.collect_set("year").alias("yrs"))
@@ -112,7 +130,9 @@ def ego_indicators(triples: DataFrame, author_country: DataFrame) -> DataFrame:
         F.size(F.array_distinct(F.flatten(F.collect_list("yrs"))))
         .cast("long")
         .alias("years_collaborated"),
-        F.countDistinct("alter_country").alias("n_alter_countries"),
+        F.size(F.array_distinct(F.collect_list("alter_country")))
+        .cast("long")
+        .alias("n_alter_countries"),
         F.count(F.when(domestic, 1)).alias("n_domestic"),
         F.count(F.when(~domestic, 1)).alias("n_foreign"),
     ).select(

@@ -203,7 +203,10 @@ EXCHANGE_BUDGET = {
     "g3_personal_net": 6,
     "g1_coauthor_edges": 5,
     "q1_pricing_summary": 1,
-    "g7_ego_indicators": 5,
+    # r7: single-exchange regime (repartition(ego) feeds both aggs) +
+    # collect_list-distinct for n_alter_countries (no Expand): pair
+    # self-join's 2 + the one ego repartition
+    "g7_ego_indicators": 3,
     "dedup_minhash_lsh": 18,
     "dedup_ngram_jaccard": 3,
     "dedup_clusters": 0,
