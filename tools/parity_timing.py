@@ -18,6 +18,7 @@ as possible.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,7 +33,22 @@ def main() -> int:
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/parity_timing.json"
     from iconic_data_science_spark.session import get_spark
 
-    spark = get_spark(app_name="parity-timing")
+    # SPARK_GRAFT_HOSTILE=1: run the whole sweep under a deliberately
+    # hostile session (local[7], 13 shuffle partitions, non-UTC session
+    # TZ — none matching the dev conf) to prove every hash invariant to
+    # parallelism, partition count, and timezone: the property the
+    # driver's unknown conf actually tests. Output goes to
+    # parity_hostile_r{N}.json as a committed artifact (r6 lesson:
+    # sweeps recorded as NOTES prose aren't evidence).
+    if os.environ.get("SPARK_GRAFT_HOSTILE") == "1":
+        spark = get_spark(
+            app_name="parity-timing-hostile",
+            master="local[7]",
+            shuffle_partitions=13,
+            extra_conf={"spark.sql.session.timeZone": "America/New_York"},
+        )
+    else:
+        spark = get_spark(app_name="parity-timing")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if len(sys.argv) > 3:
