@@ -9,11 +9,16 @@ over the full query catalog and with a SQL front end:
         [--show N] [--explain]
     python -m iconic_data_science_spark sql "SELECT count(*) FROM lineitem" \
         [--sf-dir DIR] [--show N]
+    python -m iconic_data_science_spark plan g3_personal_net \
+        [--sf-dir DIR] [--full]
 
 ``run`` resolves any name from the driver contract's ``queries()``;
 ``sql`` registers the ten driver tables as temp views first, so every
 pipeline is reachable declaratively too (both front ends share the one
-Catalyst IR — SURVEY §3).
+Catalyst IR — SURVEY §3). ``plan`` prints the scale digest a reviewer
+checks before shipping a query at 100 TB — pushed filters, pruned read
+schemas, exchange count, join strategies, codegen spans — without
+executing it (the PLANS.md columns, per query, on demand).
 """
 
 from __future__ import annotations
@@ -80,6 +85,10 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--out", help="write result here instead of showing")
     runp.add_argument("--format", default="parquet", choices=("parquet", "csv", "jsonl"))
     runp.add_argument("--explain", action="store_true", help="print the physical plan")
+    planp = sub.add_parser("plan", help="print a query's scale digest without running it")
+    planp.add_argument("query")
+    planp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    planp.add_argument("--full", action="store_true", help="also print the formatted physical plan")
     args = p.parse_args(argv)
 
     entrymod = _entrymod()
@@ -92,6 +101,29 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark(app_name=f"ids-spark-{args.cmd}")
+    if args.cmd == "plan":
+        queries = entrymod.queries()
+        if args.query not in queries:
+            print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+            return 2
+        from .plans import inspect
+
+        df = queries[args.query](spark, args.sf_dir)
+        plan = inspect.formatted_plan(df)
+        print(f"query: {args.query}")
+        print(f"exchanges: {inspect.shuffle_count(df)}")
+        print(f"codegen_stages: {inspect.codegen_stages(df)}")
+        for label in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+            n = plan.count(f") {label}")
+            if n:
+                print(f"{label}: {n}")
+        for fl in inspect.pushed_filters(df):
+            print(f"pushed: {fl}")
+        for rs in inspect.read_schemas(df):
+            print(f"reads: {rs}")
+        if args.full:
+            print(plan)
+        return 0
     if args.cmd == "run":
         queries = entrymod.queries()
         if args.query not in queries:

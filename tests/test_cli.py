@@ -23,6 +23,17 @@ def test_cli_unknown_query(capsys):
     assert main(["run", "not_a_query"]) == 2
 
 
+def test_cli_plan_digest(capsys, sf_dir):
+    """`plan` prints the scale digest (exchanges, joins, pushdown)
+    without executing the query."""
+    assert main(["plan", "q1_pricing_summary", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "exchanges: 1" in out
+    assert "pushed: " in out and "l_shipdate" in out
+    assert "reads: " in out
+    assert main(["plan", "not_a_query"]) == 2
+
+
 def test_cli_csv_encodes_complex_columns(spark, sf_dir, tmp_path, capsys):
     """`run --format csv` on a query emitting array columns must succeed
     by JSON-encoding the complex columns (not raise AnalysisException)."""
