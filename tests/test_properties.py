@@ -292,3 +292,72 @@ def test_snapshot_diff_matches_dict_model(spark, old, new):
     n = spark.createDataFrame([(k, v) for k, v in new.items()] or [(None, None)], "id long, val long").filter("id is not null")
     got = {r.id: r.change_type for r in snapshot_diff(o, n, ["id"], ["val"]).collect()}
     assert got == expected
+
+
+def _ego_ref(triples, country):
+    """Pure-python reference for ego_indicators semantics."""
+    from collections import defaultdict
+
+    alters = defaultdict(set)
+    years = defaultdict(set)
+    for ego, year, alt in triples:
+        alters[ego].add(alt)
+        years[ego].add((alt, year))
+    out = {}
+    for ego, alts in alters.items():
+        ec = country.get(ego)
+        acs = [country.get(a) for a in alts]
+        out[ego] = (
+            len(alts),
+            len({y for (_a, y) in years[ego]}),
+            len({c for c in acs if c is not None}),
+            sum(1 for c in acs if c is not None and ec is not None and c == ec),
+            sum(1 for c in acs if c is not None and ec is not None and c != ec),
+        )
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # ego
+            st.integers(min_value=1995, max_value=1999),
+            st.integers(min_value=1, max_value=6),   # alter
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.dictionaries(
+        st.integers(min_value=1, max_value=6),
+        st.sampled_from(["RO", "DE", "US"]),
+        max_size=6,
+    ),
+)
+def test_ego_indicators_matches_model_both_regimes(spark, triples, country):
+    """ego_indicators == an independent python model of the PySparkles
+    semantics (distinct alters, distinct years over any coauthor,
+    distinct non-null alter countries, domestic split needing both
+    countries known), in BOTH physical regimes."""
+    from iconic_data_science_spark.operators.indicators import ego_indicators
+
+    triples = [(e, y, a) for (e, y, a) in triples if e != a]
+    if not triples:
+        return
+    tdf = spark.createDataFrame(triples, "ego long, year long, alter_id long")
+    cdf = spark.createDataFrame(
+        list(country.items()) or [(0, "XX")], "author long, country string"
+    )
+    want = _ego_ref(triples, country)
+    for single in (True, False):
+        got = {
+            r.ego: (
+                r.n_coauthors,
+                r.years_collaborated,
+                r.n_alter_countries,
+                r.n_domestic,
+                r.n_foreign,
+            )
+            for r in ego_indicators(tdf, cdf, single_exchange=single).collect()
+        }
+        assert got == want, (single, got, want)
