@@ -9,6 +9,7 @@ a real cross-engine semantics bug, not a flaky fixture.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -18,6 +19,15 @@ import __spark_entry__ as entrymod
 from .oracle_utils import run_parity
 
 SF_SRC = "/root/testdata/sf0.001"
+
+# Soak multiplier: SPARK_GRAFT_FUZZ_MULT=4 runs every fuzz gate at 4x
+# the default example count (used for round-close deep soaks; default
+# keeps the suite fast).
+_MULT = max(1, int(os.environ.get("SPARK_GRAFT_FUZZ_MULT", "1")))
+
+
+def _ex(n: int) -> int:
+    return n * _MULT
 
 # queries that read ONLY the documents table (so overwriting
 # documents.parquet exercises them fully against the fuzzed corpus)
@@ -97,7 +107,7 @@ def fuzz_dir(tmp_path_factory):
     return str(d)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -147,7 +157,7 @@ EMB_QUERIES = [
 ]
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=_ex(5), deadline=None)
 @given(st.data())
 def test_embedding_queries_hash_match_on_fuzzed_vectors(spark, fuzz_dir, data):
     """Fuzzed 64-dim integer-valued embeddings (incl. near-duplicates
@@ -192,7 +202,7 @@ def test_embedding_queries_hash_match_on_fuzzed_vectors(spark, fuzz_dir, data):
 LINEITEM_QUERIES = ["q1_pricing_summary", "q6_forecast_revenue", "p_projection_filter"]
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=_ex(6), deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -272,7 +282,7 @@ RAW_TEXT_QUERIES = [
 _RAW_ALPHABET = st.sampled_from(list("abz09 .,-!\t  éÅßπ漢字🙂"))
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -335,7 +345,7 @@ GRAPH_QUERIES = [
 ]
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=_ex(6), deadline=None)
 @given(st.data())
 def test_graph_queries_hash_match_on_fuzzed_edges(spark, fuzz_dir, data):
     """Fuzzed paper-author graphs through the whole g-family: mega-papers
@@ -414,7 +424,7 @@ EV_QUERIES = [
 ]
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=_ex(5), deadline=None)
 @given(
     st.lists(
         st.tuples(
