@@ -304,7 +304,15 @@ def train_linear_classifier(
     w = {f: 0 for f in range(-1, d)}
     best_w, best_err = dict(w), None
     for t in range(ep + 1):
-        margins = _margins(w)
+        # Materialize the doc-grain margins ONCE per epoch: the stats
+        # union below references the margins subtree three times
+        # (gradient join, bias aggregate, pocket error count) and
+        # Catalyst does no cross-branch CSE, so the lazy form recomputed
+        # the pairs⋈weights groupBy 3× inside the one job. One extra
+        # materialization job per epoch buys each reference a cached
+        # scan — measured 9.9 s → 8.0 s (sf0.01, 12 epochs), weights
+        # bit-identical (r7).
+        margins = _margins(w).localCheckpoint(eager=True)
         mis = margins.filter(F.col("y") * F.col("m") <= 0)
         # ONE distributed pass per epoch: the pocket error count, the
         # bias gradient, and the ≤ dim-row feature gradient collect
