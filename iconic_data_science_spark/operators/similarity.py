@@ -1338,9 +1338,15 @@ def kmeans_cluster_eval(
         ),
         "vec_id",
     )
+    # Checkpoint the ≤ K·|labels|-row rollup: tot and top below each
+    # reference it, and without the barrier the whole upstream
+    # (quantize + argmin assignment over the corpus + label join)
+    # executes TWICE in the one joined plan (no cross-branch CSE — the
+    # trainer-margins lesson, featurize.py r7). The checkpointed frame
+    # is label-dimension-sized, so the barrier is free.
     per = labeled.groupBy("c_id", "label").agg(
         F.count(F.lit(1)).cast("long").alias("ln")
-    )
+    ).localCheckpoint()
     from pyspark.sql import Window as W
 
     w = W.partitionBy("c_id").orderBy(F.col("ln").desc(), F.col("label").asc())

@@ -422,10 +422,15 @@ def histogram_quantiles(
     memory — the same t-digest/KLL niche with a deterministic answer.
     """
     bin_col = F.least(F.floor(F.col(value_col)).cast("long"), F.lit(max_bin))
+    # bounded (grp × ≤max_bin+1)-row histogram feeds BOTH the cumulative
+    # window and the totals; checkpoint it or the raw-event aggregation
+    # underneath runs twice in the joined plan (no cross-branch CSE —
+    # the trainer-margins lesson, featurize.py r7)
     hist = (
         events.select(F.col(group_col).alias("grp"), bin_col.alias("bin"))
         .groupBy("grp", "bin")
         .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
     )
     w = W.partitionBy("grp").orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))

@@ -1087,7 +1087,15 @@ def quality_deciles(
     from pyspark.sql import Window as W
 
     base = quality_score_milli(documents, id_col=id_col, text_col=text_col)
-    hist = base.groupBy("score_milli").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    # The ≤1001-row histogram feeds BOTH the total and the cumulative
+    # cutoffs; without the checkpoint the corpus aggregation underneath
+    # executes twice in the one plan (no cross-branch CSE — the
+    # trainer-margins lesson, featurize.py r7). Bounded rows → free.
+    hist = (
+        base.groupBy("score_milli")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint()
+    )
     w = W.orderBy("score_milli").rowsBetween(W.unboundedPreceding, -1)
     total = hist.agg(F.sum("_c").cast("long").alias("_n"))
     cuts = (
