@@ -8486,6 +8486,33 @@ ORACLES["text_quality_gate"] = f"""
     SELECT doc_id, score_milli FROM dec, cut WHERE score_milli >= cut.c
 """
 
+
+def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anneal-phase curriculum order (packing.curriculum_order): the
+    corpus globally ordered (quality decile asc, seeded md5, doc_id) —
+    train low→high quality, ending on the best data (the FineWeb/OLMo
+    anneal recipe). Deciles via the bounded value-bucket histogram,
+    enumeration via the seeded_shuffle prefix-sum recipe — no global
+    single-partition sort anywhere; the position is a pure function of
+    (corpus, seed) like corpus_shuffle's."""
+    from iconic_data_science_spark.operators.packing import curriculum_order
+
+    cat = _cat(spark, sf_dir)
+    return curriculum_order(cat.documents, seed=42)
+
+
+QUERIES["corpus_curriculum"] = q_corpus_curriculum
+
+ORACLES["corpus_curriculum"] = f"""
+    WITH dec AS MATERIALIZED ({ORACLES["text_quality_deciles"]})
+    SELECT doc_id, decile,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY decile,
+                        md5('42:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS BIGINT) AS curriculum_pos
+    FROM dec
+"""
+
 from iconic_data_science_spark.operators.mixing import domain_reweight_oracle_sql as _domain_reweight_oracle_sql  # noqa: E402
 
 _REWEIGHT_LOSS_CTE = f"""

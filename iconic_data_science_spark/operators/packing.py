@@ -382,6 +382,61 @@ def seeded_shuffle(
     )
 
 
+def curriculum_order(
+    documents: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, decile, curriculum_pos) — anneal-phase training order:
+    the whole corpus ordered low-quality → high-quality (the
+    FineWeb/OLMo-style anneal recipe: END training on the best data),
+    deterministic within each decile via the seeded md5 permutation
+    (same dataloader contract as :func:`seeded_shuffle` — the order is
+    a pure function of (corpus, seed), independent of engine,
+    partitioning, and run).
+
+    Scale shape: deciles come from :func:`text.quality_deciles`'s
+    bounded histogram (no global rank over the corpus), and the global
+    enumeration is the seeded_shuffle recipe on the COMPOSITE key
+    (decile, skey, doc_id): range-repartition, sort within partitions,
+    one partitions-sized counts frame prefix-summed and broadcast
+    back, partition-local row_number + offset. Never a
+    single-partition sort.
+    """
+    from .text import quality_deciles
+
+    spark = documents.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    keyed = quality_deciles(documents, id_col=id_col, text_col=text_col).select(
+        "doc_id",
+        "decile",
+        F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    )
+    part = (
+        keyed.repartitionByRange(p, "decile", "skey", "doc_id")
+        .sortWithinPartitions("decile", "skey", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    counts = part.groupBy("pid").agg(F.count("*").cast("long").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("long").alias("poffset")
+    )
+    w_rn = W.partitionBy("pid").orderBy("decile", "skey", "doc_id")
+    return (
+        part.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "curriculum_pos",
+            (F.col("poffset") + F.row_number().over(w_rn)).cast("long"),
+        )
+        .select("doc_id", "decile", "curriculum_pos")
+    )
+
+
 def select_token_budget(
     documents: DataFrame,
     budget_tokens: int = 2000,

@@ -230,3 +230,30 @@ def test_chunk_documents_overlap_and_tail(spark):
     # every consecutive pair overlaps by chunk_tokens - stride = 1 token
     for (i1, t1), (i2, t2) in zip(d1, d1[1:]):
         assert t1.split(" ")[3:] == t2.split(" ")[:1]
+
+
+def test_curriculum_order_invariants(spark, sf_dir):
+    """curriculum_pos is a 1..N permutation, non-decreasing in decile
+    (low quality first — the anneal contract), deterministic within a
+    decile via the seeded md5 key, and invariant to input partitioning."""
+    from iconic_data_science_spark.catalog import Catalog
+    from iconic_data_science_spark.operators.packing import curriculum_order
+
+    docs = Catalog(spark, sf_dir).documents
+    rows = curriculum_order(docs, seed=42).collect()
+    n = len(rows)
+    assert sorted(r.curriculum_pos for r in rows) == list(range(1, n + 1))
+    by_pos = sorted(rows, key=lambda r: r.curriculum_pos)
+    deciles = [r.decile for r in by_pos]
+    assert deciles == sorted(deciles), "decile order violated"
+    # within-decile order follows md5(seed:id)
+    for a, b in zip(by_pos, by_pos[1:]):
+        if a.decile == b.decile:
+            ka = hashlib.md5(f"42:{a.doc_id}".encode()).hexdigest()
+            kb = hashlib.md5(f"42:{b.doc_id}".encode()).hexdigest()
+            assert (ka, a.doc_id) < (kb, b.doc_id)
+    again = curriculum_order(docs.repartition(13), seed=42).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    # a different seed permutes within deciles but keeps the decile order
+    other = {r.doc_id: r.curriculum_pos for r in curriculum_order(docs, seed=7).collect()}
+    assert any(other[r.doc_id] != r.curriculum_pos for r in rows)
