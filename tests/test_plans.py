@@ -384,6 +384,14 @@ EXCHANGE_BUDGET = {
     # the gate semi-join (training's per-epoch exchanges already ran
     # behind the literal weights)
     "curation_pipeline_v7": 5,
+    # round-7 addition. curriculum: decile cutoffs ride the checkpointed
+    # ≤1001-row histogram (its own window/total exchanges are
+    # histogram-grain), the enumeration is the seeded_shuffle recipe —
+    # one corpus range-repartition + the partitions-sized counts/offsets
+    # frames; every single-partition exchange in the plan carries
+    # bounded rows (histogram or one-row-per-partition counts), never
+    # the corpus
+    "corpus_curriculum": 9,
 }
 
 
