@@ -86,10 +86,18 @@ def bm25_topk(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
     )
+    # tf is hit-grain (≤ matching-docs × |terms| rows) and feeds BOTH
+    # the df table and the scoring join; without the checkpoint the
+    # corpus tokenization + hit aggregation underneath runs a second
+    # time in the joined plan (no cross-branch CSE — the
+    # trainer-margins lesson r7). The stats pass above keeps its own
+    # scan (it must count non-matching docs too), so the corpus is
+    # tokenized exactly twice, never three times.
     tf = (
         base.select("doc_id", "dl", F.explode("hits").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint()
     )
     df_tbl = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     scored = (

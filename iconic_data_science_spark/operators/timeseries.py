@@ -62,11 +62,16 @@ def anomaly_hours(
     Scale shape: one hour-keyed partial-aggregated shuffle; the stats
     row broadcasts back (never a global window over the fact side).
     """
+    # hourly feeds BOTH the stats row and the flagged output — without
+    # the checkpoint the event aggregation underneath runs twice in the
+    # one crossJoined plan (no cross-branch CSE, the trainer-margins
+    # lesson r7); hours-grain rows → the barrier is free
     hourly = (
         events.groupBy(
             F.unix_micros(F.date_trunc("hour", F.col(ts_col))).alias("window_start_us")
         )
         .agg(F.count("*").cast("long").alias("n_events"))
+        .localCheckpoint()
     )
     stats = hourly.agg(
         F.count("*").cast("long").alias("h"),
