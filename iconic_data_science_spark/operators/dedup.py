@@ -974,7 +974,14 @@ def minhash_lsh_incremental(
     ns = minhash_band_sigs_from_arrays(na, num_perm=num_perm, rows_per_band=rows_per_band).select(
         F.col("doc_id").alias("new_id"), "band", "band_sig"
     )
-    cands = cs.join(ns, ["band", "band_sig"]).select("corpus_id", "new_id").distinct()
+    # pair-id-grain candidates feed BOTH side restrictions and the
+    # final semi-join — checkpoint them or the band-bucket join +
+    # distinct re-executes three times in the one plan (no cross-branch
+    # CSE, the trainer-margins lesson r7)
+    cands = (
+        cs.join(ns, ["band", "band_sig"]).select("corpus_id", "new_id").distinct()
+        .localCheckpoint()
+    )
     shc = ca.join(
         cands.select(F.col("corpus_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
     ).select(F.col("doc_id").alias("corpus_id"), F.explode("shingles").alias("shingle"))

@@ -31,7 +31,11 @@ def funnel(
 
     One aggregation per stage on (user_id), each joined to the previous
     stage's entry time — user_id-keyed shuffles throughout, no window
-    over raw events, state bounded by users, not events.
+    over raw events, state bounded by users, not events. Each stage's
+    entry table is checkpointed: it feeds BOTH its own count row and
+    the next stage's join, and the lazy form re-executed every earlier
+    stage inside every later one (O(k²) stage scans across the union —
+    the cross-branch-CSE class, r7).
     """
     prev: DataFrame | None = None
     out_rows: list[DataFrame] = []
@@ -40,7 +44,9 @@ def funnel(
         e = events.filter(F.col("event_type") == stage)
         if prev is not None:
             e = e.join(prev, "user_id").filter(F.col("ts") > F.col("_entry_ts"))
-        entered = e.groupBy("user_id").agg(F.min("ts").alias("_entry_ts"))
+        entered = (
+            e.groupBy("user_id").agg(F.min("ts").alias("_entry_ts")).localCheckpoint()
+        )
         cnt = entered.agg(F.count("*").cast("long").alias("n_users")).select(
             F.lit(idx).cast("long").alias("stage_idx"),
             F.lit(stage).alias("stage"),

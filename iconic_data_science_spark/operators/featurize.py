@@ -70,9 +70,12 @@ def hashed_tfidf(
             "sign"
         ),
     )
+    # values feeds BOTH the ≤dim-row df table and the scoring join —
+    # checkpoint it or the corpus (doc, feature) shuffle runs twice in
+    # the one plan (no cross-branch CSE, the trainer-margins lesson r7)
     values = pairs.groupBy("doc_id", "feature").agg(
         F.sum("sign").cast("long").alias("value")
-    )
+    ).localCheckpoint()
     df_tbl = values.groupBy("feature").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

@@ -286,6 +286,10 @@ def top_terms(
     dimension is one small groupBy on the (doc, term) pairs — tf rows
     are unique by construction, so df is a plain count.
     """
+    # tf feeds BOTH the document-frequency dimension and the weighted
+    # join — checkpoint it or the corpus (doc, term) shuffle runs twice
+    # in the one plan (no cross-branch CSE, the trainer-margins lesson
+    # r7)
     tf = (
         documents.select(
             F.col(id_col).alias("doc_id"),
@@ -293,6 +297,7 @@ def top_terms(
         )
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     from pyspark.sql import Window as W
