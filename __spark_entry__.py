@@ -8800,6 +8800,160 @@ ORACLES["curation_pipeline_v5"] = f"""
 """
 
 
+
+
+def q_text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 JMLR §2.2;
+    operators/text.c4_line_filter). The flat token corpus has no lines
+    or punctuation, so the query derives a paged corpus
+    deterministically (same recipe family as text_line_dedup): tokens
+    regroup into 10-token lines; line i of doc d gains ' javascript'
+    when (d*7+i) % 13 == 0 and a terminal mark chosen by (d*31+i) % 5
+    (0 = none — the line must then be struck); pages gain a
+    'lorem ipsum' line (d % 37 == 0), a '{' line (d % 41 == 0) and a
+    bad-word line (d % 43 == 0), so every rule fires on real rows in
+    both engines. Output carries md5(clean_text) so rows stay narrow
+    under the hash gate; the oracle replays the paging arithmetic and
+    every rule in SQL."""
+    from iconic_data_science_spark.operators.text import c4_line_filter
+
+    cat = _cat(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_content = F.ceil(F.size(toks) / 10).cast("int")
+    d = F.col("doc_id")
+    content = F.transform(
+        F.sequence(F.lit(0), n_content - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            F.when((d * 7 + i) % 13 == 0, F.lit(" javascript")).otherwise(
+                F.lit("")
+            ),
+            F.element_at(
+                F.array(
+                    F.lit(""), F.lit("."), F.lit("!"), F.lit("?"), F.lit('"')
+                ),
+                ((d * 31 + i) % 5 + 1).cast("int"),
+            ),
+        ),
+    )
+
+    def _maybe(cond, line):
+        return F.when(cond, F.array(F.lit(line))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    pages = cat.documents.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                content,
+                _maybe(d % 37 == 0, "lorem ipsum dolor sit amet."),
+                _maybe(d % 41 == 0, "var config = { a: 1 };"),
+                _maybe(d % 43 == 0, "utterly badword rubbish here."),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = c4_line_filter(
+        pages, min_words_per_line=3, min_kept_lines=3, bad_words=["badword"]
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "f_lorem",
+        "f_brace",
+        "f_bad_words",
+        "f_too_few_lines",
+        "keep",
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+QUERIES["text_c4_line_filter"] = q_text_c4_line_filter
+
+ORACLES["text_c4_line_filter"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    content AS (
+        SELECT toks.doc_id, CAST(g.i AS BIGINT) AS pos,
+               array_to_string(t[g.i*10+1 : g.i*10+10], ' ')
+               || CASE WHEN (doc_id*7 + g.i) % 13 = 0
+                       THEN ' javascript' ELSE '' END
+               || CASE (doc_id*31 + g.i) % 5
+                      WHEN 0 THEN '' WHEN 1 THEN '.' WHEN 2 THEN '!'
+                      WHEN 3 THEN '?' ELSE '"' END AS line
+        FROM toks, LATERAL (
+            SELECT UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS i
+        ) g
+    ),
+    extras AS (
+        SELECT doc_id, CAST(1000001 AS BIGINT) AS pos,
+               'lorem ipsum dolor sit amet.' AS line
+        FROM toks WHERE doc_id % 37 = 0
+        UNION ALL
+        SELECT doc_id, CAST(1000002 AS BIGINT), 'var config = { a: 1 };'
+        FROM toks WHERE doc_id % 41 = 0
+        UNION ALL
+        SELECT doc_id, CAST(1000003 AS BIGINT),
+               'utterly badword rubbish here.'
+        FROM toks WHERE doc_id % 43 = 0
+    ),
+    lines AS (SELECT * FROM content UNION ALL SELECT * FROM extras),
+    pages AS MATERIALIZED (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM lines GROUP BY 1
+    ),
+    judged AS (
+        SELECT doc_id, pos, line,
+               CASE WHEN right(line, 1) IN ('.', '!', '?', '"')
+                     AND len(list_filter(string_split(line, ' '),
+                                         w -> w <> '')) >= 3
+                     AND strpos(lower(line), 'javascript') = 0
+                    THEN 1 ELSE 0 END AS ok
+        FROM (
+            SELECT doc_id, CAST(g.i AS BIGINT) AS pos, l[g.i] AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                  FROM pages) p,
+                 LATERAL (
+                     SELECT UNNEST(range(1, CAST(len(l)+1 AS BIGINT))) AS i
+                 ) g
+        )
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(ok) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN ok = 1 THEN line END,
+                                   chr(10) ORDER BY pos), '') AS kept_text
+        FROM judged GROUP BY 1
+    ),
+    flags AS (
+        SELECT doc_id,
+               CAST(CASE WHEN strpos(lower(text), 'lorem ipsum') > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS f_lorem,
+               CAST(CASE WHEN strpos(text, '{') > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS f_brace,
+               CAST(CASE WHEN list_contains(
+                        string_split_regex(lower(text), '[ \n]'), 'badword')
+                         THEN 1 ELSE 0 END AS BIGINT) AS f_bad_words
+        FROM pages
+    )
+    SELECT s.doc_id, s.n_lines, s.n_kept, f.f_lorem, f.f_brace,
+           f.f_bad_words,
+           CAST(CASE WHEN s.n_kept < 3 THEN 1 ELSE 0 END AS BIGINT)
+               AS f_too_few_lines,
+           CAST(CASE WHEN f.f_lorem + f.f_brace + f.f_bad_words = 0
+                      AND s.n_kept >= 3
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           CASE WHEN f.f_lorem + f.f_brace + f.f_bad_words = 0
+                 AND s.n_kept >= 3
+                THEN md5(s.kept_text) ELSE md5('') END AS clean_fp
+    FROM stats s JOIN flags f USING (doc_id)
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

@@ -1247,3 +1247,78 @@ def gopher_quality_flags(
         "f_stopwords",
         "keep",
     )
+
+
+def c4_line_filter(
+    pages: DataFrame,
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 5,
+    bad_words: list[str] | None = None,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, f_lorem, f_brace, f_bad_words,
+    f_too_few_lines, keep, clean_text) — the canonical C4 line-level
+    cleaning rules (Raffel et al. 2020, JMLR §2.2 — the published
+    recipe behind the C4 corpus; the reference has no text cleaning at
+    all, its corpus stages end at MAG field rollups):
+
+      line kept iff  it ends in a terminal punctuation mark
+                     ('.', '!', '?', or a closing double quote),
+                 AND  it has at least ``min_words_per_line`` words,
+                 AND  it does not mention 'javascript';
+      page kept iff  at least ``min_kept_lines`` lines survived,
+                 AND  the raw page has no 'lorem ipsum', no '{', and
+                      no token from the ``bad_words`` list.
+
+    ``clean_text`` is the surviving lines rejoined in original order —
+    this is an ACTION step (like ``line_dedup`` / ``strip_duplicate_
+    spans``), not just a verdict: dropped pages keep their diagnostic
+    row with clean_text = '' so downstream gates can count what died
+    and why.
+
+    Scale shape: every rule is an in-row array/string expression over
+    the page — ZERO shuffles, zero joins, no Python; cleaning 100 TB is
+    one map pass that composes with the scan (the same posture as
+    ``gopher_quality_flags`` and ``normalize_text``). All decisions are
+    integer/character comparisons, so the verdicts hash identically on
+    any engine."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, sep)
+
+    def _line_ok(l):
+        last = F.substring(l, -1, 1)
+        ends = last.isin(".", "!", "?", '"')
+        words = F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+        no_js = F.instr(F.lower(l), "javascript") == 0
+        return ends & (words >= min_words_per_line) & no_js
+
+    kept = F.filter(lines, _line_ok)
+    n_lines = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+
+    f_lorem = (F.instr(F.lower(t), "lorem ipsum") > 0).cast("long")
+    f_brace = (F.instr(t, "{") > 0).cast("long")
+    if bad_words:
+        bw = F.array(*[F.lit(w) for w in sorted(set(bad_words))])
+        toks = F.filter(F.split(F.lower(t), "[ \n]"), lambda x: x != "")
+        f_bad = F.arrays_overlap(toks, bw).cast("long")
+    else:
+        f_bad = F.lit(0).cast("long")
+    f_too_few = (n_kept < min_kept_lines).cast("long")
+    keep = ((f_lorem + f_brace + f_bad + f_too_few) == 0).cast("long")
+
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        f_lorem.alias("f_lorem"),
+        f_brace.alias("f_brace"),
+        f_bad.alias("f_bad_words"),
+        f_too_few.alias("f_too_few_lines"),
+        keep.alias("keep"),
+        F.when(keep == 1, F.array_join(kept, sep)).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+    )

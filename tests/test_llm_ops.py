@@ -1613,3 +1613,49 @@ def test_gopher_flags_hand_rules(spark):
     assert out[5].f_alpha_words == 1
     assert out[6].f_stopwords == 1
     assert out[7].f_word_count == 1 and out[7].n_words == 0
+
+
+def test_c4_line_filter_hand_rules(spark):
+    """Each C4 rule fires on a purpose-built page; the clean page keeps
+    its surviving lines in original order."""
+    from iconic_data_science_spark.operators.text import c4_line_filter
+
+    good = "this line is long enough and ends well."
+    rows = [
+        # keeps: 3 good lines; one punct-less line struck, order kept
+        (1, good + "\nno terminal punctuation here\nsecond good line stays!\nthird good line stays?"),
+        # too few kept lines (min_kept_lines=3)
+        (2, good + "\nanother fine line right here."),
+        # line with <3 words struck even though it ends in '.'
+        (3, good + "\nok.\nsecond good line stays!\nthird good line stays?"),
+        # javascript line struck
+        (4, good + "\nenable javascript to view this.\nsecond good line stays!\nthird good line stays?"),
+        # page rules: lorem ipsum / brace / bad word kill the page
+        (5, good + "\nsecond good line stays!\nthird good line stays?\nlorem ipsum dolor sit amet."),
+        (6, good + "\nsecond good line stays!\nthird good line stays?\nvar config = { a: 1 };"),
+        (7, good + "\nsecond good line stays!\nthird good line stays?\nutterly badword rubbish here."),
+        (8, None),  # null page: 1 empty line, nothing kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in c4_line_filter(
+            df, min_words_per_line=3, min_kept_lines=3, bad_words=["badword"]
+        ).collect()
+    }
+    assert out[1].keep == 1 and out[1].n_kept == 3 and out[1].n_lines == 4
+    assert out[1].clean_text.split("\n") == [
+        good,
+        "second good line stays!",
+        "third good line stays?",
+    ]
+    assert out[2].f_too_few_lines == 1 and out[2].keep == 0 and out[2].clean_text == ""
+    assert out[3].n_kept == 3 and out[3].keep == 1  # 'ok.' struck, 3 remain
+    assert "ok." not in out[3].clean_text
+    assert out[4].n_kept == 3 and "javascript" not in out[4].clean_text
+    assert out[5].f_lorem == 1 and out[5].keep == 0
+    assert out[6].f_brace == 1 and out[6].keep == 0
+    assert out[7].f_bad_words == 1 and out[7].keep == 0
+    # the bad-word page still reports its line stats
+    assert out[7].n_kept == 4
+    assert out[8].n_kept == 0 and out[8].keep == 0

@@ -392,6 +392,11 @@ EXCHANGE_BUDGET = {
     # bounded rows (histogram or one-row-per-partition counts), never
     # the corpus
     "corpus_curriculum": 9,
+    # round-7 continuation. C4 cleaning is pure in-row expressions over
+    # the synthesized page (split/filter/rejoin + page-flag scans): the
+    # 100 TB posture is one map pass fused with the scan — zero
+    # exchanges, like text_gopher_flags/text_normalize
+    "text_c4_line_filter": 0,
 }
 
 
