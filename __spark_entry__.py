@@ -8954,6 +8954,96 @@ ORACLES["text_c4_line_filter"] = """
 """
 
 
+def q_mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., NeurIPS 2023;
+    operators/featurize.dsir_bucket_weights + dsir_select): hashed-
+    bigram importance weights learned from the lang='en' slice as the
+    target domain vs the whole corpus as the source, then the global
+    top-200 documents by in-row importance score. The ≤256-row bucket
+    table collects driver-side (bounded model metadata as literals, the
+    trained-classifier discipline); scoring is a zero-shuffle map;
+    selection is a TakeOrdered with a seeded md5 tie lottery. The
+    oracle replays the bigram hashing, the Laplace-smoothed ratio
+    weights (HUGEINT-safe), the per-doc scores, and the top-200 cut."""
+    from iconic_data_science_spark.operators.featurize import (
+        dsir_bucket_weights,
+        dsir_select,
+    )
+
+    cat = _cat(spark, sf_dir)
+    w = dsir_bucket_weights(cat.documents, target=F.col("lang") == "en", dim=256)
+    return dsir_select(cat.documents, w, n_keep=200, seed=42)
+
+
+QUERIES["mix_dsir_select"] = q_mix_dsir_select
+
+ORACLES["mix_dsir_select"] = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           w -> w <> '') AS t
+        FROM documents
+    ),
+    occ AS MATERIALIZED (
+        SELECT doc_id, lang, unnest(bs) AS b FROM (
+            SELECT doc_id, lang,
+                   [list_reduce(
+                        [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                         for c in string_split_regex(
+                             substr(md5(t[i] || ' ' || t[i+1]), 1, 12), '')],
+                        (a, b) -> a * 16 + b) % 256
+                    for i in generate_series(1, len(t)-1)] AS bs
+            FROM toks
+        )
+    ),
+    cnt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_s,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_t
+        FROM occ GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_s) AS BIGINT) AS n_s,
+               CAST(SUM(c_t) AS BIGINT) AS n_t
+        FROM cnt
+    ),
+    wts AS (
+        SELECT g.b,
+               CAST((CAST(1000000 AS HUGEINT)
+                     * (COALESCE(c.c_t, 0) + 1) * (t.n_s + 256))
+                    // (CAST(COALESCE(c.c_s, 0) + 1 AS HUGEINT)
+                        * (t.n_t + 256)) AS BIGINT) AS w
+        FROM (SELECT UNNEST(range(0, 256)) AS b) g
+        LEFT JOIN cnt c ON c.b = g.b, tot t
+    ),
+    per_doc AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS f
+        FROM occ GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(s.score, 0) AS BIGINT) AS dsir_score
+        FROM documents d
+        LEFT JOIN (
+            SELECT p.doc_id, SUM(p.f * w.w) AS score
+            FROM per_doc p JOIN wts w ON w.b = p.b GROUP BY 1
+        ) s USING (doc_id)
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n FROM occ GROUP BY 1
+        ) nb USING (doc_id)
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   ORDER BY dsir_score DESC,
+                            md5('42:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams, dsir_score FROM r WHERE rn <= 200
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

@@ -570,3 +570,128 @@ def classifier_threshold_eval(
             "CASE WHEN tp + fn = 0 THEN -1L ELSE (tp * 1000000) div (tp + fn) END"
         ).alias("recall_ppm"),
     )
+
+
+def bigram_buckets(
+    text_col_expr, dim: int = 256
+) -> "F.Column":
+    """In-row array of hashed-BIGRAM buckets for one document:
+    fold(tok_i + ' ' + tok_{i+1}) mod dim over the empty-filtered,
+    lowercased token stream (Xie et al. 2023's feature space for DSIR).
+    Tokens hash once per PAIR (the bigram string concatenates first, so
+    there is no double-md5 per token); documents with < 2 tokens get an
+    empty array (the naive sequence(0, n-2) would DESCEND for n < 2 and
+    emit phantom pairs)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(text_col_expr, F.lit(""))), " "),
+        lambda t: t != "",
+    )
+    pair = lambda i: F.concat(  # noqa: E731
+        F.element_at(toks, (i + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(toks, (i + 2).cast("int")),
+    )
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")  # noqa: E731
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(0), n - 2), lambda i: h(pair(i)) % dim),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def dsir_bucket_weights(
+    documents: DataFrame,
+    target,
+    dim: int = 256,
+    scale: int = 10**6,
+    text_col: str = "text",
+) -> list[int]:
+    """Per-bucket integer importance weights for DSIR-style data
+    selection (Xie et al., NeurIPS 2023: importance resampling from the
+    raw corpus toward a target domain, with hashed-bigram bag-of-words
+    likelihoods). ``target`` is a boolean Column marking the
+    target-domain rows INSIDE ``documents``.
+
+    weight_b = (scale · (c_t(b)+1) · (N_s+dim)) div ((c_s(b)+1) · (N_t+dim))
+
+    — the Laplace-smoothed target/source probability RATIO on the
+    integer ``scale`` lattice. DSIR proper sums log-ratios; the log is
+    the one step no integer lattice can replay exactly, so the engine
+    keeps the per-bucket ratio itself (monotone in the same direction
+    per bucket) and documents the deviation — the selection rule stays
+    a pure integer function both engines agree on bit-for-bit.
+
+    Scale shape: ONE corpus aggregation to the ≤``dim``-row bucket
+    grain (map-side partial: bigram arrays build in-row, explode fuses
+    with the scan), collected driver-side — bounded model metadata as
+    driver literals, the same discipline as the trained classifier
+    weights. The corpus is scanned once and never reshuffled."""
+    rows = (
+        documents.select(
+            F.explode(bigram_buckets(F.col(text_col), dim=dim)).alias("b"),
+            target.cast("long").alias("is_t"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_s"),
+            F.sum("is_t").cast("long").alias("c_t"),
+        )
+        .collect()
+    )
+    c_s = {r.b: r.c_s for r in rows}
+    c_t = {r.b: r.c_t for r in rows}
+    n_s = sum(c_s.values())
+    n_t = sum(c_t.values())
+    return [
+        (scale * (c_t.get(b, 0) + 1) * (n_s + dim))
+        // ((c_s.get(b, 0) + 1) * (n_t + dim))
+        for b in range(dim)
+    ]
+
+
+def dsir_select(
+    documents: DataFrame,
+    weights: list[int],
+    n_keep: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, dsir_score) — the ``n_keep`` documents whose
+    hashed-bigram importance score is highest: the DSIR selection step
+    run against weights from :func:`dsir_bucket_weights`.
+
+    score = Σ over the document's bigram occurrences of weight[bucket]
+    — the forward pass is IN-ROW (one aggregate HOF, the weight vector
+    a plan literal, exactly the :func:`linear_classifier_gate`
+    posture): zero shuffles, zero joins, no Python. Selection is a
+    global top-``n_keep`` by (score desc, md5(seed:doc_id), doc_id) —
+    a TakeOrdered, never a global sort; the md5 term makes ties at the
+    cut a seeded lottery instead of an id-order bias (the
+    ``global_uniform_n`` recipe).
+
+    Like DSIR's log-ratio sums, scores accumulate over occurrences and
+    therefore scale with document length — select within
+    comparable-length strata (chunk or pack first) when lengths vary
+    widely, exactly as the paper does with fixed-size excerpts."""
+    dim = len(weights)
+    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+    buckets = bigram_buckets(F.col(text_col), dim=dim)
+    score = F.aggregate(
+        buckets,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(w_arr, (b + 1).cast("int")),
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(buckets).cast("long").alias("n_bigrams"),
+            score.alias("dsir_score"),
+        )
+        .orderBy(
+            F.desc("dsir_score"),
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .limit(n_keep)
+    )

@@ -760,3 +760,94 @@ def test_quality_deciles_value_bucket_rule(spark):
     for doc, (s, d) in out.items():
         below = sum(1 for x in scores if x < s)
         assert d == (10 * below) // n, (doc, s, d)
+
+
+# --- DSIR importance selection ------------------------------------------
+
+
+def test_dsir_weights_match_python_model(spark):
+    """Bucket weights and document scores replayed by an independent
+    pure-Python model on a tiny hand corpus."""
+    import hashlib
+
+    from iconic_data_science_spark.operators.featurize import (
+        dsir_bucket_weights,
+        dsir_select,
+    )
+
+    rows = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta gamma delta", "en"),
+        (3, "gamma delta gamma delta", "de"),
+        (4, "delta gamma epsilon zeta", "de"),
+        (5, "solo", "de"),          # < 2 tokens: no bigrams
+        (6, None, "de"),            # null text: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    dim, scale = 16, 10**6
+    w = dsir_bucket_weights(df, target=F.col("lang") == "en", dim=dim, scale=scale)
+    assert len(w) == dim and all(isinstance(x, int) for x in w)
+
+    def fold(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def buckets(text):
+        t = [x for x in (text or "").lower().split(" ") if x]
+        return [fold(f"{t[i]} {t[i+1]}") % dim for i in range(len(t) - 1)]
+
+    c_s: dict[int, int] = {}
+    c_t: dict[int, int] = {}
+    for _id, text, lang in rows:
+        for b in buckets(text):
+            c_s[b] = c_s.get(b, 0) + 1
+            if lang == "en":
+                c_t[b] = c_t.get(b, 0) + 1
+    n_s, n_t = sum(c_s.values()), sum(c_t.values())
+    expect = [
+        (scale * (c_t.get(b, 0) + 1) * (n_s + dim))
+        // ((c_s.get(b, 0) + 1) * (n_t + dim))
+        for b in range(dim)
+    ]
+    assert w == expect
+
+    out = {r.doc_id: r for r in dsir_select(df, w, n_keep=6).collect()}
+    for _id, text, _lang in rows:
+        bs = buckets(text)
+        assert out[_id].n_bigrams == len(bs)
+        assert out[_id].dsir_score == sum(w[b] for b in bs)
+
+
+def test_dsir_select_enriches_target(spark):
+    """On a corpus where the target domain has a genuinely distinct
+    bigram distribution, the selected half must over-represent the
+    target; the cut is exactly n_keep rows and deterministic under
+    repartitioning. (The sf documents table is unusable here: its lang
+    label is independent of its token soup, so there is no signal to
+    recover — parity for the registered query is still exercised on it,
+    where only hash agreement matters.)"""
+    from iconic_data_science_spark.operators.featurize import (
+        dsir_bucket_weights,
+        dsir_select,
+    )
+
+    tgt_vocab = ["proof", "lemma", "theorem", "corollary", "axiom"]
+    src_vocab = ["sale", "discount", "cookie", "banner", "login"]
+    rows = []
+    for i in range(200):
+        vocab = tgt_vocab if i < 80 else src_vocab
+        # same length everywhere so score differences are distributional,
+        # not length artifacts; rotate start offset for bigram variety
+        toks = [vocab[(i + j) % len(vocab)] for j in range(12)]
+        rows.append((i, " ".join(toks), "tgt" if i < 80 else "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = dsir_bucket_weights(docs, target=F.col("lang") == "tgt", dim=64)
+    kept = dsir_select(docs, w, n_keep=100)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert len(kept_ids) == 100
+    n_tgt = sum(1 for i in kept_ids if i < 80)
+    assert n_tgt == 80  # every target doc survives a 100-of-200 cut
+    again = {
+        r.doc_id
+        for r in dsir_select(docs.repartition(13), w, n_keep=100).collect()
+    }
+    assert again == kept_ids

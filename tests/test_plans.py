@@ -397,6 +397,11 @@ EXCHANGE_BUDGET = {
     # 100 TB posture is one map pass fused with the scan — zero
     # exchanges, like text_gopher_flags/text_normalize
     "text_c4_line_filter": 0,
+    # DSIR selection: the returned frame is scoring (in-row, literal
+    # weights) + a TakeOrderedAndProject — zero exchanges; the bucket
+    # histogram's one bounded exchange runs eagerly inside
+    # dsir_bucket_weights before the plan under test exists
+    "mix_dsir_select": 0,
 }
 
 
