@@ -9044,6 +9044,71 @@ ORACLES["mix_dsir_select"] = """
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/dedup.
+    keep_best_per_cluster): near-dup clusters from the exact Jaccard
+    pairs (same candidates as dedup_clusters), then inside each cluster
+    keep exactly the member with the highest integer quality score
+    (text.quality_score_milli; ties to the smallest id). Singletons
+    always keep. The argmax window runs only over the clustered slice;
+    the corpus itself attaches through broadcast joins and is never
+    reshuffled. The oracle composes the recursive-CTE cluster replay
+    with the score arithmetic and a per-cluster ROW_NUMBER."""
+    from iconic_data_science_spark.operators.dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+    from iconic_data_science_spark.operators.text import quality_score_milli
+
+    cat = _cat(spark, sf_dir)
+    pairs = (
+        ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5)
+        .select("id1", "id2")
+        .localCheckpoint()
+    )
+    clusters = dedup_clusters(pairs)
+    scored = quality_score_milli(cat.documents)
+    return keep_best_per_cluster(scored, clusters)
+
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+
+ORACLES["dedup_keep_best"] = f"""
+    WITH cl AS MATERIALIZED ({ORACLES["dedup_clusters"]}),
+    qbase AS (
+        SELECT doc_id,
+               CAST(len(coalesce(text, '')) AS BIGINT) AS nc,
+               CAST(len(list_filter(string_split(lower(coalesce(text, '')),
+                                                 ' '), t -> t <> ''))
+                    AS BIGINT) AS nw,
+               CAST(len(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '',
+                                       'g')) AS BIGINT) AS na
+        FROM documents
+    ),
+    sc AS (
+        SELECT doc_id,
+               CASE WHEN nc = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (LEAST(nw, 100) * na * 1000) // (100 * nc)
+               END AS score_milli
+        FROM qbase
+    ),
+    r AS (
+        SELECT c.doc_id, c.cluster_id, s.score_milli,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.score_milli DESC, c.doc_id)
+                   AS rk
+        FROM cl c JOIN sc s USING (doc_id)
+    )
+    SELECT s.doc_id,
+           COALESCE(r.cluster_id, s.doc_id) AS cluster_id,
+           s.score_milli,
+           CAST(CASE WHEN r.doc_id IS NULL OR r.rk = 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM sc s LEFT JOIN r ON r.doc_id = s.doc_id
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

@@ -1514,3 +1514,52 @@ def minhash_index_build(
     return minhash_band_sigs_from_arrays(
         ca, num_perm=num_perm, rows_per_band=rows_per_band, keep_shingles=True
     ).select("doc_id", "band", "band_sig", "shingles")
+
+
+def keep_best_per_cluster(
+    scored: DataFrame,
+    clusters: DataFrame,
+    score_col: str = "score_milli",
+    broadcast_clusters: bool = True,
+) -> DataFrame:
+    """(doc_id, cluster_id, <score_col>, keep) — quality-aware
+    canonical selection: inside every near-dup cluster keep exactly the
+    member with the HIGHEST score (ties to the smallest doc_id);
+    unclustered documents are their own singleton and always keep.
+
+    ``dedup_clusters``' min-id canonical answers "keep one per
+    cluster"; this is the quality-aware refinement the published web
+    pipelines actually run (RefinedWeb §3.3 / FineWeb keep one document
+    per duplicate cluster — and when a quality signal exists, the kept
+    one should be the best, not the arbitrary smallest id).
+
+    Scale shape: the argmax runs ONLY over the clustered slice — near-
+    dup clusters are orders of magnitude smaller than the corpus, so
+    ``clusters`` broadcasts (map-side inner join), the one per-cluster
+    window exchanges slice rows only, and the verdicts broadcast back
+    onto the corpus-grain ``scored`` frame: the corpus itself is never
+    reshuffled. ``broadcast_clusters=False`` falls back to shuffle
+    joins if a pathological corpus makes the dup slice huge."""
+    from pyspark.sql import Window as W
+
+    cl = F.broadcast(clusters) if broadcast_clusters else clusters
+    clustered = scored.join(cl, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    verdicts = (
+        clustered.withColumn("_rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("_rk") == 1).cast("long").alias("keep"),
+        )
+    )
+    if broadcast_clusters:
+        verdicts = F.broadcast(verdicts)
+    return scored.join(verdicts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        score_col,
+        F.coalesce("keep", F.lit(1)).cast("long").alias("keep"),
+    )

@@ -1659,3 +1659,37 @@ def test_c4_line_filter_hand_rules(spark):
     # the bad-word page still reports its line stats
     assert out[7].n_kept == 4
     assert out[8].n_kept == 0 and out[8].keep == 0
+
+
+def test_keep_best_per_cluster_hand_rules(spark):
+    """The highest-score member wins (not the min id), ties break to
+    the smaller id, singletons always keep."""
+    from iconic_data_science_spark.operators.dedup import keep_best_per_cluster
+
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 70), (5, 70), (6, 30)],
+        "doc_id long, score_milli long",
+    )
+    clusters = spark.createDataFrame(
+        # cluster 1: {1,2,3} — 2 has the best score, min-id 1 must lose
+        # cluster 4: {4,5} — tie on 70, smaller id 4 wins
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r.doc_id: r for r in keep_best_per_cluster(scored, clusters).collect()}
+    assert len(out) == 6
+    assert out[2].keep == 1 and out[1].keep == 0 and out[3].keep == 0
+    assert out[4].keep == 1 and out[5].keep == 0
+    assert out[6].keep == 1 and out[6].cluster_id == 6  # singleton
+    assert out[1].cluster_id == 1 and out[2].cluster_id == 1
+    # exactly one keeper per cluster
+    keepers = [r for r in out.values() if r.keep == 1]
+    assert {r.cluster_id for r in keepers} == {1, 4, 6}
+    # shuffle-join fallback is row-identical
+    other = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in keep_best_per_cluster(
+            scored, clusters, broadcast_clusters=False
+        ).collect()
+    }
+    assert other == {k: (v.cluster_id, v.keep) for k, v in out.items()}

@@ -402,6 +402,11 @@ EXCHANGE_BUDGET = {
     # histogram's one bounded exchange runs eagerly inside
     # dsir_bucket_weights before the plan under test exists
     "mix_dsir_select": 0,
+    # keep-best: clusters and verdicts ride broadcast joins; the only
+    # exchanges are the per-cluster argmax window over the dup SLICE
+    # (clusters arrive as a driver-built frame) — the corpus-grain
+    # score is a pure map that never reshuffles
+    "dedup_keep_best": 3,
 }
 
 
