@@ -8802,22 +8802,14 @@ ORACLES["curation_pipeline_v5"] = f"""
 
 
 
-def q_text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 line-level cleaning (Raffel et al. 2020 JMLR §2.2;
-    operators/text.c4_line_filter). The flat token corpus has no lines
-    or punctuation, so the query derives a paged corpus
-    deterministically (same recipe family as text_line_dedup): tokens
-    regroup into 10-token lines; line i of doc d gains ' javascript'
-    when (d*7+i) % 13 == 0 and a terminal mark chosen by (d*31+i) % 5
-    (0 = none — the line must then be struck); pages gain a
-    'lorem ipsum' line (d % 37 == 0), a '{' line (d % 41 == 0) and a
-    bad-word line (d % 43 == 0), so every rule fires on real rows in
-    both engines. Output carries md5(clean_text) so rows stay narrow
-    under the hash gate; the oracle replays the paging arithmetic and
-    every rule in SQL."""
-    from iconic_data_science_spark.operators.text import c4_line_filter
-
-    cat = _cat(spark, sf_dir)
+def _c4_pages(documents: DataFrame) -> DataFrame:
+    """Deterministic paging of the flat token corpus for the C4 family
+    (shared by text_c4_line_filter and curation_pipeline_v8 so query
+    and composition can never drift): 10-token lines; line i of doc d
+    gains ' javascript' when (d*7+i) % 13 == 0 and a terminal mark
+    chosen by (d*31+i) % 5 (0 = none); pages gain a lorem-ipsum line
+    (d % 37 == 0), a brace line (d % 41 == 0) and a bad-word line
+    (d % 43 == 0). The SQL twin is _C4_STATS_SQL."""
     toks = F.split(F.col("text"), " ")
     n_content = F.ceil(F.size(toks) / 10).cast("int")
     d = F.col("doc_id")
@@ -8842,7 +8834,7 @@ def q_text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array().cast("array<string>")
         )
 
-    pages = cat.documents.select(
+    return documents.select(
         "doc_id",
         F.array_join(
             F.concat(
@@ -8854,8 +8846,29 @@ def q_text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n",
         ).alias("text"),
     )
+
+
+def q_text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 JMLR §2.2;
+    operators/text.c4_line_filter). The flat token corpus has no lines
+    or punctuation, so the query derives a paged corpus
+    deterministically (same recipe family as text_line_dedup): tokens
+    regroup into 10-token lines; line i of doc d gains ' javascript'
+    when (d*7+i) % 13 == 0 and a terminal mark chosen by (d*31+i) % 5
+    (0 = none — the line must then be struck); pages gain a
+    'lorem ipsum' line (d % 37 == 0), a '{' line (d % 41 == 0) and a
+    bad-word line (d % 43 == 0), so every rule fires on real rows in
+    both engines. Output carries md5(clean_text) so rows stay narrow
+    under the hash gate; the oracle replays the paging arithmetic and
+    every rule in SQL."""
+    from iconic_data_science_spark.operators.text import c4_line_filter
+
+    cat = _cat(spark, sf_dir)
     out = c4_line_filter(
-        pages, min_words_per_line=3, min_kept_lines=3, bad_words=["badword"]
+        _c4_pages(cat.documents),
+        min_words_per_line=3,
+        min_kept_lines=3,
+        bad_words=["badword"],
     )
     return out.select(
         "doc_id",
@@ -8872,8 +8885,10 @@ def q_text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_c4_line_filter"] = q_text_c4_line_filter
 
-ORACLES["text_c4_line_filter"] = """
-    WITH toks AS (
+# Shared SQL prefix for the C4 family: page synthesis + per-line
+# verdicts + per-page stats/flags (the WITH body ends open so callers
+# append their own final CTEs/select). Twin of _c4_pages.
+_C4_STATS_SQL = """toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     content AS (
@@ -8940,6 +8955,10 @@ ORACLES["text_c4_line_filter"] = """
                          THEN 1 ELSE 0 END AS BIGINT) AS f_bad_words
         FROM pages
     )
+"""
+
+ORACLES["text_c4_line_filter"] = f"""
+    WITH {_C4_STATS_SQL}
     SELECT s.doc_id, s.n_lines, s.n_kept, f.f_lorem, f.f_brace,
            f.f_bad_words,
            CAST(CASE WHEN s.n_kept < 3 THEN 1 ELSE 0 END AS BIGINT)
@@ -9106,6 +9125,119 @@ ORACLES["dedup_keep_best"] = f"""
            CAST(CASE WHEN r.doc_id IS NULL OR r.rk = 1 THEN 1 ELSE 0 END
                 AS BIGINT) AS keep
     FROM sc s LEFT JOIN r ON r.doc_id = s.doc_id
+"""
+
+
+def q_curation_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 composition: C4 line-level cleaning at ingest
+    (pages synthesized by _c4_pages; dropped pages and struck lines
+    gone) → DSIR importance selection over the CLEANED corpus (hashed-
+    bigram weights learned on the survivors toward the lang='en'
+    target, top-100 by in-row score) — the classic web recipe: clean
+    first, then select toward the target domain with weights learned on
+    what survived (cleaning shifts the bigram distribution, so learning
+    on the raw corpus would mis-weight). One hash covers paging, every
+    C4 rule, the bucket histograms, the ratio weights, the scores and
+    the cut. The cleaned frame localCheckpoints because it feeds BOTH
+    the weights job and the scoring plan (no cross-branch CSE — the
+    r7 structural rule)."""
+    from iconic_data_science_spark.operators.featurize import (
+        dsir_bucket_weights,
+        dsir_select,
+    )
+    from iconic_data_science_spark.operators.text import c4_line_filter
+
+    cat = _cat(spark, sf_dir)
+    cleaned = (
+        c4_line_filter(
+            _c4_pages(cat.documents),
+            min_words_per_line=3,
+            min_kept_lines=3,
+            bad_words=["badword"],
+        )
+        .filter(F.col("keep") == 1)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(cat.documents.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
+    )
+    w = dsir_bucket_weights(cleaned, target=F.col("lang") == "en", dim=256)
+    return dsir_select(cleaned, w, n_keep=100, seed=42)
+
+
+QUERIES["curation_pipeline_v8"] = q_curation_pipeline_v8
+
+ORACLES["curation_pipeline_v8"] = f"""
+    WITH {_C4_STATS_SQL},
+    cleaned AS MATERIALIZED (
+        SELECT s.doc_id, s.kept_text AS text, d.lang
+        FROM stats s
+        JOIN flags f USING (doc_id)
+        JOIN documents d USING (doc_id)
+        WHERE f.f_lorem + f.f_brace + f.f_bad_words = 0 AND s.n_kept >= 3
+    ),
+    ctoks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           w -> w <> '') AS t
+        FROM cleaned
+    ),
+    occ AS MATERIALIZED (
+        SELECT doc_id, lang, unnest(bs) AS b FROM (
+            SELECT doc_id, lang,
+                   [list_reduce(
+                        [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                         for c in string_split_regex(
+                             substr(md5(t[i] || ' ' || t[i+1]), 1, 12), '')],
+                        (a, b) -> a * 16 + b) % 256
+                    for i in generate_series(1, len(t)-1)] AS bs
+            FROM ctoks
+        )
+    ),
+    cnt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_s,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_t
+        FROM occ GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_s) AS BIGINT) AS n_s,
+               CAST(SUM(c_t) AS BIGINT) AS n_t
+        FROM cnt
+    ),
+    wts AS (
+        SELECT g.b,
+               CAST((CAST(1000000 AS HUGEINT)
+                     * (COALESCE(c.c_t, 0) + 1) * (t.n_s + 256))
+                    // (CAST(COALESCE(c.c_s, 0) + 1 AS HUGEINT)
+                        * (t.n_t + 256)) AS BIGINT) AS w
+        FROM (SELECT UNNEST(range(0, 256)) AS b) g
+        LEFT JOIN cnt c ON c.b = g.b, tot t
+    ),
+    per_doc AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS f
+        FROM occ GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.doc_id,
+               CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(s.score, 0) AS BIGINT) AS dsir_score
+        FROM cleaned c
+        LEFT JOIN (
+            SELECT p.doc_id, SUM(p.f * w.w) AS score
+            FROM per_doc p JOIN wts w ON w.b = p.b GROUP BY 1
+        ) s USING (doc_id)
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n FROM occ GROUP BY 1
+        ) nb USING (doc_id)
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   ORDER BY dsir_score DESC,
+                            md5('42:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams, dsir_score FROM r WHERE rn <= 100
 """
 
 

@@ -22,7 +22,9 @@ EPOCH = "2024-01-01"  # cohort day-0 anchor (first day of the dataset)
 
 
 def funnel(
-    events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    checkpoint_stages: bool = True,
 ) -> DataFrame:
     """Ordered-funnel conversion: (stage, n_users) — users counted at a
     stage only if they performed it strictly AFTER their entry into the
@@ -35,7 +37,10 @@ def funnel(
     entry table is checkpointed: it feeds BOTH its own count row and
     the next stage's join, and the lazy form re-executed every earlier
     stage inside every later one (O(k²) stage scans across the union —
-    the cross-branch-CSE class, r7).
+    the cross-branch-CSE class, r7). ``checkpoint_stages=False`` keeps
+    the lazy form: it exposes the stage scans in the final plan (each
+    scan must show the pushed event_type filter — pinned in
+    test_plans), at the cost of the O(k²) re-execution.
     """
     prev: DataFrame | None = None
     out_rows: list[DataFrame] = []
@@ -44,9 +49,9 @@ def funnel(
         e = events.filter(F.col("event_type") == stage)
         if prev is not None:
             e = e.join(prev, "user_id").filter(F.col("ts") > F.col("_entry_ts"))
-        entered = (
-            e.groupBy("user_id").agg(F.min("ts").alias("_entry_ts")).localCheckpoint()
-        )
+        entered = e.groupBy("user_id").agg(F.min("ts").alias("_entry_ts"))
+        if checkpoint_stages:
+            entered = entered.localCheckpoint()
         cnt = entered.agg(F.count("*").cast("long").alias("n_users")).select(
             F.lit(idx).cast("long").alias("stage_idx"),
             F.lit(stage).alias("stage"),

@@ -80,3 +80,21 @@ def test_dwarf_pipeline_fk_closed(spark):
     # FK closure: every surviving paa/pr row references a kept paper
     assert all(r.paper in kept_papers for r in dwarf["paa"].collect())
     assert all(r.citing in kept_papers for r in dwarf["pr"].collect())
+
+
+def test_curation_v8_selects_only_cleaned_survivors(spark, sf_dir):
+    """Every v8-selected document must be a C4 survivor, and the
+    selection must be the top-n of the survivors' scores."""
+    import __spark_entry__ as entrymod
+
+    sel = entrymod.q_curation_pipeline_v8(spark, sf_dir).collect()
+    c4 = {
+        r.doc_id: r.keep
+        for r in entrymod.q_text_c4_line_filter(spark, sf_dir).collect()
+    }
+    assert len(sel) == min(100, sum(c4.values()))
+    assert all(c4[r.doc_id] == 1 for r in sel)
+    # scores are a descending cut: the worst selected score >= nothing
+    # below it could beat (ties handled by the md5 lottery inside)
+    scores = [r.dsir_score for r in sel]
+    assert scores == sorted(scores, reverse=True)

@@ -417,3 +417,21 @@ def test_streaming_gopher_gate_equals_batch(spark, sf_dir):
     stream = gopher_quality_flags(sd.read_document_stream(spark, sf_dir))
     got = _run_stream(spark, stream, "t_gopher_gate", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_c4_gate_equals_batch(spark, sf_dir):
+    """C4 line cleaning is pure per-row expressions, so it runs on a
+    document stream in watermark-free append mode; stream == batch row
+    for row (clean-at-ingest needs no batch recleaning)."""
+    from iconic_data_science_spark.operators.text import c4_line_filter
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = c4_line_filter(docs, min_kept_lines=1, bad_words=["badword"])
+    stream = c4_line_filter(
+        sd.read_document_stream(spark, sf_dir),
+        min_kept_lines=1,
+        bad_words=["badword"],
+    )
+    got = _run_stream(spark, stream, "t_c4_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
