@@ -8984,14 +8984,12 @@ def q_mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection is a TakeOrdered with a seeded md5 tie lottery. The
     oracle replays the bigram hashing, the Laplace-smoothed ratio
     weights (HUGEINT-safe), the per-doc scores, and the top-200 cut."""
-    from iconic_data_science_spark.operators.featurize import (
-        dsir_bucket_weights,
-        dsir_select,
-    )
+    from iconic_data_science_spark.operators.featurize import dsir_pipeline
 
     cat = _cat(spark, sf_dir)
-    w = dsir_bucket_weights(cat.documents, target=F.col("lang") == "en", dim=256)
-    return dsir_select(cat.documents, w, n_keep=200, seed=42)
+    return dsir_pipeline(
+        cat.documents, target=F.col("lang") == "en", n_keep=200, dim=256, seed=42
+    )
 
 
 QUERIES["mix_dsir_select"] = q_mix_dsir_select
@@ -9141,10 +9139,7 @@ def q_curation_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cut. The cleaned frame localCheckpoints because it feeds BOTH
     the weights job and the scoring plan (no cross-branch CSE — the
     r7 structural rule)."""
-    from iconic_data_science_spark.operators.featurize import (
-        dsir_bucket_weights,
-        dsir_select,
-    )
+    from iconic_data_science_spark.operators.featurize import dsir_pipeline
     from iconic_data_science_spark.operators.text import c4_line_filter
 
     cat = _cat(spark, sf_dir)
@@ -9160,8 +9155,9 @@ def q_curation_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cat.documents.select("doc_id", "lang"), "doc_id")
         .localCheckpoint()
     )
-    w = dsir_bucket_weights(cleaned, target=F.col("lang") == "en", dim=256)
-    return dsir_select(cleaned, w, n_keep=100, seed=42)
+    return dsir_pipeline(
+        cleaned, target=F.col("lang") == "en", n_keep=100, dim=256, seed=42
+    )
 
 
 QUERIES["curation_pipeline_v8"] = q_curation_pipeline_v8

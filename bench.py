@@ -87,6 +87,14 @@ HEADLINE = [
     "ann_ivf_kmeans_int",
     "text_classifier_eval",
     "g3_personal_net_salted",
+    # round-7 continuation additions: C4 line cleaning (pure map over
+    # synthesized pages), DSIR importance selection (bounded histogram
+    # -> literal weights -> in-row scoring + TakeOrdered), and their
+    # composition. dedup_keep_best is excluded: its cost IS the jaccard
+    # pair generation already measured by dedup_ngram_jaccard.
+    "text_c4_line_filter",
+    "mix_dsir_select",
+    "curation_pipeline_v8",
 ]
 
 

@@ -676,16 +676,86 @@ def dsir_select(
     widely, exactly as the paper does with fixed-size excerpts."""
     dim = len(weights)
     w_arr = F.array(*[F.lit(int(w)) for w in weights])
-    buckets = bigram_buckets(F.col(text_col), dim=dim)
+    # name the bigram array in its own projection: size() and the
+    # scoring aggregate both reference it, and lambdas get no
+    # cross-expression CSE (the named-token-column rule, SCALE.md) —
+    # the inline form computed every md5 TWICE (measured 1.9× slower
+    # at sf0.1)
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        bigram_buckets(F.col(text_col), dim=dim).alias("_bs"),
+    )
     score = F.aggregate(
-        buckets,
+        F.col("_bs"),
         F.lit(0).cast("long"),
         lambda acc, b: acc + F.element_at(w_arr, (b + 1).cast("int")),
     )
     return (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(buckets).cast("long").alias("n_bigrams"),
+        base.select(
+            "doc_id",
+            F.size("_bs").cast("long").alias("n_bigrams"),
+            score.alias("dsir_score"),
+        )
+        .orderBy(
+            F.desc("dsir_score"),
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .limit(n_keep)
+    )
+
+
+def dsir_pipeline(
+    documents: DataFrame,
+    target,
+    n_keep: int,
+    dim: int = 256,
+    scale: int = 10**6,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`dsir_bucket_weights` + :func:`dsir_select` with the
+    corpus hashed ONCE: the (doc_id, bigram-bucket array) frame
+    localCheckpoints and feeds BOTH the weight histogram and the
+    scoring plan — the two-pass form runs the md5 fold over every
+    bigram twice (no cross-branch CSE; the r7 structural rule). Same
+    bits out as the two primitives; measured ~1.7× at sf0.1. The
+    checkpoint is corpus-grain but narrow (ids + one long per bigram —
+    the ``hashed_tfidf`` ``values`` precedent)."""
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        target.cast("long").alias("_is_t"),
+        bigram_buckets(F.col(text_col), dim=dim).alias("_bs"),
+    ).localCheckpoint()
+    rows = (
+        base.select(F.explode("_bs").alias("b"), "_is_t")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_s"),
+            F.sum("_is_t").cast("long").alias("c_t"),
+        )
+        .collect()
+    )
+    c_s = {r.b: r.c_s for r in rows}
+    c_t = {r.b: r.c_t for r in rows}
+    n_s = sum(c_s.values())
+    n_t = sum(c_t.values())
+    weights = [
+        (scale * (c_t.get(b, 0) + 1) * (n_s + dim))
+        // ((c_s.get(b, 0) + 1) * (n_t + dim))
+        for b in range(dim)
+    ]
+    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+    score = F.aggregate(
+        F.col("_bs"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(w_arr, (b + 1).cast("int")),
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.size("_bs").cast("long").alias("n_bigrams"),
             score.alias("dsir_score"),
         )
         .orderBy(

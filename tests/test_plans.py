@@ -410,20 +410,21 @@ EXCHANGE_BUDGET = {
     # exchanges, like text_gopher_flags/text_normalize
     "text_c4_line_filter": 0,
     # DSIR selection: the returned frame is scoring (in-row, literal
-    # weights) + a TakeOrderedAndProject — zero exchanges; the bucket
-    # histogram's one bounded exchange runs eagerly inside
-    # dsir_bucket_weights before the plan under test exists
+    # weights) over the checkpointed bigram arrays + a
+    # TakeOrderedAndProject — zero exchanges; the bucket histogram's
+    # one bounded exchange runs eagerly inside dsir_pipeline before
+    # the plan under test exists
     "mix_dsir_select": 0,
     # keep-best: clusters and verdicts ride broadcast joins; the only
     # exchanges are the per-cluster argmax window over the dup SLICE
     # (clusters arrive as a driver-built frame) — the corpus-grain
     # score is a pure map that never reshuffles
     "dedup_keep_best": 3,
-    # v8: the returned plan is scoring over the checkpointed cleaned
-    # frame + TakeOrdered — the C4 cleaning and the weights histogram
-    # ran eagerly (checkpoint + driver literals) before the plan under
-    # test exists; the only exchange is the cleaned join's residue
-    "curation_pipeline_v8": 3,
+    # v8: the returned plan is scoring over the checkpointed bigram
+    # arrays + TakeOrdered — the C4 cleaning, the cleaned join, and the
+    # weights histogram all ran eagerly (checkpoints + driver literals)
+    # before the plan under test exists
+    "curation_pipeline_v8": 0,
 }
 
 
