@@ -572,27 +572,38 @@ def classifier_threshold_eval(
     )
 
 
-def bigram_buckets(
-    text_col_expr, dim: int = 256
-) -> "F.Column":
-    """In-row array of hashed-BIGRAM buckets for one document:
-    fold(tok_i + ' ' + tok_{i+1}) mod dim over the empty-filtered,
-    lowercased token stream (Xie et al. 2023's feature space for DSIR).
-    Tokens hash once per PAIR (the bigram string concatenates first, so
-    there is no double-md5 per token); documents with < 2 tokens get an
-    empty array (the naive sequence(0, n-2) would DESCEND for n < 2 and
-    emit phantom pairs)."""
-    toks = F.filter(
+def tokens_array(text_col_expr) -> "F.Column":
+    """Empty-filtered, lowercased token array for one document. NAME
+    the result in its own projection before handing it to
+    :func:`bigram_buckets` — an attribute reference inside a lambda is
+    free, while inlining this split+filter into the bigram lambdas
+    re-executes it PER ELEMENT (no subexpression elimination inside
+    higher-order functions — the lambda-CSE rule; measured 15× at
+    sf0.1: 7.3 s → 0.5 s for the bigram pass)."""
+    return F.filter(
         F.split(F.lower(F.coalesce(text_col_expr, F.lit(""))), " "),
         lambda t: t != "",
     )
+
+
+def bigram_buckets(
+    tokens_col, dim: int = 256
+) -> "F.Column":
+    """In-row array of hashed-BIGRAM buckets for one document:
+    fold(tok_i + ' ' + tok_{i+1}) mod dim over a NAMED token-array
+    column from :func:`tokens_array` (Xie et al. 2023's feature space
+    for DSIR). Tokens hash once per PAIR (the bigram string
+    concatenates first, so there is no double-md5 per token);
+    documents with < 2 tokens get an empty array (the naive
+    sequence(0, n-2) would DESCEND for n < 2 and emit phantom
+    pairs)."""
     pair = lambda i: F.concat(  # noqa: E731
-        F.element_at(toks, (i + 1).cast("int")),
+        F.element_at(tokens_col, (i + 1).cast("int")),
         F.lit(" "),
-        F.element_at(toks, (i + 2).cast("int")),
+        F.element_at(tokens_col, (i + 2).cast("int")),
     )
     h = lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")  # noqa: E731
-    n = F.size(toks)
+    n = F.size(tokens_col)
     return F.when(
         n >= 2,
         F.transform(F.sequence(F.lit(0), n - 2), lambda i: h(pair(i)) % dim),
@@ -628,8 +639,12 @@ def dsir_bucket_weights(
     weights. The corpus is scanned once and never reshuffled."""
     rows = (
         documents.select(
-            F.explode(bigram_buckets(F.col(text_col), dim=dim)).alias("b"),
+            tokens_array(F.col(text_col)).alias("_toks"),
             target.cast("long").alias("is_t"),
+        )
+        .select(
+            F.explode(bigram_buckets(F.col("_toks"), dim=dim)).alias("b"),
+            "is_t",
         )
         .groupBy("b")
         .agg(
@@ -674,28 +689,8 @@ def dsir_select(
     therefore scale with document length — select within
     comparable-length strata (chunk or pack first) when lengths vary
     widely, exactly as the paper does with fixed-size excerpts."""
-    dim = len(weights)
-    w_arr = F.array(*[F.lit(int(w)) for w in weights])
-    # name the bigram array in its own projection: size() and the
-    # scoring aggregate both reference it, and lambdas get no
-    # cross-expression CSE (the named-token-column rule, SCALE.md) —
-    # the inline form computed every md5 TWICE (measured 1.9× slower
-    # at sf0.1)
-    base = documents.select(
-        F.col(id_col).alias("doc_id"),
-        bigram_buckets(F.col(text_col), dim=dim).alias("_bs"),
-    )
-    score = F.aggregate(
-        F.col("_bs"),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc + F.element_at(w_arr, (b + 1).cast("int")),
-    )
     return (
-        base.select(
-            "doc_id",
-            F.size("_bs").cast("long").alias("n_bigrams"),
-            score.alias("dsir_score"),
-        )
+        dsir_scores(documents, weights, id_col=id_col, text_col=text_col)
         .orderBy(
             F.desc("dsir_score"),
             F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))),
@@ -703,6 +698,56 @@ def dsir_select(
         )
         .limit(n_keep)
     )
+
+
+def dsir_scores(
+    documents: DataFrame,
+    weights: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, dsir_score) — the DSIR importance score as a
+    PURE MAP (no ordering, no cut): one named-column projection of the
+    bigram array, then the in-row weighted fold. Batch frames and
+    append streams run it identically, so select-at-ingest needs no
+    batch rescoring (the classifier/temperature/quality-gate
+    pattern)."""
+    dim = len(weights)
+    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_array(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id", bigram_buckets(F.col("_toks"), dim=dim).alias("_bs")
+    )
+    score = F.aggregate(
+        F.col("_bs"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(w_arr, (b + 1).cast("int")),
+    )
+    return base.select(
+        "doc_id",
+        F.size("_bs").cast("long").alias("n_bigrams"),
+        score.alias("dsir_score"),
+    )
+
+
+def dsir_gate_against_cutoff(
+    documents: DataFrame,
+    weights: list[int],
+    cutoff: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents whose DSIR score is at or above ``cutoff`` — the
+    top-n selection in its STREAMING-compatible form: learn ``weights``
+    and the cutoff (e.g. the n-th best score) once on the static
+    corpus, then admit at ingest with a pure in-row score + compare.
+    ``documents`` may be an append stream; stream == batch row for row
+    (pinned in test_streaming)."""
+    return dsir_scores(
+        documents, weights, id_col=id_col, text_col=text_col
+    ).filter(F.col("dsir_score") >= int(cutoff))
 
 
 def dsir_pipeline(
@@ -723,11 +768,19 @@ def dsir_pipeline(
     bits out as the two primitives; measured ~1.7× at sf0.1. The
     checkpoint is corpus-grain but narrow (ids + one long per bigram —
     the ``hashed_tfidf`` ``values`` precedent)."""
-    base = documents.select(
-        F.col(id_col).alias("doc_id"),
-        target.cast("long").alias("_is_t"),
-        bigram_buckets(F.col(text_col), dim=dim).alias("_bs"),
-    ).localCheckpoint()
+    base = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            target.cast("long").alias("_is_t"),
+            tokens_array(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            "_is_t",
+            bigram_buckets(F.col("_toks"), dim=dim).alias("_bs"),
+        )
+        .localCheckpoint()
+    )
     rows = (
         base.select(F.explode("_bs").alias("b"), "_is_t")
         .groupBy("b")

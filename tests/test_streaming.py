@@ -435,3 +435,25 @@ def test_streaming_c4_gate_equals_batch(spark, sf_dir):
     )
     got = _run_stream(spark, stream, "t_c4_gate", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_dsir_gate_equals_batch(spark, sf_dir):
+    """DSIR select-at-ingest: weights and the top-n score cutoff are
+    learned once on the static corpus; the gate itself is a pure
+    in-row score + compare, so it admits an append stream with no
+    batch rescoring; stream == batch row for row."""
+    from iconic_data_science_spark.operators.featurize import (
+        dsir_bucket_weights,
+        dsir_gate_against_cutoff,
+        dsir_select,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    w = dsir_bucket_weights(docs, target=F.col("lang") == "en")
+    n = docs.count()
+    cutoff = min(r.dsir_score for r in dsir_select(docs, w, n_keep=n // 4).collect())
+    batch = dsir_gate_against_cutoff(docs, w, cutoff)
+    stream = dsir_gate_against_cutoff(sd.read_document_stream(spark, sf_dir), w, cutoff)
+    got = _run_stream(spark, stream, "t_dsir_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
