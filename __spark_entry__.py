@@ -8810,7 +8810,12 @@ def _c4_pages(documents: DataFrame) -> DataFrame:
     chosen by (d*31+i) % 5 (0 = none); pages gain a lorem-ipsum line
     (d % 37 == 0), a brace line (d % 41 == 0) and a bad-word line
     (d % 43 == 0). The SQL twin is _C4_STATS_SQL."""
-    toks = F.split(F.col("text"), " ")
+    # named token column: the line lambda slices it per line, and HOF
+    # lambda bodies get no subexpression elimination (SCALE.md rule)
+    documents = documents.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("_t")
+    )
+    toks = F.col("_t")
     n_content = F.ceil(F.size(toks) / 10).cast("int")
     d = F.col("doc_id")
     content = F.transform(

@@ -90,6 +90,16 @@ DOC_QUERIES = [
     # tiny vocab forces real signature collisions
     "text_classifier_eval",
     "dedup_minhash_eval",
+    # round-7 continuation: the C4 rule set under degenerate pages
+    # (docs shorter than one line, every decoration branch), DSIR under
+    # tiny/no-target corpora (empty bigram arrays, all-one-language
+    # draws, n_keep > corpus), the cluster argmax under no-pair and
+    # all-duplicate corpora, and the composed v8 (empty cleaned
+    # survivor sets must hash empty on BOTH engines)
+    "text_c4_line_filter",
+    "mix_dsir_select",
+    "dedup_keep_best",
+    "curation_pipeline_v8",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]
