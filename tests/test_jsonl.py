@@ -1,0 +1,44 @@
+"""JSONL source/sink roundtrip + malformed-line quarantine contract."""
+
+from __future__ import annotations
+
+import os
+
+from iconic_data_science_spark.sources.jsonl import read_jsonl, write_jsonl
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(
+        spark,
+        out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).select(*docs.columns)
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    # shard layout: one json file per partition, line-splittable
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert parts and all(f.endswith(".json") for f in parts)
+
+
+def test_jsonl_malformed_lines_quarantine(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good line"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": "NaNope", "text": 3}\n'
+    )
+    df = read_jsonl(
+        spark, str(p), "doc_id bigint, text string", keep_corrupt=True
+    )
+    rows = df.collect()
+    assert len(rows) == 4  # PERMISSIVE: nothing dropped, job never fails
+    good = {r.doc_id: r.text for r in rows if r._corrupt_record is None}
+    assert good == {1: "good line", 2: "also good"}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 2
+    assert all(r.doc_id is None for r in bad)  # quarantine shape

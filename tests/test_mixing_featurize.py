@@ -851,3 +851,20 @@ def test_dsir_select_enriches_target(spark):
         for r in dsir_select(docs.repartition(13), w, n_keep=100).collect()
     }
     assert again == kept_ids
+
+
+def test_dsir_pipeline_equals_primitives(spark, sf_dir):
+    """dsir_pipeline (single-hash checkpoint) must return exactly the
+    rows of dsir_bucket_weights + dsir_select run separately."""
+    from iconic_data_science_spark.operators.featurize import (
+        dsir_bucket_weights,
+        dsir_pipeline,
+        dsir_select,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = F.col("lang") == "en"
+    w = dsir_bucket_weights(docs, target=tgt)
+    two_pass = sorted(map(tuple, dsir_select(docs, w, n_keep=50).collect()))
+    fused = sorted(map(tuple, dsir_pipeline(docs, target=tgt, n_keep=50).collect()))
+    assert fused == two_pass
