@@ -1210,28 +1210,32 @@ def kmeans_int_assign_against(
     ).select("vec_id", best["c_id"].alias("c_id"), best["d2"].alias("d2"))
 
 
-def kmeans_int_oracle_sql(
+def kmeans_int_oracle_ctes(
     n_cells: int = 8,
     n_iters: int = 3,
     scale: int = 1000,
     dim: int = _DIM,
     table: str = "embeddings",
-) -> str:
-    """ANSI-SQL replay of :func:`kmeans_int_assign`: quantize → greedy
-    k-center seeding over the md5-ordered sample (k−1 unrolled argmax
-    blocks) → ``n_iters`` unrolled (distance, argmin, update) CTE
-    blocks → final assignment. MATERIALIZED throughout (chained CTEs
+    prefix: str = "",
+) -> tuple[str, str]:
+    """CTE-body form of the :func:`kmeans_int_assign` replay, for
+    COMPOSITION: returns (cte_body, final_cte) where final_cte holds
+    (vec_id, c_id, d2). ``prefix`` namespaces every CTE so several
+    replays chain inside ONE ``WITH`` (the trained-PQ oracle runs one
+    per subspace); :func:`kmeans_int_oracle_sql` below keeps the
+    standalone contract. MATERIALIZED throughout (chained CTEs
     re-inline exponentially otherwise — the featurize.train_oracle_sql
     lesson)."""
     k, it, sc, d = int(n_cells), int(n_iters), int(scale), int(dim)
+    p = prefix
     seed_sample = max(10_000, 100 * k)
     head = f"""
-    WITH qx AS MATERIALIZED (
+    {p}qx AS MATERIALIZED (
         SELECT vec_id, CAST(r.range AS BIGINT) AS pos,
                CAST(ROUND(CAST(embedding[r.range] AS DOUBLE) * {sc}) AS BIGINT) AS qv
         FROM {table}, range(1, {d + 1}) r
     ),
-    sampids AS MATERIALIZED (
+    {p}sampids AS MATERIALIZED (
         SELECT vec_id FROM (
             SELECT vec_id,
                    list_reduce(
@@ -1244,69 +1248,84 @@ def kmeans_int_oracle_sql(
             ORDER BY _h, vec_id LIMIT {seed_sample}
         )
     ),
-    sq AS MATERIALIZED (
-        SELECT q.* FROM qx q JOIN sampids USING (vec_id)
+    {p}sq AS MATERIALIZED (
+        SELECT q.* FROM {p}qx q JOIN {p}sampids USING (vec_id)
     ),
-    pick0 AS (SELECT MIN(vec_id) AS vec_id FROM sq),
-    sv0 AS MATERIALIZED (
-        SELECT pos, qv FROM sq WHERE vec_id = (SELECT vec_id FROM pick0)
+    {p}pick0 AS (SELECT MIN(vec_id) AS vec_id FROM {p}sq),
+    {p}sv0 AS MATERIALIZED (
+        SELECT pos, qv FROM {p}sq WHERE vec_id = (SELECT vec_id FROM {p}pick0)
     ),
-    nd0 AS MATERIALIZED (
+    {p}nd0 AS MATERIALIZED (
         SELECT v.vec_id, CAST(SUM((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS m
-        FROM sq v JOIN sv0 c USING (pos) GROUP BY 1
+        FROM {p}sq v JOIN {p}sv0 c USING (pos) GROUP BY 1
     )"""
     seed_blocks = []
     for j in range(1, k):
         seed_blocks.append(f"""
-    pick{j} AS (SELECT vec_id FROM nd{j - 1} ORDER BY m DESC, vec_id ASC LIMIT 1),
-    sv{j} AS MATERIALIZED (
-        SELECT pos, qv FROM sq WHERE vec_id = (SELECT vec_id FROM pick{j})
+    {p}pick{j} AS (SELECT vec_id FROM {p}nd{j - 1} ORDER BY m DESC, vec_id ASC LIMIT 1),
+    {p}sv{j} AS MATERIALIZED (
+        SELECT pos, qv FROM {p}sq WHERE vec_id = (SELECT vec_id FROM {p}pick{j})
     ),
-    sd{j} AS MATERIALIZED (
+    {p}sd{j} AS MATERIALIZED (
         SELECT v.vec_id, CAST(SUM((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS dj
-        FROM sq v JOIN sv{j} c USING (pos) GROUP BY 1
+        FROM {p}sq v JOIN {p}sv{j} c USING (pos) GROUP BY 1
     ),
-    nd{j} AS MATERIALIZED (
+    {p}nd{j} AS MATERIALIZED (
         SELECT n.vec_id, LEAST(n.m, s.dj) AS m
-        FROM nd{j - 1} n JOIN sd{j} s USING (vec_id)
+        FROM {p}nd{j - 1} n JOIN {p}sd{j} s USING (vec_id)
     )""")
     c0 = f"""
-    c0 AS MATERIALIZED (
-        {" UNION ALL ".join(f"SELECT CAST({j} AS BIGINT) AS c_id, pos, qv FROM sv{j}" for j in range(k))}
+    {p}c0 AS MATERIALIZED (
+        {" UNION ALL ".join(f"SELECT CAST({j} AS BIGINT) AS c_id, pos, qv FROM {p}sv{j}" for j in range(k))}
     )"""
     head = head + "," + ",".join(seed_blocks) + "," + c0
     blocks = []
     for t in range(1, it + 2):
-        p = t - 1
+        prev = t - 1
         blocks.append(f"""
-    d{t} AS MATERIALIZED (
+    {p}d{t} AS MATERIALIZED (
         SELECT v.vec_id, c.c_id,
                CAST(SUM((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS d2
-        FROM qx v JOIN c{p} c USING (pos) GROUP BY 1, 2
+        FROM {p}qx v JOIN {p}c{prev} c USING (pos) GROUP BY 1, 2
     ),
-    a{t} AS MATERIALIZED (
+    {p}a{t} AS MATERIALIZED (
         SELECT vec_id, CAST(c_id AS BIGINT) AS c_id, d2 FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY d2 ASC, c_id ASC) AS rn
-            FROM d{t}
+            FROM {p}d{t}
         ) WHERE rn = 1
     )""")
         if t == it + 1:
             break
         blocks.append(f"""
-    u{t} AS (
+    {p}u{t} AS (
         SELECT a.c_id, q.pos,
                CAST(SUM(q.qv) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS qv
-        FROM a{t} a JOIN qx q USING (vec_id) GROUP BY 1, 2
+        FROM {p}a{t} a JOIN {p}qx q USING (vec_id) GROUP BY 1, 2
     ),
-    c{t} AS MATERIALIZED (
+    {p}c{t} AS MATERIALIZED (
         SELECT c.c_id, c.pos, COALESCE(u.qv, c.qv) AS qv
-        FROM c{p} c LEFT JOIN u{t} u ON u.c_id = c.c_id AND u.pos = c.pos
+        FROM {p}c{prev} c LEFT JOIN {p}u{t} u ON u.c_id = c.c_id AND u.pos = c.pos
     )""")
-    return (
-        head + "," + ",".join(blocks)
-        + f"\n    SELECT vec_id, c_id, d2 FROM a{it + 1}"
+    return head + "," + ",".join(blocks), f"{p}a{it + 1}"
+
+
+def kmeans_int_oracle_sql(
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    dim: int = _DIM,
+    table: str = "embeddings",
+) -> str:
+    """ANSI-SQL replay of :func:`kmeans_int_assign`: quantize → greedy
+    k-center seeding over the md5-ordered sample (k−1 unrolled argmax
+    blocks) → ``n_iters`` unrolled (distance, argmin, update) CTE
+    blocks → final assignment (see :func:`kmeans_int_oracle_ctes` for
+    the composable body)."""
+    body, final = kmeans_int_oracle_ctes(
+        n_cells=n_cells, n_iters=n_iters, scale=scale, dim=dim, table=table
     )
+    return "WITH" + body + f"\n    SELECT vec_id, c_id, d2 FROM {final}"
 
 
 def kmeans_cluster_eval(
@@ -1366,3 +1385,97 @@ def kmeans_cluster_eval(
             F.expr("(top_n * 1000000) div n").cast("long").alias("purity_ppm"),
         )
     )
+
+
+def pq_trained_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    scale: int = 1000,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, c_id, d2) — product quantization with TRAINED
+    per-subspace codebooks: the production form :func:`pq_codes`'
+    docstring promises ("a production deployment would swap in
+    per-subspace k-means"), delivered with the integer-lattice Lloyd
+    machinery so the whole thing stays hash-exact (the trained-twin
+    pattern: classifier r6, k-means r6, PQ here).
+
+    Each vector splits into ``m`` contiguous ``dim/m``-wide subvectors;
+    subspace ``s`` trains its own ``n_codes``-entry codebook with
+    :func:`kmeans_int_centroids` (greedy k-center seeding over the
+    md5-ordered sample, ``n_iters`` exact integer Lloyd rounds) and
+    assigns codes with :func:`kmeans_int_assign_against` — so the
+    output IS the PQ code matrix plus each subvector's exact squared
+    quantization error (Σ over subs of d2 = the vector's total
+    distortion, the quantity PQ recall arguments are written in).
+
+    Scale shape: per subspace, training is the kmeans_int discipline
+    (bounded seed sample, centroids as plan literals, ONE
+    K×(dim/m+1)-row exchange per Lloyd round, join-free); assignment
+    is a pure map, so the m assignment passes fuse with the scan and
+    union map-side — the corpus is scanned, never shuffled. Codebook
+    metadata totals m·n_codes·(dim/m) integers on the driver."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    w = dim // m
+    out = None
+    for s in range(int(m)):
+        sub = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
+        )
+        cents = kmeans_int_centroids(
+            sub, n_cells=n_codes, n_iters=n_iters, scale=scale
+        )
+        assigned = kmeans_int_assign_against(sub, cents, scale=scale).select(
+            "vec_id",
+            F.lit(s).cast("long").alias("sub"),
+            "c_id",
+            "d2",
+        )
+        out = assigned if out is None else out.unionByName(assigned)
+    return out
+
+
+def pq_trained_oracle_sql(
+    m: int = 4,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    scale: int = 1000,
+    dim: int = _DIM,
+    table: str = "embeddings",
+) -> str:
+    """ANSI-SQL replay of :func:`pq_trained_codes`: one prefixed
+    :func:`kmeans_int_oracle_ctes` chain per subspace over a sliced
+    view of the embeddings, unioned with the subspace index."""
+    assert dim % m == 0
+    w = dim // m
+    parts = []
+    finals = []
+    for s in range(int(m)):
+        sub_table = f"pqsub{s}"
+        parts.append(
+            f"""
+    {sub_table} AS MATERIALIZED (
+        SELECT vec_id, embedding[{s * w + 1}:{(s + 1) * w}] AS embedding
+        FROM {table}
+    )"""
+        )
+        body, final = kmeans_int_oracle_ctes(
+            n_cells=n_codes,
+            n_iters=n_iters,
+            scale=scale,
+            dim=w,
+            table=sub_table,
+            prefix=f"s{s}_",
+        )
+        parts.append(body)
+        finals.append((s, final))
+    union = "\n    UNION ALL ".join(
+        f"SELECT vec_id, CAST({s} AS BIGINT) AS sub, c_id, d2 FROM {final}"
+        for s, final in finals
+    )
+    return "WITH" + ",".join(parts) + "\n    " + union

@@ -227,3 +227,41 @@ def test_cluster_eval_purity_on_planted_clusters(spark, corpora):
     assert all(r.purity_ppm >= 950_000 for r in out), [
         (r.c_id, r.purity_ppm) for r in out
     ]
+
+
+def test_pq_trained_m1_equals_plain_kmeans(spark, sf_dir):
+    """With one subspace the trained-PQ code matrix must be exactly the
+    plain integer k-means assignment (same seeding, same rounds)."""
+    from iconic_data_science_spark.operators.similarity import (
+        kmeans_int_assign,
+        pq_trained_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pq = {
+        r.vec_id: (r.c_id, r.d2)
+        for r in pq_trained_codes(emb, m=1, n_codes=8, n_iters=2).collect()
+    }
+    km = {
+        r.vec_id: (r.c_id, r.d2)
+        for r in kmeans_int_assign(emb, n_cells=8, n_iters=2).collect()
+    }
+    assert pq == km
+
+
+def test_pq_trained_lloyd_reduces_distortion(spark, sf_dir):
+    """Trained codebooks (2 Lloyd rounds) must not be meaningfully
+    worse than seed-only codebooks, and should usually be better —
+    exact integer Lloyd is monotone up to trunc-div rounding, so allow
+    a 5% slack on the non-improvement side."""
+    from iconic_data_science_spark.operators.similarity import pq_trained_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d_seed = sum(
+        r.d2 for r in pq_trained_codes(emb, m=4, n_codes=8, n_iters=0).collect()
+    )
+    d_trained = sum(
+        r.d2 for r in pq_trained_codes(emb, m=4, n_codes=8, n_iters=2).collect()
+    )
+    assert d_trained <= d_seed * 1.05
+    assert d_trained > 0

@@ -425,6 +425,10 @@ EXCHANGE_BUDGET = {
     # weights histogram all ran eagerly (checkpoints + driver literals)
     # before the plan under test exists
     "curation_pipeline_v8": 0,
+    # trained PQ: the m training loops ran eagerly (centroids are plan
+    # literals); the returned plan is a union of m map-side argmin
+    # passes over the scan — zero exchanges
+    "ann_pq_trained": 0,
 }
 
 
