@@ -9264,6 +9264,32 @@ from iconic_data_science_spark.operators.similarity import pq_trained_oracle_sql
 ORACLES["ann_pq_trained"] = _pq_trained_oracle_sql(m=4, n_codes=8, n_iters=2)
 
 
+def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 retrieval against the TRAINED per-subspace codebooks
+    (operators/similarity.pq_trained_topk) — the serving half of
+    ann_pq_trained, completing the trained-PQ story: the query touches
+    each corpus vector only through its m codes; the query distance
+    table broadcasts; the one exchange is the (query, vector)
+    partial-sum rollup (ann_pq_topk's shape, learned codebooks). The
+    oracle reuses the per-subspace training chains' quantized tables
+    and final-codebook CTEs directly."""
+    from iconic_data_science_spark.operators.similarity import pq_trained_topk
+
+    cat = _cat(spark, sf_dir)
+    return pq_trained_topk(
+        cat.embeddings, _ann_queries(cat), k=5, m=4, n_codes=8, n_iters=2
+    )
+
+
+QUERIES["ann_pq_trained_topk"] = q_ann_pq_trained_topk
+
+from iconic_data_science_spark.operators.similarity import pq_trained_topk_oracle_sql as _pq_trained_topk_oracle_sql  # noqa: E402
+
+ORACLES["ann_pq_trained_topk"] = _pq_trained_topk_oracle_sql(
+    k=5, m=4, n_codes=8, n_iters=2
+)
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

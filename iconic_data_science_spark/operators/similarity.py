@@ -1479,3 +1479,167 @@ def pq_trained_oracle_sql(
         for s, final in finals
     )
     return "WITH" + ",".join(parts) + "\n    " + union
+
+
+def pq_trained_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    scale: int = 1000,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_d, rank) — asymmetric-distance
+    (ADC) top-``k`` retrieval against TRAINED per-subspace codebooks:
+    the serving half of :func:`pq_trained_codes` (Jégou et al. 2011
+    §III with learned codebooks, on the integer lattice so both
+    engines replay it bit-for-bit).
+
+    approx_d(q, v) = Σ_s d2(q_s, codebook_s[code_s(v)]) — the query
+    touches each corpus vector only through its m one-byte codes.
+
+    Scale shape: training is the bounded kmeans_int discipline (per
+    subspace); corpus codes are m map passes unioned map-side (the
+    corpus never shuffles to be CODED); the query distance table is
+    queries × m × n_codes rows — tiny — and BROADCASTS onto the code
+    matrix, so the only exchange is the (query, vector) partial-sum
+    rollup, exactly ann_pq_topk's shape. Ranking ties break
+    (approx_d asc, neighbor_id asc); the query's own row is excluded."""
+    assert dim % m == 0
+    w = dim // m
+    codes = None
+    dtab = None
+    for s in range(int(m)):
+        sub = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
+        )
+        cents = kmeans_int_centroids(
+            sub, n_cells=n_codes, n_iters=n_iters, scale=scale
+        )
+        assigned = kmeans_int_assign_against(sub, cents, scale=scale).select(
+            "vec_id", F.lit(s).cast("long").alias("sub"), "c_id"
+        )
+        codes = assigned if codes is None else codes.unionByName(assigned)
+
+        qsub = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                F.slice(F.col(vec_col), s * w + 1, w),
+                lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast(
+                    "long"
+                ),
+            ).alias("_q"),
+        )
+        ds = []
+        for cid, cv in cents:
+            lit_cv = F.array(*[F.lit(int(x)) for x in cv])
+            d2 = F.aggregate(
+                F.zip_with(F.col("_q"), lit_cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            ds.append(
+                F.struct(F.lit(cid).cast("long").alias("c_id"), d2.alias("qd2"))
+            )
+        qrows = qsub.select(
+            "query_id",
+            F.lit(s).cast("long").alias("sub"),
+            F.explode(F.array(*ds)).alias("_e"),
+        ).select("query_id", "sub", F.col("_e.c_id"), F.col("_e.qd2"))
+        dtab = qrows if dtab is None else dtab.unionByName(qrows)
+
+    from pyspark.sql import Window as W
+
+    sums = (
+        codes.join(F.broadcast(dtab), ["sub", "c_id"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").cast("long").alias("approx_d"))
+    )
+    win = W.partitionBy("query_id").orderBy(
+        F.asc("approx_d"), F.asc("vec_id")
+    )
+    return (
+        sums.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_d",
+            "rank",
+        )
+    )
+
+
+def pq_trained_topk_oracle_sql(
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    scale: int = 1000,
+    dim: int = _DIM,
+    table: str = "embeddings",
+    query_pred: str = "vec_id % 50 = 0",
+) -> str:
+    """ANSI-SQL replay of :func:`pq_trained_topk`: the per-subspace
+    training chains (prefixed :func:`kmeans_int_oracle_ctes` — their
+    ``{p}qx`` quantized tables and ``{p}c{n_iters}`` final codebooks
+    are reused directly), then the ADC join + per-query ranking."""
+    assert dim % m == 0
+    w = dim // m
+    it = int(n_iters)
+    parts = []
+    code_selects = []
+    qd_selects = []
+    for s in range(int(m)):
+        sub_table = f"pqsub{s}"
+        parts.append(
+            f"""
+    {sub_table} AS MATERIALIZED (
+        SELECT vec_id, embedding[{s * w + 1}:{(s + 1) * w}] AS embedding
+        FROM {table}
+    )"""
+        )
+        body, final = kmeans_int_oracle_ctes(
+            n_cells=n_codes,
+            n_iters=it,
+            scale=scale,
+            dim=w,
+            table=sub_table,
+            prefix=f"s{s}_",
+        )
+        parts.append(body)
+        code_selects.append(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS sub, c_id FROM {final}"
+        )
+        qd_selects.append(
+            f"""SELECT q.vec_id AS query_id, CAST({s} AS BIGINT) AS sub, c.c_id,
+               CAST(SUM((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS qd2
+        FROM s{s}_qx q JOIN qids USING (vec_id) JOIN s{s}_c{it} c USING (pos)
+        GROUP BY 1, 2, 3"""
+        )
+    tail = f""",
+    qids AS (SELECT vec_id FROM {table} WHERE {query_pred}),
+    codes AS MATERIALIZED ({" UNION ALL ".join(code_selects)}),
+    dtab AS MATERIALIZED ({" UNION ALL ".join(qd_selects)}),
+    sums AS (
+        SELECT d.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(d.qd2) AS BIGINT) AS approx_d
+        FROM codes c JOIN dtab d ON d.sub = c.sub AND d.c_id = c.c_id
+        WHERE d.query_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY approx_d ASC, neighbor_id ASC
+        ) AS rnk
+        FROM sums
+    )
+    SELECT query_id, neighbor_id, approx_d, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= {int(k)}"""
+    return "WITH" + ",".join(parts) + tail

@@ -429,6 +429,10 @@ EXCHANGE_BUDGET = {
     # literals); the returned plan is a union of m map-side argmin
     # passes over the scan — zero exchanges
     "ann_pq_trained": 0,
+    # trained-PQ serving: codes are m map passes, the query distance
+    # table broadcasts — the exchanges are the (query, vector)
+    # partial-sum rollup + the per-query ranking window
+    "ann_pq_trained_topk": 3,
 }
 
 
