@@ -457,3 +457,47 @@ def test_streaming_dsir_gate_equals_batch(spark, sf_dir):
     stream = dsir_gate_against_cutoff(sd.read_document_stream(spark, sf_dir), w, cutoff)
     got = _run_stream(spark, stream, "t_dsir_gate", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_pq_code_router_equals_batch(spark, sf_dir):
+    """PQ-code-at-ingest: codebooks train once on the static corpus
+    (per-subspace integer Lloyd); incoming vectors get their m codes by
+    pure maps over codebook literals (zero joins, zero state);
+    stream == batch row for row."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from iconic_data_science_spark.operators.similarity import (
+        kmeans_int_assign_against,
+        kmeans_int_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    schema = emb.schema
+    stream_src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+
+    def route(df, cents, s):
+        sub = df.select(
+            "vec_id", SF.slice("embedding", s * 16 + 1, 16).alias("embedding")
+        )
+        return kmeans_int_assign_against(sub, cents).select(
+            "vec_id", SF.lit(s).cast("long").alias("sub"), "c_id", "d2"
+        )
+
+    for s in range(2):  # two subspaces keep the stream drain fast
+        sub = emb.select(
+            "vec_id", SF.slice("embedding", s * 16 + 1, 16).alias("embedding")
+        )
+        cents = kmeans_int_centroids(sub, n_cells=8, n_iters=2)
+        batch = route(emb, cents, s)
+        got = _run_stream(
+            spark, route(stream_src, cents, s), f"t_pq_router_{s}",
+            output_mode="append",
+        )
+        pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
