@@ -164,6 +164,12 @@ EMB_QUERIES = [
     "ann_lsh_topk",
     "ann_lsh_multitable",
     "ann_ivf_topk",
+    # round-7 continuation: trained-PQ training + serving — fuzzed
+    # corpora are smaller than the seed sample and tie-heavy (near-dup
+    # and sign-flipped vectors), exactly where seeding/argmin/trunc-div
+    # drift between engines would hide
+    "ann_pq_trained",
+    "ann_pq_trained_topk",
 ]
 
 
