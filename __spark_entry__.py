@@ -9290,6 +9290,47 @@ ORACLES["ann_pq_trained_topk"] = _pq_trained_topk_oracle_sql(
 )
 
 
+def q_ann_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector ingest validation (operators/similarity.
+    embedding_audit): dimensionality / zero-norm / clipped-component
+    flags plus the exact integer squared norm, all on the quantized
+    lattice — the gate a vector store runs before indexing. Pure map,
+    zero shuffle; streaming-compatible."""
+    from iconic_data_science_spark.operators.similarity import embedding_audit
+
+    cat = _cat(spark, sf_dir)
+    return embedding_audit(cat.embeddings, dim=64, clip=4.0)
+
+
+QUERIES["ann_embedding_audit"] = q_ann_embedding_audit
+
+ORACLES["ann_embedding_audit"] = """
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS qv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id,
+               CAST(len(qv) AS BIGINT) AS n_dims,
+               CAST(list_reduce(list_prepend(0, [x * x for x in qv]),
+                                (a, b) -> a + b) AS BIGINT) AS norm2,
+               CAST(len(list_filter(qv, x -> abs(x) >= 4000))
+                    AS BIGINT) AS n_clipped
+        FROM q
+    )
+    SELECT vec_id, n_dims, norm2, n_clipped,
+           CAST(CASE WHEN n_dims <> 64 THEN 1 ELSE 0 END AS BIGINT) AS f_dim,
+           CAST(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS f_zero,
+           CAST(CASE WHEN n_clipped > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS f_clipped,
+           CAST(CASE WHEN n_dims = 64 AND norm2 <> 0 AND n_clipped = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM s
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

@@ -1643,3 +1643,55 @@ def pq_trained_topk_oracle_sql(
     SELECT query_id, neighbor_id, approx_d, CAST(rnk AS BIGINT) AS rank
     FROM r WHERE rnk <= {int(k)}"""
     return "WITH" + ",".join(parts) + tail
+
+
+def embedding_audit(
+    embeddings: DataFrame,
+    dim: int = _DIM,
+    clip: float = 4.0,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, n_dims, norm2, n_clipped, f_dim, f_zero, f_clipped,
+    keep) — per-vector ingest validation, the vector-side twin of the
+    text quality gates: wrong dimensionality, zero vectors (cosine
+    undefined; they poison normalization), and clipped/saturated
+    components (|x| ≥ ``clip`` — embedding models emit bounded
+    activations, mass at the bound means truncation upstream) are the
+    three corruption shapes every vector store checks before indexing.
+
+    All decisions on the integer lattice (components quantize to
+    round(x·scale) exactly as the k-means/ANN family), so the verdicts
+    hash identically on any engine. norm2 is the exact integer squared
+    norm of the quantized vector. Pure per-row expressions, zero
+    shuffle: the 100 TB gate is one map pass that composes with the
+    scan, and ``embeddings`` may be an APPEND STREAM (validate at
+    ingest — the classifier/quality/temperature-gate pattern)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
+    )
+    base = embeddings.select(F.col(id_col).alias("vec_id"), q.alias("_q"))
+    n_dims = F.size(F.col("_q")).cast("long")
+    norm2 = F.aggregate(
+        F.col("_q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    bound = int(round(float(clip) * scale))
+    n_clipped = F.size(
+        F.filter(F.col("_q"), lambda x: F.abs(x) >= F.lit(bound))
+    ).cast("long")
+    f_dim = (n_dims != int(dim)).cast("long")
+    f_zero = (norm2 == 0).cast("long")
+    f_clipped = (n_clipped > 0).cast("long")
+    keep = ((f_dim + f_zero + f_clipped) == 0).cast("long")
+    return base.select(
+        "vec_id",
+        n_dims.alias("n_dims"),
+        norm2.alias("norm2"),
+        n_clipped.alias("n_clipped"),
+        f_dim.alias("f_dim"),
+        f_zero.alias("f_zero"),
+        f_clipped.alias("f_clipped"),
+        keep.alias("keep"),
+    )

@@ -291,3 +291,24 @@ def test_pq_trained_topk_finds_query_cluster(spark, corpora):
         per_q.setdefault(row.query_id, []).append(row.rank)
     assert len(per_q) == N_QUERIES
     assert all(sorted(v) == list(range(1, K + 1)) for v in per_q.values())
+
+
+def test_embedding_audit_hand_rules(spark):
+    """Each corruption shape fires on a purpose-built vector; the clean
+    vector keeps."""
+    from iconic_data_science_spark.operators.similarity import embedding_audit
+
+    rows = [
+        (1, [0.5] * 8),            # clean
+        (2, [0.5] * 7),            # wrong dim
+        (3, [0.0] * 8),            # zero norm
+        (4, [0.5] * 7 + [4.25]),   # clipped component (>= 4.0)
+        (5, [-4.0] + [0.1] * 7),   # clipped at the negative bound
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in embedding_audit(df, dim=8, clip=4.0).collect()}
+    assert out[1].keep == 1 and out[1].norm2 == 8 * 500 * 500
+    assert out[2].f_dim == 1 and out[2].keep == 0
+    assert out[3].f_zero == 1 and out[3].keep == 0
+    assert out[4].f_clipped == 1 and out[4].n_clipped == 1
+    assert out[5].f_clipped == 1 and out[5].keep == 0

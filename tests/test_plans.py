@@ -433,6 +433,8 @@ EXCHANGE_BUDGET = {
     # table broadcasts — the exchanges are the (query, vector)
     # partial-sum rollup + the per-query ranking window
     "ann_pq_trained_topk": 3,
+    # vector ingest audit: pure per-row flags — one map pass
+    "ann_embedding_audit": 0,
 }
 
 

@@ -501,3 +501,25 @@ def test_streaming_pq_code_router_equals_batch(spark, sf_dir):
             output_mode="append",
         )
         pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_embedding_audit_equals_batch(spark, sf_dir):
+    """Vector ingest validation is pure per-row expressions, so it runs
+    on an embedding stream in watermark-free append mode; stream ==
+    batch row for row (validate-at-ingest needs no batch re-audit)."""
+    import os
+
+    from iconic_data_science_spark.operators.similarity import embedding_audit
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    batch = embedding_audit(emb)
+    stream_src = (
+        spark.readStream.format("parquet")
+        .schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    got = _run_stream(
+        spark, embedding_audit(stream_src), "t_emb_audit", output_mode="append"
+    )
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
