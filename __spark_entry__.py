@@ -9331,6 +9331,91 @@ ORACLES["ann_embedding_audit"] = """
 """
 
 
+def q_ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduced-dimension retrieval (operators/
+    similarity.random_projection): 64 → 16 dims through a deterministic
+    md5-derived ±1 sign matrix (Achlioptas-style Rademacher
+    projection), then exact cosine top-5 in the PROJECTED space — the
+    4× cheaper distance path that complements the Matryoshka prefix
+    truncation (that one needs nested-trained embeddings; JL works on
+    ANY embedding). The oracle re-derives the sign matrix from the
+    same md5 parity and replays projection + cosine + ranking."""
+    from iconic_data_science_spark.operators.similarity import (
+        brute_force_topk,
+        random_projection,
+    )
+
+    cat = _cat(spark, sf_dir)
+    proj = lambda df: random_projection(df, out_dim=16, in_dim=64, seed=0)  # noqa: E731
+    return brute_force_topk(proj(cat.embeddings), proj(_ann_queries(cat)), k=5)
+
+
+QUERIES["ann_rp_topk"] = q_ann_rp_topk
+
+ORACLES["ann_rp_topk"] = """
+    WITH sgn AS MATERIALIZED (
+        SELECT j.range AS j, i.range AS i,
+               CASE WHEN list_reduce(
+                        [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                         for c in string_split_regex(
+                             substr(md5('0:' || CAST(j.range AS VARCHAR)
+                                        || ':' || CAST(i.range AS VARCHAR)),
+                                    1, 12), '')],
+                        (a, b) -> a * 16 + b) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(0, 16) j, range(0, 64) i
+    ),
+    qv AS (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS q
+        FROM embeddings
+    ),
+    el AS (
+        SELECT vec_id, CAST(r.range AS BIGINT) - 1 AS i, q[r.range] AS v
+        FROM qv, range(1, 65) r
+    ),
+    proj AS (
+        SELECT el.vec_id, s.j, CAST(SUM(el.v * s.s) AS BIGINT) AS y
+        FROM el JOIN sgn s ON s.i = el.i
+        GROUP BY 1, 2
+    ),
+    pv AS MATERIALIZED (
+        SELECT vec_id,
+               array_agg(CAST(CAST(y AS DOUBLE) / 1000 AS FLOAT)
+                         ORDER BY j) AS embedding
+        FROM proj GROUP BY 1
+    ),
+    e AS (
+        SELECT vec_id, embedding,
+               list_reduce(
+                   [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               * 1000000000000.0) AS BIGINT)
+                    for x in embedding], (a, b) -> a + b) AS sq
+        FROM pv
+    ),
+    q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_reduce(
+                   [CAST(round(CAST(q.embedding[i] AS DOUBLE)
+                               * CAST(c.embedding[i] AS DOUBLE)
+                               * 1000000000000.0) AS BIGINT)
+                    for i in generate_series(1, len(q.embedding))],
+                   (x, y) -> x + y)
+               / sqrt(CAST(q.sq AS DOUBLE) * CAST(c.sq AS DOUBLE)) AS cosine
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 5
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

@@ -1695,3 +1695,61 @@ def embedding_audit(
         f_clipped.alias("f_clipped"),
         keep.alias("keep"),
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = _DIM,
+    scale: int = 1000,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding) — Johnson-Lindenstrauss dimensionality
+    reduction with a DETERMINISTIC ±1 sign matrix (Achlioptas 2003:
+    dense Rademacher projections preserve pairwise distances within
+    (1±ε) at out_dim = O(log n / ε²); the sign matrix here derives
+    from the engine's md5 fold of 'seed:j:i', so it is a pure function
+    of (seed, shape) that any engine re-derives — no stored model, no
+    RNG state).
+
+    y_j = Σ_i sign(j,i) · round(x_i · scale) — computed on the
+    quantized lattice (exact integers), then divided back to float so
+    the projected frame drops into the existing ANN family unchanged
+    (|y| ≤ in_dim·max|q| keeps the float32 round trip exact).
+
+    Scale shape: the sign matrix is out_dim×in_dim driver literals; the
+    projection is a pure map over a NAMED quantized column (the
+    lambda-CSE rule) — zero shuffles, composes with the scan, and cuts
+    every downstream distance computation by in_dim/out_dim."""
+    import hashlib
+
+    signs = [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:12], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(int(in_dim))
+        ]
+        for j in range(int(out_dim))
+    ]
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
+    )
+    base = embeddings.select(F.col(id_col).alias("vec_id"), q.alias("_q"))
+    comps = []
+    for j in range(int(out_dim)):
+        srow = F.array(*[F.lit(s) for s in signs[j]])
+        yj = F.aggregate(
+            F.zip_with(F.col("_q"), srow, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        comps.append((yj.cast("double") / F.lit(float(scale))).cast("float"))
+    return base.select("vec_id", F.array(*comps).alias("embedding"))

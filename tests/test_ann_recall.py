@@ -312,3 +312,27 @@ def test_embedding_audit_hand_rules(spark):
     assert out[3].f_zero == 1 and out[3].keep == 0
     assert out[4].f_clipped == 1 and out[4].n_clipped == 1
     assert out[5].f_clipped == 1 and out[5].keep == 0
+
+
+def test_rp_topk_finds_query_cluster(spark, corpora):
+    """JL-projected retrieval (16 → 8 dims, deterministic Rademacher
+    signs): retrieved neighbors must come from the query's own cluster
+    (exact member order may shuffle under projection — the label is the
+    robust bar, as for PQ), and the projection must be deterministic
+    under repartitioning."""
+    from iconic_data_science_spark.operators.similarity import (
+        brute_force_topk,
+        random_projection,
+    )
+
+    corpus, queries, _exact = corpora
+    proj = lambda df: random_projection(df, out_dim=8, in_dim=DIM, seed=0)  # noqa: E731
+    approx = brute_force_topk(proj(corpus), proj(queries), k=K)
+    labels = {r.vec_id: r.label for r in corpus.collect()}
+    qlabels = {r.vec_id: r.label for r in queries.collect()}
+    rows = approx.collect()
+    agree = sum(1 for r in rows if labels[r.neighbor_id] == qlabels[r.query_id])
+    assert agree / len(rows) >= 0.9, f"label agreement {agree}/{len(rows)}"
+    a = sorted(map(tuple, proj(corpus).collect()))
+    b = sorted(map(tuple, proj(corpus.repartition(13)).collect()))
+    assert a == b

@@ -435,6 +435,10 @@ EXCHANGE_BUDGET = {
     "ann_pq_trained_topk": 3,
     # vector ingest audit: pure per-row flags — one map pass
     "ann_embedding_audit": 0,
+    # JL retrieval: the projection is a pure map (sign matrix as plan
+    # literals); the exchanges are brute_force_topk's corpus spread +
+    # the per-query ranking window, now over 4x-narrower vectors
+    "ann_rp_topk": 2,
 }
 
 
