@@ -9416,6 +9416,109 @@ ORACLES["ann_rp_topk"] = """
 """
 
 
+_UNIMAX_ALLOC_SQL = """per_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    ranked AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(2 * n_tokens AS BIGINT) AS cap,
+               CAST(ROW_NUMBER() OVER (ORDER BY 2 * n_tokens, lang)
+                    AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(COALESCE(SUM(2 * n_tokens) OVER (
+                        ORDER BY 2 * n_tokens, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cum_prev
+        FROM per_lang
+    ),
+    flags AS (
+        SELECT *,
+               CASE WHEN cap <= GREATEST(500000 - cum_prev, 0)
+                               // (n - i + 1)
+                    THEN 1 ELSE 0 END AS is_capped
+        FROM ranked
+    ),
+    kk AS (
+        SELECT COALESCE(MAX(CASE WHEN is_capped = 1 THEN i END), 0) AS k
+        FROM flags
+    ),
+    fs AS (
+        SELECT kk.k,
+               CASE WHEN kk.k >= (SELECT MAX(n) FROM flags)
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(GREATEST(500000 - COALESCE(
+                             (SELECT cum_prev + cap FROM flags
+                              WHERE i = kk.k), 0), 0)
+                         // ((SELECT MAX(n) FROM flags) - kk.k)
+                         AS BIGINT) END AS final_share
+        FROM kk
+    ),
+    alloc AS (
+        SELECT f.lang, f.n_docs, f.n_tokens, f.cap AS cap_tokens,
+               CAST(CASE WHEN f.i <= fs.k THEN f.cap
+                         ELSE LEAST(f.cap, fs.final_share)
+                    END AS BIGINT) AS alloc_tokens
+        FROM flags f, fs
+    )"""
+
+
+def q_mix_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023; operators/
+    mixing.unimax_allocation): the token budget spread as uniformly as
+    possible across languages under a max-epochs cap — integer
+    waterfilling on the bounded language table, both engines replay
+    the closed form (share/capped-prefix/final-share) bit-for-bit."""
+    from iconic_data_science_spark.operators.mixing import unimax_allocation
+
+    cat = _cat(spark, sf_dir)
+    return unimax_allocation(cat.documents, budget_tokens=500_000, max_epochs=2)
+
+
+QUERIES["mix_unimax_alloc"] = q_mix_unimax_alloc
+
+ORACLES["mix_unimax_alloc"] = f"""
+    WITH {_UNIMAX_ALLOC_SQL}
+    SELECT lang, n_docs, n_tokens, cap_tokens, alloc_tokens FROM alloc
+"""
+
+
+def q_mix_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniMax allocation applied as a reproducible Bernoulli keep
+    rule (operators/mixing.unimax_sample): keep iff
+    u(doc)·n_tokens_l < alloc_l·10⁶, u the md5-fold bucket of doc_id.
+    Allocation + sampling under one hash; the rate table broadcasts
+    and the rule is a pure map (streamable — the temperature-gate
+    pattern)."""
+    from iconic_data_science_spark.operators.mixing import unimax_sample
+
+    cat = _cat(spark, sf_dir)
+    return unimax_sample(cat.documents, budget_tokens=500_000, max_epochs=2)
+
+
+QUERIES["mix_unimax_sample"] = q_mix_unimax_sample
+
+ORACLES["mix_unimax_sample"] = f"""
+    WITH {_UNIMAX_ALLOC_SQL},
+    d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b
+               ) % 1000000 AS u
+        FROM documents
+    )
+    SELECT d.doc_id, d.lang, d.n_tokens
+    FROM d JOIN alloc a USING (lang)
+    WHERE CAST(d.u AS HUGEINT) * a.n_tokens
+          < CAST(a.alloc_tokens AS HUGEINT) * 1000000
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

@@ -284,3 +284,135 @@ def domain_reweight_oracle_sql(
         head + "," + ",".join(blocks)
         + f"\n    SELECT domain, loss_ppm, w AS w_ppm FROM w{int(rounds)}"
     )
+
+
+def unimax_allocation(
+    documents: DataFrame,
+    budget_tokens: int = 500_000,
+    max_epochs: int = 2,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, n_docs, n_tokens, cap_tokens, alloc_tokens) — UniMax
+    budget allocation (Chung et al., ICLR 2023: spread the token budget
+    as UNIFORMLY as possible across languages subject to at most
+    ``max_epochs`` passes over any language — the fairness-first
+    alternative to temperature sampling, which still over-allocates to
+    head languages at any alpha).
+
+    Integer waterfilling closed form, identical in both engines: with
+    languages ordered by cap = max_epochs·n_tokens (asc, ties by lang),
+    share_i = max(B − cumcap_{i−1}, 0) div (n−i+1); a language is
+    capped iff cap_i ≤ share_i; k = last capped index; capped languages
+    get their cap, the rest split the remainder evenly (min'd against
+    their cap — truncation guards). All `div`s on non-negative
+    integers, so Python, Spark and DuckDB agree bit-for-bit.
+
+    Scale shape: ONE language-grain aggregate (bounded ≤10³ rows)
+    collected driver-side — the bounded-metadata discipline; the
+    waterfill runs on the driver and the plan returns as a literal
+    frame."""
+    ws_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    rows = (
+        documents.select(F.col(lang_col).alias("lang"), ws_tokens.alias("_t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    E, B = int(max_epochs), int(budget_tokens)
+    stats = sorted(
+        ((int(r.n_tokens) * E, r.lang, int(r.n_docs), int(r.n_tokens)) for r in rows),
+    )
+    n = len(stats)
+    cum_prev, shares, capped = 0, [], []
+    for i, (cap, _lang, _nd, _nt) in enumerate(stats, start=1):
+        share = max(B - cum_prev, 0) // (n - i + 1)
+        shares.append(share)
+        capped.append(cap <= share)
+        cum_prev += cap
+    k = max((i for i, c in enumerate(capped, start=1) if c), default=0)
+    cum_k = sum(s[0] for s in stats[:k])
+    final_share = max(B - cum_k, 0) // (n - k) if k < n else 0
+    out = []
+    for i, (cap, lang, nd, nt) in enumerate(stats, start=1):
+        alloc = cap if i <= k else min(cap, final_share)
+        out.append((lang, nd, nt, cap, alloc))
+    return documents.sparkSession.createDataFrame(
+        out,
+        "lang string, n_docs long, n_tokens long, cap_tokens long, "
+        "alloc_tokens long",
+    )
+
+
+def unimax_sample(
+    documents: DataFrame,
+    budget_tokens: int = 500_000,
+    max_epochs: int = 2,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_space: int = 1_000_000,
+) -> DataFrame:
+    """(doc_id, lang, n_tokens) — the corpus resampled at each
+    language's UniMax rate: keep iff u(doc)·n_tokens_l <
+    alloc_l·bucket_space, u the md5-fold bucket of doc_id — the
+    reproducible Bernoulli form of :func:`unimax_allocation` (expected
+    kept tokens per language = alloc, capped at one pass: allocations
+    above 1 epoch keep everything here, and the extra passes are
+    realized downstream by ``mix_epochs`` — a filter cannot replicate).
+
+    The allocation table is ≤10³ rows and broadcasts; the keep rule is
+    a pure map, so ``documents`` may be an APPEND STREAM (the
+    temperature-gate pattern). DECIMAL compare keeps the product exact:
+    u(7) × n_tokens_l(16) vs alloc(16) × space(7) — both ≤ 24 digits,
+    no silent overflow."""
+    alloc = unimax_allocation(
+        documents, budget_tokens, max_epochs, lang_col, text_col
+    )
+    return unimax_sample_against(
+        documents, alloc, lang_col, text_col, id_col, bucket_space
+    )
+
+
+def unimax_sample_against(
+    documents: DataFrame,
+    alloc: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_space: int = 1_000_000,
+) -> DataFrame:
+    """The UniMax keep rule against a PRECOMPUTED allocation table
+    (the :func:`unimax_allocation` frame, built once on the static
+    corpus): a pure map behind a broadcast — zero aggregation — so
+    ``documents`` may be a STREAM, admitting each arriving document at
+    its language's allocated rate (the temperature-gate pattern;
+    stream == batch pinned in test_streaming)."""
+    if bucket_space > 10_000_000:
+        raise ValueError(
+            f"bucket_space={bucket_space} exceeds 1e7; u is compared in "
+            "decimal(7,0) and larger spaces would overflow to NULL"
+        )
+    a = alloc.select(
+        "lang",
+        F.col("n_tokens").cast("decimal(16,0)").alias("_lang_toks"),
+        F.col("alloc_tokens").cast("decimal(16,0)").alias("_alloc"),
+    )
+    u = hash_bucket(id_col, bucket_space).cast("decimal(7,0)")
+    doc_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    keep = (u * F.col("_lang_toks")) < (
+        F.col("_alloc") * F.lit(int(bucket_space)).cast("decimal(7,0)")
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            doc_tokens.alias("n_tokens"),
+        )
+        .join(F.broadcast(a), "lang")
+        .filter(keep)
+        .select("doc_id", "lang", "n_tokens")
+    )

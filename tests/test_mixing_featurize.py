@@ -868,3 +868,56 @@ def test_dsir_pipeline_equals_primitives(spark, sf_dir):
     two_pass = sorted(map(tuple, dsir_select(docs, w, n_keep=50).collect()))
     fused = sorted(map(tuple, dsir_pipeline(docs, target=tgt, n_keep=50).collect()))
     assert fused == two_pass
+
+
+# --- UniMax allocation -----------------------------------------------
+
+
+def test_unimax_waterfill_properties(spark):
+    """Hand corpus: tiny languages get capped at max_epochs passes,
+    the rest split the remainder evenly; the budget is never
+    exceeded."""
+    from iconic_data_science_spark.operators.mixing import unimax_allocation
+
+    # tokens per doc: text of n words; langs: tiny=10, small=50, big=1000, huge=2000
+    rows, i = [], 0
+    for lang, toks, ndocs in [("tiny", 10, 1), ("small", 50, 1), ("big", 1000, 1), ("huge", 2000, 1)]:
+        rows.append((i, " ".join(["w"] * toks), lang)); i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in unimax_allocation(df, budget_tokens=1000, max_epochs=2).collect()}
+    # caps: tiny 20, small 100, big 2000, huge 4000; budget 1000:
+    # i=1 tiny: share = 1000//4 = 250 >= 20 -> capped, alloc 20
+    # i=2 small: share = 980//3 = 326 >= 100 -> capped, alloc 100
+    # i=3 big: share = 880//2 = 440 < 2000 -> uncapped
+    # i=4 huge: share = (1000-2120<0 -> 0) -> uncapped
+    # k=2, final_share = 880//2 = 440 for big and huge
+    assert out["tiny"].alloc_tokens == 20 and out["tiny"].cap_tokens == 20
+    assert out["small"].alloc_tokens == 100
+    assert out["big"].alloc_tokens == 440
+    assert out["huge"].alloc_tokens == 440
+    assert sum(r.alloc_tokens for r in out.values()) <= 1000
+    # abundant budget: everyone capped at max_epochs
+    out2 = {r.lang: r for r in unimax_allocation(df, budget_tokens=10**9, max_epochs=2).collect()}
+    assert all(r.alloc_tokens == r.cap_tokens for r in out2.values())
+
+
+def test_unimax_sample_matches_expected_rates(spark, sf_dir):
+    """Kept token mass per language lands near its allocation (the
+    md5 buckets are uniform), and sample == sample_against(alloc)."""
+    from iconic_data_science_spark.operators.mixing import (
+        unimax_allocation,
+        unimax_sample,
+        unimax_sample_against,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    alloc = unimax_allocation(docs, budget_tokens=10_000, max_epochs=2)
+    a = sorted(map(tuple, unimax_sample(docs, budget_tokens=10_000, max_epochs=2).collect()))
+    b = sorted(map(tuple, unimax_sample_against(docs, alloc).collect()))
+    assert a == b
+    kept = {}
+    for doc_id, lang, nt in a:
+        kept[lang] = kept.get(lang, 0) + nt
+    for r in alloc.collect():
+        if r.alloc_tokens > 200:  # enough mass for the CLT to bite
+            assert 0.3 * r.alloc_tokens <= kept.get(r.lang, 0) <= 2.5 * r.alloc_tokens

@@ -439,6 +439,10 @@ EXCHANGE_BUDGET = {
     # literals); the exchanges are brute_force_topk's corpus spread +
     # the per-query ranking window, now over 4x-narrower vectors
     "ann_rp_topk": 2,
+    # UniMax: the language aggregate ran eagerly (waterfill on driver
+    # metadata); the returned sample plan is a broadcast join + map
+    "mix_unimax_alloc": 0,
+    "mix_unimax_sample": 0,
 }
 
 

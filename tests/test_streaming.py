@@ -523,3 +523,22 @@ def test_streaming_embedding_audit_equals_batch(spark, sf_dir):
         spark, embedding_audit(stream_src), "t_emb_audit", output_mode="append"
     )
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_unimax_gate_equals_batch(spark, sf_dir):
+    """UniMax admit-at-ingest: the allocation table learns once on the
+    static corpus; the keep rule is a pure map behind a broadcast, so
+    the stream form admits each arriving document at its language's
+    allocated rate; stream == batch row for row."""
+    from iconic_data_science_spark.operators.mixing import (
+        unimax_allocation,
+        unimax_sample_against,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    alloc = unimax_allocation(docs, budget_tokens=10_000, max_epochs=2).localCheckpoint()
+    batch = unimax_sample_against(docs, alloc)
+    stream = unimax_sample_against(sd.read_document_stream(spark, sf_dir), alloc)
+    got = _run_stream(spark, stream, "t_unimax_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
