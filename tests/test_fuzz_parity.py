@@ -100,6 +100,10 @@ DOC_QUERIES = [
     "mix_dsir_select",
     "dedup_keep_best",
     "curation_pipeline_v8",
+    # UniMax under degenerate language tables (one language, tiny
+    # corpora where every cap binds or none does, zero-budget shares)
+    "mix_unimax_alloc",
+    "mix_unimax_sample",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]
@@ -170,6 +174,11 @@ EMB_QUERIES = [
     # drift between engines would hide
     "ann_pq_trained",
     "ann_pq_trained_topk",
+    # per-vector audit flags and the JL projection under fuzzed
+    # vectors (sign cancellation can zero a projected vector — both
+    # engines must agree on the resulting cosine NULL/omit behavior)
+    "ann_embedding_audit",
+    "ann_rp_topk",
 ]
 
 
