@@ -9519,6 +9519,98 @@ ORACLES["mix_unimax_sample"] = f"""
 """
 
 
+def q_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair synthesis (operators/text.
+    span_corruption): block-grid masked spans with sentinel tokens and
+    the masked spans as targets — the denoising-objective
+    preprocessing step, as one zero-shuffle map. Output carries md5 of
+    both sequences so rows stay narrow under the hash gate; the oracle
+    replays the block/offset/length arithmetic and both
+    reassemblies."""
+    from iconic_data_science_spark.operators.text import span_corruption
+
+    cat = _cat(spark, sf_dir)
+    out = span_corruption(cat.documents, block=20, offset_space=17, max_span=3)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_masked",
+        F.md5("input_text").alias("input_fp"),
+        F.md5("targets_text").alias("targets_fp"),
+    )
+
+
+QUERIES["text_span_corruption"] = q_text_span_corruption
+
+ORACLES["text_span_corruption"] = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(coalesce(text, ''), ' '),
+                           w -> w <> '') AS t
+        FROM documents
+    ),
+    blocks AS (
+        SELECT base.doc_id, CAST(g.k AS BIGINT) AS k, t,
+               CAST(len(t) AS BIGINT) AS n
+        FROM base, LATERAL (
+            SELECT UNNEST(range(0, GREATEST(1,
+                CAST(ceil(len(t)/20.0) AS BIGINT)))) AS k
+        ) g
+    ),
+    calc AS (
+        SELECT doc_id, k, t, n,
+               LEAST(20, n - k*20) AS blen,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(
+                        CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(k AS VARCHAR)), 1, 12), '')],
+                   (a, b) -> a * 16 + b) % 17 AS off,
+               list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(
+                        CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(k AS VARCHAR) || ':len'), 1, 12), '')],
+                   (a, b) -> a * 16 + b) % 3 + 1 AS ln
+        FROM blocks
+    ),
+    parts AS (
+        SELECT doc_id, k,
+               CAST(CASE WHEN off < blen THEN 1 ELSE 0 END AS BIGINT) AS has,
+               CAST(CASE WHEN off < blen THEN LEAST(ln, blen - off)
+                         ELSE 0 END AS BIGINT) AS l_eff,
+               CASE WHEN off < blen THEN
+                    t[k*20+1 : k*20+off]
+                    || ['<extra_id_' || CAST(k AS VARCHAR) || '>']
+                    || t[k*20+off+LEAST(ln, blen-off)+1 : k*20+blen]
+               ELSE t[k*20+1 : k*20+blen] END AS inp,
+               CASE WHEN off < blen THEN
+                    ['<extra_id_' || CAST(k AS VARCHAR) || '>']
+                    || t[k*20+off+1 : k*20+off+LEAST(ln, blen-off)]
+               ELSE CAST([] AS VARCHAR[]) END AS tgt
+        FROM calc
+    ),
+    agg AS (
+        SELECT p.doc_id,
+               CAST(SUM(p.has) AS BIGINT) AS n_spans,
+               CAST(SUM(p.l_eff) AS BIGINT) AS n_masked,
+               COALESCE(string_agg(array_to_string(p.inp, ' '), ' '
+                        ORDER BY p.k)
+                        FILTER (WHERE len(p.inp) > 0), '') AS input_text,
+               COALESCE(string_agg(array_to_string(p.tgt, ' '), ' '
+                        ORDER BY p.k)
+                        FILTER (WHERE len(p.tgt) > 0), '') AS targets_text
+        FROM parts p GROUP BY 1
+    )
+    SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+           a.n_spans, a.n_masked,
+           md5(a.input_text) AS input_fp,
+           md5(a.targets_text) AS targets_fp
+    FROM base b JOIN agg a USING (doc_id)
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

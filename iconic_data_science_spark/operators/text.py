@@ -1322,3 +1322,105 @@ def c4_line_filter(
             "clean_text"
         ),
     )
+
+
+def span_corruption(
+    documents: DataFrame,
+    block: int = 20,
+    offset_space: int = 17,
+    max_span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_spans, n_masked, input_text, targets_text)
+    — T5-style span-corruption target synthesis (Raffel et al. 2020
+    §3.1.4: mask contiguous token spans, replace each with a sentinel,
+    emit the masked spans as the target sequence — the preprocessing
+    step that turns a text corpus into denoising training pairs).
+
+    Deterministic block-grid variant: tokens partition into ``block``-
+    sized blocks; block k masks one span starting at offset
+    fold(doc:k) mod ``offset_space`` of length 1 + fold(doc:k:len) mod
+    ``max_span`` (clipped to the block), giving ≈ 2/20 = 10–15%
+    corruption with non-overlapping spans BY CONSTRUCTION — no
+    sequential not-already-inside-a-span state, so the whole transform
+    stays in-row (T5 proper renumbers sentinels consecutively; here
+    the sentinel carries the block index — documented deviation that
+    keeps the op a pure per-row map). Blocks whose offset falls past
+    their end mask nothing.
+
+    input_text:   tokens with each span replaced by <extra_id_k>
+    targets_text: <extra_id_k> followed by that span's tokens, in
+                  block order
+
+    Scale shape: pure in-row array expressions over a NAMED token
+    column (the lambda-CSE rule) — zero shuffles; synthesizing
+    training pairs for 100 TB is one map pass."""
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")  # noqa: E731
+    d = F.col("doc_id")
+
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda t: t != "",
+        ).alias("_t"),
+    )
+    t = F.col("_t")
+    n = F.size(t)
+    # greatest(1, ...) guards empty docs: sequence(0, -1) would DESCEND
+    # and emit phantom blocks; a single degenerate block masks nothing
+    nblocks = F.greatest(F.lit(1), F.ceil(n / block)).cast("int")
+
+    def _block(k):
+        bstart = k * block  # 0-based
+        blen = F.least(F.lit(block), n - bstart)
+        off = h(F.concat(d.cast("string"), F.lit(":"), k.cast("string"))) % offset_space
+        ln = (
+            h(F.concat(d.cast("string"), F.lit(":"), k.cast("string"), F.lit(":len")))
+            % max_span
+            + 1
+        )
+        has = off < blen
+        l_eff = F.least(ln, blen - off)
+        sent = F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+        pre = F.slice(t, (bstart + 1).cast("int"), F.when(has, off).otherwise(blen).cast("int"))
+        post = F.when(
+            has & (blen - off - l_eff > 0),
+            F.slice(t, (bstart + off + l_eff + 1).cast("int"), (blen - off - l_eff).cast("int")),
+        ).otherwise(F.array().cast("array<string>"))
+        masked = F.when(has, F.slice(t, (bstart + off + 1).cast("int"), l_eff.cast("int"))).otherwise(
+            F.array().cast("array<string>")
+        )
+        inp = F.concat(
+            pre,
+            F.when(has, F.array(sent)).otherwise(F.array().cast("array<string>")),
+            post,
+        )
+        tgt = F.when(has, F.concat(F.array(sent), masked)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.struct(
+            inp.alias("inp"),
+            tgt.alias("tgt"),
+            has.cast("long").alias("spans"),
+            F.when(has, l_eff).otherwise(F.lit(0)).cast("long").alias("masked"),
+        )
+
+    blocks = F.transform(F.sequence(F.lit(0), nblocks - 1), _block)
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.aggregate(
+            blocks, F.lit(0).cast("long"), lambda acc, b: acc + b["spans"]
+        ).alias("n_spans"),
+        F.aggregate(
+            blocks, F.lit(0).cast("long"), lambda acc, b: acc + b["masked"]
+        ).alias("n_masked"),
+        F.array_join(F.flatten(F.transform(blocks, lambda b: b["inp"])), " ").alias(
+            "input_text"
+        ),
+        F.array_join(F.flatten(F.transform(blocks, lambda b: b["tgt"])), " ").alias(
+            "targets_text"
+        ),
+    )

@@ -104,6 +104,9 @@ DOC_QUERIES = [
     # corpora where every cap binds or none does, zero-budget shares)
     "mix_unimax_alloc",
     "mix_unimax_sample",
+    # span corruption under degenerate docs (empty, shorter than one
+    # block, offsets past the block end)
+    "text_span_corruption",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

