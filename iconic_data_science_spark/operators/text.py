@@ -1407,20 +1407,28 @@ def span_corruption(
             F.when(has, l_eff).otherwise(F.lit(0)).cast("long").alias("masked"),
         )
 
-    blocks = F.transform(F.sequence(F.lit(0), nblocks - 1), _block)
-    return base.select(
+    # name the block array: four output columns consume it, and a
+    # lambda-bearing expression gets no subexpression elimination (the
+    # SCALE.md rule) — inline it and every md5/slice runs four times
+    staged = base.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
+        F.transform(F.sequence(F.lit(0), nblocks - 1), _block).alias("_b"),
+    )
+    b = F.col("_b")
+    return staged.select(
+        "doc_id",
+        "n_tokens",
         F.aggregate(
-            blocks, F.lit(0).cast("long"), lambda acc, b: acc + b["spans"]
+            b, F.lit(0).cast("long"), lambda acc, x: acc + x["spans"]
         ).alias("n_spans"),
         F.aggregate(
-            blocks, F.lit(0).cast("long"), lambda acc, b: acc + b["masked"]
+            b, F.lit(0).cast("long"), lambda acc, x: acc + x["masked"]
         ).alias("n_masked"),
-        F.array_join(F.flatten(F.transform(blocks, lambda b: b["inp"])), " ").alias(
+        F.array_join(F.flatten(F.transform(b, lambda x: x["inp"])), " ").alias(
             "input_text"
         ),
-        F.array_join(F.flatten(F.transform(blocks, lambda b: b["tgt"])), " ").alias(
+        F.array_join(F.flatten(F.transform(b, lambda x: x["tgt"])), " ").alias(
             "targets_text"
         ),
     )
