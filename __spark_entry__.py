@@ -9929,6 +9929,18 @@ _ROUND7_FRONT = [
     "text_bpe_vocab",
 ]
 
+# ROUND-8 FRONT STAGING (builder note): the round-7 continuation added
+# 11 hash-oracled queries with no driver rows yet — they belong at the
+# head of _ROUND8_FRONT, in this order (pipeline composition first,
+# then the families):
+#   curation_pipeline_v8, text_c4_line_filter, mix_dsir_select,
+#   dedup_keep_best, ann_pq_trained, ann_pq_trained_topk,
+#   ann_embedding_audit, ann_rp_topk, mix_unimax_alloc,
+#   mix_unimax_sample, text_span_corruption
+# plus corpus_curriculum if CORRECTNESS_r07 didn't reach it. All are
+# green in parity_timing_r7.json / parity_hostile_r7.json and the
+# pytest parity gate; the driver rows are the remaining debt.
+
 
 # Round-7 front wins (evidence-debt flush); the earlier rounds' fronts
 # follow (hash-green in their rounds, so re-verification in any
