@@ -176,7 +176,11 @@ def temperature_sample_against_rates(
     total_w = r.agg(F.sum("_w").cast("decimal(12,0)").alias("_w_sum"))
     r = r.crossJoin(F.broadcast(total_w))
 
-    u = hash_bucket(id_col, bucket_space).cast("decimal(7,0)")
+    # hash over the post-select alias: the keep filter runs after the
+    # frame renames id_col -> "doc_id", so referencing id_col would be
+    # unresolved for any non-default caller (ADVICE r7). Same values,
+    # same hash.
+    u = hash_bucket("doc_id", bucket_space).cast("decimal(7,0)")
     doc_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
     # budget*space as decimal(28,0): 28 + 9 + 1 = 38 on the RHS product,
     # exact up to the validated 1e28 bound (a 100 TB-scale budget of
@@ -401,7 +405,11 @@ def unimax_sample_against(
         F.col("n_tokens").cast("decimal(16,0)").alias("_lang_toks"),
         F.col("alloc_tokens").cast("decimal(16,0)").alias("_alloc"),
     )
-    u = hash_bucket(id_col, bucket_space).cast("decimal(7,0)")
+    # hash over the post-select alias: the keep filter runs after the
+    # frame renames id_col -> "doc_id", so referencing id_col would be
+    # unresolved for any non-default caller (ADVICE r7). Same values,
+    # same hash.
+    u = hash_bucket("doc_id", bucket_space).cast("decimal(7,0)")
     doc_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
     keep = (u * F.col("_lang_toks")) < (
         F.col("_alloc") * F.lit(int(bucket_space)).cast("decimal(7,0)")

@@ -25,6 +25,7 @@ case. Design rules for 100 TB:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -39,10 +40,42 @@ def read_jsonl(
     """Read newline-delimited JSON with an EXPLICIT schema (DDL
     string). ``keep_corrupt=True`` appends ``_corrupt_record`` so
     malformed lines survive as quarantine rows (all data columns null,
-    the raw line in the corrupt column); otherwise they are dropped
-    from the frame via the parsed-columns filter below (PERMISSIVE
-    still never fails the job)."""
-    full = schema + (f", {CORRUPT_COL} string" if keep_corrupt else "")
+    the raw line in the corrupt column); otherwise malformed lines are
+    dropped: we parse with a corrupt column and filter
+    ``_corrupt_record IS NULL`` before projecting it away, so all-null
+    ghost rows never reach downstream pipelines (PERMISSIVE still
+    never fails the job).
+
+    The drop path reads the file as text and parses via ``from_json``
+    rather than the raw JSON source: Spark disallows plans whose only
+    referenced data-source column is the internal corrupt record
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. a
+    downstream ``.count()`` after column pruning), and the documented
+    ``.cache()`` workaround is a non-starter at corpus scale. Text
+    lines + ``from_json`` is the same single scan through the same
+    Jackson parser, JVM-side, with no such restriction."""
+    if mode.upper() == "FAILFAST" or keep_corrupt is False:
+        if mode.upper() == "FAILFAST":
+            return (
+                spark.read.schema(schema)
+                .option("mode", mode)
+                .option("multiLine", "false")
+                .json(path)
+            )
+        full = schema + f", {CORRUPT_COL} string"
+        parsed = spark.read.text(path).select(
+            F.from_json(
+                F.col("value"),
+                full,
+                {"mode": mode, "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("r")
+        )
+        return (
+            parsed.filter(F.col(f"r.{CORRUPT_COL}").isNull())
+            .select("r.*")
+            .drop(CORRUPT_COL)
+        )
+    full = schema + f", {CORRUPT_COL} string"
     df = (
         spark.read.schema(full)
         .option("mode", mode)

@@ -42,3 +42,32 @@ def test_jsonl_malformed_lines_quarantine(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert len(bad) == 2
     assert all(r.doc_id is None for r in bad)  # quarantine shape
+
+
+def test_jsonl_malformed_lines_dropped_by_default(spark, tmp_path):
+    """keep_corrupt=False (the default) must DROP malformed lines, not
+    surface them as all-null ghost rows (ADVICE r7)."""
+    p = tmp_path / "mixed2.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good line"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id bigint, text string")
+    assert df.columns == ["doc_id", "text"]  # corrupt column projected away
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "good line"), (2, "also good")]
+    # .count() must survive Catalyst column pruning over the internal
+    # corrupt-record column (Spark disallows plans that reference ONLY it)
+    assert df.count() == 2
+
+
+def test_jsonl_failfast_mode_raises_on_malformed(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    p = tmp_path / "mixed3.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json\n')
+    df = read_jsonl(spark, str(p), "doc_id bigint, text string", mode="FAILFAST")
+    with pytest.raises(Exception):
+        df.collect()

@@ -1726,6 +1726,8 @@ def test_span_corruption_hand_rules(spark):
     assert rebuilt == toks
     # masked fraction in the T5 ballpark on full blocks (1..3 of 20)
     assert r.n_masked == sum(len(v) for v in spans.values())
-    # degenerate docs: nothing masked, input == original
-    assert out[2].n_spans in (0, 1) and out[2].input_text in ("a b", None) or True
+    # degenerate docs: nothing masked, input == original (ADVICE r7:
+    # the old `A and B or True` form was vacuous — pin exact values)
+    assert out[2].n_spans == 0 and out[2].n_masked == 0
+    assert out[2].input_text == "a b" and out[2].targets_text == ""
     assert out[3].n_tokens == 0 and out[3].n_spans == 0 and out[3].input_text == ""

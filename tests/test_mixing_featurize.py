@@ -921,3 +921,41 @@ def test_unimax_sample_matches_expected_rates(spark, sf_dir):
     for r in alloc.collect():
         if r.alloc_tokens > 200:  # enough mass for the CLT to bite
             assert 0.3 * r.alloc_tokens <= kept.get(r.lang, 0) <= 2.5 * r.alloc_tokens
+
+
+def test_unimax_and_temperature_nondefault_id_col(spark, sf_dir):
+    """Regression (ADVICE r7): a non-default id_col used to raise an
+    unresolved-column AnalysisException because the keep filter hashed
+    id_col after the frame had renamed it to doc_id. Renamed inputs
+    must produce the exact same kept set (the hash is over the values,
+    which the alias preserves)."""
+    from iconic_data_science_spark.operators.mixing import (
+        temperature_sample,
+        unimax_allocation,
+        unimax_sample,
+        unimax_sample_against,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    renamed = docs.withColumnRenamed("doc_id", "paper_id")
+    alloc = unimax_allocation(docs, budget_tokens=10_000, max_epochs=2)
+    base = sorted(map(tuple, unimax_sample_against(docs, alloc).collect()))
+    ren = sorted(
+        map(
+            tuple,
+            unimax_sample_against(renamed, alloc, id_col="paper_id").collect(),
+        )
+    )
+    assert base == ren and base
+    t_base = sorted(
+        map(tuple, temperature_sample(docs, budget_tokens=10_000).collect())
+    )
+    t_ren = sorted(
+        map(
+            tuple,
+            temperature_sample(
+                renamed, budget_tokens=10_000, id_col="paper_id"
+            ).collect(),
+        )
+    )
+    assert t_base == t_ren and t_base
