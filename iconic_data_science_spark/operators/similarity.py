@@ -1753,3 +1753,92 @@ def random_projection(
         )
         comps.append((yj.cast("double") / F.lit(float(scale))).cast("float"))
     return base.select("vec_id", F.array(*comps).alias("embedding"))
+
+
+RP_LSH_TABLE = 7  # independent seed stream from the 64-dim tables 0..3
+
+
+def rp_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    out_dim: int = 16,
+    in_dim: int = _DIM,
+    n_planes: int = N_PLANES,
+    seed: int = 0,
+    scale: int = 1000,
+    table: int = RP_LSH_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL projection composed UNDER a hyperplane candidate generator —
+    the scale form of :func:`random_projection` retrieval (r7 verdict:
+    "JL is a distance-cost reducer, not a candidate reducer"; this op
+    adds the candidate reducer so the quadratic
+    :func:`brute_force_topk`-over-projected plan — registered as
+    ``ann_rp_topk`` — becomes a truth baseline only).
+
+    Shape, per side (corpus and queries):
+      1. project 64 → ``out_dim`` dims once (deterministic ±1 md5 sign
+         matrix, integer lattice — ``random_projection``);
+      2. bucket IN the projected space: B sign bits of integer dots
+         with seeded literal planes (``_plane_coeffs(table=7)``,
+         ``out_dim`` coefficients each) — computed IN-ROW off the
+         named lattice column, no explode/groupBy (cheaper than
+         ``lsh_signature``'s two aggregations: the plane table is
+         B×out_dim literals, so the whole signature is a pure map);
+      3. candidates = bucket-equality join; exact cosine verify in the
+         projected space (identical integer-lattice cosine to
+         ``ann_rp_topk``, so its all-pairs result is the exact recall
+         reference), windowed top-k.
+
+    100 TB: steps 1–2 compose with the scan (zero exchanges — plan
+    test pins it); the only corpus-sized exchange is the bucket join,
+    ~2^B cheaper than the all-pairs form; distances are out_dim/in_dim
+    cheaper than bucketing in the original space. The lambda-CSE rule
+    is observed by NAMING the projected array and its lattice in
+    separate selects — each is a multi-referenced non-cheap alias, so
+    CollapseProject keeps them computed once per row."""
+    coeffs = _plane_coeffs(n_planes, int(out_dim), table=table)
+    rows: dict[int, list[int]] = {}
+    for p, _i, c in coeffs:
+        rows.setdefault(p, []).append(c)
+
+    def prep(df: DataFrame) -> DataFrame:
+        proj = random_projection(
+            df, out_dim=out_dim, in_dim=in_dim, scale=scale, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        base = _with_sqnorm(proj, "vec_id", "embedding")
+        lat = F.transform(
+            F.col("v"),
+            lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
+        )
+        w = base.select("id", "v", "sq", lat.alias("_y"))
+        bits = []
+        for p in range(int(n_planes)):
+            crow = F.array(*[F.lit(c) for c in rows[p]])
+            dot = F.aggregate(
+                F.zip_with(F.col("_y"), crow, lambda x, c: x * c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return w.select("id", "v", "sq", F.concat(*bits).alias("bucket"))
+
+    corpus = prep(embeddings).alias("c")
+    qs = prep(queries).alias("q")
+    dot = F.aggregate(
+        F.zip_with(F.col("q.v"), F.col("c.v"), _scaled_prod),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = qs.join(
+        corpus,
+        (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.id") != F.col("c.id")),
+    ).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        _cosine(dot).alias("cosine"),
+    )
+    return _topk(pairs, k)

@@ -336,3 +336,47 @@ def test_rp_topk_finds_query_cluster(spark, corpora):
     a = sorted(map(tuple, proj(corpus).collect()))
     b = sorted(map(tuple, proj(corpus.repartition(13)).collect()))
     assert a == b
+
+
+def test_rp_lsh_recall_vs_projected_brute(spark, corpora):
+    """JL-under-LSH (rp_lsh_topk) on the clustered corpus: candidates
+    from hyperplane buckets in the PROJECTED space must (a) score with
+    exactly the projected-space cosine of the all-pairs baseline (the
+    subset property — every returned pair appears in the baseline's
+    full ranking with an identical cosine) and (b) retain usable
+    recall on separated clusters, improving as planes shrink."""
+    from iconic_data_science_spark.operators.similarity import (
+        random_projection,
+        rp_lsh_topk,
+    )
+
+    corpus, queries, _exact = corpora
+    proj = lambda df: random_projection(  # noqa: E731
+        df, out_dim=8, in_dim=DIM, seed=0
+    )
+    base = brute_force_topk(proj(corpus), proj(queries), k=K)
+    exact_proj = {
+        (r.query_id, r.neighbor_id) for r in base.collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(proj(corpus), proj(queries), k=10**6).collect()
+    }
+    got = rp_lsh_topk(
+        corpus, queries, k=K, out_dim=8, in_dim=DIM, n_planes=4
+    ).collect()
+    assert got, "no candidates survived the 4-plane bucketing"
+    for r in got:
+        assert full[(r.query_id, r.neighbor_id)] == r.cosine
+    r4 = len({(r.query_id, r.neighbor_id) for r in got} & exact_proj) / len(
+        exact_proj
+    )
+    got8 = rp_lsh_topk(
+        corpus, queries, k=K, out_dim=8, in_dim=DIM, n_planes=8
+    ).collect()
+    r8 = len({(r.query_id, r.neighbor_id) for r in got8} & exact_proj) / len(
+        exact_proj
+    )
+    # separated clusters: 4 planes keep most true neighbors co-bucketed
+    assert r4 >= 0.5, f"recall@{K} with 4 planes = {r4}"
+    assert r4 >= r8, "coarser buckets must not lose recall vs finer ones"

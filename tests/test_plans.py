@@ -445,6 +445,12 @@ EXCHANGE_BUDGET = {
     "mix_unimax_sample": 0,
     # span corruption: pure in-row block arithmetic — one map pass
     "text_span_corruption": 0,
+    # round-8 additions.
+    # JL-under-LSH: projection + in-row bucket bits compose with the
+    # scan; visible exchanges are the bucket equi-join (broadcast at
+    # sf0.01 -> 1; budget 3 admits the sort-merge shape at scale:
+    # two sides + the ranking window)
+    "ann_rp_lsh_topk": 3,
 }
 
 
@@ -456,3 +462,19 @@ def test_exchange_count_within_budget(spark, sf01, name):
         f"{name}: {got} exchanges > budget {EXCHANGE_BUDGET[name]} — a shuffle "
         "crept into this plan; fix it or consciously raise the budget"
     )
+
+
+def test_rp_lsh_is_equi_join_not_nested_loop(spark, sf01):
+    """The point of composing JL under the hyperplane generator (r7
+    verdict item 2): the candidate join must be a hash/merge EQUI-join
+    on the bucket key — never a nested-loop over query x corpus (that
+    is `ann_rp_topk`, kept only as the truth baseline)."""
+    df = entrymod.queries()["ann_rp_lsh_topk"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # the truth baseline, by contrast, IS the nested loop
+    base = entrymod.queries()["ann_rp_topk"](spark, sf01)
+    bplan = inspect.formatted_plan(base)
+    assert "BroadcastNestedLoopJoin" in bplan or "CartesianProduct" in bplan
