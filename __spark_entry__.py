@@ -10051,36 +10051,82 @@ _ROUND7_FRONT = [
     "text_bpe_vocab",
 ]
 
-# ROUND-8 FRONT STAGING (builder note): the round-7 continuation added
-# 11 hash-oracled queries with no driver rows yet — they belong at the
-# head of _ROUND8_FRONT, in this order (pipeline composition first,
-# then the families):
-#   curation_pipeline_v8, text_c4_line_filter, mix_dsir_select,
-#   dedup_keep_best, ann_pq_trained, ann_pq_trained_topk,
-#   ann_embedding_audit, ann_rp_topk, mix_unimax_alloc,
-#   mix_unimax_sample, text_span_corruption
-# plus corpus_curriculum if CORRECTNESS_r07 didn't reach it. All are
-# green in parity_timing_r7.json / parity_hostile_r7.json and the
-# pytest parity gate; the driver rows are the remaining debt.
+# _ROUND8_FRONT: GENERATED by tools/build_front.py (VERDICT r7 item 6
+# — slot assignment is reproducible, never hand-ordered). Tiering:
+# never-driver-attempted first (the round-7 continuation's 12 debt
+# queries + the new ann_rp_lsh_topk), then oldest-evidence-first;
+# --boost promotes plan-changed queries whose old rows no longer
+# evidence the shipped plan (g7 pair: r7 single-exchange regime) and
+# the r7 watch item q1_pricing_summary. Regenerate with:
+#   python tools/build_front.py --boost curation_pipeline_v8,\
+#     g7_ego_indicators,g7_alter_rollups,g1_coauthor_edges,\
+#     profile_conversion,g4_bfs,q1_pricing_summary
+_ROUND8_FRONT = [
+    "curation_pipeline_v8",  # never driver-attempted; boosted (plan changed since last row)
+    "corpus_curriculum",  # never driver-attempted
+    "text_c4_line_filter",  # never driver-attempted
+    "mix_dsir_select",  # never driver-attempted
+    "dedup_keep_best",  # never driver-attempted
+    "ann_pq_trained",  # never driver-attempted
+    "ann_pq_trained_topk",  # never driver-attempted
+    "ann_embedding_audit",  # never driver-attempted
+    "ann_rp_topk",  # never driver-attempted
+    "ann_rp_lsh_topk",  # never driver-attempted
+    "mix_unimax_alloc",  # never driver-attempted
+    "mix_unimax_sample",  # never driver-attempted
+    "text_span_corruption",  # never driver-attempted
+    "a2_approx_distinct",  # latest evidence r1
+    "j_full_outer_halves",  # latest evidence r3
+    "w_ntile_balance_quartiles",  # latest evidence r3
+    "mm_decode_stats",  # latest evidence r3
+    "text_bpe_vocab",  # latest evidence r3
+    "g7_ego_indicators",  # latest evidence r4; boosted (plan changed since last row)
+    "g7_alter_rollups",  # latest evidence r4; boosted (plan changed since last row)
+    "g1_coauthor_edges",  # latest evidence r4; boosted (plan changed since last row)
+    "profile_conversion",  # latest evidence r4; boosted (plan changed since last row)
+    "g4_bfs",  # latest evidence r4; boosted (plan changed since last row)
+    "q1_pricing_summary",  # latest evidence r4; boosted (plan changed since last row)
+    "ev_kmv_distinct",  # latest evidence r4
+    "ev_kmv_overlap",  # latest evidence r4
+    "text_bm25_rerank",  # latest evidence r4
+    "lh_hilbert_stats",  # latest evidence r4
+    "mm_byte_histogram",  # latest evidence r4
+    "mm_media_stats",  # latest evidence r4
+    "mm_probe",  # latest evidence r4
+    "lh_compaction_plan",  # latest evidence r4
+    "curation_pipeline_v3",  # latest evidence r4
+    "decontaminate_bloom",  # latest evidence r4
+    "ann_ivfpq_topk",  # latest evidence r4
+    "dedup_minhash_lsh",  # latest evidence r4
+    "dedup_simhash",  # latest evidence r4
+    "dedup_simhash_pairs",  # latest evidence r4
+    "g5_hierarchy_roots",  # latest evidence r4
+    "a1_papers_per_author",  # latest evidence r4
+    "p_projection_filter",  # latest evidence r4
+    "w1_cumulative_papers",  # latest evidence r4
+    "pr_citation_edges",  # latest evidence r4
+    "a8_zero_filled_citations",  # latest evidence r4
+    "w1_cumulative_citations",  # latest evidence r4
+    "w_moving_3yr_citations",  # latest evidence r4
+    "g_triangle_count",  # latest evidence r4
+    "u3_except_authors",  # latest evidence r4
+    "u4_intersect_authors",  # latest evidence r4
+    "j7_or_join",  # latest evidence r4
+]
 
-
-# Round-7 front wins (evidence-debt flush); the earlier rounds' fronts
-# follow (hash-green in their rounds, so re-verification in any
-# remaining driver-window slots is harmless), then everything else in
-# original order.
-QUERIES = _reordered(
+# Each round's front wins the head slots over the one before it
+# (applied oldest-first so the newest front ends up at the head);
+# everything not named keeps its original relative order.
+for _front in (
+    _ROUND2_FRONT,
+    _ROUND3_FRONT,
+    _ROUND4_FRONT,
+    _ROUND5_FRONT,
+    _ROUND6_FRONT,
     _ROUND7_FRONT,
-    _reordered(
-        _ROUND6_FRONT,
-        _reordered(
-            _ROUND5_FRONT,
-            _reordered(
-                _ROUND4_FRONT,
-                _reordered(_ROUND3_FRONT, _reordered(_ROUND2_FRONT, QUERIES)),
-            ),
-        ),
-    ),
-)
+    _ROUND8_FRONT,
+):
+    QUERIES = _reordered(_front, QUERIES)
 
 # ---------------------------------------------------------------------------
 # driver contract
