@@ -4454,9 +4454,14 @@ def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects once under a vocab threshold and the classical incremental
     trainer runs driver-locally — ONE Spark job; the distributed
     per-round weighted-pair-count loop is the exact over-threshold
-    fallback): the learned rank-ordered merge table. Rows-only
-    (iterative, not SQL-expressible); both tiers are golden-pinned
-    against a sequential reference in tests/test_bpe.py."""
+    fallback): the learned rank-ordered merge table. Hash-oracled
+    since round 8 (closing the r7 rows-only debt): num_merges is a
+    fixed literal, so the oracle UNROLLS the ten training rounds as
+    chained CTEs — each round's argmax pair is a 1-row CTE and the
+    next round's vocabulary applies it with a literal (non-regex)
+    own-delimiter replace whose pattern is BUILT from that CTE's
+    columns — exactly the classical greedy recurrence both tiers are
+    golden-pinned to in tests/test_bpe.py."""
     from iconic_data_science_spark.operators.bpe import bpe_train
 
     cat = _cat(spark, sf_dir)
@@ -4659,6 +4664,56 @@ ORACLES["ev_attribution"] = """
 """
 
 ORACLES["text_bpe_encode"] = _bpe_oracle_sql(_BPE_MERGES)
+
+
+def _bpe_train_oracle_sql(num_merges: int = 10) -> str:
+    """Unrolled BPE TRAINING oracle (r7 verdict item 5). Round k:
+    weighted pair counts over vocabulary w{k}, argmax with the
+    (count desc, left asc, right asc) tie-break as a 1-row CTE m{k},
+    then w{k+1} applies the merge via plain (non-regex) replace whose
+    literal pattern is concatenated from m{k}'s columns — the
+    own-delimiter representation makes single-pass non-overlapping
+    replace exactly classical greedy BPE (operators/bpe._spaced), and
+    avoiding regex means a merge symbol containing a metacharacter
+    can never change semantics. An empty m{k} (no pairs left) empties
+    every later w/m CTE, matching the trainer's early break."""
+    parts = [
+        """wf AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY 1
+    ),
+    w0 AS MATERIALIZED (
+        SELECT ' ' || array_to_string(string_split_regex(word, ''), '  ') || ' ' AS sym,
+               cnt
+        FROM wf
+    )"""
+    ]
+    for k in range(num_merges):
+        parts.append(
+            f"""p{k} AS (
+        SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+            SELECT unnest([{{'l': syms[i], 'r': syms[i+1]}}
+                           for i in generate_series(1, len(syms) - 1)]) AS p,
+                   cnt
+            FROM (SELECT string_split(trim(sym), '  ') AS syms, cnt FROM w{k})
+        ) GROUP BY 1, 2
+    ),
+    m{k} AS MATERIALIZED (SELECT l, r FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+    w{k + 1} AS MATERIALIZED (
+        SELECT replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+                       ' ' || m.l || m.r || ' ') AS sym, cnt
+        FROM w{k}, m{k} m
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f'SELECT CAST({k} AS INT) AS rank, l AS "left", r AS "right" FROM m{k}'
+        for k in range(num_merges)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {union}"
+
+
+ORACLES["text_bpe_vocab"] = _bpe_train_oracle_sql(10)
 ORACLES["text_bpe_fertility"] = f"""
     WITH c AS ({ORACLES["text_bpe_encode"]}),
     j AS (SELECT d.lang, c.n_words, c.n_chars, c.n_bpe_tokens

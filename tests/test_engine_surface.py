@@ -71,10 +71,11 @@ def test_driver_contract_integrity():
     # round 7 retired the float rows-only twins ann_ivf_kmeans and
     # g_pagerank from the registry (exact integer twins carry the hash
     # gate; the float operators stay, tested directly)
+    # round 8 closed the text_bpe_vocab rows-only debt: the fixed
+    # num_merges lets the oracle unroll all ten training rounds
     assert set(qs) - set(os_) == {
         "a2_approx_distinct",   # HLL sketch — not exact-hashable (exact twin grain in g7_ego_indicators)
         "mm_decode_stats",      # JPEG/GIF rows are quantized codec outputs, not replayable arithmetic (lossless twin mm_lossless_decode_stats is oracled; mm_frame_sample gained an arithmetic-replay oracle in round 5)
-        "text_bpe_vocab",       # iterative BPE training loop (golden-pinned in tests/test_bpe.py)
     }
     for name, fn in qs.items():
         assert fn.__doc__, f"{name} has no docstring"
@@ -84,7 +85,6 @@ def test_driver_contract_integrity():
     twin_pointer = {
         "a2_approx_distinct": "countDistinct",
         "mm_decode_stats": "mm_lossless_decode_stats",
-        "text_bpe_vocab": "test_bpe.py",
     }
     for name, needle in twin_pointer.items():
         assert needle in qs[name].__doc__, f"{name} lacks twin pointer"
