@@ -9593,6 +9593,59 @@ ORACLES["ann_rp_lsh_topk"] = ORACLES["ann_rp_lsh_topk"].replace(
 )
 
 
+def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering input (operators/
+    text.bigram_surprisal): per-document integer surprisal under the
+    corpus's own bigram LM — s = ilog2(ctx(w1)) - ilog2(c(w1,w2)) per
+    occurrence, ilog2 as length(bin(x))-1 so the score is engine-exact
+    (true logs differ in the last ulp). Formulaic/repetitive docs
+    score near 0, rare-transition docs score high — the head/middle/
+    tail signal CCNet buckets on. Bounded LM tables (vocab-grain
+    aggregates), two equi-joins, one per-doc rollup; <2-token docs
+    rejoin as a map-side union. The oracle replays the counts, the
+    binary-length logs, and the milli division."""
+    from iconic_data_science_spark.operators.text import bigram_surprisal
+
+    cat = _cat(spark, sf_dir)
+    return bigram_surprisal(cat.documents)
+
+
+QUERIES["text_bigram_surprisal"] = q_text_bigram_surprisal
+
+ORACLES["text_bigram_surprisal"] = """
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id,
+               [w for w in string_split(lower(coalesce(text, '')), ' ')
+                if w <> ''] AS t
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest([{'w1': t[i], 'w2': t[i+1]}
+                           for i in generate_series(1, len(t) - 1)]) AS p
+            FROM tk WHERE len(t) >= 2
+        )
+    ),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cctx FROM bg GROUP BY 1),
+    agg AS (
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(1000 * SUM(length(bin(ctx.cctx)) - length(bin(bgc.cbg)))
+                    // COUNT(*) AS BIGINT) AS surprisal_milli
+        FROM bg
+        JOIN bgc USING (w1, w2)
+        JOIN ctx USING (w1)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, surprisal_milli FROM agg
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM tk WHERE len(t) < 2
+"""
+
+
 _UNIMAX_ALLOC_SQL = """per_lang AS (
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -10130,6 +10183,7 @@ _ROUND8_FRONT = [
     "mix_unimax_alloc",  # never driver-attempted
     "mix_unimax_sample",  # never driver-attempted
     "text_span_corruption",  # never driver-attempted
+    "text_bigram_surprisal",  # never driver-attempted
     "a2_approx_distinct",  # latest evidence r1
     "j_full_outer_halves",  # latest evidence r3
     "w_ntile_balance_quartiles",  # latest evidence r3
@@ -10166,7 +10220,6 @@ _ROUND8_FRONT = [
     "g_triangle_count",  # latest evidence r4
     "u3_except_authors",  # latest evidence r4
     "u4_intersect_authors",  # latest evidence r4
-    "j7_or_join",  # latest evidence r4
 ]
 
 # Each round's front wins the head slots over the one before it

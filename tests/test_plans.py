@@ -451,6 +451,10 @@ EXCHANGE_BUDGET = {
     # sf0.01 -> 1; budget 3 admits the sort-merge shape at scale:
     # two sides + the ranking window)
     "ann_rp_lsh_topk": 3,
+    # bigram surprisal: ONE corpus-grain LM aggregate (ctx derives from
+    # the bigram table via a vocab-grain window, not a second corpus
+    # pass), the probe equi-join, the per-doc rollup + AQE reads
+    "text_bigram_surprisal": 6,
 }
 
 
