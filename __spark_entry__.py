@@ -9612,6 +9612,75 @@ def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_bigram_surprisal"] = q_text_bigram_surprisal
 
+
+def q_text_surprisal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet ingest filter in its production shape (operators/
+    text.bigram_lm_topk + bigram_surprisal_gate): the 256 hottest
+    corpus bigrams collect once as the PRUNED LM (bounded model
+    metadata, the classifier-weights discipline — CCNet prunes its
+    KenLM the same way), then the gate is a pure in-row fold over the
+    doc's bigram keys with a literal map lookup (unseen → default 10),
+    keeping docs at or below the median-ish 7900 milli cutoff. Zero
+    exchanges in the gate — streamable (stream == batch pinned in
+    test_streaming). The oracle re-derives the top-256 LM with the
+    same (count desc, w1, w2) tie-break and replays the fold as a
+    left join + coalesce."""
+    from iconic_data_science_spark.operators.text import (
+        bigram_lm_topk,
+        bigram_surprisal_gate,
+    )
+
+    cat = _cat(spark, sf_dir)
+    lm = bigram_lm_topk(cat.documents, k=256)
+    return bigram_surprisal_gate(
+        cat.documents, lm, default_s=10, cutoff_milli=7900
+    )
+
+
+QUERIES["text_surprisal_gate"] = q_text_surprisal_gate
+
+ORACLES["text_surprisal_gate"] = """
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id,
+               [w for w in string_split(lower(coalesce(text, '')), ' ')
+                if w <> ''] AS t
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest([{'w1': t[i], 'w2': t[i+1]}
+                           for i in generate_series(1, len(t) - 1)]) AS p
+            FROM tk WHERE len(t) >= 2
+        )
+    ),
+    bgc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY 1, 2
+    ),
+    lm AS MATERIALIZED (
+        SELECT w1, w2,
+               (length(bin(CAST(SUM(cbg) OVER (PARTITION BY w1) AS BIGINT)))
+                - length(bin(cbg))) AS s
+        FROM bgc
+        ORDER BY cbg DESC, w1, w2 LIMIT 256
+    ),
+    agg AS (
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(1000 * SUM(coalesce(lm.s, 10)) // COUNT(*) AS BIGINT)
+                   AS surprisal_milli
+        FROM bg LEFT JOIN lm USING (w1, w2)
+        GROUP BY 1
+    ),
+    allrows AS (
+        SELECT doc_id, n_bigrams, surprisal_milli FROM agg
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM tk WHERE len(t) < 2
+    )
+    SELECT * FROM allrows WHERE surprisal_milli <= 7900
+"""
+
 ORACLES["text_bigram_surprisal"] = """
     WITH tk AS MATERIALIZED (
         SELECT doc_id,
@@ -10184,6 +10253,7 @@ _ROUND8_FRONT = [
     "mix_unimax_sample",  # never driver-attempted
     "text_span_corruption",  # never driver-attempted
     "text_bigram_surprisal",  # never driver-attempted
+    "text_surprisal_gate",  # never driver-attempted
     "a2_approx_distinct",  # latest evidence r1
     "j_full_outer_halves",  # latest evidence r3
     "w_ntile_balance_quartiles",  # latest evidence r3
@@ -10219,7 +10289,6 @@ _ROUND8_FRONT = [
     "w_moving_3yr_citations",  # latest evidence r4
     "g_triangle_count",  # latest evidence r4
     "u3_except_authors",  # latest evidence r4
-    "u4_intersect_authors",  # latest evidence r4
 ]
 
 # Each round's front wins the head slots over the one before it

@@ -1512,3 +1512,133 @@ def bigram_surprisal(
         F.lit(0).cast("long").alias("surprisal_milli"),
     )
     return scored.unionByName(degenerate)
+
+
+def bigram_lm_topk(
+    documents: DataFrame,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """[(w1, w2, s)] — the k most frequent corpus bigrams with their
+    integer surprisal s = ilog2(ctx(w1)) - ilog2(c(w1,w2)): the PRUNED
+    bigram LM (CCNet prunes its KenLM the same way — the hot head of
+    the distribution carries the perplexity signal; the long tail is
+    defaulted). Deterministic tie-break (count desc, w1 asc, w2 asc).
+
+    Bounded model metadata: k rows collect to the driver (the
+    classifier-weights / DSIR-histogram discipline) so the gate built
+    from them is a PURE MAP — streamable, broadcast-free. Guarded at
+    k ≤ 100_000."""
+    if k > 100_000:
+        raise ValueError(f"k={k}: the pruned LM is driver metadata; keep it bounded")
+    from pyspark.sql import Window as W
+
+    t = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = documents.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_t")) - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_t"), i).alias("w1"),
+            F.element_at(F.col("_t"), i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        base.filter(F.size("_t") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    lm = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("_cbg"))
+        .withColumn("_cctx", F.sum("_cbg").over(W.partitionBy("w1")))
+        .select(
+            "w1",
+            "w2",
+            (F.length(F.bin(F.col("_cctx"))) - F.length(F.bin(F.col("_cbg"))))
+            .cast("long")
+            .alias("s"),
+            "_cbg",
+        )
+        .orderBy(F.col("_cbg").desc(), "w1", "w2")
+        .limit(int(k))
+        .collect()
+    )
+    return [(r.w1, r.w2, r.s) for r in lm]
+
+
+def bigram_surprisal_gate(
+    documents: DataFrame,
+    lm: list[tuple[str, str, int]],
+    default_s: int = 10,
+    cutoff_milli: int = 5000,
+    keep_below: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, surprisal_milli) of documents passing the
+    pruned-LM perplexity gate — the CCNet ingest filter in its
+    STREAMING-compatible form: the LM is ``bigram_lm_topk``'s bounded
+    literal table baked into the plan as a map literal, the score is a
+    pure in-row fold (unseen bigrams take ``default_s``), so
+    ``documents`` may be an APPEND STREAM (the temperature-gate
+    pattern; stream == batch pinned in test_streaming). keep_below
+    keeps the head (low perplexity under a reference LM); flip it to
+    keep rare-transition docs instead. Zero exchanges."""
+    t = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    kv: list[Column] = []
+    for w1, w2, s in lm:
+        kv.append(F.lit(f"{w1} {w2}"))
+        kv.append(F.lit(int(s)))
+    lm_map = F.create_map(*kv) if kv else F.create_map()
+    base = documents.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+    # guard the sequence: Spark's sequence(1, 0) DESCENDS ([1, 0]) and
+    # element_at(_t, 0) throws — <2-token docs get an empty key array
+    pair_keys = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_t")) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("_t"), i), F.element_at(F.col("_t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    keyed = base.select("doc_id", F.size("_t").alias("_n"), pair_keys.alias("_k"))
+    tot = F.aggregate(
+        F.transform(
+            F.col("_k"),
+            lambda key: F.coalesce(
+                F.element_at(lm_map, key).cast("long"), F.lit(int(default_s))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # name _tot in its own projection (the lambda-CSE rule): the fold is
+    # referenced by the milli division only, but keep the discipline
+    scored = (
+        keyed.select("doc_id", "_n", "_k", tot.alias("_tot"))
+        .select(
+            "doc_id",
+            F.when(F.col("_n") >= 2, F.size("_k"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.when(F.col("_n") >= 2, F.expr("1000L * _tot div size(_k)"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("surprisal_milli"),
+        )
+    )
+    cond = (
+        F.col("surprisal_milli") <= int(cutoff_milli)
+        if keep_below
+        else F.col("surprisal_milli") >= int(cutoff_milli)
+    )
+    return scored.filter(cond)

@@ -1795,3 +1795,38 @@ def test_bigram_surprisal_separates_repetitive_from_diverse(spark, sf_dir):
         for r in bigram_surprisal(docs.select("doc_id", "text").unionByName(extra2)).collect()
     }
     assert s2[900003] > 0
+
+
+def test_surprisal_gate_pruned_lm_and_defaults(spark, sf_dir):
+    """Pruned-LM gate contract: LM rows carry the exact ilog2 gap of
+    the full table (subset of bigram_surprisal's model), unseen bigrams
+    take the default, degenerate docs pass with (0, 0), and k is
+    guarded as driver metadata."""
+    import pytest
+
+    from iconic_data_science_spark.operators.text import (
+        bigram_lm_topk,
+        bigram_surprisal_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = bigram_lm_topk(docs, k=16)
+    assert len(lm) == 16
+    assert all(s >= 0 for _, _, s in lm)
+    # a doc made ONLY of the hottest LM bigram scores exactly 1000*s
+    w1, w2, s = lm[0]
+    probe = spark.createDataFrame(
+        [(1, f"{w1} {w2}"), (2, "zz1 zz2 zz3"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.surprisal_milli)
+        for r in bigram_surprisal_gate(
+            probe, lm, default_s=7, cutoff_milli=10**9
+        ).collect()
+    }
+    assert out[1] == (1, 1000 * s)
+    assert out[2] == (2, 7000)  # both transitions unseen -> default
+    assert out[3] == (0, 0)     # degenerate: passes, scores zero
+    with pytest.raises(ValueError):
+        bigram_lm_topk(docs, k=200_000)

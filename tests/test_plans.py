@@ -455,6 +455,10 @@ EXCHANGE_BUDGET = {
     # the bigram table via a vocab-grain window, not a second corpus
     # pass), the probe equi-join, the per-doc rollup + AQE reads
     "text_bigram_surprisal": 6,
+    # pruned-LM gate: the top-k LM collected eagerly as driver
+    # metadata; the RETURNED frame is a pure in-row fold — zero
+    # exchanges is the operator's point (streamable)
+    "text_surprisal_gate": 0,
 }
 
 

@@ -542,3 +542,25 @@ def test_streaming_unimax_gate_equals_batch(spark, sf_dir):
     stream = unimax_sample_against(sd.read_document_stream(spark, sf_dir), alloc)
     got = _run_stream(spark, stream, "t_unimax_gate", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_surprisal_gate_equals_batch(spark, sf_dir):
+    """CCNet-style pruned-LM perplexity gate at ingest: the top-k
+    bigram LM learns once on the static corpus and bakes into the plan
+    as a map literal; the gate is a pure in-row fold, so an append
+    stream is admitted document by document; stream == batch row for
+    row."""
+    from iconic_data_science_spark.operators.text import (
+        bigram_lm_topk,
+        bigram_surprisal_gate,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    lm = bigram_lm_topk(docs, k=64)
+    batch = bigram_surprisal_gate(docs, lm, cutoff_milli=8000)
+    stream = bigram_surprisal_gate(
+        sd.read_document_stream(spark, sf_dir), lm, cutoff_milli=8000
+    )
+    got = _run_stream(spark, stream, "t_surprisal_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
