@@ -95,6 +95,14 @@ HEADLINE = [
     "text_c4_line_filter",
     "mix_dsir_select",
     "curation_pipeline_v8",
+    # round-8 additions: JL projection composed under the hyperplane
+    # candidate generator (the scale form whose brute twin ann_rp_topk
+    # measured 96 s at sf1 — this one must stay ~linear), and the
+    # bigram-LM perplexity scorer (one corpus-grain aggregate + probe
+    # join). The pruned-LM gate is excluded: a zero-exchange map over
+    # the same scan that c4/dsir already measure.
+    "ann_rp_lsh_topk",
+    "text_bigram_surprisal",
 ]
 
 
