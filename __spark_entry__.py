@@ -9297,6 +9297,164 @@ ORACLES["curation_pipeline_v8"] = f"""
 """
 
 
+def q_curation_pipeline_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 composition — the CCNet+DSIR hybrid: C4 line-level
+    cleaning at ingest → pruned-LM perplexity gate ON the cleaned
+    corpus (the 256 hottest cleaned-corpus bigrams as driver-literal
+    LM, keep at/below the median-ish 8240 milli cutoff — CCNet keeps
+    the low-perplexity head) → DSIR importance selection over the gate
+    SURVIVORS (weights learned on what passed, toward lang='en',
+    top-50). Each stage learns on the previous stage's output — the
+    order-matters property one hash covers end to end: paging, every
+    C4 rule, the LM tie-break, the fold with defaults, the histograms,
+    the ratio weights, the scores and both cuts. The cleaned frame
+    localCheckpoints (feeds the LM job, the gate plan, and DSIR — the
+    r7 cross-branch rule)."""
+    from iconic_data_science_spark.operators.featurize import dsir_pipeline
+    from iconic_data_science_spark.operators.text import (
+        bigram_lm_topk,
+        bigram_surprisal_gate,
+        c4_line_filter,
+    )
+
+    cat = _cat(spark, sf_dir)
+    cleaned = (
+        c4_line_filter(
+            _c4_pages(cat.documents),
+            min_words_per_line=3,
+            min_kept_lines=3,
+            bad_words=["badword"],
+        )
+        .filter(F.col("keep") == 1)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(cat.documents.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
+    )
+    lm = bigram_lm_topk(cleaned, k=256)
+    survivors = bigram_surprisal_gate(
+        cleaned, lm, default_s=10, cutoff_milli=8240
+    ).select("doc_id")
+    gated = cleaned.join(survivors, "doc_id")
+    return dsir_pipeline(
+        gated, target=F.col("lang") == "en", n_keep=50, dim=256, seed=42
+    )
+
+
+QUERIES["curation_pipeline_v9"] = q_curation_pipeline_v9
+
+# v8's C4 block, then the pruned-LM gate over `cleaned`, then v8's DSIR
+# chain re-rooted at the gate survivors.
+ORACLES["curation_pipeline_v9"] = f"""
+    WITH {_C4_STATS_SQL},
+    cleaned AS MATERIALIZED (
+        SELECT s.doc_id, s.kept_text AS text, d.lang
+        FROM stats s
+        JOIN flags f USING (doc_id)
+        JOIN documents d USING (doc_id)
+        WHERE f.f_lorem + f.f_brace + f.f_bad_words = 0 AND s.n_kept >= 3
+    ),
+    gtk AS MATERIALIZED (
+        SELECT doc_id,
+               [w for w in string_split(lower(coalesce(text, '')), ' ')
+                if w <> ''] AS t
+        FROM cleaned
+    ),
+    gbg AS MATERIALIZED (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                           for i in generate_series(1, len(t) - 1)]) AS p
+            FROM gtk WHERE len(t) >= 2
+        )
+    ),
+    gbgc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg FROM gbg GROUP BY 1, 2
+    ),
+    glm AS MATERIALIZED (
+        SELECT w1, w2,
+               (length(bin(CAST(SUM(cbg) OVER (PARTITION BY w1) AS BIGINT)))
+                - length(bin(cbg))) AS s
+        FROM gbgc
+        ORDER BY cbg DESC, w1, w2 LIMIT 256
+    ),
+    gmilli AS (
+        SELECT gbg.doc_id,
+               CAST(1000 * SUM(coalesce(glm.s, 10)) // COUNT(*) AS BIGINT)
+                   AS surprisal_milli
+        FROM gbg LEFT JOIN glm USING (w1, w2)
+        GROUP BY 1
+    ),
+    gated AS MATERIALIZED (
+        SELECT c.* FROM cleaned c
+        LEFT JOIN gmilli g USING (doc_id)
+        WHERE coalesce(g.surprisal_milli, 0) <= 8240
+    ),
+    ctoks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           w -> w <> '') AS t
+        FROM gated
+    ),
+    occ AS MATERIALIZED (
+        SELECT doc_id, lang, unnest(bs) AS b FROM (
+            SELECT doc_id, lang,
+                   [list_reduce(
+                        [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                         for c in string_split_regex(
+                             substr(md5(t[i] || ' ' || t[i+1]), 1, 12), '')],
+                        (a, b) -> a * 16 + b) % 256
+                    for i in generate_series(1, len(t)-1)] AS bs
+            FROM ctoks
+        )
+    ),
+    cnt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_s,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_t
+        FROM occ GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_s) AS BIGINT) AS n_s,
+               CAST(SUM(c_t) AS BIGINT) AS n_t
+        FROM cnt
+    ),
+    wts AS (
+        SELECT g.b,
+               CAST((CAST(1000000 AS HUGEINT)
+                     * (COALESCE(c.c_t, 0) + 1) * (t.n_s + 256))
+                    // (CAST(COALESCE(c.c_s, 0) + 1 AS HUGEINT)
+                        * (t.n_t + 256)) AS BIGINT) AS w
+        FROM (SELECT UNNEST(range(0, 256)) AS b) g
+        LEFT JOIN cnt c ON c.b = g.b, tot t
+    ),
+    per_doc AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS f
+        FROM occ GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.doc_id,
+               CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(s.score, 0) AS BIGINT) AS dsir_score
+        FROM gated c
+        LEFT JOIN (
+            SELECT p.doc_id, SUM(p.f * w.w) AS score
+            FROM per_doc p JOIN wts w ON w.b = p.b GROUP BY 1
+        ) s USING (doc_id)
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n FROM occ GROUP BY 1
+        ) nb USING (doc_id)
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   ORDER BY dsir_score DESC,
+                            md5('42:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams, dsir_score FROM r WHERE rn <= 50
+"""
+
+
 def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained product quantization (operators/similarity.
     pq_trained_codes): per-subspace integer-lattice k-means codebooks
@@ -10254,6 +10412,7 @@ _ROUND8_FRONT = [
     "text_span_corruption",  # never driver-attempted
     "text_bigram_surprisal",  # never driver-attempted
     "text_surprisal_gate",  # never driver-attempted
+    "curation_pipeline_v9",  # never driver-attempted
     "a2_approx_distinct",  # latest evidence r1
     "j_full_outer_halves",  # latest evidence r3
     "w_ntile_balance_quartiles",  # latest evidence r3
@@ -10288,7 +10447,6 @@ _ROUND8_FRONT = [
     "w1_cumulative_citations",  # latest evidence r4
     "w_moving_3yr_citations",  # latest evidence r4
     "g_triangle_count",  # latest evidence r4
-    "u3_except_authors",  # latest evidence r4
 ]
 
 # Each round's front wins the head slots over the one before it

@@ -98,3 +98,43 @@ def test_curation_v8_selects_only_cleaned_survivors(spark, sf_dir):
     # below it could beat (ties handled by the md5 lottery inside)
     scores = [r.dsir_score for r in sel]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_curation_v9_respects_both_gates(spark, sf_dir):
+    """Every v9-selected document is a C4 survivor AND passed the
+    pruned-LM perplexity gate learned on the cleaned corpus; the
+    selection is min(50, gate survivors) with descending scores."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from iconic_data_science_spark.operators.text import (
+        bigram_lm_topk,
+        bigram_surprisal_gate,
+        c4_line_filter,
+    )
+
+    sel = entrymod.q_curation_pipeline_v9(spark, sf_dir).collect()
+    cat = entrymod._cat(spark, sf_dir)
+    cleaned = (
+        c4_line_filter(
+            entrymod._c4_pages(cat.documents),
+            min_words_per_line=3,
+            min_kept_lines=3,
+            bad_words=["badword"],
+        )
+        .filter(F.col("keep") == 1)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint()
+    )
+    lm = bigram_lm_topk(cleaned, k=256)
+    survivors = {
+        r.doc_id
+        for r in bigram_surprisal_gate(
+            cleaned, lm, default_s=10, cutoff_milli=8240
+        ).collect()
+    }
+    assert survivors, "gate killed everything — cutoff drifted"
+    assert len(sel) == min(50, len(survivors))
+    assert all(r.doc_id in survivors for r in sel)
+    scores = [r.dsir_score for r in sel]
+    assert scores == sorted(scores, reverse=True)

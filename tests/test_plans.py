@@ -459,6 +459,10 @@ EXCHANGE_BUDGET = {
     # metadata; the RETURNED frame is a pure in-row fold — zero
     # exchanges is the operator's point (streamable)
     "text_surprisal_gate": 0,
+    # v9 composition: like v8, every corpus-grain exchange runs eagerly
+    # behind checkpoints (cleaned corpus, DSIR bucket arrays) or the
+    # driver-literal LM collect — the returned plan is map + TakeOrdered
+    "curation_pipeline_v9": 0,
 }
 
 
