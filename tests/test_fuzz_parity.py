@@ -107,6 +107,17 @@ DOC_QUERIES = [
     # span corruption under degenerate docs (empty, shorter than one
     # block, offsets past the block end)
     "text_span_corruption",
+    # round-8: bigram surprisal under tiny/dup-heavy vocab (repeated
+    # bigrams drive ilog2 gaps to 0; single-token docs take the
+    # degenerate union branch), the pruned-LM gate (top-k tie-break on
+    # tiny distinct-bigram tables, unseen-default fold), the BPE
+    # training unroll (early-break rounds when the tiny vocab runs out
+    # of pairs), and the composed v9 (empty gate-survivor sets must
+    # hash empty on BOTH engines)
+    "text_bigram_surprisal",
+    "text_surprisal_gate",
+    "text_bpe_vocab",
+    "curation_pipeline_v9",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]
