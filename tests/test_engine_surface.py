@@ -160,3 +160,28 @@ def test_session3_queries_partition_invariant(spark, sf_dir):
             pd.testing.assert_frame_equal(snap(n), base[n], check_dtype=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_build_front_tiering_rules():
+    """tools/build_front.py is the reproducible front generator
+    (r7 verdict item 6): never-attempted first (oracled before
+    rows-only), then oldest-evidence-first; --boost promotes within a
+    tier without crossing tiers; stable within ties."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from build_front import build_front
+
+    names = ["q_old4", "q_new_rows", "q_old3", "q_new_orc", "q_old4b", "q_fresh7"]
+    oracled = {"q_old4", "q_old3", "q_new_orc", "q_old4b", "q_fresh7"}
+    latest = {"q_old4": 4, "q_old3": 3, "q_old4b": 4, "q_fresh7": 7}
+    attempted = set(latest)
+    front = [n for n, _ in build_front(names, oracled, latest, attempted, 10, [])]
+    # tier 0: never attempted, oracled first; tier 1: oldest first,
+    # registration order within a round
+    assert front == ["q_new_orc", "q_new_rows", "q_old3", "q_old4", "q_old4b", "q_fresh7"]
+    # boost reorders WITHIN the r4 tier but cannot jump tiers
+    boosted = [
+        n for n, _ in build_front(names, oracled, latest, attempted, 10, ["q_old4b"])
+    ]
+    assert boosted == ["q_new_orc", "q_new_rows", "q_old3", "q_old4b", "q_old4", "q_fresh7"]
