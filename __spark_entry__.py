@@ -10068,6 +10068,532 @@ ORACLES["text_span_corruption"] = """
 """
 
 
+def q_ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-vector late-interaction top-5 (operators/
+    similarity.maxsim_topk, candidates=None): ColBERT's MaxSim
+    (Khattab & Zaharia 2020) — each document is the ordered bag of 4
+    token vectors (tdoc = vec_id div 4), and score(Q, D) = Σ over
+    query tokens of the best token-pair cosine in D. TRUTH BASELINE
+    ONLY, the ``ann_brute_topk`` discipline: it scores every
+    query×corpus doc pair, so it exists to anchor the recall of the
+    bucketed serving form ``ann_maxsim_rerank`` — never the plan to
+    run at scale. Token dots come off the 1e12 integer lattice; the
+    query-token fold starts at 0.0 in array order, which the oracle
+    replays with list_prepend(0.0, …) + list_reduce."""
+    from iconic_data_science_spark.operators.similarity import (
+        maxsim_topk,
+        multivector_docs,
+    )
+
+    cat = _cat(spark, sf_dir)
+    docs = multivector_docs(cat.embeddings, m=4)
+    return maxsim_topk(docs, docs.filter(F.col("tdoc") % 10 == 0), k=5)
+
+
+QUERIES["ann_maxsim_topk"] = q_ann_maxsim_topk
+
+_MAXSIM_DOCS_SQL = """e AS (
+        SELECT vec_id, embedding,
+               vec_id // 4 AS tdoc, vec_id % 4 AS tok,
+               list_reduce(
+                   [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               * 1000000000000.0) AS BIGINT)
+                    for x in embedding], (a, b) -> a + b) AS sq
+        FROM embeddings
+    ),
+    docs AS MATERIALIZED (
+        SELECT tdoc, list(struct_pack(v := embedding, sq := sq)
+                          ORDER BY tok) AS tv
+        FROM e GROUP BY 1
+    )"""
+
+_MAXSIM_SCORE_SQL = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [ list_max([
+                   list_reduce(
+                       [CAST(round(CAST(qt.v[i] AS DOUBLE)
+                                   * CAST(ct.v[i] AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)
+                        for i in generate_series(1, len(qt.v))],
+                       (x, y) -> x + y)
+                   / sqrt(CAST(qt.sq AS DOUBLE) * CAST(ct.sq AS DOUBLE))
+                 for ct in c.tv])
+               for qt in q.tv]), (a, b) -> a + b)"""
+
+ORACLES["ann_maxsim_topk"] = f"""
+    WITH {_MAXSIM_DOCS_SQL},
+    q AS (SELECT * FROM docs WHERE tdoc % 10 = 0),
+    pairs AS (
+        SELECT q.tdoc AS query_id, c.tdoc AS neighbor_id,
+               {_MAXSIM_SCORE_SQL} AS maxsim
+        FROM q JOIN docs c ON q.tdoc <> c.tdoc
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY maxsim DESC, neighbor_id) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, maxsim, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 5
+"""
+
+
+def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MaxSim SERVING shape (operators/similarity.maxsim_topk over
+    maxsim_lsh_candidates): first-stage retrieval runs per query TOKEN
+    — two docs are candidates iff any of their tokens share a 6-bit
+    hyperplane sign bucket (seed table 11) — then exact late-
+    interaction MaxSim reranks only the candidate pairs. This is
+    ColBERT's architecture verbatim: token-level ANN for candidates,
+    MaxSim for the final order.
+
+    100 TB: the token bucket join is the only corpus-sized exchange
+    (~2^6 cheaper than all-pairs, OR-ed across m=4 query tokens so
+    doc-level recall survives lower per-token recall); the rerank
+    joins move (m·dim)-wide doc rows for candidate pairs only. Subset
+    property + recall vs ``ann_maxsim_topk`` pinned in
+    test_llm_ops."""
+    from iconic_data_science_spark.operators.similarity import (
+        maxsim_lsh_candidates,
+        maxsim_topk,
+        multivector_docs,
+    )
+
+    cat = _cat(spark, sf_dir)
+    docs = multivector_docs(cat.embeddings, m=4)
+    cand = maxsim_lsh_candidates(
+        cat.embeddings, query_pred=F.col("tdoc") % 10 == 0, m=4, n_planes=6
+    )
+    return maxsim_topk(docs, docs.filter(F.col("tdoc") % 10 == 0), k=5, candidates=cand)
+
+
+QUERIES["ann_maxsim_rerank"] = q_ann_maxsim_rerank
+
+ORACLES["ann_maxsim_rerank"] = f"""
+    WITH pl AS (SELECT * FROM {{MAXSIM_PLANES}}),
+    {_MAXSIM_DOCS_SQL},
+    elems AS (
+        SELECT vec_id, i, embedding[i] AS x
+        FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix
+    ),
+    dots AS (
+        SELECT vec_id, plane,
+               CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(coeff AS DOUBLE)
+                                   * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dot
+        FROM elems JOIN pl USING (i) GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY plane) AS bucket
+        FROM dots GROUP BY 1
+    ),
+    tb AS (SELECT vec_id // 4 AS tdoc, bucket FROM sig),
+    cand AS (
+        SELECT DISTINCT qt.tdoc AS query_id, ct.tdoc AS neighbor_id
+        FROM tb qt JOIN tb ct ON qt.bucket = ct.bucket AND qt.tdoc <> ct.tdoc
+        WHERE qt.tdoc % 10 = 0
+    ),
+    pairs AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_MAXSIM_SCORE_SQL} AS maxsim
+        FROM cand
+        JOIN docs q ON q.tdoc = cand.query_id
+        JOIN docs c ON c.tdoc = cand.neighbor_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY maxsim DESC, neighbor_id) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, maxsim, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 5
+"""
+
+ORACLES["ann_maxsim_rerank"] = ORACLES["ann_maxsim_rerank"].replace(
+    "{MAXSIM_PLANES}", _plane_table_sql(6, 64, table=11)
+)
+
+
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail (operators/text.surprisal_buckets):
+    per-language perplexity terciles under the corpus bigram LM
+    (Wenzek et al. 2020 §4.3), as VALUE thresholds — t_head(lang) is
+    the smallest surprisal whose per-language CDF reaches 1/3 — so the
+    doc-grain assignment is a broadcast-join map, never an ntile sort
+    of the corpus. The CDF window runs on the bounded
+    (lang, surprisal_milli) histogram. The oracle replays the integer
+    surprisal, the histogram CDF, and the threshold min-when."""
+    from iconic_data_science_spark.operators.text import surprisal_buckets
+
+    cat = _cat(spark, sf_dir)
+    return surprisal_buckets(cat.documents)
+
+
+QUERIES["text_ppl_buckets"] = q_text_ppl_buckets
+
+ORACLES["text_ppl_buckets"] = """
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id,
+               [w for w in string_split(lower(coalesce(text, '')), ' ')
+                if w <> ''] AS t
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest([{'w1': t[i], 'w2': t[i+1]}
+                           for i in generate_series(1, len(t) - 1)]) AS p
+            FROM tk WHERE len(t) >= 2
+        )
+    ),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cctx FROM bg GROUP BY 1),
+    agg AS (
+        SELECT bg.doc_id,
+               CAST(1000 * SUM(length(bin(ctx.cctx)) - length(bin(bgc.cbg)))
+                    // COUNT(*) AS BIGINT) AS surprisal_milli
+        FROM bg
+        JOIN bgc USING (w1, w2)
+        JOIN ctx USING (w1)
+        GROUP BY 1
+    ),
+    allrows AS MATERIALIZED (
+        SELECT doc_id, surprisal_milli FROM agg
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT) FROM tk WHERE len(t) < 2
+    ),
+    sl AS MATERIALIZED (
+        SELECT a.doc_id, d.lang, a.surprisal_milli
+        FROM allrows a JOIN documents d USING (doc_id)
+    ),
+    hist AS (
+        SELECT lang, surprisal_milli, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sl GROUP BY 1, 2
+    ),
+    cdf AS (
+        SELECT lang, surprisal_milli,
+               SUM(c) OVER (PARTITION BY lang ORDER BY surprisal_milli
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist
+    ),
+    thr AS (
+        SELECT lang,
+               MIN(CASE WHEN cum * 3 >= n THEN surprisal_milli END) AS t_head,
+               MIN(CASE WHEN cum * 3 >= 2 * n THEN surprisal_milli END) AS t_middle
+        FROM cdf GROUP BY 1
+    )
+    SELECT sl.doc_id, sl.lang, sl.surprisal_milli,
+           CASE WHEN sl.surprisal_milli <= thr.t_head THEN 'head'
+                WHEN sl.surprisal_milli <= thr.t_middle THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sl JOIN thr USING (lang)
+"""
+
+
+_SYNTH_URLS_SQL = """u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+               || '://'
+               || (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                        WHEN 2 THEN '' ELSE 'cdn.assets.' END)
+               || 'site' || CAST(doc_id % 23 AS VARCHAR) || '.'
+               || (CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                        WHEN 2 THEN 'co.uk' WHEN 3 THEN 'net'
+                        ELSE 'ac.jp' END)
+               || (CASE WHEN doc_id % 17 = 0 THEN ':8080' ELSE '' END)
+               || '/' || source || '/page-' || CAST(doc_id % 7 AS VARCHAR)
+               AS url
+        FROM documents
+    )"""
+
+_URL_PARTS_SQL = """parts AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+               string_split(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                            ':')[1] AS host,
+               len(string_split(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                                ':')) > 1 AS has_port,
+               CAST(len(string_split(
+                   regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), '/'))
+                   - 1 AS BIGINT) AS depth
+        FROM u
+    ),
+    dom AS (
+        SELECT *,
+               CASE WHEN labels[-2] || '.' || labels[-1]
+                         IN ('co.uk', 'ac.jp')
+                         AND len(labels) >= 3
+                    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                    ELSE labels[-2] || '.' || labels[-1] END AS domain
+        FROM (SELECT *, string_split(host, '.') AS labels FROM parts)
+    )"""
+
+
+def q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb URL-filtering statistics (operators/text.synth_urls +
+    url_domain_stats; Penedo et al. 2024 §3.1): registrable-domain
+    (eTLD+1) rollup — doc count, distinct hosts, http share, literal
+    blocklist flag. The suffix table and blocklist are bounded literal
+    metadata; one domain-grain aggregate over in-row URL parsing. The
+    oracle replays the synth URLs (pure id arithmetic, the
+    web_link_graph discipline) and the same regex/split parse."""
+    from iconic_data_science_spark.operators.text import (
+        synth_urls,
+        url_domain_stats,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return url_domain_stats(synth_urls(cat.documents))
+
+
+QUERIES["web_domain_stats"] = q_web_domain_stats
+
+ORACLES["web_domain_stats"] = f"""
+    WITH {_SYNTH_URLS_SQL},
+    {_URL_PARTS_SQL}
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(SUM(CASE WHEN scheme = 'http' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_http,
+           CAST(MAX(CASE WHEN domain IN ('site3.com', 'site7.co.uk')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS blocked
+    FROM dom GROUP BY 1
+"""
+
+
+def q_web_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-level URL filter (operators/text.url_gate): keep https,
+    portless, depth ≤ 2, domain off the blocklist — a PURE MAP (zero
+    exchanges, streamable), the first gate a crawl pipeline runs so
+    blocked pages never reach tokenization. Same parse as
+    web_domain_stats; the oracle replays both the synth and the
+    rules."""
+    from iconic_data_science_spark.operators.text import synth_urls, url_gate
+
+    cat = _cat(spark, sf_dir)
+    return url_gate(synth_urls(cat.documents))
+
+
+QUERIES["web_url_gate"] = q_web_url_gate
+
+ORACLES["web_url_gate"] = f"""
+    WITH {_SYNTH_URLS_SQL},
+    {_URL_PARTS_SQL}
+    SELECT doc_id, url, domain
+    FROM dom
+    WHERE scheme = 'https' AND NOT has_port AND depth <= 2
+      AND domain NOT IN ('site3.com', 'site7.co.uk')
+"""
+
+
+def q_web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the crawl link graph (operators/
+    graph.hits_int; Kleinberg 1999): the link-quality companion to
+    web_pagerank — hubs are pages whose out-links hit good
+    authorities, authorities are pages good hubs point at (curation
+    pipelines use the authority side as a quality prior and the hub
+    side to find link farms). Same deterministic edge set as
+    web_pagerank (synth pages → regex link extraction → id
+    arithmetic); 5 rounds of the integer-lattice mutual recursion,
+    sum-normalized with floor divisions so both engines replay it
+    bit-for-bit. The oracle unrolls the rounds as MATERIALIZED CTEs
+    (the text_bpe_vocab discipline — no recursive double-reference
+    contortions)."""
+    from iconic_data_science_spark.operators.graph import hits_int
+    from iconic_data_science_spark.operators.text import html_links, synth_html_linked
+
+    cat = _cat(spark, sf_dir)
+    links = html_links(synth_html_linked(cat.documents))
+    edges = (
+        links.filter(F.col("href").rlike("^/doc/[0-9]+$"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract(F.col("href"), "^/doc/([0-9]+)$", 1)
+            .cast("long")
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_int(edges, iterations=5)
+
+
+QUERIES["web_hits"] = q_web_hits
+
+from iconic_data_science_spark.operators.graph import hits_int_oracle_ctes as _hits_oracle  # noqa: E402
+
+ORACLES["web_hits"] = _hits_oracle(
+    """SELECT DISTINCT doc_id AS src, doc_id // r.k AS dst
+        FROM documents, (VALUES (2), (3), (5)) r(k)
+        WHERE doc_id // r.k <> doc_id""",
+    iterations=5,
+)
+
+
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill (operators/timeseries.gap_fill): the
+    TimescaleDB time_bucket_gapfill + locf + interpolate triple —
+    dense per-type hour spine, last-observation-carried-forward, and
+    integer-exact linear interpolation in the weighted-average form
+    (non-negative numerator terms, so trunc-div == floor-div across
+    engines). One events-grain exchange; every fill step runs on the
+    bounded type×hour table. The fixture has real gaps at every sf
+    (34–53 missing hours per type at sf0.01)."""
+    from iconic_data_science_spark.operators.timeseries import gap_fill
+
+    cat = _cat(spark, sf_dir)
+    return gap_fill(cat.events)
+
+
+QUERIES["ts_gap_fill"] = q_ts_gap_fill
+
+ORACLES["ts_gap_fill"] = """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM bounds
+    ),
+    j AS (
+        SELECT s.event_type, s.h, hourly.v
+        FROM spine s LEFT JOIN hourly USING (event_type, h)
+    ),
+    w AS (
+        SELECT event_type, h AS bucket_h, v,
+               last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               first_value(v IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM j
+    )
+    SELECT event_type, CAST(bucket_h AS BIGINT) AS bucket_h,
+           CAST(v AS BIGINT) AS observed_cents,
+           CAST(pv AS BIGINT) AS locf_cents,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN (pv * (nh - bucket_h) + nv * (bucket_h - ph))
+                          // (nh - ph)
+                END AS BIGINT) AS interp_cents
+    FROM w
+"""
+
+
+def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/text.url_dedup; Penedo et al. 2024
+    §3.2 — FineWeb's FIRST dedup stage, before any content hashing):
+    canonicalize (lower host, strip port/fragment/trailing slash, drop
+    utm_* params, sort the rest) and collapse re-crawl noise onto one
+    canonical key, keeping min(doc_id). The noisy synth
+    (text.synth_urls_noisy) manufactures exactly the noise classes the
+    canonicalizer must collapse; the oracle replays synth, rules, and
+    the rollup."""
+    from iconic_data_science_spark.operators.text import synth_urls_noisy, url_dedup
+
+    cat = _cat(spark, sf_dir)
+    return url_dedup(synth_urls_noisy(cat.documents))
+
+
+QUERIES["web_url_dedup"] = q_web_url_dedup
+
+ORACLES["web_url_dedup"] = """
+    WITH hb AS (
+        SELECT doc_id, source,
+               (CASE WHEN doc_id % 4 = 0 THEN 'www.'
+                     WHEN doc_id % 4 = 1 THEN 'blog.' ELSE '' END)
+               || 'site' || CAST(doc_id % 23 AS VARCHAR)
+               || (CASE WHEN doc_id % 5 = 2 THEN '.co.uk' ELSE '.com' END)
+               AS h
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id,
+               'https://'
+               || (CASE WHEN doc_id % 6 = 0 THEN upper(h) ELSE h END)
+               || '/' || source || '/page-' || CAST(doc_id % 7 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 0
+                        THEN '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+                        WHEN doc_id % 3 = 1
+                        THEN '?id=' || CAST(doc_id % 11 AS VARCHAR)
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 13 = 0 THEN '#top' ELSE '' END) AS url
+        FROM hb
+    ),
+    c AS (
+        SELECT doc_id,
+               lower(string_split(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+                                  ':')[1])
+               || regexp_replace(
+                      regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                      '/$', '')
+               || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END)
+               AS canonical_url
+        FROM (
+            SELECT doc_id, url,
+                   array_to_string(list_sort(
+                       [p for p in
+                        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&')
+                        if p <> '' and NOT starts_with(p, 'utm_')]), '&') AS kept
+            FROM u
+        )
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM c GROUP BY 1
+"""
+
+
+def q_text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece encoding (operators/text.wordpiece_encode; Wu et al.
+    2016 — BERT's tokenizer): greedy longest-match against a
+    vocabulary of the 12 hottest corpus words plus the full
+    word-initial/continuation character alphabet (bounded driver
+    metadata, the bigram_lm_topk discipline). n_words=12 < the
+    corpus's 31 distinct words, so most words exercise the
+    ##-continuation decomposition, not the whole-word fast path.
+    The whole encode is a PURE MAP: outer fold advances pos through
+    each word, inner fold tries candidate lengths longest-first
+    against the literal vocab map — zero exchanges, streamable.
+    Trained-on-self means the alphabet is closed, so [UNK] cannot
+    fire here (the branch is pinned by the hand test's explicit
+    vocab). The oracle replays vocab derivation and the identical
+    double fold. Completes the tokenizer family next to BPE
+    train/encode/fertility."""
+    from iconic_data_science_spark.operators.text import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    cat = _cat(spark, sf_dir)
+    vocab = wordpiece_vocab(cat.documents, n_words=12)
+    return wordpiece_encode(cat.documents, vocab)
+
+
+QUERIES["text_wordpiece_encode"] = q_text_wordpiece_encode
+
+from iconic_data_science_spark.operators.text import wordpiece_oracle_sql as _wp_oracle  # noqa: E402
+
+ORACLES["text_wordpiece_encode"] = _wp_oracle(n_words=12)
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
@@ -10387,9 +10913,11 @@ _ROUND7_FRONT = [
 ]
 
 # _ROUND8_FRONT: GENERATED by tools/build_front.py (VERDICT r7 item 6
-# — slot assignment is reproducible, never hand-ordered). Tiering:
+# — slot assignment is reproducible, never hand-ordered; regenerated
+# mid-round after the continuation registered maxsim/ppl/url). Tiering:
 # never-driver-attempted first (the round-7 continuation's 12 debt
-# queries + the new ann_rp_lsh_topk), then oldest-evidence-first;
+# queries + round-8's ann_rp_lsh_topk, surprisal family, v9, maxsim
+# pair, ppl terciles, url pair), then oldest-evidence-first;
 # --boost promotes plan-changed queries whose old rows no longer
 # evidence the shipped plan (g7 pair: r7 single-exchange regime) and
 # the r7 watch item q1_pricing_summary. Regenerate with:
@@ -10413,6 +10941,15 @@ _ROUND8_FRONT = [
     "text_bigram_surprisal",  # never driver-attempted
     "text_surprisal_gate",  # never driver-attempted
     "curation_pipeline_v9",  # never driver-attempted
+    "ann_maxsim_topk",  # never driver-attempted
+    "ann_maxsim_rerank",  # never driver-attempted
+    "text_ppl_buckets",  # never driver-attempted
+    "web_domain_stats",  # never driver-attempted
+    "web_url_gate",  # never driver-attempted
+    "web_hits",  # never driver-attempted
+    "ts_gap_fill",  # never driver-attempted
+    "web_url_dedup",  # never driver-attempted
+    "text_wordpiece_encode",  # never driver-attempted
     "a2_approx_distinct",  # latest evidence r1
     "j_full_outer_halves",  # latest evidence r3
     "w_ntile_balance_quartiles",  # latest evidence r3
@@ -10438,15 +10975,6 @@ _ROUND8_FRONT = [
     "dedup_minhash_lsh",  # latest evidence r4
     "dedup_simhash",  # latest evidence r4
     "dedup_simhash_pairs",  # latest evidence r4
-    "g5_hierarchy_roots",  # latest evidence r4
-    "a1_papers_per_author",  # latest evidence r4
-    "p_projection_filter",  # latest evidence r4
-    "w1_cumulative_papers",  # latest evidence r4
-    "pr_citation_edges",  # latest evidence r4
-    "a8_zero_filled_citations",  # latest evidence r4
-    "w1_cumulative_citations",  # latest evidence r4
-    "w_moving_3yr_citations",  # latest evidence r4
-    "g_triangle_count",  # latest evidence r4
 ]
 
 # Each round's front wins the head slots over the one before it

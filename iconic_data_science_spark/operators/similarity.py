@@ -121,11 +121,12 @@ def lsh_signature(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     table: int = 0,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """(id, bucket) — B-bit random-hyperplane signature as a string key."""
     spark = embeddings.sparkSession
     planes = spark.createDataFrame(
-        _plane_coeffs(table=table), "plane int, i int, coeff int"
+        _plane_coeffs(n_planes=n_planes, table=table), "plane int, i int, coeff int"
     )
     elems = embeddings.select(
         F.col(id_col).alias("id"),
@@ -1842,3 +1843,171 @@ def rp_lsh_topk(
         _cosine(dot).alias("cosine"),
     )
     return _topk(pairs, k)
+
+
+# --- multi-vector ("late interaction") retrieval -------------------------
+#
+# ColBERT-style MaxSim (Khattab & Zaharia 2020, SIGIR — "ColBERT:
+# Efficient and Effective Passage Search via Contextualized Late
+# Interaction"): a document is a BAG of token vectors, and the score of
+# (query, doc) is  Σ_{q∈Q} max_{d∈D} cos(q, d)  — every query token
+# finds its best-matching document token. No counterpart in the
+# reference (its surface has no vector ops at all); this is the modern
+# training-data / retrieval shape the single-vector ANN family above
+# cannot express.
+
+MAXSIM_TOKENS = 4
+MAXSIM_LSH_TABLE = 11  # independent seed stream for the token bucketer
+
+
+def multivector_docs(
+    embeddings: DataFrame,
+    m: int = MAXSIM_TOKENS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(tdoc, vecs, sqs) — multi-vector documents formed by folding
+    every ``m`` consecutive vectors (``tdoc = id div m``, token slot
+    ``id % m``) into one ordered token-vector array, with the aligned
+    integer-lattice squared norms.
+
+    One groupBy on the synthetic doc key — the only exchange; the sort
+    inside each doc is an in-row ``array_sort`` over ≤ m structs, keyed
+    on the unique token slot, so the array order (and every downstream
+    MaxSim fold) is deterministic."""
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: _scaled_prod(x, x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    toks = embeddings.select(
+        F.expr(f"{id_col} div {int(m)}").alias("tdoc"),
+        (F.col(id_col) % int(m)).alias("tok"),
+        F.col(vec_col).alias("v"),
+        sq.alias("sq"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("tok", "v", "sq")))
+    return (
+        toks.groupBy("tdoc")
+        .agg(arr.alias("_a"))
+        .select(
+            "tdoc",
+            F.transform(F.col("_a"), lambda s: s["v"]).alias("vecs"),
+            F.transform(F.col("_a"), lambda s: s["sq"]).alias("sqs"),
+        )
+    )
+
+
+def maxsim_topk(
+    corpus_docs: DataFrame,
+    query_docs: DataFrame,
+    k: int = 5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, maxsim, rank) — exact late-interaction
+    top-k: maxsim = Σ over query tokens (in token order) of the max
+    token-pair cosine against the candidate document.
+
+    ``candidates`` is a (query_id, neighbor_id) frame from a bucketed
+    generator (:func:`maxsim_lsh_candidates`); ``None`` scores EVERY
+    query×corpus pair — the quadratic truth baseline, registered only
+    as the recall reference (the ``ann_brute_topk`` discipline).
+
+    Engine-exact: token-pair dots come off the integer product
+    lattice; the per-query-token max is order-independent; the final
+    sum folds the query tokens in array order starting at 0.0, which
+    the DuckDB oracle replays with ``list_prepend(0.0, …)`` +
+    ``list_reduce``. The whole score is one in-row expression over the
+    two token arrays — the joins move (m·dim)-wide doc rows, never
+    token-grain rows."""
+    c = corpus_docs.select(
+        F.col("tdoc").alias("c_tdoc"),
+        F.col("vecs").alias("c_vecs"),
+        F.col("sqs").alias("c_sqs"),
+    )
+    q = query_docs.select(
+        F.col("tdoc").alias("q_tdoc"),
+        F.col("vecs").alias("q_vecs"),
+        F.col("sqs").alias("q_sqs"),
+    )
+    if candidates is None:
+        pairs = q.join(c, F.col("q_tdoc") != F.col("c_tdoc"))
+    else:
+        cand = candidates.select(
+            F.col("query_id").alias("q_tdoc"),
+            F.col("neighbor_id").alias("c_tdoc"),
+        )
+        pairs = cand.join(q, "q_tdoc").join(c, "c_tdoc")
+
+    def _tok_best(qv: Column, qsq: Column) -> Column:
+        return F.array_max(
+            F.zip_with(
+                F.col("c_vecs"),
+                F.col("c_sqs"),
+                lambda cv, csq: F.aggregate(
+                    F.zip_with(qv, cv, _scaled_prod),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                / F.sqrt(qsq.cast("double") * csq.cast("double")),
+            )
+        )
+
+    maxsim = F.aggregate(
+        F.zip_with(F.col("q_vecs"), F.col("q_sqs"), _tok_best),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        F.col("q_tdoc").alias("query_id"),
+        F.col("c_tdoc").alias("neighbor_id"),
+        maxsim.alias("maxsim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("maxsim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "maxsim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def maxsim_lsh_candidates(
+    embeddings: DataFrame,
+    query_pred: Column,
+    m: int = MAXSIM_TOKENS,
+    n_planes: int = 6,
+    table: int = MAXSIM_LSH_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id) — candidate document pairs for MaxSim
+    from TOKEN-level hyperplane buckets: two docs are candidates iff
+    any query token and any corpus token share a sign bucket (the
+    ColBERT serving shape — first-stage retrieval runs per query
+    token, the doc-level MaxSim only scores the union of hits).
+
+    ``query_pred`` selects the query documents by their ``tdoc`` id.
+    Fewer planes than the single-vector family (6 → 64 buckets): token
+    hits are OR-ed across m query tokens, so per-token recall can be
+    lower for the same doc-level recall. The bucket join is the only
+    corpus-sized exchange; output is distinct doc pairs, self-pairs
+    dropped."""
+    sig = lsh_signature(
+        embeddings, id_col=id_col, vec_col=vec_col, table=table, n_planes=n_planes
+    )
+    t = sig.select(F.expr(f"id div {int(m)}").alias("tdoc"), "bucket")
+    qt = t.filter(query_pred).select(
+        F.col("tdoc").alias("query_id"), "bucket"
+    )
+    ct = t.select(F.col("tdoc").alias("neighbor_id"), "bucket")
+    return (
+        qt.join(ct, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )

@@ -1642,3 +1642,566 @@ def bigram_surprisal_gate(
         else F.col("surprisal_milli") >= int(cutoff_milli)
     )
     return scored.filter(cond)
+
+
+def surprisal_buckets(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang, surprisal_milli, bucket) — the CCNet
+    head/middle/tail split (Wenzek et al. 2020 §4.3: bucket each
+    language's documents into perplexity terciles under a reference
+    LM; head = most-fluent third). Scores come from
+    :func:`bigram_surprisal` (integer-exact), thresholds are VALUE
+    cuts, not rank cuts: t_head(lang) is the smallest score whose
+    per-language CDF reaches 1/3 (t_middle at 2/3), and every doc
+    compares against its language's thresholds.
+
+    Why value cuts: CCNet's buckets are threshold files applied as a
+    pure map at ingest. Here the per-language CDF lives on the BOUNDED
+    (lang, surprisal_milli) histogram — surprisal_milli has only a few
+    thousand distinct values, so the cumulative window sorts a
+    lang×score-grain table, never the corpus — and the threshold table
+    (one row per language) broadcast-joins back. No doc-grain sort or
+    ntile anywhere: at 100 TB the corpus is touched by one aggregate
+    and one broadcast-join map. Ties share a bucket by construction
+    (value semantics), so the result is engine-exact with no row-order
+    sensitivity."""
+    from pyspark.sql import Window as W
+
+    scored = bigram_surprisal(documents, id_col=id_col, text_col=text_col)
+    langs = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    sl = scored.join(langs, "doc_id").select("doc_id", "lang", "surprisal_milli")
+    hist = sl.groupBy("lang", "surprisal_milli").agg(F.count("*").alias("_c"))
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy("surprisal_milli")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cdf = hist.select(
+        "lang",
+        "surprisal_milli",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(W.partitionBy("lang")).alias("_n"),
+    )
+    thr = cdf.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("surprisal_milli"))
+        ).alias("_t_head"),
+        F.min(
+            F.when(F.col("_cum") * 3 >= 2 * F.col("_n"), F.col("surprisal_milli"))
+        ).alias("_t_middle"),
+    )
+    return sl.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "surprisal_milli",
+        F.when(F.col("surprisal_milli") <= F.col("_t_head"), F.lit("head"))
+        .when(F.col("surprisal_milli") <= F.col("_t_middle"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# --- URL / domain curation (FineWeb-style) --------------------------------
+
+WEB_TWO_LEVEL_SUFFIXES = ("co.uk", "ac.jp")
+WEB_DOMAIN_BLOCKLIST = ("site3.com", "site7.co.uk")
+
+
+def synth_urls(
+    documents: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """(doc_id, url) — deterministic crawl URLs from id arithmetic (the
+    :func:`synth_html` discipline: the container is fake, the parsing
+    pipeline is real). Coverage by construction: http and https
+    schemes, empty / single / multi-label subdomains, one- and
+    two-level public suffixes (com/org/net vs co.uk/ac.jp), an
+    occasional port, and a source-derived path — every branch the
+    parser downstream has to take."""
+    did = F.col(id_col)
+    sub = (
+        F.when(did % 4 == 0, F.lit("www."))
+        .when(did % 4 == 1, F.lit("blog."))
+        .when(did % 4 == 2, F.lit(""))
+        .otherwise(F.lit("cdn.assets."))
+    )
+    suffix = (
+        F.when(did % 5 == 0, F.lit("com"))
+        .when(did % 5 == 1, F.lit("org"))
+        .when(did % 5 == 2, F.lit("co.uk"))
+        .when(did % 5 == 3, F.lit("net"))
+        .otherwise(F.lit("ac.jp"))
+    )
+    scheme = F.when(did % 3 == 0, F.lit("http")).otherwise(F.lit("https"))
+    port = F.when(did % 17 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        sub,
+        F.lit("site"),
+        (did % 23).cast("string"),
+        F.lit("."),
+        suffix,
+        port,
+        F.lit("/"),
+        F.col(source_col),
+        F.lit("/page-"),
+        (did % 7).cast("string"),
+    )
+    return documents.select(F.col(id_col).alias("doc_id"), url.alias("url"))
+
+
+def _url_parts(url: Column) -> dict[str, Column]:
+    """scheme / registrable domain / host / port-flag / path-depth off a
+    URL column — plain regex + literal splits, identical semantics in
+    Spark (Java regex) and DuckDB (RE2): the pattern set avoids every
+    construct the two engines disagree on (no lookaround, no lazy
+    quantifiers)."""
+    scheme = F.regexp_extract(url, r"^([a-z]+)://", 1)
+    host_port = F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
+    host = F.element_at(F.split(host_port, ":"), 1)
+    has_port = F.size(F.split(host_port, ":")) > 1
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    domain = F.when(
+        last2.isin(*WEB_TWO_LEVEL_SUFFIXES) & (n >= 3),
+        F.concat_ws(".", F.element_at(labels, -3), last2),
+    ).otherwise(last2)
+    path = F.regexp_extract(url, r"^[a-z]+://[^/]+(/.*)$", 1)
+    depth = (F.size(F.split(path, "/")) - 1).cast("long")
+    return {
+        "scheme": scheme,
+        "host": host,
+        "has_port": has_port,
+        "domain": domain,
+        "depth": depth,
+    }
+
+
+def url_domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, n_docs, n_hosts, n_http, blocked) — per-registrable-
+    domain crawl statistics: the aggregation FineWeb's URL-filtering
+    stage runs before deciding domain-level fates (Penedo et al. 2024
+    §3.1 — blocklist lookups and per-domain counts over eTLD+1, not
+    raw hosts, so subdomain farms collapse into one row).
+
+    eTLD+1 comes from a LITERAL two-level-suffix table (the real
+    public-suffix list is bounded metadata — same discipline as the
+    stopword/classifier tables). One domain-grain aggregate; the
+    distinct-host count rides the same exchange as a two-phase
+    count-distinct. ``blocked`` is an int flag off the literal
+    blocklist."""
+    parts = _url_parts(F.col(url_col))
+    rows = pages.select(
+        parts["domain"].alias("domain"),
+        parts["host"].alias("host"),
+        parts["scheme"].alias("scheme"),
+    )
+    return rows.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum(F.when(F.col("scheme") == "http", 1).otherwise(0))
+        .cast("long")
+        .alias("n_http"),
+        F.max(
+            F.when(F.col("domain").isin(*WEB_DOMAIN_BLOCKLIST), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("blocked"),
+    )
+
+
+def url_gate(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, url, domain) — the doc-level URL filter (FineWeb §3.1):
+    keep https, no explicit port, path depth ≤ 2, registrable domain
+    not in the literal blocklist. A PURE MAP — zero exchanges,
+    streamable (the ingest-gate discipline): at 100 TB this runs as a
+    scan-fused filter before any tokenization or dedup spends a cycle
+    on a blocked page."""
+    parts = _url_parts(F.col(url_col))
+    return (
+        pages.select(
+            "doc_id",
+            F.col(url_col).alias("url"),
+            parts["domain"].alias("domain"),
+            parts["scheme"].alias("scheme"),
+            parts["has_port"].alias("has_port"),
+            parts["depth"].alias("depth"),
+        )
+        .filter(
+            (F.col("scheme") == "https")
+            & ~F.col("has_port")
+            & (F.col("depth") <= 2)
+            & ~F.col("domain").isin(*WEB_DOMAIN_BLOCKLIST)
+        )
+        .select("doc_id", "url", "domain")
+    )
+
+
+def synth_urls_noisy(
+    documents: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """(doc_id, url) — :func:`synth_urls` plus the crawl noise URL
+    dedup exists to collapse: occasional UPPERCASE hosts, trailing
+    slashes, tracking parameters (utm_*), stable parameters in
+    unstable positions, and fragments. Pure id arithmetic (the synth
+    discipline), so the canonicalization round trip is SQL-replayable.
+    Distinct doc_ids produce byte-distinct urls (the id appears in the
+    stable query param or the path), while ids congruent mod the
+    branch periods share a CANONICAL form — real collisions for the
+    dedup downstream."""
+    did = F.col(id_col)
+    host = F.concat(
+        F.when(did % 4 == 0, F.lit("www."))
+        .when(did % 4 == 1, F.lit("blog."))
+        .otherwise(F.lit("")),
+        F.lit("site"),
+        (did % 23).cast("string"),
+        F.when(did % 5 == 2, F.lit(".co.uk")).otherwise(F.lit(".com")),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 6 == 0, F.upper(host)).otherwise(host),
+        F.lit("/"),
+        F.col(source_col),
+        F.lit("/page-"),
+        (did % 7).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), (did % 11).cast("string")))
+        .when(did % 3 == 1, F.concat(F.lit("?id="), (did % 11).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return documents.select(F.col(id_col).alias("doc_id"), url.alias("url"))
+
+
+def url_canonical(url: Column) -> Column:
+    """The canonical URL key crawl dedup groups on: lowercased host
+    (port stripped), path without its trailing slash, query params with
+    tracking keys (utm_*) dropped and the rest SORTED, fragment
+    dropped. Pure per-row string expressions — case-insensitive regex
+    classes only (no lookaround), identical in Java regex and RE2."""
+    host = F.lower(
+        F.element_at(
+            F.split(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1), ":"), 1
+        )
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", ""
+    )
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        host, path, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    )
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_docs, keep_doc_id) — URL-level deduplication
+    (the FIRST dedup stage FineWeb runs, before any content hashing:
+    Penedo et al. 2024 §3.2 — the same page re-crawled with tracking
+    params / case / slash noise collapses on the canonical key). One
+    canonical-key aggregate over the in-row canonicalization; the
+    keeper is min(doc_id) — deterministic, and at 100 TB the exchange
+    carries (key, id) pairs only."""
+    return (
+        pages.select(
+            url_canonical(F.col(url_col)).alias("canonical_url"),
+            F.col("doc_id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
+# --- WordPiece encoding ----------------------------------------------------
+
+WORDPIECE_UNK = "[UNK]"
+WORDPIECE_MAX_PIECE = 10
+
+
+def wordpiece_vocab(
+    documents: DataFrame,
+    n_words: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[str]:
+    """The WordPiece vocabulary as bounded driver metadata (the
+    ``bigram_lm_topk`` discipline): the ``n_words`` most frequent
+    corpus words (count desc, word asc tie-break) plus every corpus
+    character in both word-initial and continuation (``##c``) form —
+    the alphabet guarantees every in-corpus word encodes without
+    [UNK] unless it contains an out-of-alphabet character."""
+    t = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    words = documents.select(F.explode(t).alias("w"))
+    top = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(int(n_words))
+        .collect()
+    )
+    chars = (
+        words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substring(F.col("w"), i, F.lit(1)),
+                )
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    )
+    vocab: list[str] = [r.w for r in top]
+    for r in chars:
+        vocab.append(r.ch)
+        vocab.append("##" + r.ch)
+    return sorted(set(vocab))
+
+
+def wordpiece_encode(
+    documents: DataFrame,
+    vocab: list[str],
+    max_piece: int = WORDPIECE_MAX_PIECE,
+    max_word: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces, n_unk, pieces_fp) — WordPiece
+    encoding (Wu et al. 2016, GNMT §4.1 — BERT's tokenizer): each word
+    is consumed by GREEDY LONGEST-MATCH against the vocabulary, with
+    continuation pieces prefixed ``##``; a word with no match at the
+    current position becomes one [UNK]. Completes the tokenizer family
+    next to BPE (:mod:`bpe` trains/encodes by merge rank; WordPiece
+    encodes by longest match — different algorithms, both shipped).
+
+    PURE MAP, zero exchanges, streamable: the vocabulary is a literal
+    map baked into the plan (bounded driver metadata), and the whole
+    greedy scan is one in-row fold — the outer fold advances ``pos``
+    through the word (≤ len steps, struct accumulator), an inner fold
+    tries candidate lengths LONGEST-FIRST (descending ``sequence``)
+    and keeps the first hit. The DuckDB oracle replays the identical
+    double fold (``wordpiece_oracle_sql``). ``pieces_fp`` is the md5
+    of the space-joined piece stream (the span-corruption fingerprint
+    discipline — hash the payload, don't ship it)."""
+    vset = sorted(set(vocab))
+    kv: list[Column] = []
+    for v in vset:
+        kv.append(F.lit(v))
+        kv.append(F.lit(1))
+    vmap = F.create_map(*kv)
+
+    def piece(w: Column, pos: Column, L: Column) -> Column:
+        sub = F.substring(w, pos + 1, L)
+        return F.when(pos == 0, sub).otherwise(F.concat(F.lit("##"), sub))
+
+    def encode_word(w: Column) -> Column:
+        n = F.length(w)
+        init = F.struct(
+            F.lit(0).alias("pos"),
+            F.array().cast("array<string>").alias("parts"),
+            F.lit(False).alias("unk"),
+        )
+
+        def step(acc: Column, _i: Column) -> Column:
+            pos = acc["pos"]
+            cand = F.aggregate(
+                F.sequence(F.least(F.lit(int(max_piece)), n - pos), F.lit(1), F.lit(-1)),
+                acc,
+                lambda b, L: F.when(b["pos"] > pos, b).otherwise(
+                    F.when(
+                        F.element_at(vmap, piece(w, pos, L)).isNotNull(),
+                        F.struct(
+                            (pos + L).cast("int").alias("pos"),
+                            F.array_append(acc["parts"], piece(w, pos, L)).alias(
+                                "parts"
+                            ),
+                            F.lit(False).alias("unk"),
+                        ),
+                    ).otherwise(acc)
+                ),
+            )
+            return F.when(acc["unk"] | (pos >= n), acc).otherwise(
+                F.when(
+                    cand["pos"] == pos,
+                    F.struct(
+                        n.cast("int").alias("pos"),
+                        F.array(F.lit(WORDPIECE_UNK)).alias("parts"),
+                        F.lit(True).alias("unk"),
+                    ),
+                ).otherwise(cand)
+            )
+
+        # words beyond max_word chars are [UNK] by contract (the oracle
+        # unrolls exactly max_word rounds; one round consumes >= 1 char)
+        return F.when(
+            n > int(max_word), F.array(F.lit(WORDPIECE_UNK))
+        ).otherwise(F.aggregate(F.sequence(F.lit(1), n), init, step)["parts"])
+
+    t = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = documents.select(F.col(id_col).alias("doc_id"), t.alias("_w"))
+    enc = base.select(
+        "doc_id",
+        F.col("_w").alias("_w"),
+        F.flatten(F.transform(F.col("_w"), encode_word)).alias("_p"),
+    )
+    return enc.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_words"),
+        F.size("_p").cast("long").alias("n_pieces"),
+        F.size(F.filter(F.col("_p"), lambda p: p == WORDPIECE_UNK))
+        .cast("long")
+        .alias("n_unk"),
+        F.md5(F.array_join(F.col("_p"), " ").cast("binary")).alias("pieces_fp"),
+    )
+
+
+def wordpiece_oracle_sql(
+    n_words: int = 48,
+    max_piece: int = WORDPIECE_MAX_PIECE,
+    max_word: int = 24,
+) -> str:
+    """DuckDB replay of vocab derivation + the greedy longest-match.
+
+    The greedy scan is UNROLLED as chained MATERIALIZED CTEs at
+    DISTINCT-WORD grain (each unique word encoded once, state =
+    (rest, parts, unk), each round consumes the longest matching
+    prefix via a MAX(k) semi-join against the vocab — the
+    ``text_bpe_vocab`` oracle discipline), then joined back to the
+    token stream and re-flattened in token order. NOT a nested-lambda
+    fold: DuckDB 1.0.0 miscompiles captured variables inside nested
+    ``list_reduce`` lambdas at vector scale (rows receive other rows'
+    words; the comprehension-over-document-words variant additionally
+    SEGFAULTED on the 500-doc corpus) — the relational unroll is
+    load-bearing, not an optimization. ``max_word`` rounds cover any
+    word up to ``max_word`` chars (one round consumes ≥ 1 char);
+    longer words are [UNK] by contract in BOTH engines."""
+    ctes = [
+        """tk AS MATERIALIZED (
+        SELECT doc_id,
+               [w for w in string_split(lower(coalesce(text, '')), ' ')
+                if w <> ''] AS t
+        FROM documents
+    )""",
+        "wd AS MATERIALIZED (SELECT unnest(t) AS w FROM tk)",
+        f"""topw AS (
+        SELECT w FROM (SELECT w, COUNT(*) AS c FROM wd GROUP BY 1)
+        ORDER BY c DESC, w LIMIT {int(n_words)}
+    )""",
+        "wd_d AS MATERIALIZED (SELECT DISTINCT w AS word FROM wd)",
+        """ch AS MATERIALIZED (
+        SELECT DISTINCT unnest([substring(word, i, 1)
+                                for i in generate_series(1, len(word))]) AS c
+        FROM wd_d
+    )""",
+        """vocab AS MATERIALIZED (
+        SELECT w FROM topw
+        UNION SELECT c FROM ch
+        UNION SELECT '##' || c FROM ch
+    )""",
+        f"""s0 AS MATERIALIZED (
+        SELECT word,
+               CASE WHEN len(word) > {int(max_word)} THEN '' ELSE word END AS rest,
+               CASE WHEN len(word) > {int(max_word)} THEN ['[UNK]']
+                    ELSE CAST([] AS VARCHAR[]) END AS parts,
+               len(word) > {int(max_word)} AS unk,
+               true AS fst
+        FROM wd_d
+    )""",
+    ]
+    for t in range(1, int(max_word) + 1):
+        p = t - 1
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+        SELECT s.word, MAX(g.k) AS bestk
+        FROM s{p} s, generate_series(1, {int(max_piece)}) g(k)
+        WHERE len(s.rest) > 0 AND NOT s.unk AND g.k <= len(s.rest)
+          AND (CASE WHEN s.fst THEN substring(s.rest, 1, CAST(g.k AS INT))
+                    ELSE '##' || substring(s.rest, 1, CAST(g.k AS INT)) END)
+              IN (SELECT w FROM vocab)
+        GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+        SELECT s.word,
+               CASE WHEN len(s.rest) = 0 OR s.unk THEN s.rest
+                    WHEN c.bestk IS NULL THEN ''
+                    ELSE substring(s.rest, CAST(c.bestk AS INT) + 1,
+                                   len(s.rest)) END AS rest,
+               CASE WHEN len(s.rest) = 0 OR s.unk THEN s.parts
+                    WHEN c.bestk IS NULL THEN ['[UNK]']
+                    ELSE list_append(s.parts,
+                         CASE WHEN s.fst THEN substring(s.rest, 1, CAST(c.bestk AS INT))
+                              ELSE '##' || substring(s.rest, 1, CAST(c.bestk AS INT)) END)
+                    END AS parts,
+               CASE WHEN s.unk OR (len(s.rest) > 0 AND c.bestk IS NULL)
+                    THEN true ELSE false END AS unk,
+               false AS fst
+        FROM s{p} s LEFT JOIN c{t} c USING (word)
+    )"""
+        )
+    n = int(max_word)
+    ctes.append(
+        f"encw AS MATERIALIZED (SELECT word, parts AS pieces FROM s{n})"
+    )
+    ctes.append(
+        """tok AS (
+        SELECT doc_id, s.x.pos AS pos, s.x.word AS word
+        FROM (SELECT doc_id,
+                     unnest([{'pos': i, 'word': t[i]}
+                             for i in generate_series(1, len(t))]) AS x
+              FROM tk) s(doc_id, x)
+    )"""
+    )
+    ctes.append(
+        """agg AS (
+        SELECT tok.doc_id,
+               flatten(list(encw.pieces ORDER BY tok.pos)) AS p
+        FROM tok JOIN encw USING (word) GROUP BY 1
+    )"""
+    )
+    ctes.append(
+        """outp AS (
+        SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_words,
+               COALESCE(agg.p, CAST([] AS VARCHAR[])) AS p
+        FROM tk LEFT JOIN agg USING (doc_id)
+    )"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT doc_id, n_words,
+           CAST(len(p) AS BIGINT) AS n_pieces,
+           CAST(len([x for x in p if x = '[UNK]']) AS BIGINT) AS n_unk,
+           md5(array_to_string(p, ' ')) AS pieces_fp
+    FROM outp
+"""
+    )

@@ -166,3 +166,85 @@ def mad_anomaly_hours(
         F.col("_mad_val").alias("mad"),
         (F.col("_d") > F.lit(int(k)) * F.col("_mad_val")).cast("long").alias("anomalous"),
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_type, bucket_h, observed_cents, locf_cents, interp_cents)
+    — the TimescaleDB ``time_bucket_gapfill`` + ``locf`` +
+    ``interpolate`` triple over hourly value sums: the dense per-type
+    hour spine from first to last observation, each missing hour
+    carrying (a) the last observed value (locf) and (b) the linear
+    interpolation between its observed neighbors.
+
+    Integer-exact: values go through the cents cast
+    (decimal(12,2)·100 — the :mod:`decay` discipline), and the
+    interpolation is the WEIGHTED-AVERAGE form
+
+        (prev·(next_h − h) + next·(h − prev_h)) div (next_h − prev_h)
+
+    whose numerator terms are non-negative for non-negative values, so
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree
+    (negative values would split them — documented precondition, and
+    the fixture's values are non-negative by contract). Hours before
+    the first / after the last observation keep NULL locf / interp
+    respectively — gap-fill never invents data outside the observed
+    range.
+
+    Scale shape: ONE events-grain aggregate (type × hour rollup);
+    the spine explode, both fill windows, and the neighbor lookups all
+    run on the BOUNDED type×hour table (types × ≤ span rows), so the
+    corpus-sized work is exactly one exchange. The per-type window
+    sorts the spine, not the events."""
+    from pyspark.sql import Window as W
+
+    hour = F.expr(f"unix_timestamp({ts_col}) div 3600")
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("long")
+    hourly = (
+        events.select(
+            F.col(type_col).alias("event_type"), hour.alias("h"), cents.alias("c")
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").cast("long").alias("v"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("h")
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    wprev = (
+        W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    )
+    wnext = (
+        W.partitionBy("event_type").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    )
+    base = j.select(
+        "event_type",
+        F.col("h").alias("bucket_h"),
+        "v",
+        F.last("v", ignorenulls=True).over(wprev).alias("_pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(wprev)
+        .alias("_ph"),
+        F.first("v", ignorenulls=True).over(wnext).alias("_nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(wnext)
+        .alias("_nh"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+        F.expr("(_pv * (_nh - bucket_h) + _nv * (bucket_h - _ph)) div (_nh - _ph)"),
+    )
+    return base.select(
+        "event_type",
+        F.col("bucket_h").cast("long").alias("bucket_h"),
+        F.col("v").cast("long").alias("observed_cents"),
+        F.col("_pv").cast("long").alias("locf_cents"),
+        interp.cast("long").alias("interp_cents"),
+    )

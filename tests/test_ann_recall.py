@@ -380,3 +380,61 @@ def test_rp_lsh_recall_vs_projected_brute(spark, corpora):
     # separated clusters: 4 planes keep most true neighbors co-bucketed
     assert r4 >= 0.5, f"recall@{K} with 4 planes = {r4}"
     assert r4 >= r8, "coarser buckets must not lose recall vs finer ones"
+
+
+def test_maxsim_rerank_subset_exactness_and_recall(spark):
+    """ColBERT late interaction on clustered multi-vector docs:
+      - every reranked pair came from the token-bucket candidate set;
+      - maxsim scores are IDENTICAL to the truth baseline on shared
+        pairs (the rerank changes candidates, never the scorer);
+      - doc-level recall@k vs the all-pairs baseline is high when the
+        doc's tokens share a cluster (token-bucket hits OR across m
+        tokens);
+      - top-1 neighbor is same-cluster for most queries."""
+    import numpy as np
+
+    from iconic_data_science_spark.operators.similarity import (
+        maxsim_lsh_candidates,
+        maxsim_topk,
+        multivector_docs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(20260816)
+    centers, _ = _clustered(rng, N_CLUSTERS, 1)
+    m = 4
+    n_docs = 60
+    rows = []
+    for d in range(n_docs):
+        c = d % N_CLUSTERS
+        for t in range(m):
+            v = centers[c] + rng.normal(scale=0.08, size=DIM)
+            rows.append((d * m + t, [float(x) for x in v], c))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    docs = multivector_docs(emb, m=m)
+    qdocs = docs.filter(F.col("tdoc") % 10 == 0)  # 6 queries, one per cluster
+
+    exact = maxsim_topk(docs, qdocs, k=K).collect()
+    cand = maxsim_lsh_candidates(
+        emb, query_pred=F.col("tdoc") % 10 == 0, m=m, n_planes=6
+    )
+    cand_set = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    got = maxsim_topk(docs, qdocs, k=K, candidates=cand).collect()
+
+    assert all((r.query_id, r.neighbor_id) in cand_set for r in got)
+    exact_scores = {(r.query_id, r.neighbor_id): r.maxsim for r in exact}
+    for r in got:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert r.maxsim == exact_scores[key]
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    got_pairs = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(got_pairs & exact_pairs) / len(exact_pairs) >= 0.8
+
+    top1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+    same_cluster = sum(
+        1 for q, n in top1.items() if q % N_CLUSTERS == n % N_CLUSTERS
+    )
+    assert same_cluster >= len(top1) - 1

@@ -155,3 +155,63 @@ def test_bpe_random_corpora_match_reference(spark):
         )
 
     check()
+
+
+def test_wordpiece_greedy_longest_match_hand_rules(spark):
+    """WordPiece contract on an explicit vocab: greedy longest match
+    ('##happy' beats '##h'), continuation pieces carry '##', a word
+    with no match at the current position becomes ONE [UNK], words
+    longer than max_word are [UNK] by contract, and the counters/
+    fingerprint reflect the piece stream."""
+    from iconic_data_science_spark.operators.text import wordpiece_encode
+
+    vocab = ["un", "##happy", "##h", "##a", "##p", "##i", "##y",
+             "u", "##n", "##ness", "z", "##z"]
+    docs = spark.createDataFrame(
+        [
+            (0, "unhappy unhappiness un"),
+            (1, "xyz"),                     # no 'x' in vocab -> [UNK]
+            (2, ""),                        # empty doc
+            (3, "z" * 30),                  # > max_word chars -> [UNK]
+            (4, "zz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in wordpiece_encode(docs, vocab).collect()}
+    # un+##happy (2), un+##h..##ness (7: un ##h ##a ##p ##p ##i ##ness), un (1)
+    assert (out[0].n_words, out[0].n_pieces, out[0].n_unk) == (3, 10, 0)
+    assert (out[1].n_words, out[1].n_pieces, out[1].n_unk) == (1, 1, 1)
+    assert (out[2].n_words, out[2].n_pieces, out[2].n_unk) == (0, 0, 0)
+    assert (out[3].n_words, out[3].n_pieces, out[3].n_unk) == (1, 1, 1)
+    assert (out[4].n_words, out[4].n_pieces, out[4].n_unk) == (1, 2, 0)
+    # fingerprint is md5 of the space-joined stream; empty doc == md5('')
+    import hashlib
+
+    assert out[2].pieces_fp == hashlib.md5(b"").hexdigest()
+    assert out[4].pieces_fp == hashlib.md5(b"z ##z").hexdigest()
+
+
+def test_wordpiece_vocab_alphabet_closure(spark, sf_dir):
+    """Trained-on-self vocabulary closes the alphabet: every corpus
+    word encodes without [UNK], whole-word matches happen exactly for
+    vocab words, and the piece stream re-concatenates to the word
+    stream (strip '##', join)."""
+    from iconic_data_science_spark.operators.text import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+    from iconic_data_science_spark.catalog import Catalog
+    import pyspark.sql.functions as F
+
+    docs = Catalog(spark, sf_dir).documents
+    vocab = wordpiece_vocab(docs, n_words=12)
+    out = wordpiece_encode(docs, vocab)
+    agg = out.agg(
+        F.sum("n_unk").alias("unk"),
+        F.sum(F.when(F.col("n_pieces") < F.col("n_words"), 1).otherwise(0)).alias("bad"),
+    ).collect()[0]
+    assert agg.unk == 0          # alphabet closure
+    assert agg.bad == 0          # every word >= 1 piece
+    # decomposition really happens: pieces strictly exceed words overall
+    tot = out.agg(F.sum("n_pieces").alias("p"), F.sum("n_words").alias("w")).collect()[0]
+    assert tot.p > tot.w

@@ -118,6 +118,25 @@ DOC_QUERIES = [
     "text_surprisal_gate",
     "text_bpe_vocab",
     "curation_pipeline_v9",
+    # round-8 continuation: CCNet terciles under degenerate language
+    # groups (one-doc languages, all-tie score tables where the three
+    # value cuts collapse onto one score), and the URL round trip
+    # (synth -> regex parse -> eTLD+1 -> gate/rollup) under fuzzed
+    # ids/sources
+    "text_ppl_buckets",
+    "web_domain_stats",
+    "web_url_gate",
+    # integer HITS over the synth link graph: tiny id ranges make
+    # empty/near-empty edge sets (the greatest(Σ,1) normalizer path),
+    # self-link-only docs, and single-authority stars
+    "web_hits",
+    # URL canonical dedup: the synth->canonicalize->rollup round trip
+    # under fuzzed ids/sources (every noise-branch combination)
+    "web_url_dedup",
+    # WordPiece: tiny fuzzed vocabularies make n_words cover EVERY
+    # word (whole-word path) and single-char words (1-round folds);
+    # the 'a'/'zz' pool words exercise 1- and 2-char pieces
+    "text_wordpiece_encode",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]
@@ -193,6 +212,12 @@ EMB_QUERIES = [
     # engines must agree on the resulting cosine NULL/omit behavior)
     "ann_embedding_audit",
     "ann_rp_topk",
+    # round-8 continuation: late interaction — fuzzed corpora give
+    # ragged last docs (n not divisible by m), near-dup token bags
+    # (maxsim ties broken on neighbor id), and single-query candidate
+    # sets that can be empty (both engines must hash empty)
+    "ann_maxsim_topk",
+    "ann_maxsim_rerank",
 ]
 
 
@@ -460,6 +485,12 @@ EV_QUERIES = [
     # admission (duplicate timestamps exercise the event_id tie-break)
     "j_interval_overlap",
     "ev_quota_sample",
+    # round-8 continuation: gap-fill — fuzzed sparse timestamps make
+    # single-observation types (locf==observed everywhere, interp has
+    # no interior), adjacent-hour observations (zero-length gaps), and
+    # duplicate hours (the sum rollup); the weighted-average interp
+    # must stay trunc==floor on the non-negative values
+    "ts_gap_fill",
 ]
 
 

@@ -395,3 +395,31 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(df, rounds=4).collect()))
     b = sorted(map(tuple, label_propagation(df, rounds=4).collect()))
     assert a == b
+
+
+def test_hits_int_hand_structure(spark):
+    """Kleinberg fixture: hubs 1-3 each cite both authorities, hub 4
+    cites only the stronger one. Expected fixpoint shape: auth(10) >
+    auth(11) (more in-links from equal hubs), hub(1)=hub(2)=hub(3) >
+    hub(4) (covering both authorities beats covering one), pure hubs
+    carry authority 0 and pure authorities carry hub 0, and scores are
+    deterministic longs (same run twice -> identical)."""
+    from iconic_data_science_spark.operators.graph import hits_int
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 11), (4, 10)],
+        "src long, dst long",
+    )
+    out = {r.node: (r.hub_i, r.auth_i) for r in hits_int(edges, iterations=5).collect()}
+    assert set(out) == {1, 2, 3, 4, 10, 11}
+    assert out[1] == out[2] == out[3]
+    assert out[1][0] > out[4][0] > 0
+    assert out[10][1] > out[11][1] > 0
+    for pure_hub in (1, 2, 3, 4):
+        assert out[pure_hub][1] == 0
+    for pure_auth in (10, 11):
+        assert out[pure_auth][0] == 0
+    again = {
+        r.node: (r.hub_i, r.auth_i) for r in hits_int(edges, iterations=5).collect()
+    }
+    assert again == out

@@ -1830,3 +1830,98 @@ def test_surprisal_gate_pruned_lm_and_defaults(spark, sf_dir):
     assert out[3] == (0, 0)     # degenerate: passes, scores zero
     with pytest.raises(ValueError):
         bigram_lm_topk(docs, k=200_000)
+
+
+def test_ppl_buckets_tercile_value_cuts(spark, sf_dir):
+    """CCNet head/middle/tail as VALUE thresholds: per language,
+    |head| is the smallest value-closed prefix covering >= 1/3 of docs
+    (minimality: removing the boundary value drops below 1/3),
+    |head|+|middle| covers >= 2/3, buckets are value-ordered
+    (max head score < min middle score < ... — value cuts put every
+    tie in one bucket), and every language on this corpus fills all
+    three buckets."""
+    from collections import defaultdict
+
+    from iconic_data_science_spark.operators.text import surprisal_buckets
+
+    rows = surprisal_buckets(Catalog(spark, sf_dir).documents).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append((r.bucket, r.surprisal_milli))
+    assert len(by_lang) >= 2
+    for lang, docs in by_lang.items():
+        n = len(docs)
+        by_bucket = defaultdict(list)
+        for b, s in docs:
+            by_bucket[b].append(s)
+        assert set(by_bucket) == {"head", "middle", "tail"}, lang
+        head, middle, tail = (
+            by_bucket["head"], by_bucket["middle"], by_bucket["tail"]
+        )
+        assert 3 * len(head) >= n
+        assert 3 * (len(head) + len(middle)) >= 2 * n
+        # minimality of t_head: drop the boundary value and the CDF
+        # falls under 1/3
+        t_head = max(head)
+        assert 3 * sum(1 for s in head if s < t_head) < n
+        assert max(head) < min(middle) <= max(middle) < min(tail)
+
+
+def test_url_parsing_hand_rules(spark):
+    """eTLD+1 + gate rules on hand-built URLs: two-level public
+    suffixes take three labels, ports are stripped from the host but
+    flunk the gate, http / deep paths / blocklisted domains flunk,
+    and a bare registrable domain (no subdomain) parses as itself."""
+    from iconic_data_science_spark.operators.text import (
+        url_domain_stats,
+        url_gate,
+    )
+
+    rows = [
+        (0, "https://www.site1.com/a/b"),        # keep: www.site1.com -> site1.com
+        (1, "https://site1.com/a"),               # keep: bare domain
+        (2, "https://cdn.assets.site4.ac.jp/a"),  # keep: eTLD+1 = site4.ac.jp
+        (3, "http://site1.com/a"),                # drop: http
+        (4, "https://site1.com:8080/a"),          # drop: port
+        (5, "https://site1.com/a/b/c"),           # drop: depth 3
+        (6, "https://blog.site3.com/a"),          # drop: blocklisted domain
+        (7, "https://x.site7.co.uk/a"),           # drop: blocklisted two-level
+    ]
+    pages = spark.createDataFrame(rows, "doc_id bigint, url string")
+    kept = {r.doc_id: r.domain for r in url_gate(pages).collect()}
+    assert kept == {0: "site1.com", 1: "site1.com", 2: "site4.ac.jp"}
+
+    stats = {r.domain: r for r in url_domain_stats(pages).collect()}
+    s1 = stats["site1.com"]
+    assert (s1.n_docs, s1.n_hosts, s1.n_http, s1.blocked) == (5, 2, 1, 0)
+    assert stats["site3.com"].blocked == 1
+    assert stats["site7.co.uk"].blocked == 1
+    assert stats["site4.ac.jp"].n_hosts == 1
+
+
+def test_url_canonical_hand_rules(spark):
+    """Canonicalization collapses exactly the crawl-noise classes:
+    host case, port, trailing slash, utm_* params, param order,
+    fragment — and KEEPS distinctions that matter (different stable
+    param values, different paths)."""
+    from iconic_data_science_spark.operators.text import url_canonical
+
+    rows = [
+        (0, "https://WWW.Site1.com/a?utm_source=x&id=3#top"),
+        (1, "https://www.site1.com:443/a/?id=3"),
+        (2, "https://www.site1.com/a?id=3&utm_campaign=y"),
+        (3, "https://www.site1.com/a?id=4"),   # different value -> distinct
+        (4, "https://www.site1.com/b?id=3"),   # different path -> distinct
+        (5, "https://www.site1.com/a"),         # no params -> distinct
+    ]
+    pages = spark.createDataFrame(rows, "doc_id bigint, url string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: r.c
+        for r in pages.select("doc_id", url_canonical(F.col("url")).alias("c")).collect()
+    }
+    assert got[0] == got[1] == got[2] == "www.site1.com/a?id=3"
+    assert got[3] == "www.site1.com/a?id=4"
+    assert got[4] == "www.site1.com/b?id=3"
+    assert got[5] == "www.site1.com/a"

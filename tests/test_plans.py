@@ -463,6 +463,34 @@ EXCHANGE_BUDGET = {
     # behind checkpoints (cleaned corpus, DSIR bucket arrays) or the
     # driver-literal LM collect — the returned plan is map + TakeOrdered
     "curation_pipeline_v9": 0,
+    # MaxSim truth baseline: the doc fold groupBy + the ranking window;
+    # the all-pairs join is the nested loop ON PURPOSE (recall anchor)
+    "ann_maxsim_topk": 2,
+    # MaxSim serving: token signature (plane join is broadcast; two
+    # aggregations), the bucket self-join + distinct, the two candidate
+    # joins against the folded docs (each a groupBy), ranking window —
+    # all equi-joins, token-grain rows only inside the bucket join
+    "ann_maxsim_rerank": 10,
+    # CCNet terciles: bigram surprisal's 6 + the lang attach join, the
+    # bounded histogram aggregate + its CDF window; the threshold table
+    # comes back as a BROADCAST join (no doc-grain sort — pinned below)
+    "text_ppl_buckets": 8,
+    # URL curation: the stats rollup is one domain-grain aggregate with
+    # a two-phase count-distinct riding it; the doc-level gate is a
+    # pure in-row parse+filter — zero exchanges (streamable)
+    "web_domain_stats": 2,
+    "web_url_gate": 0,
+    # gap-fill: ONE events-grain exchange (the type x hour rollup);
+    # the spine explode, fill windows, and neighbor lookups all run on
+    # the bounded type x hour table (its window exchange is the 2nd)
+    "ts_gap_fill": 2,
+    # URL dedup: in-row canonicalization + exactly one canonical-key
+    # aggregate — the exchange carries (key, id) pairs only
+    "web_url_dedup": 1,
+    # WordPiece encode: the vocab collects eagerly as driver metadata;
+    # the RETURNED plan is the greedy double fold as one in-row map —
+    # zero exchanges (streamable)
+    "text_wordpiece_encode": 0,
 }
 
 
@@ -490,3 +518,27 @@ def test_rp_lsh_is_equi_join_not_nested_loop(spark, sf01):
     base = entrymod.queries()["ann_rp_topk"](spark, sf01)
     bplan = inspect.formatted_plan(base)
     assert "BroadcastNestedLoopJoin" in bplan or "CartesianProduct" in bplan
+
+
+def test_maxsim_rerank_is_equi_join_not_nested_loop(spark, sf01):
+    """ColBERT serving (ann_maxsim_rerank): every join — token bucket,
+    candidate-to-docs — must be an equi-join; the quadratic all-pairs
+    shape is reserved for the ann_maxsim_topk truth baseline."""
+    df = entrymod.queries()["ann_maxsim_rerank"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    base = entrymod.queries()["ann_maxsim_topk"](spark, sf01)
+    bplan = inspect.formatted_plan(base)
+    assert "BroadcastNestedLoopJoin" in bplan or "CartesianProduct" in bplan
+
+
+def test_ppl_buckets_threshold_join_is_broadcast(spark, sf01):
+    """The CCNet tercile thresholds (one row per language) must come
+    back to the corpus as a broadcast join — a shuffled threshold
+    attach would sort doc-grain rows for a lang-grain table."""
+    df = entrymod.queries()["text_ppl_buckets"](spark, sf01)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

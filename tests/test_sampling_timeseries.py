@@ -193,3 +193,50 @@ def test_global_uniform_n_exact_and_partition_invariant(spark, sf_dir):
     assert a == b
     big = sorted(r.doc_id for r in global_uniform_n(docs, "doc_id", 100).collect())
     assert set(a) <= set(big)
+
+
+def test_gap_fill_hand_series(spark):
+    """Gap-fill triple on a hand series (one type, hours 100..104 with
+    103 missing and 101-102 missing): locf carries the last observed
+    sum, interpolation is the exact weighted average, edges before the
+    first / after the last observation stay NULL, and observed rows
+    pass through untouched."""
+    import datetime as dt
+
+    from iconic_data_science_spark.operators.timeseries import gap_fill
+
+    def at(h, m=0):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        # hour 100: two events summing 3.50 -> 350 cents
+        (1, at(100, 5), 1, "click", 1.25, "{}"),
+        (2, at(100, 40), 1, "click", 2.25, "{}"),
+        # hours 101, 102 missing; hour 103: 9.50 -> 950
+        (3, at(103, 10), 2, "click", 9.50, "{}"),
+        # hour 104 missing is OUTSIDE the span (103 is the max) -> no row
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.bucket_h: r for r in gap_fill(ev).collect()}
+    assert sorted(out) == [100, 101, 102, 103]
+    assert (out[100].observed_cents, out[100].locf_cents, out[100].interp_cents) == (350, 350, 350)
+    # interp(101) = (350*(103-101) + 950*(101-100)) div 3 = 1650 div 3 = 550
+    assert (out[101].observed_cents, out[101].locf_cents, out[101].interp_cents) == (None, 350, 550)
+    # interp(102) = (350*1 + 950*2) div 3 = 2250 div 3 = 750
+    assert (out[102].observed_cents, out[102].locf_cents, out[102].interp_cents) == (None, 350, 750)
+    assert (out[103].observed_cents, out[103].locf_cents, out[103].interp_cents) == (950, 950, 950)
+
+    # single-observation type: span collapses to one row, no interior
+    solo = spark.createDataFrame(
+        [(9, at(50, 1), 3, "signup", 4.00, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    srows = gap_fill(solo).collect()
+    assert len(srows) == 1
+    r = srows[0]
+    assert (r.bucket_h, r.observed_cents, r.locf_cents, r.interp_cents) == (50, 400, 400, 400)

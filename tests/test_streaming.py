@@ -564,3 +564,37 @@ def test_streaming_surprisal_gate_equals_batch(spark, sf_dir):
     )
     got = _run_stream(spark, stream, "t_surprisal_gate", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_url_gate_equals_batch(spark, sf_dir):
+    """The URL filter at ingest (the FineWeb ordering — URL rules run
+    before anything tokenizes): synth + regex parse + eTLD+1 + rules
+    are all per-row expressions, so the gate admits an append document
+    stream; stream == batch row for row."""
+    from iconic_data_science_spark.operators.text import synth_urls, url_gate
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = url_gate(synth_urls(docs))
+    stream = url_gate(synth_urls(sd.read_document_stream(spark, sf_dir)))
+    got = _run_stream(spark, stream, "t_url_gate", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_wordpiece_encode_equals_batch(spark, sf_dir):
+    """WordPiece at ingest: the vocabulary learns once on the static
+    corpus and bakes into the plan as a literal map; the greedy
+    double fold is a pure in-row map, so the encoder admits an append
+    document stream; stream == batch row for row."""
+    from iconic_data_science_spark.operators.text import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    vocab = wordpiece_vocab(docs, n_words=12)
+    batch = wordpiece_encode(docs, vocab)
+    stream = wordpiece_encode(sd.read_document_stream(spark, sf_dir), vocab)
+    got = _run_stream(spark, stream, "t_wordpiece", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
