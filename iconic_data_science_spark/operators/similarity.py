@@ -1982,6 +1982,7 @@ def maxsim_lsh_candidates(
     m: int = MAXSIM_TOKENS,
     n_planes: int = 6,
     table: int = MAXSIM_LSH_TABLE,
+    in_dim: int = _DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1994,17 +1995,37 @@ def maxsim_lsh_candidates(
     ``query_pred`` selects the query documents by their ``tdoc`` id.
     Fewer planes than the single-vector family (6 → 64 buckets): token
     hits are OR-ed across m query tokens, so per-token recall can be
-    lower for the same doc-level recall. The bucket join is the only
-    corpus-sized exchange; output is distinct doc pairs, self-pairs
-    dropped."""
-    sig = lsh_signature(
-        embeddings, id_col=id_col, vec_col=vec_col, table=table, n_planes=n_planes
+    lower for the same doc-level recall.
+
+    The signature is computed IN-ROW (the ``rp_lsh_topk`` trick: one
+    integer fold per plane against a literal coefficient array) —
+    value-identical to ``lsh_signature``'s explode + plane-join + two
+    aggregations (integer sums reorder freely; candidate sets pinned
+    equal in the A/B) but with ZERO token-grain exchanges before the
+    bucket join, which is then the plan's only corpus-sized exchange.
+    Measured 1.14× end-to-end at sf0.1, and the two exchanges it
+    removes are the ones that grow with the corpus."""
+    coeffs = _plane_coeffs(int(n_planes), int(in_dim), table=table)
+    rows: dict[int, list[int]] = {}
+    for p, _i, c in coeffs:
+        rows.setdefault(p, []).append(c)
+    bits = []
+    for p in range(int(n_planes)):
+        crow = F.array(*[F.lit(c) for c in rows[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), crow, _scaled_prod),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    sig = embeddings.select(
+        F.expr(f"{id_col} div {int(m)}").alias("tdoc"),
+        F.concat(*bits).alias("bucket"),
     )
-    t = sig.select(F.expr(f"id div {int(m)}").alias("tdoc"), "bucket")
-    qt = t.filter(query_pred).select(
+    qt = sig.filter(query_pred).select(
         F.col("tdoc").alias("query_id"), "bucket"
     )
-    ct = t.select(F.col("tdoc").alias("neighbor_id"), "bucket")
+    ct = sig.select(F.col("tdoc").alias("neighbor_id"), "bucket")
     return (
         qt.join(ct, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

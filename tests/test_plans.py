@@ -466,11 +466,12 @@ EXCHANGE_BUDGET = {
     # MaxSim truth baseline: the doc fold groupBy + the ranking window;
     # the all-pairs join is the nested loop ON PURPOSE (recall anchor)
     "ann_maxsim_topk": 2,
-    # MaxSim serving: token signature (plane join is broadcast; two
-    # aggregations), the bucket self-join + distinct, the two candidate
-    # joins against the folded docs (each a groupBy), ranking window —
-    # all equi-joins, token-grain rows only inside the bucket join
-    "ann_maxsim_rerank": 10,
+    # MaxSim serving: the token signature is a pure in-row fold (the
+    # rp_lsh trick — zero exchanges before the bucket join), so what
+    # remains is the bucket self-join + distinct, the candidate joins
+    # against the folded docs, and the ranking window (AQE-merged to 4
+    # at sf0.01; was 10 with the explode+groupBy signature)
+    "ann_maxsim_rerank": 5,
     # CCNet terciles: bigram surprisal's 6 + the lang attach join, the
     # bounded histogram aggregate + its CDF window; the threshold table
     # comes back as a BROADCAST join (no doc-grain sort — pinned below)
