@@ -10512,8 +10512,7 @@ def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["web_url_dedup"] = q_web_url_dedup
 
-ORACLES["web_url_dedup"] = """
-    WITH hb AS (
+_URL_DEDUP_CTES = """hb AS (
         SELECT doc_id, source,
                (CASE WHEN doc_id % 4 = 0 THEN 'www.'
                      WHEN doc_id % 4 = 1 THEN 'blog.' ELSE '' END)
@@ -10536,7 +10535,7 @@ ORACLES["web_url_dedup"] = """
                || (CASE WHEN doc_id % 13 = 0 THEN '#top' ELSE '' END) AS url
         FROM hb
     ),
-    c AS (
+    cano AS (
         SELECT doc_id,
                lower(string_split(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
                                   ':')[1])
@@ -10553,11 +10552,14 @@ ORACLES["web_url_dedup"] = """
                         if p <> '' and NOT starts_with(p, 'utm_')]), '&') AS kept
             FROM u
         )
-    )
+    )"""
+
+ORACLES["web_url_dedup"] = f"""
+    WITH {_URL_DEDUP_CTES}
     SELECT canonical_url,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
-    FROM c GROUP BY 1
+    FROM cano GROUP BY 1
 """
 
 
@@ -10592,6 +10594,131 @@ QUERIES["text_wordpiece_encode"] = q_text_wordpiece_encode
 from iconic_data_science_spark.operators.text import wordpiece_oracle_sql as _wp_oracle  # noqa: E402
 
 ORACLES["text_wordpiece_encode"] = _wp_oracle(n_words=12)
+
+
+def q_curation_pipeline_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8-continuation composition — the FULL crawl-to-corpus
+    front end: URL canonical dedup (the crawl layer — only each
+    canonical URL's keeper doc enters; Penedo et al. 2024 run exactly
+    this before any content work) → C4 line-level cleaning of the
+    keepers' pages → pruned-LM perplexity gate learned ON the cleaned
+    keepers (256 hottest bigrams, keep the ≤8240-milli head). Each
+    stage consumes the previous stage's survivors, so one hash covers
+    the URL synth, the canonicalization rules, the min-id keeper rule,
+    the paging, every C4 rule, the LM tie-break, and the fold with
+    defaults. The cleaned frame localCheckpoints (feeds the LM job and
+    the gate plan — the r7 cross-branch rule)."""
+    from iconic_data_science_spark.operators.text import (
+        bigram_lm_topk,
+        bigram_surprisal_gate,
+        c4_line_filter,
+        synth_urls_noisy,
+        url_dedup,
+    )
+
+    cat = _cat(spark, sf_dir)
+    keepers = url_dedup(synth_urls_noisy(cat.documents)).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    base = cat.documents.join(keepers, "doc_id")
+    cleaned = (
+        c4_line_filter(
+            _c4_pages(base),
+            min_words_per_line=3,
+            min_kept_lines=3,
+            bad_words=["badword"],
+        )
+        .filter(F.col("keep") == 1)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint()
+    )
+    lm = bigram_lm_topk(cleaned, k=256)
+    return bigram_surprisal_gate(cleaned, lm, default_s=10, cutoff_milli=8240)
+
+
+QUERIES["curation_pipeline_v10"] = q_curation_pipeline_v10
+
+_C4_STATS_KEPT_SQL = _C4_STATS_SQL.replace(
+    "AS t FROM documents", "AS t FROM documents JOIN keepers USING (doc_id)"
+)
+
+ORACLES["curation_pipeline_v10"] = f"""
+    WITH {_URL_DEDUP_CTES},
+    keepers AS MATERIALIZED (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        FROM cano GROUP BY canonical_url
+    ),
+    {_C4_STATS_KEPT_SQL},
+    cleaned AS MATERIALIZED (
+        SELECT s.doc_id, s.kept_text AS text
+        FROM stats s
+        JOIN flags f USING (doc_id)
+        WHERE f.f_lorem + f.f_brace + f.f_bad_words = 0 AND s.n_kept >= 3
+    ),
+    gtk AS MATERIALIZED (
+        SELECT doc_id,
+               [w for w in string_split(lower(coalesce(text, '')), ' ')
+                if w <> ''] AS t
+        FROM cleaned
+    ),
+    gbg AS MATERIALIZED (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                           for i in generate_series(1, len(t) - 1)]) AS p
+            FROM gtk WHERE len(t) >= 2
+        )
+    ),
+    gbgc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg FROM gbg GROUP BY 1, 2
+    ),
+    glm AS MATERIALIZED (
+        SELECT w1, w2,
+               (length(bin(CAST(SUM(cbg) OVER (PARTITION BY w1) AS BIGINT)))
+                - length(bin(cbg))) AS s
+        FROM gbgc
+        ORDER BY cbg DESC, w1, w2 LIMIT 256
+    ),
+    gagg AS (
+        SELECT gbg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(1000 * SUM(coalesce(glm.s, 10)) // COUNT(*) AS BIGINT)
+                   AS surprisal_milli
+        FROM gbg LEFT JOIN glm USING (w1, w2)
+        GROUP BY 1
+    ),
+    gall AS (
+        SELECT doc_id, n_bigrams, surprisal_milli FROM gagg
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM gtk WHERE len(t) < 2
+    )
+    SELECT * FROM gall WHERE surprisal_milli <= 8240
+"""
+
+
+def q_text_wordpiece_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece BATCH twin (operators/text.wordpiece_encode_batch)
+    — row-identical to text_wordpiece_encode but the greedy fold runs
+    once per DISTINCT word and joins back (Zipf's law: fold work
+    scales with |vocabulary|, not corpus tokens — measured 3.5× at
+    sf0.1, and the gap grows with repetition). The map form stays the
+    ingest gate (zero exchanges, streamable); this is the backfill
+    path. Shares the map form's oracle verbatim — same rows, same
+    hash."""
+    from iconic_data_science_spark.operators.text import (
+        wordpiece_encode_batch,
+        wordpiece_vocab,
+    )
+
+    cat = _cat(spark, sf_dir)
+    vocab = wordpiece_vocab(cat.documents, n_words=12)
+    return wordpiece_encode_batch(cat.documents, vocab)
+
+
+QUERIES["text_wordpiece_batch"] = q_text_wordpiece_batch
+
+ORACLES["text_wordpiece_batch"] = ORACLES["text_wordpiece_encode"]
 
 
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
@@ -10950,6 +11077,8 @@ _ROUND8_FRONT = [
     "ts_gap_fill",  # never driver-attempted
     "web_url_dedup",  # never driver-attempted
     "text_wordpiece_encode",  # never driver-attempted
+    "curation_pipeline_v10",  # never driver-attempted
+    "text_wordpiece_batch",  # never driver-attempted
     "a2_approx_distinct",  # latest evidence r1
     "j_full_outer_halves",  # latest evidence r3
     "w_ntile_balance_quartiles",  # latest evidence r3
@@ -10973,8 +11102,6 @@ _ROUND8_FRONT = [
     "decontaminate_bloom",  # latest evidence r4
     "ann_ivfpq_topk",  # latest evidence r4
     "dedup_minhash_lsh",  # latest evidence r4
-    "dedup_simhash",  # latest evidence r4
-    "dedup_simhash_pairs",  # latest evidence r4
 ]
 
 # Each round's front wins the head slots over the one before it

@@ -215,3 +215,21 @@ def test_wordpiece_vocab_alphabet_closure(spark, sf_dir):
     # decomposition really happens: pieces strictly exceed words overall
     tot = out.agg(F.sum("n_pieces").alias("p"), F.sum("n_words").alias("w")).collect()[0]
     assert tot.p > tot.w
+
+
+def test_wordpiece_batch_equals_map_form(spark, sf_dir):
+    """The distinct-word batch twin must be row-identical to the
+    streamable map form on the real corpus (same vocab, same rows,
+    same fingerprints)."""
+    from iconic_data_science_spark.operators.text import (
+        wordpiece_encode,
+        wordpiece_encode_batch,
+        wordpiece_vocab,
+    )
+    from iconic_data_science_spark.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    vocab = wordpiece_vocab(docs, n_words=12)
+    a = sorted(map(tuple, wordpiece_encode(docs, vocab).collect()))
+    b = sorted(map(tuple, wordpiece_encode_batch(docs, vocab).collect()))
+    assert a == b

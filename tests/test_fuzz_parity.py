@@ -137,6 +137,13 @@ DOC_QUERIES = [
     # word (whole-word path) and single-char words (1-round folds);
     # the 'a'/'zz' pool words exercise 1- and 2-char pieces
     "text_wordpiece_encode",
+    # the v10 composition: tiny corpora can leave ZERO canonical
+    # keepers surviving C4 (empty LM, empty gate) — both engines must
+    # hash empty end to end
+    "curation_pipeline_v10",
+    # the batch twin shares the map form's oracle — the fuzz gate pins
+    # the distinct-word + ordered-join-back plan to the same hash
+    "text_wordpiece_batch",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

@@ -492,6 +492,13 @@ EXCHANGE_BUDGET = {
     # the RETURNED plan is the greedy double fold as one in-row map —
     # zero exchanges (streamable)
     "text_wordpiece_encode": 0,
+    # v10 composition: URL keepers + C4 run eagerly behind the
+    # localCheckpoint, the LM collects as driver metadata — the
+    # returned gate plan is a pure in-row fold (the v8/v9 discipline)
+    "curation_pipeline_v10": 0,
+    # WordPiece batch twin: the distinct-word dedup + the ordered
+    # join-back rollup — the exchanges the Zipf leverage buys
+    "text_wordpiece_batch": 3,
 }
 
 
