@@ -103,6 +103,24 @@ HEADLINE = [
     # the same scan that c4/dsir already measure.
     "ann_rp_lsh_topk",
     "text_bigram_surprisal",
+    # round-8 continuation: late-interaction rerank (token-bucket
+    # candidates + in-row MaxSim — the brute twin is a truth baseline)
+    # and the CCNet tercile assignment (bounded histogram CDF +
+    # broadcast thresholds). ann_maxsim_topk and web_url_gate excluded:
+    # one is the quadratic anchor, the other a zero-exchange map.
+    "ann_maxsim_rerank",
+    "text_ppl_buckets",
+    # integer HITS (two shuffles x 5 rounds + 1-row normalizers — the
+    # hubs/authorities companion to web_pagerank) and hypertable
+    # gap-fill (one events-grain exchange, fills on the bounded spine)
+    "web_hits",
+    "ts_gap_fill",
+    # WordPiece encode: the zero-exchange greedy fold — measures the
+    # in-row HOF cost per corpus scan (the BPE-encode comparison row)
+    "text_wordpiece_encode",
+    # the composed crawl-to-corpus front end (URL dedup -> C4 -> LM
+    # gate): measures the three learned stages end to end
+    "curation_pipeline_v10",
 ]
 
 
