@@ -10721,6 +10721,69 @@ QUERIES["text_wordpiece_batch"] = q_text_wordpiece_batch
 ORACLES["text_wordpiece_batch"] = ORACLES["text_wordpiece_encode"]
 
 
+def q_text_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering (operators/text.chat_render over
+    synth_chat_turns): deterministic user/assistant transcripts from
+    the document tokens, rendered under the ChatML template with the
+    system prompt prepended, plus the ASSISTANT-ONLY loss-mask token
+    count — the data-prep step every instruction-tuning pipeline runs
+    before packing. Pure in-row map (zero exchanges, streamable); the
+    oracle replays the turn synthesis (slice arithmetic), the render
+    fold (chr(10) newlines — DuckDB literals don't interpret \\n), the
+    whitespace token counts, and the md5 fingerprint."""
+    from iconic_data_science_spark.operators.text import (
+        chat_render,
+        synth_chat_turns,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return chat_render(synth_chat_turns(cat.documents))
+
+
+QUERIES["text_chat_render"] = q_text_chat_render
+
+ORACLES["text_chat_render"] = """
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id,
+               [w for w in string_split(lower(coalesce(text, '')), ' ')
+                if w <> ''] AS t
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(CASE WHEN len(t) > 0
+                         THEN CAST(ceil(len(t) / 10.0) AS BIGINT)
+                         ELSE 0 END AS BIGINT) AS n_turns,
+               '<|im_start|>system' || chr(10)
+               || 'you are a helpful assistant<|im_end|>' || chr(10)
+               || CASE WHEN len(t) = 0 THEN '' ELSE
+                  list_reduce(list_prepend('',
+                    ['<|im_start|>'
+                     || (CASE WHEN k % 2 = 1 THEN 'user' ELSE 'assistant' END)
+                     || chr(10)
+                     || array_to_string(t[(k-1)*10+1 : k*10], ' ')
+                     || '<|im_end|>' || chr(10)
+                     for k in generate_series(1,
+                         CAST(ceil(len(t) / 10.0) AS BIGINT))]),
+                    (a, b) -> a || b) END AS rendered,
+               CASE WHEN len(t) = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST(list_reduce(list_prepend(0,
+                   [CASE WHEN k % 2 = 0
+                         THEN len(t[(k-1)*10+1 : k*10]) + 1 ELSE 0 END
+                    for k in generate_series(1,
+                        CAST(ceil(len(t) / 10.0) AS BIGINT))]),
+                   (a, b) -> a + b) AS BIGINT) END AS n_loss_tokens
+        FROM tk
+    )
+    SELECT doc_id, n_turns,
+           CAST(len([w for w in string_split(rendered, ' ')
+                     if w <> '']) AS BIGINT) AS n_tokens,
+           n_loss_tokens,
+           md5(rendered) AS rendered_fp
+    FROM r
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
@@ -11079,6 +11142,7 @@ _ROUND8_FRONT = [
     "text_wordpiece_encode",  # never driver-attempted
     "curation_pipeline_v10",  # never driver-attempted
     "text_wordpiece_batch",  # never driver-attempted
+    "text_chat_render",  # never driver-attempted
     "a2_approx_distinct",  # latest evidence r1
     "j_full_outer_halves",  # latest evidence r3
     "w_ntile_balance_quartiles",  # latest evidence r3
@@ -11101,7 +11165,6 @@ _ROUND8_FRONT = [
     "curation_pipeline_v3",  # latest evidence r4
     "decontaminate_bloom",  # latest evidence r4
     "ann_ivfpq_topk",  # latest evidence r4
-    "dedup_minhash_lsh",  # latest evidence r4
 ]
 
 # Each round's front wins the head slots over the one before it

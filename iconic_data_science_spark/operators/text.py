@@ -2274,3 +2274,107 @@ def wordpiece_encode_batch(
         .alias("n_unk"),
         F.md5(F.array_join(F.col("_p"), " ").cast("binary")).alias("pieces_fp"),
     )
+
+
+# --- SFT chat-template rendering ------------------------------------------
+
+CHAT_TURN_TOKENS = 10
+
+
+def synth_chat_turns(
+    documents: DataFrame,
+    turn_tokens: int = CHAT_TURN_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, turns: array<struct<role,content>>) — deterministic
+    chat transcripts from the document tokens (the synth discipline):
+    consecutive ``turn_tokens``-token windows become alternating
+    user/assistant turns (user first). Docs with no tokens get zero
+    turns. Pure in-row arithmetic, SQL-replayable."""
+    t = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = documents.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+    n_turns = F.ceil(F.size("_t") / F.lit(int(turn_tokens))).cast("int")
+    turns = F.transform(
+        F.sequence(F.lit(1), n_turns),
+        lambda k: F.struct(
+            F.when(k % 2 == 1, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+            F.array_join(
+                F.slice(F.col("_t"), (k - 1) * int(turn_tokens) + 1, int(turn_tokens)),
+                " ",
+            ).alias("content"),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.when(F.size("_t") > 0, turns)
+        .otherwise(F.array().cast("array<struct<role:string,content:string>>"))
+        .alias("turns"),
+    )
+
+
+def chat_render(
+    chats: DataFrame,
+    system_prompt: str = "you are a helpful assistant",
+    id_col: str = "doc_id",
+    turns_col: str = "turns",
+) -> DataFrame:
+    """(doc_id, n_turns, n_tokens, n_loss_tokens, rendered_fp) — the
+    SFT data-prep step every instruction-tuning pipeline runs: render
+    (system, user, assistant, …) turns into ONE training string under
+    a ChatML-style template,
+
+        <|im_start|>role\\ncontent<|im_end|>\\n   per turn,
+
+    with the system prompt prepended, and compute the ASSISTANT-ONLY
+    loss mask: ``n_tokens`` counts whitespace tokens of the full
+    rendered string, ``n_loss_tokens`` counts only assistant-turn
+    content tokens (+1 per assistant turn for its <|im_end|> sentinel)
+    — the mask the trainer uses so loss never flows through user or
+    system text. ``rendered_fp`` is the md5 of the rendered string
+    (the fingerprint discipline — hash the payload, don't ship it).
+
+    PURE MAP, zero exchanges, streamable: rendering is one in-row
+    fold over the turn array; counting is in-row arithmetic. No
+    counterpart in the reference (no chat surface); template per
+    ChatML (public OpenAI spec) as used by open SFT stacks."""
+    turns = F.col(turns_col)
+    rendered_turn = lambda s: F.concat(  # noqa: E731
+        F.lit("<|im_start|>"), s["role"], F.lit("\n"), s["content"], F.lit("<|im_end|>\n")
+    )
+    rendered = F.concat(
+        F.lit(f"<|im_start|>system\n{system_prompt}<|im_end|>\n"),
+        F.aggregate(
+            turns,
+            F.lit("").cast("string"),
+            lambda acc, s: F.concat(acc, rendered_turn(s)),
+        ),
+    )
+    tok_count = lambda c: F.size(  # noqa: E731
+        F.filter(F.split(c, " "), lambda x: x != "")
+    )
+    loss = F.aggregate(
+        turns,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["role"] == "assistant", (tok_count(s["content"]) + 1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    out = chats.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(turns).cast("long").alias("n_turns"),
+        rendered.alias("_r"),
+        loss.alias("n_loss_tokens"),
+    )
+    return out.select(
+        "doc_id",
+        "n_turns",
+        F.size(F.filter(F.split(F.col("_r"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+        "n_loss_tokens",
+        F.md5(F.col("_r").cast("binary")).alias("rendered_fp"),
+    )

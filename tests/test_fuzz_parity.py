@@ -144,6 +144,9 @@ DOC_QUERIES = [
     # the batch twin shares the map form's oracle — the fuzz gate pins
     # the distinct-word + ordered-join-back plan to the same hash
     "text_wordpiece_batch",
+    # SFT chat render: fuzzed docs give zero-turn transcripts, exact
+    # 10-token boundaries, and single-token trailing turns
+    "text_chat_render",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

@@ -1925,3 +1925,39 @@ def test_url_canonical_hand_rules(spark):
     assert got[3] == "www.site1.com/a?id=4"
     assert got[4] == "www.site1.com/b?id=3"
     assert got[5] == "www.site1.com/a"
+
+
+def test_chat_render_hand_rules(spark):
+    """ChatML render + assistant-only loss mask on a hand transcript:
+    the system turn and user turns contribute zero loss tokens, each
+    assistant turn contributes its content tokens + 1 (its <|im_end|>
+    sentinel), the rendered fingerprint is the md5 of the exact
+    template string, and an empty doc renders to the system turn
+    alone."""
+    import hashlib
+
+    from iconic_data_science_spark.operators.text import (
+        chat_render,
+        synth_chat_turns,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(25))), (1, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in chat_render(synth_chat_turns(docs)).collect()}
+    # doc 0: 25 tokens -> 3 turns (user 10, assistant 10, user 5);
+    # loss = assistant content 10 + 1 sentinel = 11
+    assert (out[0].n_turns, out[0].n_loss_tokens) == (3, 11)
+    # doc 1: zero turns; rendered == system block only
+    sys_block = "<|im_start|>system\nyou are a helpful assistant<|im_end|>\n"
+    assert (out[1].n_turns, out[1].n_loss_tokens) == (0, 0)
+    assert out[1].rendered_fp == hashlib.md5(sys_block.encode()).hexdigest()
+    # exact render of doc 0 reproduced locally
+    toks = [f"w{i}" for i in range(25)]
+    r = sys_block
+    for k in range(3):
+        role = "user" if k % 2 == 0 else "assistant"
+        r += f"<|im_start|>{role}\n" + " ".join(toks[k*10:(k+1)*10]) + "<|im_end|>\n"
+    assert out[0].rendered_fp == hashlib.md5(r.encode()).hexdigest()
+    assert out[0].n_tokens == len([w for w in r.split(" ") if w])

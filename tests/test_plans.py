@@ -499,6 +499,9 @@ EXCHANGE_BUDGET = {
     # WordPiece batch twin: the distinct-word dedup + the ordered
     # join-back rollup — the exchanges the Zipf leverage buys
     "text_wordpiece_batch": 3,
+    # SFT chat render: turn synthesis, template fold, loss-mask count
+    # — all in-row, zero exchanges (streamable)
+    "text_chat_render": 0,
 }
 
 

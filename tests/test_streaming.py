@@ -598,3 +598,20 @@ def test_streaming_wordpiece_encode_equals_batch(spark, sf_dir):
     stream = wordpiece_encode(sd.read_document_stream(spark, sf_dir), vocab)
     got = _run_stream(spark, stream, "t_wordpiece", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_chat_render_equals_batch(spark, sf_dir):
+    """Chat-template rendering at ingest: turn synthesis + render +
+    loss-mask counting are per-row expressions, so the SFT prep step
+    admits an append document stream; stream == batch row for row."""
+    from iconic_data_science_spark.operators.text import (
+        chat_render,
+        synth_chat_turns,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = chat_render(synth_chat_turns(docs))
+    stream = chat_render(synth_chat_turns(sd.read_document_stream(spark, sf_dir)))
+    got = _run_stream(spark, stream, "t_chat_render", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
