@@ -10321,8 +10321,13 @@ _URL_PARTS_SQL = """parts AS (
         FROM u
     ),
     dom AS (
+        -- single-label hosts (localhost): registrable domain = host,
+        -- mirroring the Spark-side n >= 2 guard (operators/text.py
+        -- _url_parts); DuckDB's labels[-2] would be NULL there, Spark's
+        -- element_at would throw under ANSI
         SELECT *,
-               CASE WHEN labels[-2] || '.' || labels[-1]
+               CASE WHEN len(labels) < 2 THEN host
+                    WHEN labels[-2] || '.' || labels[-1]
                          IN ('co.uk', 'ac.jp')
                          AND len(labels) >= 3
                     THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]

@@ -673,6 +673,11 @@ def hits_int(
     or shards the normalizer sum, exactly the ``pagerank_int``
     caveat. No counterpart in the reference (its graph surface is the
     static coauthor net, StaticNet.scala)."""
+    if int(iterations) < 1:
+        # a is only bound inside the loop; 0 rounds would crash on the
+        # final join with an AttributeError instead of a clear error,
+        # and "HITS with no iterations" has no defined fixpoint value.
+        raise ValueError("hits_int requires iterations >= 1")
     edges = (
         edges.select("src", "dst").distinct().repartition("src").localCheckpoint()
     )

@@ -1768,11 +1768,18 @@ def _url_parts(url: Column) -> dict[str, Column]:
     has_port = F.size(F.split(host_port, ":")) > 1
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
+    # Guard the eTLD+1 lookbacks on label count: element_at(labels, -2)
+    # on a single-label host (http://localhost/x) throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's ANSI default;
+    # real crawls contain such hosts. A 1-label host's registrable
+    # domain is the host itself. CaseWhen evaluates branches lazily, so
+    # the negative-index lookups never run when the guard fails.
+    last2 = F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
     domain = F.when(
-        last2.isin(*WEB_TWO_LEVEL_SUFFIXES) & (n >= 3),
+        (n >= 3) & last2.isin(*WEB_TWO_LEVEL_SUFFIXES),
         F.concat_ws(".", F.element_at(labels, -3), last2),
     ).otherwise(last2)
     path = F.regexp_extract(url, r"^[a-z]+://[^/]+(/.*)$", 1)
@@ -2009,32 +2016,59 @@ def _wordpiece_word_encoder(
 
         def step(acc: Column, _i: Column) -> Column:
             pos = acc["pos"]
-            cand = F.aggregate(
-                F.sequence(F.least(F.lit(int(max_piece)), n - pos), F.lit(1), F.lit(-1)),
-                acc,
-                lambda b, L: F.when(b["pos"] > pos, b).otherwise(
-                    F.when(
-                        F.element_at(vmap, piece(w, pos, L)).isNotNull(),
-                        F.struct(
-                            (pos + L).cast("int").alias("pos"),
-                            F.array_append(acc["parts"], piece(w, pos, L)).alias(
-                                "parts"
-                            ),
-                            F.lit(False).alias("unk"),
+            # Longest in-vocab piece at pos, or null. HOF expression
+            # trees re-evaluate every column REFERENCE, so the old
+            # shape (piece() inlined in both the lookup test and the
+            # append, the whole inner fold referenced twice) cost 4
+            # substr+concat and 2 map lookups per candidate; here each
+            # candidate is sliced and looked up exactly once — the
+            # 1-element filter(array(...)) binds the piece as evaluated
+            # data — and the fold short-circuits after the first hit.
+            hit = F.aggregate(
+                F.sequence(
+                    F.least(F.lit(int(max_piece)), n - pos), F.lit(1), F.lit(-1)
+                ),
+                F.lit(None).cast("string"),
+                lambda b, L: F.when(b.isNotNull(), b).otherwise(
+                    F.get(
+                        F.filter(
+                            F.array(piece(w, pos, L)),
+                            lambda p: F.element_at(vmap, p).isNotNull(),
                         ),
-                    ).otherwise(acc)
+                        0,
+                    )
                 ),
             )
-            return F.when(acc["unk"] | (pos >= n), acc).otherwise(
-                F.when(
-                    cand["pos"] == pos,
-                    F.struct(
-                        n.cast("int").alias("pos"),
-                        F.array(F.lit(WORDPIECE_UNK)).alias("parts"),
-                        F.lit(True).alias("unk"),
+            # bind `hit` once (transform lambda vars are evaluated
+            # data) — referencing it in both the null test and the
+            # advance would re-run the whole candidate fold
+            stepped = F.get(
+                F.transform(
+                    F.array(hit),
+                    lambda m: F.when(
+                        m.isNull(),
+                        F.struct(
+                            n.cast("int").alias("pos"),
+                            F.array(F.lit(WORDPIECE_UNK)).alias("parts"),
+                            F.lit(True).alias("unk"),
+                        ),
+                    ).otherwise(
+                        F.struct(
+                            (
+                                pos
+                                + F.length(m)
+                                - F.when(pos > 0, F.lit(2)).otherwise(F.lit(0))
+                            )
+                            .cast("int")
+                            .alias("pos"),
+                            F.array_append(acc["parts"], m).alias("parts"),
+                            F.lit(False).alias("unk"),
+                        )
                     ),
-                ).otherwise(cand)
+                ),
+                0,
             )
+            return F.when(acc["unk"] | (pos >= n), acc).otherwise(stepped)
 
         # words beyond max_word chars are [UNK] by contract (the oracle
         # unrolls exactly max_word rounds; one round consumes >= 1 char)

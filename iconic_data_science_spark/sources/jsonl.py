@@ -63,15 +63,29 @@ def read_jsonl(
                 .json(path)
             )
         full = schema + f", {CORRUPT_COL} string"
-        parsed = spark.read.text(path).select(
-            F.from_json(
-                F.col("value"),
-                full,
-                {"mode": mode, "columnNameOfCorruptRecord": CORRUPT_COL},
-            ).alias("r")
+        # from_json only supports PERMISSIVE/FAILFAST; DROPMALFORMED's
+        # semantics are exactly what the corrupt-null filter below
+        # implements, so normalize it rather than raising at analysis
+        # time (the raw datasource path accepted it).
+        parse_mode = "PERMISSIVE" if mode.upper() == "DROPMALFORMED" else mode
+        parsed = (
+            spark.read.text(path)
+            # The JSON datasource skips blank lines; match it here —
+            # from_json('') returns a NULL struct (corrupt col null
+            # too), which would otherwise project an all-null ghost row.
+            .filter(F.trim(F.col("value")) != "")
+            .select(
+                F.from_json(
+                    F.col("value"),
+                    full,
+                    {"mode": parse_mode, "columnNameOfCorruptRecord": CORRUPT_COL},
+                ).alias("r")
+            )
         )
         return (
-            parsed.filter(F.col(f"r.{CORRUPT_COL}").isNull())
+            parsed.filter(
+                F.col("r").isNotNull() & F.col(f"r.{CORRUPT_COL}").isNull()
+            )
             .select("r.*")
             .drop(CORRUPT_COL)
         )

@@ -423,3 +423,16 @@ def test_hits_int_hand_structure(spark):
         r.node: (r.hub_i, r.auth_i) for r in hits_int(edges, iterations=5).collect()
     }
     assert again == out
+
+
+def test_hits_int_zero_iterations_rejected(spark):
+    """iterations=0 has no defined fixpoint value (a is only bound in
+    the loop); must raise a clear ValueError, not an AttributeError at
+    the final join (ADVICE r8)."""
+    import pytest
+
+    from iconic_data_science_spark.operators.graph import hits_int
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        hits_int(edges, iterations=0)

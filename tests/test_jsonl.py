@@ -51,6 +51,8 @@ def test_jsonl_malformed_lines_dropped_by_default(spark, tmp_path):
     p.write_text(
         '{"doc_id": 1, "text": "good line"}\n'
         "this is not json at all\n"
+        "\n"  # blank line: from_json('') -> NULL struct, must not ghost
+        "   \t \n"  # whitespace-only line, same hazard
         '{"doc_id": 2, "text": "also good"}\n'
     )
     df = read_jsonl(spark, str(p), "doc_id bigint, text string")
@@ -60,6 +62,19 @@ def test_jsonl_malformed_lines_dropped_by_default(spark, tmp_path):
     # .count() must survive Catalyst column pruning over the internal
     # corrupt-record column (Spark disallows plans that reference ONLY it)
     assert df.count() == 2
+
+
+def test_jsonl_dropmalformed_mode_normalized(spark, tmp_path):
+    """mode="DROPMALFORMED" with the default keep_corrupt=False: the
+    datasource reader accepted it, so the from_json drop path must not
+    raise (from_json only supports PERMISSIVE/FAILFAST) — the corrupt-
+    null filter already implements DROPMALFORMED's semantics."""
+    p = tmp_path / "mixed4.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\nnot json\n{"doc_id": 2, "text": "ok2"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id bigint, text string", mode="DROPMALFORMED")
+    assert sorted(map(tuple, df.collect())) == [(1, "ok"), (2, "ok2")]
 
 
 def test_jsonl_failfast_mode_raises_on_malformed(spark, tmp_path):

@@ -1886,10 +1886,12 @@ def test_url_parsing_hand_rules(spark):
         (5, "https://site1.com/a/b/c"),           # drop: depth 3
         (6, "https://blog.site3.com/a"),          # drop: blocklisted domain
         (7, "https://x.site7.co.uk/a"),           # drop: blocklisted two-level
+        (8, "https://localhost/a"),               # keep: 1-label host = its own domain
+        (9, "http://localhost:9000/a/b/c"),       # drop (http+port+depth), must not ANSI-crash
     ]
     pages = spark.createDataFrame(rows, "doc_id bigint, url string")
     kept = {r.doc_id: r.domain for r in url_gate(pages).collect()}
-    assert kept == {0: "site1.com", 1: "site1.com", 2: "site4.ac.jp"}
+    assert kept == {0: "site1.com", 1: "site1.com", 2: "site4.ac.jp", 8: "localhost"}
 
     stats = {r.domain: r for r in url_domain_stats(pages).collect()}
     s1 = stats["site1.com"]
