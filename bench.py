@@ -115,9 +115,11 @@ HEADLINE = [
     # gap-fill (one events-grain exchange, fills on the bounded spine)
     "web_hits",
     "ts_gap_fill",
-    # WordPiece encode: the zero-exchange greedy fold — measures the
-    # in-row HOF cost per corpus scan (the BPE-encode comparison row)
-    "text_wordpiece_encode",
+    # WordPiece batch twin is the headline (fold per DISTINCT word +
+    # join-back — the 100 TB backfill shape); the zero-exchange map
+    # form (text_wordpiece_encode) stays the documented streaming
+    # ingest gate, row-identical and ~1.9x slower per corpus scan
+    "text_wordpiece_batch",
     # the composed crawl-to-corpus front end (URL dedup -> C4 -> LM
     # gate): measures the three learned stages end to end
     "curation_pipeline_v10",
