@@ -10789,6 +10789,150 @@ ORACLES["text_chat_render"] = """
 """
 
 
+def q_text_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (operators/alignment.fim_transform
+    — Bavarian et al. 2022): a deterministic 60% of docs (md5 gate)
+    split at two md5-fold pivots into prefix/middle/suffix and
+    re-serialize under BOTH orderings (PSM and joined SPM) with
+    sentinel tokens; the rest pass through as plain token streams.
+    Pure in-row map, zero exchanges, streamable (stream == batch
+    pinned). The oracle replays the gate, both pivots, the three
+    slices, and both renders; rendered text ships as md5 fingerprints
+    (the span_corruption discipline)."""
+    from iconic_data_science_spark.operators.alignment import fim_transform
+
+    cat = _cat(spark, sf_dir)
+    out = fim_transform(cat.documents, rate_pct=60)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "fim_applied",
+        "n_prefix",
+        "n_middle",
+        "n_suffix",
+        F.md5(F.col("rendered_psm").cast("binary")).alias("psm_fp"),
+        F.md5(F.col("rendered_spm").cast("binary")).alias("spm_fp"),
+    )
+
+
+QUERIES["text_fim"] = q_text_fim
+
+_FIM_H12 = """list_reduce(
+                   [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+                    for c in string_split_regex(substr(md5(
+                        CAST(doc_id AS VARCHAR) || '{salt}'), 1, 12), '')],
+                   (a, b) -> a * 16 + b)"""
+
+ORACLES["text_fim"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               [w for w in string_split(coalesce(text, ''), ' ')
+                if w <> ''] AS t
+        FROM documents
+    ),
+    calc AS (
+        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+               ({_FIM_H12.format(salt=':fim')} % 100) < 60 AS gate,
+               {_FIM_H12.format(salt=':fim:a')} % (len(t) + 1) AS a,
+               {_FIM_H12.format(salt=':fim:b')} % (len(t) + 1) AS b
+        FROM base
+    ),
+    seg AS (
+        SELECT doc_id, t, n, (gate AND n >= 2) AS applied,
+               LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        FROM calc
+    ),
+    r AS (
+        SELECT doc_id, n, applied,
+               CASE WHEN applied THEN lo ELSE 0 END AS n_prefix,
+               CASE WHEN applied THEN hi - lo ELSE 0 END AS n_middle,
+               CASE WHEN applied THEN n - hi ELSE 0 END AS n_suffix,
+               CASE WHEN applied THEN array_to_string(
+                   ['<fim_prefix>'] || t[1:lo] || ['<fim_suffix>']
+                   || t[hi+1:n] || ['<fim_middle>'] || t[lo+1:hi], ' ')
+               ELSE COALESCE(array_to_string(t, ' '), '') END AS psm,
+               CASE WHEN applied THEN array_to_string(
+                   ['<fim_prefix>', '<fim_suffix>'] || t[hi+1:n]
+                   || ['<fim_middle>'] || t[1:lo] || t[lo+1:hi], ' ')
+               ELSE COALESCE(array_to_string(t, ' '), '') END AS spm
+        FROM seg
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(applied AS BIGINT) AS fim_applied,
+           CAST(n_prefix AS BIGINT) AS n_prefix,
+           CAST(n_middle AS BIGINT) AS n_middle,
+           CAST(n_suffix AS BIGINT) AS n_suffix,
+           md5(psm) AS psm_fp, md5(spm) AS spm_fp
+    FROM r
+"""
+
+
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair assembly (operators/alignment.dpo_pairs over
+    synth_preference_responses — Rafailov et al. 2023, the data step):
+    each doc yields a prompt (first 8 tokens) and 3 deterministic
+    candidate responses (consecutive 8-token windows) scored by
+    distinct-token count; assembly collapses them to one (chosen,
+    rejected) row per prompt via min/max over an order-encoding
+    integer (score ties: chosen takes the lowest response_id, rejected
+    the highest). ONE prompt-grain exchange — no window, no self-join,
+    no join-back. The oracle replays the synth windows, the scores,
+    the encoding, and both selections relationally."""
+    from iconic_data_science_spark.operators.alignment import (
+        dpo_pairs,
+        synth_preference_responses,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return dpo_pairs(synth_preference_responses(cat.documents))
+
+
+QUERIES["dpo_pairs"] = q_dpo_pairs
+
+ORACLES["dpo_pairs"] = """
+    WITH base AS (
+        SELECT doc_id AS prompt_id,
+               [w for w in string_split(coalesce(text, ''), ' ')
+                if w <> ''] AS t
+        FROM documents
+    ),
+    resp AS (
+        -- COALESCE: DuckDB array_to_string([]) is NULL, Spark
+        -- array_join([]) is '' — empty prompts/windows must match
+        SELECT prompt_id,
+               COALESCE(array_to_string(t[1:8], ' '), '') AS prompt,
+               CAST(g.k AS BIGINT) AS response_id,
+               COALESCE(array_to_string(t[8 + g.k*8 + 1 : 8 + g.k*8 + 8],
+                                        ' '), '') AS response,
+               CAST(len(list_distinct(t[8 + g.k*8 + 1 : 8 + g.k*8 + 8]))
+                    AS BIGINT) AS score
+        FROM base, LATERAL (SELECT UNNEST(range(0, 3)) AS k) g
+    ),
+    enc AS MATERIALIZED (
+        SELECT *, score * 16 + (15 - response_id) AS e FROM resp
+    ),
+    sel AS (
+        SELECT prompt_id, MAX(e) AS ce, MIN(e) AS re, COUNT(*) AS n
+        FROM enc GROUP BY 1
+    )
+    SELECT s.prompt_id, c.prompt,
+           c.response_id AS chosen_id, r.response_id AS rejected_id,
+           c.score AS chosen_score, r.score AS rejected_score,
+           c.score - r.score AS margin,
+           c.response AS chosen, r.response AS rejected,
+           CAST(len([w for w in string_split(c.prompt, ' ')
+                     if w <> '']) AS BIGINT) AS n_prompt_tokens,
+           CAST(len([w for w in string_split(c.response, ' ')
+                     if w <> '']) AS BIGINT) AS n_chosen_tokens,
+           CAST(len([w for w in string_split(r.response, ' ')
+                     if w <> '']) AS BIGINT) AS n_rejected_tokens
+    FROM sel s
+    JOIN enc c ON c.prompt_id = s.prompt_id AND c.e = s.ce
+    JOIN enc r ON r.prompt_id = s.prompt_id AND r.e = s.re
+    WHERE s.n >= 2
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

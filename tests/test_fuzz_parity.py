@@ -147,6 +147,15 @@ DOC_QUERIES = [
     # SFT chat render: fuzzed docs give zero-turn transcripts, exact
     # 10-token boundaries, and single-token trailing turns
     "text_chat_render",
+    # FIM: fuzzed docs exercise the n<2 passthrough, lo==hi (empty
+    # middle), lo==0 / hi==n (empty prefix/suffix), and the md5 gate on
+    # arbitrary ids; empty docs hash the plain branch on both engines
+    "text_fim",
+    # DPO: short fuzzed docs give empty prompts and empty/partial
+    # response windows, all-zero-score ties (chosen = lowest rid,
+    # rejected = highest), and the distinct-token scorer on dup-heavy
+    # windows
+    "dpo_pairs",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

@@ -502,6 +502,13 @@ EXCHANGE_BUDGET = {
     # SFT chat render: turn synthesis, template fold, loss-mask count
     # — all in-row, zero exchanges (streamable)
     "text_chat_render": 0,
+    # FIM: md5 gate + pivots + slices + both renders, all in-row —
+    # zero exchanges (streamable)
+    "text_fim": 0,
+    # DPO assembly: the synth explode is in-row; selection is ONE
+    # prompt-grain aggregate riding min/max structs (no window, no
+    # join-back)
+    "dpo_pairs": 1,
 }
 
 

@@ -615,3 +615,17 @@ def test_streaming_chat_render_equals_batch(spark, sf_dir):
     stream = chat_render(synth_chat_turns(sd.read_document_stream(spark, sf_dir)))
     got = _run_stream(spark, stream, "t_chat_render", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_fim_equals_batch(spark, sf_dir):
+    """FIM at ingest: the md5 gate, both pivots, the slices, and both
+    renders are per-row expressions, so the infill transform admits an
+    append document stream; stream == batch row for row."""
+    from iconic_data_science_spark.operators.alignment import fim_transform
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = fim_transform(docs)
+    stream = fim_transform(sd.read_document_stream(spark, sf_dir))
+    got = _run_stream(spark, stream, "t_fim", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
