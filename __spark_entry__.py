@@ -10147,11 +10147,16 @@ def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     MaxSim for the final order.
 
     100 TB: the token bucket join is the only corpus-sized exchange
-    (~2^6 cheaper than all-pairs, OR-ed across m=4 query tokens so
+    (~2^B cheaper than all-pairs, OR-ed across m=4 query tokens so
     doc-level recall survives lower per-token recall); the rerank
-    joins move (m·dim)-wide doc rows for candidate pairs only. Subset
-    property + recall vs ``ann_maxsim_topk`` pinned in
-    test_llm_ops."""
+    joins move (m·dim)-wide doc rows for candidate pairs only. The
+    plane count B comes from the corpus-size policy
+    maxsim_auto_planes (clamp(ilog2(n_docs)-2, 6, 10) — 6 at the
+    driver/bench scales, the measured 10-plane sweet spot at sf1);
+    the oracle replays the SAME integer formula against one 10-plane
+    literal table (plane-coefficient draws are sequential, so every B
+    is a prefix). Subset property + recall vs ``ann_maxsim_topk``
+    pinned in test_llm_ops."""
     from iconic_data_science_spark.operators.similarity import (
         maxsim_lsh_candidates,
         maxsim_topk,
@@ -10161,7 +10166,7 @@ def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _cat(spark, sf_dir)
     docs = multivector_docs(cat.embeddings, m=4)
     cand = maxsim_lsh_candidates(
-        cat.embeddings, query_pred=F.col("tdoc") % 10 == 0, m=4, n_planes=6
+        cat.embeddings, query_pred=F.col("tdoc") % 10 == 0, m=4, n_planes=None
     )
     return maxsim_topk(docs, docs.filter(F.col("tdoc") % 10 == 0), k=5, candidates=cand)
 
@@ -10169,7 +10174,16 @@ def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_maxsim_rerank"] = q_ann_maxsim_rerank
 
 ORACLES["ann_maxsim_rerank"] = f"""
-    WITH pl AS (SELECT * FROM {{MAXSIM_PLANES}}),
+    WITH pl10 AS (SELECT * FROM {{MAXSIM_PLANES}}),
+    bsel AS (
+        -- the maxsim_auto_planes policy, replayed in integer SQL:
+        -- B = clamp(ilog2(n_docs) - 2, 6, 10)
+        SELECT LEAST(10, GREATEST(6,
+            (length(bin(CAST(COUNT(DISTINCT vec_id // 4) AS BIGINT))) - 1) - 2
+        )) AS b
+        FROM embeddings
+    ),
+    pl AS (SELECT * FROM pl10 WHERE plane < (SELECT b FROM bsel)),
     {_MAXSIM_DOCS_SQL},
     elems AS (
         SELECT vec_id, i, embedding[i] AS x
@@ -10210,7 +10224,7 @@ ORACLES["ann_maxsim_rerank"] = f"""
 """
 
 ORACLES["ann_maxsim_rerank"] = ORACLES["ann_maxsim_rerank"].replace(
-    "{MAXSIM_PLANES}", _plane_table_sql(6, 64, table=11)
+    "{MAXSIM_PLANES}", _plane_table_sql(10, 64, table=11)
 )
 
 
@@ -10931,6 +10945,65 @@ ORACLES["dpo_pairs"] = """
     JOIN enc r ON r.prompt_id = s.prompt_id AND r.e = s.re
     WHERE s.n >= 2
 """
+
+
+def q_text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) tokenizer TRAINING (operators/
+    unigram.unigram_train — Kudo 2018, Viterbi-EM): seed = top-48
+    substrings + the corpus alphabet, costs = the integer -log2
+    surrogate (ilog2(total) - ilog2(freq), the bigram-surprisal
+    discipline), two fixed EM rounds (E = distributed Viterbi-best
+    segmentation usage, M = cost re-estimate), prune to the 32
+    best-used pieces with the alphabet always retained. Returns the
+    trained (piece, cost, usage) table. The oracle unrolls BOTH EM
+    rounds as 24-round MATERIALIZED-CTE Viterbi chains (the
+    text_bpe_vocab fixed-round discipline) — training replays
+    end-to-end in SQL, tie-breaks included."""
+    from iconic_data_science_spark.operators.unigram import unigram_train
+
+    cat = _cat(spark, sf_dir)
+    v = unigram_train(cat.documents, vocab_size=32, seed_size=48, em_rounds=2)
+    return spark.createDataFrame(
+        [(p, int(c), int(u)) for p, c, u in v],
+        "piece string, cost long, usage long",
+    )
+
+
+QUERIES["text_unigram_vocab"] = q_text_unigram_vocab
+
+
+def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi ENCODING under the vocabulary trained by
+    q_text_unigram_vocab (operators/unigram.unigram_encode): per
+    token, the minimum-cost segmentation with the (cost, piece count,
+    joined key) tie-break; words over 24 chars or with uncoverable
+    characters are [UNK] (the wordpiece contract). The RETURNED plan
+    is a pure in-row map — costs are a literal map, zero exchanges,
+    streamable (stream == batch pinned); training runs eagerly as
+    bounded driver metadata. The oracle replays training AND encode
+    (three Viterbi chains + the token-order rollup)."""
+    from iconic_data_science_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    cat = _cat(spark, sf_dir)
+    v = unigram_train(cat.documents, vocab_size=32, seed_size=48, em_rounds=2)
+    return unigram_encode(cat.documents, [(p, c) for p, c, _ in v])
+
+
+QUERIES["text_unigram_encode"] = q_text_unigram_encode
+
+from iconic_data_science_spark.operators.unigram import (  # noqa: E402
+    unigram_oracle_sql as _unigram_oracle_sql,
+)
+
+ORACLES["text_unigram_vocab"] = _unigram_oracle_sql(
+    vocab_size=32, seed_size=48, em_rounds=2, encode=False
+)
+ORACLES["text_unigram_encode"] = _unigram_oracle_sql(
+    vocab_size=32, seed_size=48, em_rounds=2, encode=True
+)
 
 
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE

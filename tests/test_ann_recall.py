@@ -438,3 +438,63 @@ def test_maxsim_rerank_subset_exactness_and_recall(spark):
         1 for q, n in top1.items() if q % N_CLUSTERS == n % N_CLUSTERS
     )
     assert same_cluster >= len(top1) - 1
+
+
+def test_maxsim_auto_planes_policy():
+    """The corpus-size plane policy: clamp(ilog2(n_docs)-2, 6, 10) —
+    pinned at the three test scales (sf0.01: 125 docs, sf0.1: 500,
+    sf1: 5000) and monotone non-decreasing in corpus size."""
+    from iconic_data_science_spark.operators.similarity import (
+        maxsim_auto_planes,
+    )
+
+    assert maxsim_auto_planes(125) == 6
+    assert maxsim_auto_planes(500) == 6
+    assert maxsim_auto_planes(5000) == 10
+    assert maxsim_auto_planes(10**9) == 10  # clamped at the table size
+    assert maxsim_auto_planes(1) == 6
+    vals = [maxsim_auto_planes(n) for n in (1, 10, 100, 10**3, 10**4, 10**6)]
+    assert vals == sorted(vals)
+
+
+def test_maxsim_rerank_recall_at_ten_planes(spark):
+    """Recall@k at the sf1 policy choice (10 planes, VERDICT r8 item
+    4): on the clustered corpus — the serving scenario, where true
+    neighbors are genuinely close — the sparser 10-plane buckets must
+    still recover the truth baseline's neighbor set. (On random-noise
+    corpora 10-plane recall is meaningless: 'neighbors' there are
+    sampling artifacts with cosine ~ 0, which no LSH should find.)"""
+    import numpy as np
+
+    from iconic_data_science_spark.operators.similarity import (
+        maxsim_lsh_candidates,
+        maxsim_topk,
+        multivector_docs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(20260816)
+    centers, _ = _clustered(rng, N_CLUSTERS, 1)
+    m = 4
+    rows = []
+    for d in range(60):
+        c = d % N_CLUSTERS
+        for t in range(m):
+            v = centers[c] + rng.normal(scale=0.08, size=DIM)
+            rows.append((d * m + t, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    docs = multivector_docs(emb, m=m)
+    qdocs = docs.filter(F.col("tdoc") % 10 == 0)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in maxsim_topk(docs, qdocs, k=K).collect()
+    }
+    cand = maxsim_lsh_candidates(
+        emb, query_pred=F.col("tdoc") % 10 == 0, m=m, n_planes=10
+    )
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in maxsim_topk(docs, qdocs, k=K, candidates=cand).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8

@@ -156,6 +156,13 @@ DOC_QUERIES = [
     # rejected = highest), and the distinct-token scorer on dup-heavy
     # windows
     "dpo_pairs",
+    # Unigram-LM: tiny fuzzed corpora make the seed top-k cover every
+    # substring (prune binds or doesn't), single-char words take
+    # 1-round DPs, and dup-heavy corpora drive EM usage ties through
+    # the (usage desc, piece asc) prune order; encode + training
+    # replay end-to-end in SQL on both engines
+    "text_unigram_vocab",
+    "text_unigram_encode",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

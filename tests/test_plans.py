@@ -509,6 +509,11 @@ EXCHANGE_BUDGET = {
     # prompt-grain aggregate riding min/max structs (no window, no
     # join-back)
     "dpo_pairs": 1,
+    # Unigram-LM: training collects eagerly as bounded driver metadata
+    # (seed top-k + two EM usage aggregates); the RETURNED plans are a
+    # local relation (vocab) and a pure in-row Viterbi map (encode)
+    "text_unigram_vocab": 0,
+    "text_unigram_encode": 0,
 }
 
 

@@ -629,3 +629,22 @@ def test_streaming_fim_equals_batch(spark, sf_dir):
     stream = fim_transform(sd.read_document_stream(spark, sf_dir))
     got = _run_stream(spark, stream, "t_fim", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_unigram_encode_equals_batch(spark, sf_dir):
+    """Unigram-LM at ingest: the vocabulary trains once on the static
+    corpus and bakes into the plan as a literal cost map; the Viterbi
+    DP is a pure in-row double fold, so the encoder admits an append
+    document stream; stream == batch row for row."""
+    from iconic_data_science_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    vocab = [(p, c) for p, c, _ in unigram_train(docs, vocab_size=16, seed_size=24)]
+    batch = unigram_encode(docs, vocab)
+    stream = unigram_encode(sd.read_document_stream(spark, sf_dir), vocab)
+    got = _run_stream(spark, stream, "t_unigram", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))

@@ -1,0 +1,124 @@
+"""Unigram-LM tokenizer — brute-force Viterbi mirror, tie-break
+contract, UNK rules, EM feasibility, determinism."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from iconic_data_science_spark.operators.unigram import (
+    UNIGRAM_UNK,
+    _ilog2,
+    _unigram_word_encoder,
+    unigram_encode,
+    unigram_train,
+    word_counts,
+)
+
+
+def _brute_best(word: str, costs: dict[str, int], max_piece: int = 6):
+    """Enumerate every segmentation; min by (cost, n_pieces, joined)."""
+    n = len(word)
+    best = None
+    for cuts in itertools.product([0, 1], repeat=n - 1):
+        pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        pieces = [word[a:b] for a, b in zip(pos, pos[1:])]
+        if any(len(p) > max_piece or p not in costs for p in pieces):
+            continue
+        key = (sum(costs[p] for p in pieces), len(pieces), " ".join(pieces))
+        if best is None or key < best:
+            best = key
+    return None if best is None else best[2].split(" ")
+
+
+def _encode_words(spark, words, vocab):
+    enc = _unigram_word_encoder(vocab)
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    return {
+        r.word: list(r.pieces)
+        for r in df.select("word", enc(F.col("word")).alias("pieces")).collect()
+    }
+
+
+def test_viterbi_matches_bruteforce(spark):
+    costs = {"a": 3, "b": 4, "c": 5, "ab": 5, "bc": 6, "abc": 9, "ca": 4}
+    words = ["a", "ab", "abc", "abca", "cabcab", "bbbb", "cacaca"]
+    got = _encode_words(spark, words, list(costs.items()))
+    for w in words:
+        assert got[w] == _brute_best(w, costs), w
+
+
+def test_viterbi_tiebreaks(spark):
+    # 'ab': a+b = 7 == ab = 7 -> fewer pieces wins
+    got = _encode_words(spark, ["ab"], [("a", 3), ("b", 4), ("ab", 7)])
+    assert got["ab"] == ["ab"]
+    # equal cost AND count -> lexicographically smaller key wins:
+    # 'aab' as 'a ab' (key 'a ab') vs 'aa b' (key 'aa b'), both cost 8 / 2 pieces
+    got = _encode_words(
+        spark, ["aab"], [("a", 3), ("b", 4), ("aa", 4), ("ab", 5)]
+    )
+    assert got["aab"] == ["a", "ab"]
+
+
+def test_unk_rules(spark):
+    vocab = [("a", 1), ("b", 2)]
+    words = ["ax", "a" * 25, "aba"]
+    got = _encode_words(spark, words, vocab)
+    assert got["ax"] == [UNIGRAM_UNK]  # uncoverable char
+    assert got["a" * 25] == [UNIGRAM_UNK]  # beyond max_word
+    assert got["aba"] == ["a", "b", "a"]
+
+
+def test_train_feasibility_and_shapes(spark, sf_dir):
+    """Trained vocab always covers the training corpus: the alphabet
+    is retained through the prune, so encode under the trained vocab
+    produces [UNK] only for >24-char words."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = unigram_train(docs, vocab_size=16, seed_size=24, em_rounds=2)
+    assert v and all(c >= 0 and u >= 0 for _, c, u in v)
+    pieces = [p for p, _, _ in v]
+    assert len(pieces) == len(set(pieces))
+    singles = {p for p in pieces if len(p) == 1}
+    # every corpus char (of <=24-char words) is a retained single
+    chars = {
+        c
+        for (w,) in word_counts(docs).select("word").collect()
+        for c in w
+    }
+    assert chars <= singles
+    out = unigram_encode(docs, [(p, c) for p, c, _ in v]).collect()
+    long_words = {
+        r.doc_id: sum(1 for w in (r.text or "").lower().split() if len(w) > 24)
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in out:
+        assert r.n_unk == long_words[r.doc_id]
+        assert r.n_pieces >= r.n_words  # segmentation never shrinks the stream
+
+
+def test_train_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"loop pool polo lo op o{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = unigram_train(docs, vocab_size=8, seed_size=12, em_rounds=2)
+    b = unigram_train(docs, vocab_size=8, seed_size=12, em_rounds=2)
+    assert a == b
+    assert a == sorted(a)  # sorted output contract
+
+
+def test_em_costs_are_integer_log_surrogate(spark):
+    """M-step arithmetic: cost = ilog2(total) - ilog2(usage) for every
+    used piece; unused retained singles carry ilog2(total)+1."""
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa b"), (2, "aa aa b b")], "doc_id long, text string"
+    )
+    v = unigram_train(docs, vocab_size=4, seed_size=8, em_rounds=2)
+    by = {p: (c, u) for p, c, u in v}
+    total = sum(u for _, u in by.values())
+    for p, (c, u) in by.items():
+        if u > 0:
+            assert c == _ilog2(total) - _ilog2(u), p
+        else:
+            assert c == _ilog2(total) + 1, p
