@@ -11006,6 +11006,124 @@ ORACLES["text_unigram_encode"] = _unigram_oracle_sql(
 )
 
 
+def q_text_unigram_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of q_text_unigram_encode (operators/unigram.
+    unigram_encode_batch): the Viterbi DP runs once per DISTINCT word
+    and joins back in token order — Zipf's law makes DP work scale
+    with |vocabulary|, not corpus tokens (the wordpiece_batch
+    pattern; the 100 TB backfill shape). Row-identical to the map
+    form (pinned), same oracle verbatim; the map form stays the
+    zero-exchange streaming ingest gate."""
+    from iconic_data_science_spark.operators.unigram import (
+        unigram_encode_batch,
+        unigram_train,
+    )
+
+    cat = _cat(spark, sf_dir)
+    v = unigram_train(cat.documents, vocab_size=32, seed_size=48, em_rounds=2)
+    return unigram_encode_batch(cat.documents, [(p, c) for p, c, _ in v])
+
+
+QUERIES["text_unigram_batch"] = q_text_unigram_batch
+ORACLES["text_unigram_batch"] = ORACLES["text_unigram_encode"]
+
+
+def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SFT data path end to end (operators/text.chat_render ->
+    operators/packing.pack_token_counts): deterministic chat
+    transcripts render under the ChatML template with assistant-only
+    loss masks, then the RENDERED token counts drive the GPT-style
+    concat-and-chunk placement (shard by content hash, per-shard
+    prefix sum, 512-token cuts) with the loss-mask columns riding
+    along — one row per transcript with its training-sequence
+    placement and loss density (masked tokens per mille). One shard
+    window (shards scale out independently at 100 TB); everything
+    before it is the zero-exchange render map."""
+    from iconic_data_science_spark.operators.packing import (
+        pack_token_counts,
+    )
+    from iconic_data_science_spark.operators.text import (
+        chat_render,
+        synth_chat_turns,
+    )
+
+    cat = _cat(spark, sf_dir)
+    rendered = chat_render(synth_chat_turns(cat.documents))
+    packed = pack_token_counts(rendered, seq_len=512, shards=8)
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_turns",
+        "n_tokens",
+        "n_loss_tokens",
+        "tok_start",
+        "first_seq",
+        "last_seq",
+        F.expr("(n_loss_tokens * 1000) div greatest(n_tokens, 1)").alias(
+            "loss_milli"
+        ),
+    )
+
+
+QUERIES["sft_pack"] = q_sft_pack
+
+ORACLES["sft_pack"] = f"""
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id,
+               [w for w in string_split(lower(coalesce(text, '')), ' ')
+                if w <> ''] AS t
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(CASE WHEN len(t) > 0
+                         THEN CAST(ceil(len(t) / 10.0) AS BIGINT)
+                         ELSE 0 END AS BIGINT) AS n_turns,
+               '<|im_start|>system' || chr(10)
+               || 'you are a helpful assistant<|im_end|>' || chr(10)
+               || CASE WHEN len(t) = 0 THEN '' ELSE
+                  list_reduce(list_prepend('',
+                    ['<|im_start|>'
+                     || (CASE WHEN k % 2 = 1 THEN 'user' ELSE 'assistant' END)
+                     || chr(10)
+                     || array_to_string(t[(k-1)*10+1 : k*10], ' ')
+                     || '<|im_end|>' || chr(10)
+                     for k in generate_series(1,
+                         CAST(ceil(len(t) / 10.0) AS BIGINT))]),
+                    (a, b) -> a || b) END AS rendered,
+               CASE WHEN len(t) = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST(list_reduce(list_prepend(0,
+                   [CASE WHEN k % 2 = 0
+                         THEN len(t[(k-1)*10+1 : k*10]) + 1 ELSE 0 END
+                    for k in generate_series(1,
+                        CAST(ceil(len(t) / 10.0) AS BIGINT))]),
+                   (a, b) -> a + b) AS BIGINT) END AS n_loss_tokens
+        FROM tk
+    ),
+    b AS (
+        SELECT doc_id, n_turns, n_loss_tokens,
+               {_MD5_FOLD.format(arg="CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+               CAST(len([w for w in string_split(rendered, ' ')
+                         if w <> '']) AS BIGINT) AS n_tokens
+        FROM r
+    ),
+    c AS (
+        SELECT doc_id, shard, n_turns, n_tokens, n_loss_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS tok_end
+        FROM b
+    )
+    SELECT doc_id, shard, n_turns, n_tokens, n_loss_tokens,
+           tok_end - n_tokens AS tok_start,
+           (tok_end - n_tokens) // 512 AS first_seq,
+           (tok_end - 1) // 512 AS last_seq,
+           (n_loss_tokens * 1000) // GREATEST(n_tokens, 1) AS loss_milli
+    FROM c
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two

@@ -123,6 +123,14 @@ HEADLINE = [
     # the composed crawl-to-corpus front end (URL dedup -> C4 -> LM
     # gate): measures the three learned stages end to end
     "curation_pipeline_v10",
+    # round 9: Unigram-LM batch twin is the headline (Viterbi DP per
+    # DISTINCT word + join-back, the wordpiece_batch pattern; the map
+    # form text_unigram_encode stays the streaming gate), and DPO pair
+    # assembly (the one prompt-grain min/max-struct exchange).
+    # text_fim excluded: a zero-exchange map over the same scan
+    # c4/chat_render measure.
+    "text_unigram_batch",
+    "dpo_pairs",
 ]
 
 

@@ -59,28 +59,41 @@ def pack_sequences(
     stream, ``first_seq``/``last_seq`` the shard-local training-sequence
     indices it lands in.
     """
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    )
+    return pack_token_counts(base, seq_len=seq_len, shards=shards).select(
+        "doc_id", "shard", "n_tokens", "tok_start", "first_seq", "last_seq"
+    )
+
+
+def pack_token_counts(
+    rows: DataFrame,
+    seq_len: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """The concat-and-chunk placement arithmetic over PRECOMPUTED
+    per-row token counts (the grain any tokenizer/renderer emits):
+    appends (shard, tok_start, first_seq, last_seq) to the input rows,
+    preserving every other column — so rendered SFT transcripts pack by
+    their own counts with loss-mask columns riding along. Same shape as
+    :func:`pack_sequences` (one shard window per partition)."""
     w = (
         W.partitionBy("shard")
         .orderBy(id_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    base = documents.select(
-        F.col(id_col).alias("doc_id"),
-        hash_bucket(id_col, shards).alias("shard"),
-        F.size(words(text_col)).cast("long").alias("n_tokens"),
-    )
-    cum = F.sum("n_tokens").over(w)
+    cum = F.sum(count_col).over(w)
     return (
-        base.withColumn("tok_end", cum)
-        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
-        .select(
-            "doc_id",
-            "shard",
-            "n_tokens",
-            "tok_start",
-            F.expr(f"tok_start div {seq_len}").alias("first_seq"),
-            F.expr(f"(tok_end - 1) div {seq_len}").alias("last_seq"),
-        )
+        rows.withColumn("shard", hash_bucket(id_col, shards))
+        .withColumn("tok_end", cum)
+        .withColumn("tok_start", F.col("tok_end") - F.col(count_col))
+        .withColumn("first_seq", F.expr(f"tok_start div {int(seq_len)}"))
+        .withColumn("last_seq", F.expr(f"(tok_end - 1) div {int(seq_len)}"))
+        .drop("tok_end")
     )
 
 

@@ -532,3 +532,57 @@ def unigram_oracle_sql(
     FROM outp
 """
     )
+
+
+def unigram_encode_batch(
+    documents: DataFrame,
+    vocab: list[tuple[str, int]],
+    max_piece: int = UNIGRAM_MAX_PIECE,
+    max_word: int = UNIGRAM_MAX_WORD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Row-identical twin of :func:`unigram_encode` in the BATCH shape
+    (the wordpiece_encode_batch pattern): the Viterbi DP runs once per
+    DISTINCT word — the oracle's own grain — and the pieces join back
+    to the token stream in token order. Zipf's law makes DP work scale
+    with |vocabulary| instead of corpus tokens; the trade is ~3
+    exchanges and full-corpus lookahead, so the zero-exchange map form
+    remains the streaming ingest gate and this is the backfill path.
+    Shares the map form's oracle verbatim; row-identity pinned."""
+    enc = _unigram_word_encoder(vocab, max_piece=max_piece, max_word=max_word)
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), _words(text_col).alias("_w")
+    )
+    tok = base.select("doc_id", F.posexplode(F.col("_w")).alias("pos", "word"))
+    encw = (
+        tok.select("word")
+        .distinct()
+        .select("word", enc(F.col("word")).alias("pieces"))
+    )
+    per_doc = (
+        tok.join(encw, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                )
+            ).alias("_p")
+        )
+    )
+    out = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_words"),
+        F.coalesce(F.col("_p"), F.array().cast("array<string>")).alias("_p"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.size("_p").cast("long").alias("n_pieces"),
+        F.size(F.filter(F.col("_p"), lambda p: p == UNIGRAM_UNK))
+        .cast("long")
+        .alias("n_unk"),
+        F.md5(F.array_join(F.col("_p"), " ").cast("binary")).alias("pieces_fp"),
+    )

@@ -163,6 +163,13 @@ DOC_QUERIES = [
     # replay end-to-end in SQL on both engines
     "text_unigram_vocab",
     "text_unigram_encode",
+    # the batch twin shares the map form's oracle — the fuzz gate pins
+    # the distinct-word + ordered-join-back plan to the same hash
+    "text_unigram_batch",
+    # SFT render -> pack composition: fuzzed docs give zero-turn
+    # transcripts (n_tokens counts only the system header), exact
+    # turn boundaries, and shard windows over tiny corpora
+    "sft_pack",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

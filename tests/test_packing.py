@@ -257,3 +257,60 @@ def test_curriculum_order_invariants(spark, sf_dir):
     # a different seed permutes within deciles but keeps the decile order
     other = {r.doc_id: r.curriculum_pos for r in curriculum_order(docs, seed=7).collect()}
     assert any(other[r.doc_id] != r.curriculum_pos for r in rows)
+
+
+def test_pack_token_counts_preserves_columns_and_matches_pack_sequences(spark):
+    """pack_token_counts over whitespace counts must place documents
+    exactly like pack_sequences (it IS its arithmetic), while carrying
+    arbitrary extra columns through."""
+    from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.operators.dedup import words
+    from iconic_data_science_spark.operators.packing import (
+        pack_sequences,
+        pack_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7)), f"m{i}") for i in range(1, 40)],
+        "doc_id long, text string, meta string",
+    )
+    a = sorted(
+        map(tuple, pack_sequences(docs, seq_len=5, shards=3).collect())
+    )
+    counted = docs.select(
+        "doc_id", "meta", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    out = pack_token_counts(counted, seq_len=5, shards=3)
+    assert "meta" in out.columns  # extra columns ride along
+    b = sorted(
+        map(
+            tuple,
+            out.select(
+                "doc_id", "shard", "n_tokens", "tok_start", "first_seq", "last_seq"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_sft_pack_invariants(spark, sf_dir):
+    """Composed SFT path: loss tokens never exceed rendered tokens,
+    rendered streams are contiguous within a shard, and loss density
+    is the exact integer per-mille."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["sft_pack"](spark, sf_dir).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.n_loss_tokens <= r.n_tokens
+        assert r.loss_milli == r.n_loss_tokens * 1000 // max(r.n_tokens, 1)
+        assert r.first_seq == r.tok_start // 512
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.tok_start == off
+            off += r.n_tokens

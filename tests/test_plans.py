@@ -514,6 +514,13 @@ EXCHANGE_BUDGET = {
     # local relation (vocab) and a pure in-row Viterbi map (encode)
     "text_unigram_vocab": 0,
     "text_unigram_encode": 0,
+    # Unigram batch twin: distinct-word dedup + ordered join-back —
+    # the exchanges the Zipf leverage buys (the wordpiece_batch shape)
+    "text_unigram_batch": 3,
+    # SFT pack: the render is a zero-exchange map; the ONE exchange is
+    # the shard window (per-shard prefix sum — shards scale out
+    # independently)
+    "sft_pack": 1,
 }
 
 

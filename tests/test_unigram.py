@@ -122,3 +122,16 @@ def test_em_costs_are_integer_log_surrogate(spark):
             assert c == _ilog2(total) - _ilog2(u), p
         else:
             assert c == _ilog2(total) + 1, p
+
+
+def test_encode_batch_row_identical(spark, sf_dir):
+    from iconic_data_science_spark.operators.unigram import (
+        unigram_encode_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = unigram_train(docs, vocab_size=16, seed_size=24, em_rounds=2)
+    vocab = [(p, c) for p, c, _ in v]
+    a = sorted(map(tuple, unigram_encode(docs, vocab).collect()))
+    b = sorted(map(tuple, unigram_encode_batch(docs, vocab).collect()))
+    assert a == b
