@@ -11507,6 +11507,68 @@ _ROUND8_FRONT = [
     "ann_ivfpq_topk",  # latest evidence r4
 ]
 
+# _ROUND9_FRONT: GENERATED by tools/build_front.py (spliced verbatim;
+# VERDICT r8 item 1 — flush the r4-stale cohort, then the oldest r5
+# tier). The 6 round-9 queries head the window as never-attempted;
+# the --boost plan-changed names (maxsim policy, url-guard family,
+# wordpiece rewrite, pack refactor) hold r8-fresh evidence tiers that
+# sit behind the r4/r5 debt, so this round they are evidenced by the
+# committed per-query probes + the full-catalog r9 sweeps instead.
+# catalog 239 | ever-attempted 233 | ever-green 233 | never 6
+# generated by: python tools/build_front.py --window 50 --boost ann_maxsim_rerank,pack_sequences,web_domain_stats,web_url_gate,web_url_dedup,web_hits,text_wordpiece_encode,text_wordpiece_batch
+_ROUND9_FRONT = [
+    "text_fim",  # never driver-attempted
+    "dpo_pairs",  # never driver-attempted
+    "text_unigram_vocab",  # never driver-attempted
+    "text_unigram_encode",  # never driver-attempted
+    "text_unigram_batch",  # never driver-attempted
+    "sft_pack",  # never driver-attempted
+    "dedup_minhash_lsh",  # latest evidence r4
+    "dedup_simhash",  # latest evidence r4
+    "dedup_simhash_pairs",  # latest evidence r4
+    "g5_hierarchy_roots",  # latest evidence r4
+    "a1_papers_per_author",  # latest evidence r4
+    "p_projection_filter",  # latest evidence r4
+    "w1_cumulative_papers",  # latest evidence r4
+    "pr_citation_edges",  # latest evidence r4
+    "a8_zero_filled_citations",  # latest evidence r4
+    "w1_cumulative_citations",  # latest evidence r4
+    "w_moving_3yr_citations",  # latest evidence r4
+    "g_triangle_count",  # latest evidence r4
+    "u3_except_authors",  # latest evidence r4
+    "u4_intersect_authors",  # latest evidence r4
+    "j7_or_join",  # latest evidence r4
+    "j12_dwarf_lineitem",  # latest evidence r4
+    "f7_json_extract",  # latest evidence r4
+    "f3_f4_scalar_funcs",  # latest evidence r4
+    "dedup_exact",  # latest evidence r4
+    "dedup_ngram_jaccard",  # latest evidence r4
+    "dedup_embedding_cosine",  # latest evidence r4
+    "dedup_clusters",  # latest evidence r4
+    "dedup_ngram_capped",  # latest evidence r4
+    "dedup_edit_distance",  # latest evidence r4
+    "a1_salted",  # latest evidence r4
+    "ann_brute_topk",  # latest evidence r4
+    "ann_lsh_topk",  # latest evidence r4
+    "ann_ivf_topk",  # latest evidence r4
+    "ann_ivf_nprobe2",  # latest evidence r4
+    "text_language_id",  # latest evidence r4
+    "text_quality_score",  # latest evidence r4
+    "text_token_counts",  # latest evidence r4
+    "text_fingerprint",  # latest evidence r4
+    "ev_kmv_sliding",  # latest evidence r5
+    "mix_temperature_sample",  # latest evidence r5
+    "sample_weighted",  # latest evidence r5
+    "ev_quota_sample",  # latest evidence r5
+    "mix_temperature",  # latest evidence r5
+    "text_hashed_tfidf",  # latest evidence r5
+    "text_topic_tags",  # latest evidence r5
+    "mm_audio_frames",  # latest evidence r5
+    "text_intra_dedup",  # latest evidence r5
+    "ev_winsorize",  # latest evidence r5
+    "web_link_graph",  # latest evidence r5
+]
+
 # Each round's front wins the head slots over the one before it
 # (applied oldest-first so the newest front ends up at the head);
 # everything not named keeps its original relative order.
@@ -11518,6 +11580,7 @@ for _front in (
     _ROUND6_FRONT,
     _ROUND7_FRONT,
     _ROUND8_FRONT,
+    _ROUND9_FRONT,
 ):
     QUERIES = _reordered(_front, QUERIES)
 

@@ -185,3 +185,48 @@ def test_build_front_tiering_rules():
         n for n, _ in build_front(names, oracled, latest, attempted, 10, ["q_old4b"])
     ]
     assert boosted == ["q_new_orc", "q_new_rows", "q_old3", "q_old4b", "q_old4", "q_fresh7"]
+
+
+def test_driver_evidence_freshness():
+    """The build_front rotation can't silently rot (VERDICT r8 item 7):
+    every registered query whose newest green driver row is >= 4 rounds
+    old — and every query never driver-attempted — must sit inside the
+    next 50-slot driver window (the first 50 registration slots), i.e.
+    the imminent driver run WILL refresh it. Computed from the
+    committed CORRECTNESS_r*.json files, so skipping the front
+    regeneration in a future round fails this test."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entrymod
+
+    latest: dict[str, int] = {}
+    attempted: set[str] = set()
+    cur = 0
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r0*(\d+)", path).group(1))
+        cur = max(cur, rnd)
+        for name, row in json.load(open(path)).items():
+            attempted.add(name)
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    stale = [n for n in names if n in attempted and cur - latest.get(n, 0) >= 4]
+    never = [n for n in names if n not in attempted]
+    overdue = [n for n in stale + never if n not in window]
+    assert not overdue, (
+        f"round {cur}: {len(overdue)} queries have stale or missing driver "
+        f"evidence and are NOT in the next 50-slot window — regenerate the "
+        f"front with tools/build_front.py: {sorted(overdue)[:15]}"
+    )
+    # capacity check: the debt must FIT one window, else the threshold
+    # or window policy needs an explicit decision, not silence
+    assert len(stale) + len(never) <= 50, (
+        f"evidence debt ({len(stale)} stale + {len(never)} never) exceeds "
+        "one 50-slot driver window — raise the staleness threshold "
+        "consciously or split the rotation across rounds"
+    )
