@@ -11124,6 +11124,243 @@ ORACLES["sft_pack"] = f"""
 """
 
 
+def q_ann_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding corpus (operators/
+    similarity.sq8_codes — FAISS ScalarQuantizer QT_8bit shape): train
+    per-dim integer (lo, rng) bounds in ONE bounded reduce (2*dim
+    min/max expressions, map-side partial — the kmeans_int literal-
+    metadata discipline), then code each component in-row as
+    floor((q-lo)*255/rng) with its exact reconstruction and the
+    vector's integer squared distortion err2. The serving artifact is
+    1 byte/dim — 4x smaller than float32 — and the coding pass is a
+    zero-exchange map that composes with the scan at 100 TB. All
+    divisions are non-negative (floor == truncate on any engine); the
+    oracle re-derives the bounds with the same aggregate and replays
+    code + recon + err2 integer-for-integer."""
+    from iconic_data_science_spark.operators.similarity import sq8_codes
+
+    cat = _cat(spark, sf_dir)
+    coded = sq8_codes(cat.embeddings)
+    return coded.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), "-"
+        ).alias("codes_str"),
+        "err2",
+    )
+
+
+QUERIES["ann_sq8_codes"] = q_ann_sq8_codes
+
+_SQ8_CORE = """
+    qv AS MATERIALIZED (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS q
+        FROM embeddings
+    ),
+    el AS (
+        SELECT vec_id, CAST(r.range AS INT) AS i, q[r.range] AS v
+        FROM qv, range(1, 65) r
+    ),
+    bd AS MATERIALIZED (
+        SELECT array_agg(lo ORDER BY i) AS lo, array_agg(rng ORDER BY i) AS rng
+        FROM (SELECT i, MIN(v) AS lo, MAX(v) - MIN(v) AS rng
+              FROM el GROUP BY i)
+    ),
+    cd AS (
+        SELECT vec_id, q,
+               [CASE WHEN bd.rng[i] = 0 THEN 0
+                     ELSE ((q[i] - bd.lo[i]) * 255) // bd.rng[i] END
+                for i in generate_series(1, 64)] AS codes
+        FROM qv, bd
+    ),
+    rc AS MATERIALIZED (
+        SELECT vec_id, q, codes,
+               [bd.lo[i] + (codes[i] * bd.rng[i]) // 255
+                for i in generate_series(1, 64)] AS recon
+        FROM cd, bd
+    )"""
+
+ORACLES["ann_sq8_codes"] = f"""
+    WITH{_SQ8_CORE}
+    SELECT vec_id,
+           array_to_string(codes, '-') AS codes_str,
+           CAST(list_reduce([(q[i] - recon[i]) * (q[i] - recon[i])
+                             for i in generate_series(1, 64)],
+                            (a, b) -> a + b) AS BIGINT) AS err2
+    FROM rc
+"""
+
+
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-5 over the SQ8-compressed corpus (operators/
+    similarity.sq8_topk): hyperplane-bucket candidates (8 sign bits of
+    integer plane dots, seeded table-13 coefficients, computed IN-ROW
+    at index build), then the exact-integer asymmetric distance
+    sum((q_i - recon_i)^2) — the corpus touched ONLY through its
+    1-byte codes, the query at full lattice precision (the standard
+    SQ serving asymmetry). The only corpus-sized exchange is the
+    bucket equi-join (~2^8 cheaper than all-pairs); ADC runs on
+    candidates only. The oracle re-derives bounds, codes, the plane
+    table, and the bucket join, and replays the ranking."""
+    from iconic_data_science_spark.operators.similarity import sq8_topk
+
+    cat = _cat(spark, sf_dir)
+    return sq8_topk(cat.embeddings, _ann_queries(cat), k=5)
+
+
+QUERIES["ann_sq8_topk"] = q_ann_sq8_topk
+
+ORACLES["ann_sq8_topk"] = f"""
+    WITH{_SQ8_CORE},
+    pl AS (SELECT * FROM {{SQ8_PLANES}}),
+    pd AS (
+        SELECT el.vec_id, pl.plane, CAST(SUM(el.v * pl.coeff) AS BIGINT) AS dot
+        FROM el JOIN pl USING (i)
+        GROUP BY 1, 2
+    ),
+    bk AS MATERIALIZED (
+        SELECT vec_id,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY plane) AS bucket
+        FROM pd GROUP BY 1
+    ),
+    w AS (SELECT rc.vec_id, rc.recon, bk.bucket
+          FROM rc JOIN bk USING (vec_id)),
+    q AS (SELECT qv.vec_id, qv.q, bk.bucket
+          FROM qv JOIN bk USING (vec_id) WHERE qv.vec_id % 50 = 0),
+    pairs AS (
+        SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+               CAST(list_reduce(
+                   [(q.q[i] - w.recon[i]) * (q.q[i] - w.recon[i])
+                    for i in generate_series(1, 64)],
+                   (a, b) -> a + b) AS BIGINT) AS approx_d
+        FROM q JOIN w ON q.bucket = w.bucket AND q.vec_id <> w.vec_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_d, neighbor_id) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, approx_d, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 5
+"""
+
+from iconic_data_science_spark.operators.similarity import (  # noqa: E402
+    SQ8_LSH_TABLE as _SQ8_LSH_TABLE,
+)
+
+ORACLES["ann_sq8_topk"] = ORACLES["ann_sq8_topk"].replace(
+    "{SQ8_PLANES}", _plane_table_sql(8, 64, table=_SQ8_LSH_TABLE)
+)
+
+
+def q_ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval (operators/similarity.bq_topk) —
+    the 1-bit/dim serving funnel (Cohere/Qdrant BQ shape): trained
+    per-dim mean thresholds in division-free form (bit = q_i*n >=
+    sum_i, one bounded reduce), 64 sign bits packed into 8 band words,
+    (band, value) equi-join candidates (multi-index pigeonhole — any
+    Hamming-<=7 neighbor shares an exact band), Hamming pre-rank by
+    popcount of XORed words (corpus touched at 32x compression), then
+    exact integer-lattice cosine rescoring of the 4k-oversampled
+    survivors. Never all-pairs; the band explode is the MinHash-LSH
+    banding grain. The oracle replays thresholds, bits, band words,
+    the pigeonhole join, popcounts, and both rankings."""
+    from iconic_data_science_spark.operators.similarity import bq_topk
+
+    cat = _cat(spark, sf_dir)
+    return bq_topk(cat.embeddings, _ann_queries(cat), k=5)
+
+
+QUERIES["ann_bq_topk"] = q_ann_bq_topk
+
+_BQ_BAND_TERMS = ", ".join(
+    "(" + " + ".join(f"bits[{b * 8 + j + 1}] * {1 << j}" for j in range(8)) + ")"
+    for b in range(8)
+)
+
+ORACLES["ann_bq_topk"] = f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS q
+        FROM embeddings
+    ),
+    el AS (
+        SELECT vec_id, CAST(r.range AS INT) AS i, q[r.range] AS v
+        FROM qv, range(1, 65) r
+    ),
+    th AS MATERIALIZED (
+        SELECT array_agg(s ORDER BY i) AS s
+        FROM (SELECT i, SUM(v) AS s FROM el GROUP BY i)
+    ),
+    cnt AS (SELECT COUNT(*) AS n FROM qv),
+    bt AS (
+        SELECT vec_id,
+               [CASE WHEN q[i] * cnt.n >= th.s[i] THEN 1 ELSE 0 END
+                for i in generate_series(1, 64)] AS bits
+        FROM qv, th, cnt
+    ),
+    wb AS MATERIALIZED (
+        SELECT vec_id, CAST([{_BQ_BAND_TERMS}] AS BIGINT[]) AS bands
+        FROM bt
+    ),
+    e AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               list_reduce(
+                   [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               * 1000000000000.0) AS BIGINT)
+                    for x in embedding], (a, b) -> a + b) AS sq
+        FROM embeddings
+    ),
+    qb AS (SELECT vec_id, r.range AS b, bands[r.range] AS bv
+           FROM wb, range(1, 9) r WHERE vec_id % 50 = 0),
+    cb AS (SELECT vec_id, r.range AS b, bands[r.range] AS bv
+           FROM wb, range(1, 9) r),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM qb JOIN cb ON qb.b = cb.b AND qb.bv = cb.bv
+                       AND qb.vec_id <> cb.vec_id
+    ),
+    hm AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(list_reduce(
+                   [CAST(bit_count(xor(qw.bands[i], cw.bands[i])) AS BIGINT)
+                    for i in generate_series(1, 8)],
+                   (a, b) -> a + b) AS BIGINT) AS hamming
+        FROM cand JOIN wb qw ON qw.vec_id = cand.query_id
+                  JOIN wb cw ON cw.vec_id = cand.neighbor_id
+    ),
+    kept AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS pr
+        FROM hm
+    ),
+    sc AS (
+        SELECT k.query_id, k.neighbor_id, k.hamming,
+               list_reduce(
+                   [CAST(round(CAST(qe.embedding[i] AS DOUBLE)
+                               * CAST(ce.embedding[i] AS DOUBLE)
+                               * 1000000000000.0) AS BIGINT)
+                    for i in generate_series(1, len(qe.embedding))],
+                   (x, y) -> x + y)
+               / sqrt(CAST(qe.sq AS DOUBLE) * CAST(ce.sq AS DOUBLE)) AS cosine
+        FROM kept k JOIN e qe ON qe.vec_id = k.query_id
+                    JOIN e ce ON ce.vec_id = k.neighbor_id
+        WHERE k.pr <= 20
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM sc
+    )
+    SELECT query_id, neighbor_id, hamming, cosine, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 5
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
@@ -11514,7 +11751,7 @@ _ROUND8_FRONT = [
 # wordpiece rewrite, pack refactor) hold r8-fresh evidence tiers that
 # sit behind the r4/r5 debt, so this round they are evidenced by the
 # committed per-query probes + the full-catalog r9 sweeps instead.
-# catalog 239 | ever-attempted 233 | ever-green 233 | never 6
+# catalog 242 | ever-attempted 233 | ever-green 233 | never 9
 # generated by: python tools/build_front.py --window 50 --boost ann_maxsim_rerank,pack_sequences,web_domain_stats,web_url_gate,web_url_dedup,web_hits,text_wordpiece_encode,text_wordpiece_batch
 _ROUND9_FRONT = [
     "text_fim",  # never driver-attempted
@@ -11523,6 +11760,9 @@ _ROUND9_FRONT = [
     "text_unigram_encode",  # never driver-attempted
     "text_unigram_batch",  # never driver-attempted
     "sft_pack",  # never driver-attempted
+    "ann_sq8_codes",  # never driver-attempted
+    "ann_sq8_topk",  # never driver-attempted
+    "ann_bq_topk",  # never driver-attempted
     "dedup_minhash_lsh",  # latest evidence r4
     "dedup_simhash",  # latest evidence r4
     "dedup_simhash_pairs",  # latest evidence r4
@@ -11564,9 +11804,6 @@ _ROUND9_FRONT = [
     "text_hashed_tfidf",  # latest evidence r5
     "text_topic_tags",  # latest evidence r5
     "mm_audio_frames",  # latest evidence r5
-    "text_intra_dedup",  # latest evidence r5
-    "ev_winsorize",  # latest evidence r5
-    "web_link_graph",  # latest evidence r5
 ]
 
 # Each round's front wins the head slots over the one before it

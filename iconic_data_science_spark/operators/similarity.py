@@ -2072,3 +2072,341 @@ def maxsim_lsh_candidates(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+# --- quantized-embedding serving: SQ8 + binary quantization ---------------
+#
+# The two standard lossy-compression paths every production vector store
+# ships next to PQ (FAISS ScalarQuantizer QT_8bit; Cohere/"BQ" sign
+# quantization with Hamming pre-ranking): SQ8 stores each component as
+# one byte (4x vs float32), BQ as one BIT (32x). Like the PQ family
+# above, everything runs on the integer lattice so both engines replay
+# training, coding, and serving bit-for-bit. No counterpart in the
+# reference (no vector surface there).
+
+SQ_LEVELS = 255  # 8-bit code range [0, 255]
+SQ8_LSH_TABLE = 13  # independent seeded plane stream for the candidate bucketer
+BQ_BANDS = 8  # 64 bits -> 8 bands x 8 bits (multi-index pigeonhole)
+
+
+def _lattice(col: Column, scale: int) -> Column:
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long")
+    )
+
+
+def sq8_train(
+    embeddings: DataFrame,
+    scale: int = 1000,
+    dim: int = _DIM,
+    vec_col: str = "embedding",
+) -> tuple[list[int], list[int]]:
+    """Per-dimension (lo, rng) integer bounds of the quantized corpus —
+    the SQ8 "codebook" (FAISS ScalarQuantizer RangeStat_minmax).
+
+    One aggregation job: 2*dim min/max expressions over the named
+    lattice column reduce map-side to a SINGLE row (the 100 TB shape —
+    a full scan but the shuffle carries 2*dim longs per partition);
+    the bounds become plan literals, exactly the kmeans_int centroid
+    discipline. rng==0 marks constant dimensions (code 0, exact)."""
+    q = _lattice(F.col(vec_col), scale)
+    row = (
+        embeddings.select(q.alias("_q"))
+        .agg(
+            F.array(*[F.min(F.col("_q")[i]) for i in range(int(dim))]).alias("lo"),
+            F.array(*[F.max(F.col("_q")[i]) for i in range(int(dim))]).alias("hi"),
+        )
+        .collect()[0]
+    )
+    lo = [int(x) for x in row["lo"]]
+    rng = [int(h) - int(l) for l, h in zip(lo, row["hi"])]
+    return lo, rng
+
+
+def sq8_codes(
+    embeddings: DataFrame,
+    bounds: tuple[list[int], list[int]] | None = None,
+    scale: int = 1000,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes, recon, err2) — 8-bit scalar quantization of each
+    component against the trained per-dim bounds:
+
+        code_i  = floor((q_i - lo_i) * 255 / rng_i)        in [0, 255]
+        recon_i = lo_i + floor(code_i * rng_i / 255)
+
+    plus the vector's exact integer squared distortion
+    err2 = sum_i (q_i - recon_i)^2 — the quantity SQ recall arguments
+    are written in. All operands are non-negative at the divisions, so
+    floor == truncation and any engine agrees; magnitudes stay far
+    below 2^53, so the double-division floor is exact.
+
+    Scale shape: training is the bounded :func:`sq8_train` reduce;
+    coding is a PURE MAP over the named lattice column (bounds are
+    plan literals) — zero exchanges, composes with the scan, and the
+    emitted codes are 1 byte/dim: the 4x-smaller serving artifact."""
+    lo, rng = bounds if bounds is not None else sq8_train(
+        embeddings, scale=scale, dim=dim, vec_col=vec_col
+    )
+    lo_lit = F.array(*[F.lit(int(v)) for v in lo])
+    rng_lit = F.array(*[F.lit(int(v)) for v in rng])
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _lattice(F.col(vec_col), scale).alias("_q")
+    )
+    code = F.transform(
+        F.col("_q"),
+        lambda x, i: F.when(F.element_at(rng_lit, i + 1) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (x - F.element_at(lo_lit, i + 1))
+                * F.lit(int(SQ_LEVELS))
+                / F.element_at(rng_lit, i + 1)
+            )
+        ),
+    )
+    w = base.select("vec_id", "_q", code.alias("codes"))
+    recon = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(lo_lit, i + 1)
+        + F.floor(c * F.element_at(rng_lit, i + 1) / F.lit(int(SQ_LEVELS))),
+    )
+    w = w.select("vec_id", "_q", "codes", recon.alias("recon"))
+    err2 = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("recon"), lambda x, r: (x - r) * (x - r)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return w.select("vec_id", "codes", "recon", err2.alias("err2"))
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    table: int = SQ8_LSH_TABLE,
+    scale: int = 1000,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_d, rank) — asymmetric top-k over
+    the SQ8-compressed corpus: hyperplane-bucket candidates, then the
+    exact-integer asymmetric distance
+
+        approx_d(q, v) = sum_i (q_i - recon_i(v))^2
+
+    where the corpus side is touched ONLY through its 1-byte codes
+    (reconstructed in-row from the literal bounds) — the query keeps
+    full precision, the standard SQ serving asymmetry.
+
+    Scale shape: index build (codes + an in-row B-bit sign bucket off
+    the full-precision lattice, the rp_lsh_topk trick with the
+    table-13 seeded planes) is a pure map that composes with the scan;
+    serving's only corpus-sized exchange is the bucket equi-join
+    (~2^B cheaper than all-pairs); ADC runs on candidates only.
+    Ties break (approx_d asc, neighbor_id asc); self excluded."""
+    lo, rng = sq8_train(embeddings, scale=scale, dim=dim, vec_col=vec_col)
+    coeffs = _plane_coeffs(n_planes, int(dim), table=table)
+    rows: dict[int, list[int]] = {}
+    for p, _i, c in coeffs:
+        rows.setdefault(p, []).append(c)
+
+    def bucket_col() -> Column:
+        bits = []
+        for p in range(int(n_planes)):
+            crow = F.array(*[F.lit(c) for c in rows[p]])
+            dot = F.aggregate(
+                F.zip_with(F.col("_q"), crow, lambda x, c: x * c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    coded = sq8_codes(
+        embeddings, bounds=(lo, rng), scale=scale, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("vec_id", "recon")
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            _lattice(F.col(vec_col), scale).alias("_q"),
+        )
+        .select("vec_id", bucket_col().alias("bucket"))
+        .join(coded, "vec_id")
+        .select(
+            F.col("vec_id").alias("cid"), F.col("bucket").alias("cbucket"), "recon"
+        )
+    )
+    qs = queries.select(
+        F.col(id_col).alias("qid"), _lattice(F.col(vec_col), scale).alias("_q")
+    ).select("qid", "_q", bucket_col().alias("qbucket")).select(
+        "qid", F.col("_q").alias("qv"), "qbucket"
+    )
+    approx_d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("recon"), lambda x, r: (x - r) * (x - r)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = qs.join(
+        corpus,
+        (F.col("qbucket") == F.col("cbucket")) & (F.col("qid") != F.col("cid")),
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("neighbor_id"),
+        approx_d.alias("approx_d"),
+    )
+    win = W.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "approx_d", "rank")
+    )
+
+
+def bq_train(
+    embeddings: DataFrame,
+    scale: int = 1000,
+    dim: int = _DIM,
+    vec_col: str = "embedding",
+) -> tuple[list[int], int]:
+    """Per-dimension integer lattice SUMS plus the row count — the
+    trained binary-quantization thresholds in division-free form: the
+    bit test is  q_i * n >= sum_i  (equivalent to q_i >= mean_i but
+    exact on any engine, no floor-vs-truncate hazard). One bounded
+    reduce, same discipline as :func:`sq8_train`. The product q_i*n
+    stays in int64 for corpora up to ~10^15 rows at |q| <= 10^4."""
+    q = _lattice(F.col(vec_col), scale)
+    row = (
+        embeddings.select(q.alias("_q"))
+        .agg(
+            F.array(*[F.sum(F.col("_q")[i]) for i in range(int(dim))]).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    return [int(x) for x in row["s"]], int(row["n"])
+
+
+def bq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bands: int = BQ_BANDS,
+    oversample: int = 4,
+    scale: int = 1000,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, hamming, cosine, rank) — binary
+    quantization with the three-stage serving funnel every BQ vector
+    store runs:
+
+      1. candidates: each vector's dim sign bits (threshold = trained
+         per-dim mean, division-free bit test) pack into ``bands``
+         8-bit band values; (band, value) equi-join = multi-index
+         pigeonhole — any neighbor within Hamming radius bands-1
+         shares at least one exact band, everything touched at
+         1 bit/dim (32x compression);
+      2. Hamming pre-rank: popcount of XORed band words, keep the
+         ``oversample*k`` closest codes per query (ties: hamming asc,
+         neighbor_id asc) — still code-only;
+      3. exact rescore: full-precision integer-lattice cosine on the
+         surviving candidates, final top-k (cosine desc, neighbor_id).
+
+    Scale shape: training is one bounded reduce; bits/bands are a pure
+    map; the band explode is bands rows/vector (the MinHash-LSH
+    banding grain); exchanges are the band join + candidate distinct +
+    two id-grain hydration joins + two per-query windows — all at
+    candidate grain except the band join. Never all-pairs."""
+    assert int(dim) % int(bands) == 0, "dim must split evenly into bands"
+    width = int(dim) // int(bands)
+    assert width <= 62, "band words must fit in int64"
+    sums, n = bq_train(embeddings, scale=scale, dim=dim, vec_col=vec_col)
+    s_lit = F.array(*[F.lit(int(v)) for v in sums])
+
+    def prep(df: DataFrame) -> DataFrame:
+        lat = _with_sqnorm(df, id_col, vec_col).select(
+            "id", "v", "sq", _lattice(F.col("v"), scale).alias("_q")
+        )
+        bits = F.transform(
+            F.col("_q"),
+            lambda x, i: F.when(
+                x * F.lit(int(n)) >= F.element_at(s_lit, i + 1),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        wb = lat.select("id", "v", "sq", bits.alias("_bits"))
+        band_cols = []
+        for b in range(int(bands)):
+            word = None
+            for j in range(width):
+                term = (
+                    F.element_at(F.col("_bits"), b * width + j + 1)
+                    * F.lit(1 << j)
+                )
+                word = term if word is None else word + term
+            band_cols.append(word)
+        return wb.select("id", "v", "sq", F.array(*band_cols).alias("bands"))
+
+    w = prep(embeddings)
+    wq = prep(queries)
+    qb = wq.select(
+        F.col("id").alias("query_id"), F.posexplode("bands").alias("b", "bv")
+    )
+    cb = w.select(
+        F.col("id").alias("neighbor_id"), F.posexplode("bands").alias("b", "bv")
+    )
+    cand = (
+        qb.join(cb, ["b", "bv"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("qw.bands"),
+            F.col("cw.bands"),
+            lambda a, c: F.bit_count(a.bitwiseXOR(c)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ham = (
+        cand.join(wq.alias("qw"), cand["query_id"] == F.col("qw.id"))
+        .join(w.alias("cw"), cand["neighbor_id"] == F.col("cw.id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            hamming.alias("hamming"),
+            F.col("qw.v").alias("_qv"),
+            F.col("qw.sq").alias("_qsq"),
+            F.col("cw.v").alias("_cv"),
+            F.col("cw.sq").alias("_csq"),
+        )
+    )
+    pre = W.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    kept = ham.withColumn("_pr", F.row_number().over(pre)).filter(
+        F.col("_pr") <= int(oversample) * int(k)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), _scaled_prod),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / F.sqrt(F.col("_qsq").cast("double") * F.col("_csq").cast("double"))
+    scored = kept.select(
+        "query_id", "neighbor_id", "hamming", cos.alias("cosine")
+    )
+    fin = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(fin).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
+    )

@@ -498,3 +498,72 @@ def test_maxsim_rerank_recall_at_ten_planes(spark):
         for r in maxsim_topk(docs, qdocs, k=K, candidates=cand).collect()
     }
     assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_sq8_distortion_bound_and_determinism(spark, corpora):
+    """SQ8 coding on the clustered corpus: every per-vector distortion
+    must respect the per-dim analytic bound (|q - recon| <= rng//255
+    + 1 per component, so err2 <= sum_i (rng_i//255 + 1)^2), codes
+    must live in [0, 255], and the whole coding map must be invariant
+    under repartitioning (bounds are plan literals)."""
+    from iconic_data_science_spark.operators.similarity import (
+        sq8_codes,
+        sq8_train,
+    )
+
+    corpus, _queries, _exact = corpora
+    lo, rng = sq8_train(corpus, dim=DIM)
+    bound = sum((r // 255 + 1) ** 2 for r in rng)
+    coded = sq8_codes(corpus, bounds=(lo, rng), dim=DIM)
+    rows = coded.collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        assert 0 <= min(r.codes) and max(r.codes) <= 255
+        assert 0 <= r.err2 <= bound, (r.vec_id, r.err2, bound)
+    a = sorted((r.vec_id, tuple(r.codes), r.err2) for r in rows)
+    b = sorted(
+        (r.vec_id, tuple(r.codes), r.err2)
+        for r in sq8_codes(
+            corpus.repartition(13), bounds=(lo, rng), dim=DIM
+        ).collect()
+    )
+    assert a == b
+
+
+def test_sq8_topk_finds_query_cluster(spark, corpora):
+    """SQ8 serving (bucket candidates + asymmetric code distance) on
+    the clustered corpus: the retrieved neighbors must come from the
+    query's own cluster (the label bar, as for PQ/JL — 8-bit codes
+    perturb within-cluster order, never cluster membership)."""
+    from iconic_data_science_spark.operators.similarity import sq8_topk
+
+    corpus, queries, _exact = corpora
+    got = sq8_topk(corpus, queries, k=K, dim=DIM).collect()
+    assert got, "no candidates survived the bucketing"
+    labels = {r.vec_id: r.label for r in corpus.collect()}
+    qlabels = {r.vec_id: r.label for r in queries.collect()}
+    agree = sum(1 for r in got if labels[r.neighbor_id] == qlabels[r.query_id])
+    assert agree / len(got) >= 0.9, f"label agreement {agree}/{len(got)}"
+
+
+def test_bq_topk_recall_and_funnel_invariants(spark, corpora):
+    """Binary quantization on the clustered corpus:
+      - rescored cosines are EXACTLY the brute-force lattice cosines
+        (the funnel changes candidates, never the final scorer);
+      - recall@k vs exact is high on separated clusters (sign bits
+        agree within a cluster, so true neighbors share bands);
+      - hamming is symmetric-consistent: hamming(q, n) <= dim."""
+    from iconic_data_science_spark.operators.similarity import bq_topk
+
+    corpus, queries, exact = corpora
+    full = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(corpus, queries, k=10**6).collect()
+    }
+    got = bq_topk(corpus, queries, k=K, bands=4, dim=DIM).collect()
+    assert got, "no candidates survived the band pigeonhole"
+    for r in got:
+        assert full[(r.query_id, r.neighbor_id)] == r.cosine
+        assert 0 <= r.hamming <= DIM
+    recall = len({(r.query_id, r.neighbor_id) for r in got} & exact) / len(exact)
+    assert recall >= 0.6, f"BQ recall@{K} = {recall}"

@@ -251,6 +251,13 @@ EMB_QUERIES = [
     # sets that can be empty (both engines must hash empty)
     "ann_maxsim_topk",
     "ann_maxsim_rerank",
+    # round-9: quantized-embedding serving — fuzzed corpora hit the
+    # rng=0 constant-dimension path (code 0, exact recon), tie-heavy
+    # Hamming pre-ranks (near-dup sign patterns), and single-query
+    # candidate sets that can be empty (both engines must hash empty)
+    "ann_sq8_codes",
+    "ann_sq8_topk",
+    "ann_bq_topk",
 ]
 
 

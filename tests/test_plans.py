@@ -521,6 +521,21 @@ EXCHANGE_BUDGET = {
     # the shard window (per-shard prefix sum — shards scale out
     # independently)
     "sft_pack": 1,
+    # round-9 additions.
+    # SQ8 coding: bounds collected eagerly as plan literals; the
+    # RETURNED plan is a pure in-row code+recon+err2 map — zero
+    # exchanges (the 4x-smaller artifact composes with the scan)
+    "ann_sq8_codes": 0,
+    # SQ8 serving: code/bucket maps compose with the scan; at sf0.01
+    # the code join + bucket join broadcast, leaving the ranking
+    # window (measured 1); budget 4 admits the sort-merge shape at
+    # scale (code join + two bucket-join sides + window)
+    "ann_sq8_topk": 4,
+    # BQ funnel: bits/bands are in-row; exchanges are the band
+    # equi-join + candidate distinct + two id-grain hydration joins +
+    # two per-query windows (AQE-merged to 2 at sf0.01 — hydration
+    # joins broadcast); budget 7 admits the all-shuffle shape at scale
+    "ann_bq_topk": 7,
 }
 
 
@@ -572,3 +587,16 @@ def test_ppl_buckets_threshold_join_is_broadcast(spark, sf01):
     plan = inspect.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sq8_and_bq_are_equi_joins_not_nested_loop(spark, sf01):
+    """The quantized-embedding serving paths (ann_sq8_topk's bucket
+    candidates, ann_bq_topk's band pigeonhole) must reach their
+    candidates through hash/merge EQUI-joins — the never-nested-loop
+    rule that separates a serving plan from a truth baseline."""
+    for name in ("ann_sq8_topk", "ann_bq_topk"):
+        df = entrymod.queries()[name](spark, sf01)
+        plan = inspect.formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
