@@ -11361,6 +11361,188 @@ ORACLES["ann_bq_topk"] = f"""
 """
 
 
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimation (operators/evaluation.pass_at_k —
+    Chen et al. 2021, the HumanEval estimator) over a deterministic
+    per-task sample-outcome synth (md5 difficulty in [0,100] x md5
+    per-sample draw — every regime from always-fail to always-pass):
+    pass@k = 1 - perm(n-c,k)/perm(n,k) computed EXACTLY as integer
+    falling-factorial folds, emitted per-mille. ONE task-grain
+    aggregate (two longs of state), then in-row k-explode + bounded
+    product folds. The oracle replays the md5 draws, the group
+    moments, and the factorial arithmetic integer-for-integer."""
+    from iconic_data_science_spark.operators.evaluation import (
+        pass_at_k,
+        synth_eval_samples,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return pass_at_k(synth_eval_samples(cat.documents, 10), ks=(1, 5, 10))
+
+
+QUERIES["eval_pass_at_k"] = q_eval_pass_at_k
+
+ORACLES["eval_pass_at_k"] = f"""
+    WITH d AS (
+        SELECT doc_id AS task_id,
+               {_MD5_FOLD.format(arg="CAST(doc_id AS VARCHAR) || ':p'")}
+               % 101 AS p
+        FROM documents
+    ),
+    s AS (
+        SELECT task_id,
+               CASE WHEN {_MD5_FOLD.format(
+                   arg="CAST(task_id AS VARCHAR) || ':' "
+                       "|| CAST(r.range AS VARCHAR)")}
+                    % 100 < p THEN 1 ELSE 0 END AS correct
+        FROM d, range(0, 10) r
+    ),
+    g AS (
+        SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(correct) AS BIGINT) AS n_correct
+        FROM s GROUP BY 1
+    ),
+    e AS (
+        SELECT g.*, CAST(kk.k AS BIGINT) AS k
+        FROM g, (VALUES (1), (5), (10)) kk(k)
+        WHERE kk.k <= g.n_samples
+    )
+    SELECT task_id, k, n_samples, n_correct,
+           1000 - (1000 * list_reduce(
+                       list_prepend(CAST(1 AS BIGINT),
+                           [GREATEST(n_samples - n_correct - i,
+                                     CAST(0 AS BIGINT))
+                            for i in generate_series(0, k - 1)]),
+                       (a, b) -> a * b))
+                  // list_reduce(
+                       list_prepend(CAST(1 AS BIGINT),
+                           [n_samples - i
+                            for i in generate_series(0, k - 1)]),
+                       (a, b) -> a * b) AS pass_milli
+    FROM e
+"""
+
+
+def q_eval_em_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-style EM / token-F1 scoring (operators/evaluation.em_f1)
+    over deterministic (prediction, reference) pairs (md5-mode
+    perturbations of the first-8-token span: drop-last / shift-one /
+    exact / half-span jump): exact match, MULTISET token overlap, and
+    precision/recall/F1 per-mille with the SQuAD empty conventions —
+    all exact integers off in-row HOFs. Pure map, zero exchanges,
+    admits an append stream. The oracle replays the mode draw, the
+    slices, the multiset intersection, and the floor ratios."""
+    from iconic_data_science_spark.operators.evaluation import (
+        em_f1,
+        synth_predictions,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return em_f1(synth_predictions(cat.documents, span=8))
+
+
+QUERIES["eval_em_f1"] = q_eval_em_f1
+
+ORACLES["eval_em_f1"] = f"""
+    WITH tk AS (
+        SELECT doc_id,
+               [w for w in string_split(lower(coalesce(text, '')), ' ')
+                if w <> ''] AS t,
+               {_MD5_FOLD.format(arg="CAST(doc_id AS VARCHAR) || ':m'")}
+               % 4 AS mode
+        FROM documents
+    ),
+    pr AS (
+        SELECT doc_id, CAST(mode AS BIGINT) AS mode,
+               CASE mode WHEN 0 THEN t[1:7] WHEN 1 THEN t[2:9]
+                         WHEN 2 THEN t[1:8] ELSE t[5:12] END AS pred,
+               t[1:8] AS ref
+        FROM tk
+    ),
+    b AS (
+        SELECT doc_id, mode,
+               CAST(CASE WHEN COALESCE(array_to_string(pred, ' '), '')
+                            = COALESCE(array_to_string(ref, ' '), '')
+                         THEN 1 ELSE 0 END AS BIGINT) AS em,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       [CAST(LEAST(len(list_filter(pred, x -> x = tok)),
+                                   len(list_filter(ref, x -> x = tok)))
+                             AS BIGINT)
+                        for tok in list_distinct(pred)]),
+                   (a, b) -> a + b) AS BIGINT) AS overlap,
+               CAST(len(pred) AS BIGINT) AS n_pred,
+               CAST(len(ref) AS BIGINT) AS n_ref
+        FROM pr
+    )
+    SELECT doc_id, mode, em, overlap, n_pred, n_ref,
+           CASE WHEN n_pred > 0 THEN (1000 * overlap) // n_pred
+                WHEN n_ref = 0 THEN 1000 ELSE 0 END AS precision_milli,
+           CASE WHEN n_ref > 0 THEN (1000 * overlap) // n_ref
+                WHEN n_pred = 0 THEN 1000 ELSE 0 END AS recall_milli,
+           CASE WHEN n_pred = 0 AND n_ref = 0 THEN 1000
+                WHEN n_pred + n_ref > 0
+                     THEN (2000 * overlap) // (n_pred + n_ref)
+                ELSE 0 END AS f1_milli
+    FROM b
+"""
+
+
+def q_rl_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO group-advantage assembly (operators/evaluation.
+    group_advantage — Shao et al. 2024, the data step) over the
+    deterministic preference-response synth shared with dpo_pairs
+    (4 responses per prompt, distinct-token scores with real ties):
+    per response, the EXACT integer advantage and variance numerators
+    (adv_num = score*n - Σ, summing to 0 per group; var_num = n·Σs² -
+    (Σs)², n²·var >= 0) plus the in-group rank with deterministic
+    tie-breaks. ONE prompt-grain exchange; the trainer divides at its
+    own precision. The oracle replays the synth and the window
+    moments."""
+    from iconic_data_science_spark.operators.alignment import (
+        synth_preference_responses,
+    )
+    from iconic_data_science_spark.operators.evaluation import (
+        group_advantage,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return group_advantage(
+        synth_preference_responses(cat.documents, n_responses=4)
+    )
+
+
+QUERIES["rl_group_advantage"] = q_rl_group_advantage
+
+ORACLES["rl_group_advantage"] = """
+    WITH base AS (
+        SELECT doc_id AS prompt_id,
+               [w for w in string_split(coalesce(text, ''), ' ')
+                if w <> ''] AS t
+        FROM documents
+    ),
+    resp AS (
+        SELECT prompt_id,
+               CAST(g.k AS BIGINT) AS response_id,
+               CAST(len(list_distinct(t[8 + g.k*8 + 1 : 8 + g.k*8 + 8]))
+                    AS BIGINT) AS score
+        FROM base, LATERAL (SELECT UNNEST(range(0, 4)) AS k) g
+    )
+    SELECT prompt_id, response_id, score,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_group,
+           CAST(score * COUNT(*) OVER w - SUM(score) OVER w
+                AS BIGINT) AS adv_num,
+           CAST(COUNT(*) OVER w * SUM(score * score) OVER w
+                - SUM(score) OVER w * SUM(score) OVER w
+                AS BIGINT) AS var_num,
+           CAST(ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                   ORDER BY score DESC, response_id ASC)
+                AS BIGINT) AS grp_rank
+    FROM resp
+    WINDOW w AS (PARTITION BY prompt_id)
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
@@ -11751,7 +11933,7 @@ _ROUND8_FRONT = [
 # wordpiece rewrite, pack refactor) hold r8-fresh evidence tiers that
 # sit behind the r4/r5 debt, so this round they are evidenced by the
 # committed per-query probes + the full-catalog r9 sweeps instead.
-# catalog 242 | ever-attempted 233 | ever-green 233 | never 9
+# catalog 245 | ever-attempted 233 | ever-green 233 | never 12
 # generated by: python tools/build_front.py --window 50 --boost ann_maxsim_rerank,pack_sequences,web_domain_stats,web_url_gate,web_url_dedup,web_hits,text_wordpiece_encode,text_wordpiece_batch
 _ROUND9_FRONT = [
     "text_fim",  # never driver-attempted
@@ -11763,6 +11945,9 @@ _ROUND9_FRONT = [
     "ann_sq8_codes",  # never driver-attempted
     "ann_sq8_topk",  # never driver-attempted
     "ann_bq_topk",  # never driver-attempted
+    "eval_pass_at_k",  # never driver-attempted
+    "eval_em_f1",  # never driver-attempted
+    "rl_group_advantage",  # never driver-attempted
     "dedup_minhash_lsh",  # latest evidence r4
     "dedup_simhash",  # latest evidence r4
     "dedup_simhash_pairs",  # latest evidence r4
@@ -11801,9 +11986,6 @@ _ROUND9_FRONT = [
     "sample_weighted",  # latest evidence r5
     "ev_quota_sample",  # latest evidence r5
     "mix_temperature",  # latest evidence r5
-    "text_hashed_tfidf",  # latest evidence r5
-    "text_topic_tags",  # latest evidence r5
-    "mm_audio_frames",  # latest evidence r5
 ]
 
 # Each round's front wins the head slots over the one before it

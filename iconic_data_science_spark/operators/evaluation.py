@@ -1,0 +1,300 @@
+"""Model-evaluation and RL data assembly: pass@k estimation,
+exact-match / token-F1 scoring, and group-relative advantage (GRPO)
+preparation.
+
+The reference has no evaluation surface (its pipeline ends at the
+static coauthor network, StaticNet.scala); this completes the
+post-training data family next to :mod:`.alignment` (FIM, DPO) with
+the three canonical measurement/data steps a training pipeline runs at
+scale:
+
+- **pass@k** (Chen et al. 2021, "Evaluating Large Language Models
+  Trained on Code", arXiv:2107.03374 — the unbiased estimator):
+  per task with n samples and c correct,
+  ``pass@k = 1 - C(n-c, k)/C(n, k)``. Computed EXACTLY on integers as
+  falling-factorial products (``perm(n-c, k) / perm(n, k)``), emitted
+  per-mille — no floating combinatorics, any engine replays it.
+- **EM / token-F1** (the SQuAD scoring rules, Rajpurkar et al. 2016):
+  exact string match plus multiset-token precision/recall/F1, all as
+  exact integer per-mille ratios over in-row HOFs.
+- **group advantage** (GRPO — Shao et al. 2024, "DeepSeekMath",
+  arXiv:2402.03300 — the DATA step): per prompt-group of scored
+  responses, the advantage and variance NUMERATORS on the integer
+  lattice (``adv_num = score*n - sum`` = n·(score - mean);
+  ``var_num = n·Σs² - (Σs)²`` = n²·var) plus the in-group rank — the
+  trainer divides by n·sqrt(var_num)/n at its own precision; the
+  engine's contract is the exact integers.
+
+Design rules, same as the family:
+
+- **Deterministic, hash-replayable synthesis.** Sample outcomes and
+  prediction perturbations derive from md5 folds of the task id (the
+  span_corruption/FIM discipline) — no RNG, every branch replayable.
+- **Shapes**: EM/F1 is a pure in-row map (zero exchange, admits an
+  append stream); pass@k and group advantage are ONE task/prompt-grain
+  exchange each — the natural output grain, with bounded per-group
+  state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _h12(s: Column) -> Column:
+    """First 12 hex chars of md5 as a non-negative long (shared
+    engine-exact hash fold; alignment.py:56 uses the same)."""
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+
+
+def synth_eval_samples(
+    documents: DataFrame,
+    n_samples: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(task_id, sample_id, correct) — a deterministic per-task sample
+    outcome table (the synth discipline: md5 arithmetic covers every
+    difficulty regime, SQL-replayable).
+
+    Each document is a task with its own difficulty
+    p = fold(id || ':p') % 101 in [0, 100]; sample k is correct iff
+    fold(id || ':' || k) % 100 < p — so tasks span always-fail (p=0),
+    always-pass (p=100), and everything between, which is exactly the
+    range the pass@k estimator must survive. In-row explode of a
+    BOUNDED sequence — no shuffle."""
+    base = documents.select(
+        F.col(id_col).alias("task_id"),
+        (_h12(F.concat(F.col(id_col).cast("string"), F.lit(":p"))) % 101).alias(
+            "_p"
+        ),
+    )
+    k = F.col("sample_id")
+    return base.select(
+        "task_id",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_samples) - 1))).alias(
+            "sample_id"
+        ),
+        "_p",
+    ).select(
+        "task_id",
+        k.cast("long").alias("sample_id"),
+        F.when(
+            _h12(
+                F.concat(
+                    F.col("task_id").cast("string"), F.lit(":"),
+                    k.cast("string"),
+                )
+            )
+            % 100
+            < F.col("_p"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("correct"),
+    )
+
+
+def pass_at_k(
+    samples: DataFrame,
+    ks: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """(task_id, k, n_samples, n_correct, pass_milli) — the unbiased
+    pass@k estimator, exact:
+
+        pass@k = 1 - perm(n-c, k) / perm(n, k)
+
+    with perm the falling factorial, both products computed as integer
+    in-row folds (n-c < k makes the numerator 0 → pass@k = 1). Emitted
+    per-mille with floor division — all operands non-negative and far
+    below 2^53, so both engines agree bit-for-bit. Rows with k > n are
+    dropped (the estimator is undefined there).
+
+    Shape: ONE task-grain aggregate (count + sum, map-side partial),
+    then an in-row explode of the literal k list and two bounded
+    product folds — the per-task state is two longs regardless of
+    sample count."""
+    grp = samples.groupBy("task_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("correct").cast("long").alias("n_correct"),
+    )
+    k = F.col("k")
+    n = F.col("n_samples")
+    c = F.col("n_correct")
+    fold = lambda start: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), k - 1),
+        F.lit(1).cast("long"),
+        lambda acc, i: acc * F.greatest(start - i, F.lit(0).cast("long")),
+    )
+    return (
+        grp.select(
+            "task_id",
+            "n_samples",
+            "n_correct",
+            F.explode(F.array(*[F.lit(int(x)).cast("long") for x in ks])).alias(
+                "k"
+            ),
+        )
+        .filter(k <= n)
+        .select(
+            "task_id",
+            "k",
+            "n_samples",
+            "n_correct",
+            (
+                F.lit(1000).cast("long")
+                - F.floor(F.lit(1000) * fold(n - c) / fold(n)).cast("long")
+            ).alias("pass_milli"),
+        )
+    )
+
+
+def synth_predictions(
+    documents: DataFrame,
+    span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, mode, pred, ref) — deterministic (prediction,
+    reference) pairs off the document tokens: ref = the first ``span``
+    tokens; the prediction perturbs it by mode = fold(id || ':m') % 4:
+    0 drops the last token (recall loss), 1 shifts the window by one
+    (partial overlap), 2 is exact (EM=1), 3 jumps half a span (low
+    overlap). Short/empty docs exercise every degenerate branch.
+    Pure in-row map."""
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(text_col).alias("_t"),
+        (_h12(F.concat(F.col(id_col).cast("string"), F.lit(":m"))) % 4).alias(
+            "mode"
+        ),
+    )
+    t = F.col("_t")
+    s = int(span)
+    pred = (
+        F.when(F.col("mode") == 0, F.slice(t, 1, s - 1))
+        .when(F.col("mode") == 1, F.slice(t, 2, s))
+        .when(F.col("mode") == 2, F.slice(t, 1, s))
+        .otherwise(F.slice(t, s // 2 + 1, s))
+    )
+    return base.select(
+        "doc_id",
+        F.col("mode").cast("long").alias("mode"),
+        pred.alias("pred"),
+        F.slice(t, 1, s).alias("ref"),
+    )
+
+
+def em_f1(
+    pairs: DataFrame,
+) -> DataFrame:
+    """(doc_id, mode, em, overlap, n_pred, n_ref, precision_milli,
+    recall_milli, f1_milli) — SQuAD-style scoring of (pred, ref) token
+    arrays, exact:
+
+      - em: whitespace-joined exact match (two empties match — the
+        SQuAD null convention);
+      - overlap: MULTISET intersection size — for each distinct pred
+        token, min(count in pred, count in ref) — the quantity token-F1
+        is defined over (duplicated tokens only count while both sides
+        have copies);
+      - precision/recall/F1 per-mille with floor division; the empty
+        conventions: P = 1000 iff pred empty and ref empty else 0 when
+        pred empty (and symmetrically for R), F1 = 1000 when both
+        empty, 0 when overlap = 0.
+
+    Pure in-row HOFs over the named arrays (the distinct-token outer
+    fold is O(span²) per row at span=8) — zero exchanges, composes
+    with the scan, admits an append stream."""
+    p = F.col("pred")
+    r = F.col("ref")
+    cnt = lambda arr, tok: F.size(F.filter(arr, lambda x: x == tok))  # noqa: E731
+    overlap = F.aggregate(
+        F.array_distinct(p),
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc + F.least(cnt(p, tok), cnt(r, tok)).cast("long"),
+    )
+    base = pairs.select(
+        "doc_id",
+        "mode",
+        F.when(F.array_join(p, " ") == F.array_join(r, " "), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("em"),
+        overlap.alias("overlap"),
+        F.size(p).cast("long").alias("n_pred"),
+        F.size(r).cast("long").alias("n_ref"),
+    )
+    o = F.col("overlap")
+    np_, nr = F.col("n_pred"), F.col("n_ref")
+    ratio = lambda num, den: F.floor(  # noqa: E731
+        F.lit(1000) * num / den
+    ).cast("long")
+    prec = F.when(np_ > 0, ratio(o, np_)).otherwise(
+        F.when(nr == 0, F.lit(1000)).otherwise(F.lit(0)).cast("long")
+    )
+    rec = F.when(nr > 0, ratio(o, nr)).otherwise(
+        F.when(np_ == 0, F.lit(1000)).otherwise(F.lit(0)).cast("long")
+    )
+    f1 = F.when((np_ == 0) & (nr == 0), F.lit(1000).cast("long")).otherwise(
+        F.when(np_ + nr > 0, ratio(F.lit(2) * o, np_ + nr)).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    return base.select(
+        "doc_id",
+        "mode",
+        "em",
+        "overlap",
+        "n_pred",
+        "n_ref",
+        prec.alias("precision_milli"),
+        rec.alias("recall_milli"),
+        f1.alias("f1_milli"),
+    )
+
+
+def group_advantage(responses: DataFrame) -> DataFrame:
+    """(prompt_id, response_id, score, n_group, adv_num, var_num,
+    grp_rank) — the GRPO data step: each response's group-relative
+    advantage against its prompt-group, on the integer lattice:
+
+        adv_num = score * n - Σscore        ( = n · (score - mean) )
+        var_num = n · Σscore² - (Σscore)²   ( = n² · var, >= 0 )
+
+    The trainer computes A = adv_num / sqrt(n·var_num) ... at ITS
+    precision; the engine's contract is the exact integers (the same
+    numerator/denominator discipline as h-index and the LM gates).
+    grp_rank orders (score desc, response_id asc) — the best-of-n
+    selection rides the same pass. Single-response groups emit
+    var_num = 0 (the trainer's skip condition).
+
+    Shape: ONE prompt-grain exchange — the three group moments and the
+    rank ride the same window partition; per-group state is three
+    longs plus the rank heap."""
+    w = W.partitionBy("prompt_id")
+    wr = w.orderBy(F.col("score").desc(), F.col("response_id").asc())
+    s = F.col("score")
+    return responses.select(
+        "prompt_id",
+        "response_id",
+        "score",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_group"),
+        (
+            s * F.count(F.lit(1)).over(w) - F.sum(s).over(w)
+        ).cast("long").alias("adv_num"),
+        (
+            F.count(F.lit(1)).over(w) * F.sum(s * s).over(w)
+            - F.sum(s).over(w) * F.sum(s).over(w)
+        ).cast("long").alias("var_num"),
+        F.row_number().over(wr).cast("long").alias("grp_rank"),
+    )

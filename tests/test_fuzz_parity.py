@@ -170,6 +170,15 @@ DOC_QUERIES = [
     # transcripts (n_tokens counts only the system header), exact
     # turn boundaries, and shard windows over tiny corpora
     "sft_pack",
+    # round-9: the eval/RL family — pass@k's factorial folds under
+    # every (n, c) regime the md5 draws produce; EM/F1 under empty and
+    # shorter-than-span docs (the SQuAD empty conventions on both
+    # engines) and dup-heavy windows (multiset overlap != set
+    # overlap); GRPO moments under all-tie score groups (adv_num = 0,
+    # var_num = 0) and empty-window responses
+    "eval_pass_at_k",
+    "eval_em_f1",
+    "rl_group_advantage",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

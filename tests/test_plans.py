@@ -536,6 +536,15 @@ EXCHANGE_BUDGET = {
     # two per-query windows (AQE-merged to 2 at sf0.01 — hydration
     # joins broadcast); budget 7 admits the all-shuffle shape at scale
     "ann_bq_topk": 7,
+    # pass@k: ONE task-grain aggregate (two longs of state); the
+    # k-explode and both factorial folds are in-row
+    "eval_pass_at_k": 1,
+    # EM/F1: synth + multiset overlap + ratios are per-row HOFs —
+    # zero exchanges (streamable)
+    "eval_em_f1": 0,
+    # GRPO: the group moments and the rank ride ONE prompt-grain
+    # window partition (the second Window reuses the exchange)
+    "rl_group_advantage": 1,
 }
 
 

@@ -648,3 +648,21 @@ def test_streaming_unigram_encode_equals_batch(spark, sf_dir):
     stream = unigram_encode(sd.read_document_stream(spark, sf_dir), vocab)
     got = _run_stream(spark, stream, "t_unigram", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_em_f1_equals_batch(spark, sf_dir):
+    """Eval scoring at ingest: the mode draw, slices, multiset
+    overlap, and per-mille ratios are per-row expressions, so EM/F1
+    scoring admits an append document stream (score-as-you-ingest);
+    stream == batch row for row."""
+    from iconic_data_science_spark.operators.evaluation import (
+        em_f1,
+        synth_predictions,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = em_f1(synth_predictions(docs))
+    stream = em_f1(synth_predictions(sd.read_document_stream(spark, sf_dir)))
+    got = _run_stream(spark, stream, "t_em_f1", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
