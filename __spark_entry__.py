@@ -11543,6 +11543,124 @@ ORACLES["rl_group_advantage"] = """
 """
 
 
+def q_eval_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise arena win-rate matrix (operators/evaluation.
+    winrate_matrix — the Chatbot-Arena aggregation grain) over the
+    deterministic preference-response synth shared with dpo_pairs /
+    rl_group_advantage (response_id IS the variant id): for each
+    variant pair (a < b), a-wins / ties / b-wins by score over all
+    prompts, plus a's tie-aware win rate per-mille ((1000·w + 500·t)
+    // n, exact). ONE prompt-grain equi self-join + ONE bounded
+    variant-pair rollup — output is variants², never prompts. The
+    oracle replays the synth, the halved pair join, and the rollup."""
+    from iconic_data_science_spark.operators.alignment import (
+        synth_preference_responses,
+    )
+    from iconic_data_science_spark.operators.evaluation import winrate_matrix
+
+    cat = _cat(spark, sf_dir)
+    return winrate_matrix(
+        synth_preference_responses(cat.documents, n_responses=4)
+    )
+
+
+QUERIES["eval_winrate_matrix"] = q_eval_winrate_matrix
+
+ORACLES["eval_winrate_matrix"] = """
+    WITH base AS (
+        SELECT doc_id AS prompt_id,
+               [w for w in string_split(coalesce(text, ''), ' ')
+                if w <> ''] AS t
+        FROM documents
+    ),
+    resp AS (
+        SELECT prompt_id,
+               CAST(g.k AS BIGINT) AS response_id,
+               CAST(len(list_distinct(t[8 + g.k*8 + 1 : 8 + g.k*8 + 8]))
+                    AS BIGINT) AS score
+        FROM base, LATERAL (SELECT UNNEST(range(0, 4)) AS k) g
+    ),
+    p AS (
+        SELECT a.response_id AS variant_a, b.response_id AS variant_b,
+               a.score AS sa, b.score AS sb
+        FROM resp a JOIN resp b
+          ON a.prompt_id = b.prompt_id AND a.response_id < b.response_id
+    )
+    SELECT variant_a, variant_b,
+           CAST(COUNT(*) AS BIGINT) AS n_prompts,
+           CAST(SUM(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+           CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+           CAST(SUM(CASE WHEN sa < sb THEN 1 ELSE 0 END) AS BIGINT) AS wins_b,
+           (1000 * CAST(SUM(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS BIGINT)
+            + 500 * CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT))
+           // CAST(COUNT(*) AS BIGINT) AS wr_a_milli
+    FROM p GROUP BY 1, 2
+"""
+
+
+def q_eval_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-judge agreement (operators/evaluation.judge_agreement —
+    Cohen 1960) over two deterministic md5 judge verdicts (3-way
+    reject/neutral/accept; judge 2 copies judge 1 on a 70% md5 gate,
+    so agreement sits tunably above chance): the confusion matrix
+    enriched with the EXACT kappa integers — po per-mille, pe_num =
+    Σ row·col, and kappa as NUMERATOR/DENOMINATOR (kappa can be
+    negative; floor-vs-truncate on negatives is an engine choice the
+    contract refuses — the GRPO/h-index numerator discipline). ONE
+    doc-grain aggregate; everything after is ≤9-row metadata. The
+    oracle replays the verdict draws, the matrix, the marginals, and
+    the kappa arithmetic."""
+    from iconic_data_science_spark.operators.evaluation import (
+        judge_agreement,
+        synth_judge_verdicts,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return judge_agreement(synth_judge_verdicts(cat.documents, agree_pct=70))
+
+
+QUERIES["eval_judge_agreement"] = q_eval_judge_agreement
+
+ORACLES["eval_judge_agreement"] = f"""
+    WITH v AS (
+        SELECT doc_id,
+               {_MD5_FOLD.format(arg="CAST(doc_id AS VARCHAR) || ':j1'")}
+               % 3 AS j1r,
+               CASE WHEN {_MD5_FOLD.format(
+                   arg="CAST(doc_id AS VARCHAR) || ':g'")} % 100 < 70
+                    THEN {_MD5_FOLD.format(
+                        arg="CAST(doc_id AS VARCHAR) || ':j1'")} % 3
+                    ELSE {_MD5_FOLD.format(
+                        arg="CAST(doc_id AS VARCHAR) || ':j2'")} % 3
+               END AS j2r
+        FROM documents
+    ),
+    m AS MATERIALIZED (
+        SELECT CAST(j1r AS BIGINT) AS j1, CAST(j2r AS BIGINT) AS j2,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM v GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN j1 = j2 THEN n_pairs ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM m
+    ),
+    r1 AS (SELECT j1 AS k, CAST(SUM(n_pairs) AS BIGINT) AS rk
+           FROM m GROUP BY 1),
+    r2 AS (SELECT j2 AS k, CAST(SUM(n_pairs) AS BIGINT) AS ck
+           FROM m GROUP BY 1),
+    pe AS (SELECT CAST(SUM(rk * ck) AS BIGINT) AS pe_num
+           FROM r1 JOIN r2 USING (k))
+    SELECT m.j1, m.j2, m.n_pairs, t.n_total, t.n_agree,
+           (1000 * t.n_agree) // t.n_total AS po_milli,
+           p.pe_num,
+           t.n_total * t.n_agree - p.pe_num AS kappa_num,
+           t.n_total * t.n_total - p.pe_num AS kappa_den
+    FROM m, tot t, pe p
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
@@ -11933,7 +12051,7 @@ _ROUND8_FRONT = [
 # wordpiece rewrite, pack refactor) hold r8-fresh evidence tiers that
 # sit behind the r4/r5 debt, so this round they are evidenced by the
 # committed per-query probes + the full-catalog r9 sweeps instead.
-# catalog 245 | ever-attempted 233 | ever-green 233 | never 12
+# catalog 247 | ever-attempted 233 | ever-green 233 | never 14
 # generated by: python tools/build_front.py --window 50 --boost ann_maxsim_rerank,pack_sequences,web_domain_stats,web_url_gate,web_url_dedup,web_hits,text_wordpiece_encode,text_wordpiece_batch
 _ROUND9_FRONT = [
     "text_fim",  # never driver-attempted
@@ -11948,6 +12066,8 @@ _ROUND9_FRONT = [
     "eval_pass_at_k",  # never driver-attempted
     "eval_em_f1",  # never driver-attempted
     "rl_group_advantage",  # never driver-attempted
+    "eval_winrate_matrix",  # never driver-attempted
+    "eval_judge_agreement",  # never driver-attempted
     "dedup_minhash_lsh",  # latest evidence r4
     "dedup_simhash",  # latest evidence r4
     "dedup_simhash_pairs",  # latest evidence r4
@@ -11984,8 +12104,6 @@ _ROUND9_FRONT = [
     "ev_kmv_sliding",  # latest evidence r5
     "mix_temperature_sample",  # latest evidence r5
     "sample_weighted",  # latest evidence r5
-    "ev_quota_sample",  # latest evidence r5
-    "mix_temperature",  # latest evidence r5
 ]
 
 # Each round's front wins the head slots over the one before it

@@ -131,6 +131,16 @@ HEADLINE = [
     # c4/chat_render measure.
     "text_unigram_batch",
     "dpo_pairs",
+    # round-9 continuation: the quantized-embedding serving pair (SQ8
+    # asymmetric ADC behind hyperplane buckets; the BQ band-pigeonhole
+    # + Hamming + rescore funnel) and pass@k estimation (one
+    # task-grain aggregate + factorial folds). ann_sq8_codes and
+    # eval_em_f1 excluded: zero-exchange maps over scans the family
+    # already measures; rl_group_advantage excluded: one window over
+    # the dpo_pairs synth already timed.
+    "ann_sq8_topk",
+    "ann_bq_topk",
+    "eval_pass_at_k",
 ]
 
 

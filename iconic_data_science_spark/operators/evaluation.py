@@ -298,3 +298,149 @@ def group_advantage(responses: DataFrame) -> DataFrame:
         ).cast("long").alias("var_num"),
         F.row_number().over(wr).cast("long").alias("grp_rank"),
     )
+
+
+def winrate_matrix(responses: DataFrame) -> DataFrame:
+    """(variant_a, variant_b, n_prompts, wins_a, ties, wins_b,
+    wr_a_milli) — the pairwise arena leaderboard data step (the
+    Chatbot-Arena aggregation grain, Chiang et al. 2024): for every
+    variant pair (a < b), over all prompts where both responded, count
+    a-wins / ties / b-wins by score and emit a's tie-aware win rate
+    per-mille ((1000·wins_a + 500·ties) // n — exact, non-negative).
+
+    ``responses`` is the (prompt_id, response_id, score) grain of
+    :func:`alignment.synth_preference_responses`; response_id IS the
+    variant id (response k of every prompt comes from variant k — the
+    n-models-per-prompt arena shape).
+
+    Shape: ONE prompt-grain equi self-join (both sides the same frame,
+    a < b halves the pairs) feeding ONE variant-pair-grain aggregate —
+    output is bounded by variants², never by prompts. At 100 TB the
+    join co-partitions both sides on prompt_id (one exchange each) and
+    the rollup is map-side partial."""
+    a = responses.select(
+        "prompt_id",
+        F.col("response_id").alias("variant_a"),
+        F.col("score").alias("_sa"),
+    )
+    b = responses.select(
+        "prompt_id",
+        F.col("response_id").alias("variant_b"),
+        F.col("score").alias("_sb"),
+    )
+    pairs = a.join(b, "prompt_id").filter(
+        F.col("variant_a") < F.col("variant_b")
+    )
+    g = pairs.groupBy("variant_a", "variant_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prompts"),
+        F.sum((F.col("_sa") > F.col("_sb")).cast("long"))
+        .cast("long")
+        .alias("wins_a"),
+        F.sum((F.col("_sa") == F.col("_sb")).cast("long"))
+        .cast("long")
+        .alias("ties"),
+        F.sum((F.col("_sa") < F.col("_sb")).cast("long"))
+        .cast("long")
+        .alias("wins_b"),
+    )
+    return g.select(
+        "variant_a",
+        "variant_b",
+        "n_prompts",
+        "wins_a",
+        "ties",
+        "wins_b",
+        F.floor(
+            (F.lit(1000) * F.col("wins_a") + F.lit(500) * F.col("ties"))
+            / F.col("n_prompts")
+        )
+        .cast("long")
+        .alias("wr_a_milli"),
+    )
+
+
+def synth_judge_verdicts(
+    documents: DataFrame,
+    agree_pct: int = 70,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, j1, j2) — two deterministic 3-way judge verdicts
+    (0 reject / 1 neutral / 2 accept) per document: judge 1 draws
+    fold(id:'j1') % 3; judge 2 copies judge 1 when fold(id:'g') % 100
+    < ``agree_pct`` (the correlation knob) else draws its own
+    independent fold — so the corpus-level agreement is tunably above
+    chance, exactly the regime Cohen's kappa measures. Pure in-row
+    map."""
+    did = F.col(id_col).cast("string")
+    j1 = _h12(F.concat(did, F.lit(":j1"))) % 3
+    j2 = F.when(
+        _h12(F.concat(did, F.lit(":g"))) % 100 < F.lit(int(agree_pct)),
+        j1,
+    ).otherwise(_h12(F.concat(did, F.lit(":j2"))) % 3)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        j1.cast("long").alias("j1"),
+        j2.cast("long").alias("j2"),
+    )
+
+
+def judge_agreement(verdicts: DataFrame) -> DataFrame:
+    """(j1, j2, n_pairs, n_total, n_agree, po_milli, pe_num,
+    kappa_num, kappa_den) — inter-judge agreement as the confusion
+    matrix enriched with the EXACT Cohen's-kappa integers (Cohen 1960):
+
+        po       = n_agree / N            (po_milli, floor per-mille)
+        pe_num   = Σ_k row_k · col_k      (chance agreement · N²)
+        kappa    = (N·n_agree - pe_num) / (N² - pe_num)
+                 = kappa_num / kappa_den
+
+    kappa can be legitimately negative (below-chance agreement), so
+    the engine emits the exact NUMERATOR and DENOMINATOR instead of a
+    floored ratio — floor-toward-minus-infinity vs truncate-toward-
+    zero is an engine-dependent choice the contract refuses to make
+    (the h-index / GRPO numerator discipline).
+
+    Shape: ONE doc-grain aggregate to the (j1, j2) confusion grain
+    (≤ 9 rows); everything after — marginals, pe, the global stats —
+    is bounded-metadata-grain joins and aggregates that broadcast.
+    At 100 TB the corpus is touched exactly once."""
+    m = verdicts.groupBy("j1", "j2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    tot = m.agg(
+        F.sum("n_pairs").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("j1") == F.col("j2"), F.col("n_pairs")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    r1 = m.groupBy(F.col("j1").alias("k")).agg(
+        F.sum("n_pairs").cast("long").alias("_row")
+    )
+    r2 = m.groupBy(F.col("j2").alias("k")).agg(
+        F.sum("n_pairs").cast("long").alias("_col")
+    )
+    pe = (
+        r1.join(r2, "k")
+        .agg(F.sum(F.col("_row") * F.col("_col")).cast("long").alias("pe_num"))
+    )
+    g = tot.crossJoin(pe)
+    return (
+        m.crossJoin(F.broadcast(g))
+        .select(
+            "j1",
+            "j2",
+            "n_pairs",
+            "n_total",
+            "n_agree",
+            F.floor(F.lit(1000) * F.col("n_agree") / F.col("n_total"))
+            .cast("long")
+            .alias("po_milli"),
+            "pe_num",
+            (F.col("n_total") * F.col("n_agree") - F.col("pe_num"))
+            .cast("long")
+            .alias("kappa_num"),
+            (F.col("n_total") * F.col("n_total") - F.col("pe_num"))
+            .cast("long")
+            .alias("kappa_den"),
+        )
+    )

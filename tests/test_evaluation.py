@@ -159,3 +159,80 @@ def test_group_advantage_sums_to_zero_on_corpus(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_winrate_matrix_hand_case_and_invariants(spark):
+    """Known scores: counts and tie-aware rates must match by hand;
+    wins_a + ties + wins_b = n_prompts on every pair; only a < b
+    pairs are emitted."""
+    rows = [
+        (0, 0, 5), (0, 1, 3), (0, 2, 3),
+        (1, 0, 1), (1, 1, 4), (1, 2, 4),
+    ]
+    from iconic_data_science_spark.operators.evaluation import winrate_matrix
+
+    df = spark.createDataFrame(
+        rows, "prompt_id bigint, response_id bigint, score bigint"
+    )
+    got = {(r.variant_a, r.variant_b): r for r in winrate_matrix(df).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    # variant 0 vs 1: prompt0 5>3 win, prompt1 1<4 loss
+    r01 = got[(0, 1)]
+    assert (r01.wins_a, r01.ties, r01.wins_b) == (1, 0, 1)
+    assert r01.wr_a_milli == 500
+    # variant 1 vs 2: 3=3 tie, 4=4 tie
+    r12 = got[(1, 2)]
+    assert (r12.wins_a, r12.ties, r12.wins_b) == (0, 2, 0)
+    assert r12.wr_a_milli == 500
+    for r in got.values():
+        assert r.wins_a + r.ties + r.wins_b == r.n_prompts
+        assert r.variant_a < r.variant_b
+
+
+def test_judge_agreement_hand_kappa(spark):
+    """A hand confusion matrix with known kappa: verdicts built so
+    that N=10, agree=7, marginals row=(5,3,2) col=(4,4,2) →
+    pe_num=34, kappa = (70-34)/(100-34) = 36/66. Plus the
+    below-chance case: perfect DISagreement on 2 classes gives a
+    NEGATIVE kappa_num — the reason the contract emits num/den."""
+    from iconic_data_science_spark.operators.evaluation import judge_agreement
+
+    v = []
+    i = 0
+    # diag: (0,0)x3 (1,1)x2 (2,2)x2 ; off: (0,1)x2 (1,2)x0 (0,2)x0 (1,0)x1
+    for j1, j2, n in [(0, 0, 3), (1, 1, 2), (2, 2, 2), (0, 1, 2), (1, 0, 1)]:
+        for _ in range(n):
+            v.append((i, j1, j2))
+            i += 1
+    df = spark.createDataFrame(v, "doc_id bigint, j1 bigint, j2 bigint")
+    rows = judge_agreement(df).collect()
+    r = rows[0]
+    assert r.n_total == 10 and r.n_agree == 7
+    # marginals: row0=5,row1=3,row2=2; col0=4,col1=4,col2=2
+    assert r.pe_num == 5 * 4 + 3 * 4 + 2 * 2
+    assert r.kappa_num == 10 * 7 - 36 and r.kappa_den == 100 - 36
+    assert r.po_milli == 700
+    assert {(x.j1, x.j2, x.n_pairs) for x in rows} == {
+        (0, 0, 3), (1, 1, 2), (2, 2, 2), (0, 1, 2), (1, 0, 1),
+    }
+    # below-chance: j2 = 1 - j1 everywhere → agree 0, kappa_num < 0
+    anti = spark.createDataFrame(
+        [(i, i % 2, 1 - i % 2) for i in range(10)],
+        "doc_id bigint, j1 bigint, j2 bigint",
+    )
+    ar = judge_agreement(anti).collect()[0]
+    assert ar.n_agree == 0 and ar.kappa_num < 0 and ar.kappa_den > 0
+
+
+def test_synth_judge_verdicts_agreement_above_chance(spark, sf_dir):
+    """The 70% copy gate must push observed agreement well above the
+    1/3 chance rate on the real corpus, and kappa_num > 0."""
+    from iconic_data_science_spark.operators.evaluation import (
+        judge_agreement,
+        synth_judge_verdicts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = judge_agreement(synth_judge_verdicts(docs, agree_pct=70)).collect()[0]
+    assert r.po_milli > 600  # ~70% + 30%·(1/3) ≈ 80%
+    assert r.kappa_num > 0

@@ -179,6 +179,12 @@ DOC_QUERIES = [
     "eval_pass_at_k",
     "eval_em_f1",
     "rl_group_advantage",
+    # the arena pair: tiny fuzzed corpora give all-tie score matrices
+    # (wr = 500 everywhere) and confusion matrices missing whole
+    # verdict classes (the inner marginal join must zero those pe
+    # terms identically on both engines)
+    "eval_winrate_matrix",
+    "eval_judge_agreement",
 ]
 
 WORDS = ["spark", "merge", "customer", "window", "a", "zz", "table", "q0"]

@@ -545,6 +545,15 @@ EXCHANGE_BUDGET = {
     # GRPO: the group moments and the rank ride ONE prompt-grain
     # window partition (the second Window reuses the exchange)
     "rl_group_advantage": 1,
+    # arena win rates: the prompt-grain self-join broadcasts at
+    # sf0.01 leaving the variant-pair rollup; budget 3 admits the
+    # co-partitioned shuffle shape at scale (two sides + rollup)
+    "eval_winrate_matrix": 3,
+    # judge agreement: ONE doc-grain aggregate; every other exchange
+    # is over the <=9-row confusion matrix / 1-row globals (the
+    # single-row cross joins show as broadcast nested loops over
+    # literal-sized frames — bounded metadata, not corpus)
+    "eval_judge_agreement": 9,
 }
 
 
