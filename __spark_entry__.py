@@ -11661,6 +11661,98 @@ ORACLES["eval_judge_agreement"] = f"""
 """
 
 
+def q_ann_sq8_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 index-update drift audit (operators/similarity.
+    sq8_codes_frozen): the per-dim bounds train ONCE on the base
+    corpus (vec_id % 7 != 0) and the held-out batch (vec_id % 7 == 0)
+    is coded against those FROZEN bounds — the production shape where
+    new arrivals may fall outside the trained range and must clamp to
+    [0, 255]. Emits each new vector's codes, exact distortion
+    INCLUDING clamping loss, and the drift telemetry every SQ store
+    watches before re-training (n_clamped, max integer overshoot past
+    either bound). Pure map with literal bounds — zero exchanges,
+    streamable. The oracle trains the same base-side bounds and
+    replays raw/clamped codes with explicit FLOOR division (raw codes
+    can be NEGATIVE here; DuckDB's // truncates toward zero while the
+    engine floors, so the oracle must floor explicitly — pinned by
+    this query)."""
+    from iconic_data_science_spark.operators.similarity import (
+        sq8_codes_frozen,
+        sq8_train,
+    )
+
+    cat = _cat(spark, sf_dir)
+    base = cat.embeddings.filter(F.col("vec_id") % 7 != 0)
+    batch = cat.embeddings.filter(F.col("vec_id") % 7 == 0)
+    bounds = sq8_train(base)
+    coded = sq8_codes_frozen(batch, bounds)
+    return coded.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), "-"
+        ).alias("codes_str"),
+        "err2",
+        "n_clamped",
+        "max_overshoot",
+    )
+
+
+QUERIES["ann_sq8_drift"] = q_ann_sq8_drift
+
+ORACLES["ann_sq8_drift"] = """
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS q
+        FROM embeddings
+    ),
+    el AS (
+        SELECT vec_id, CAST(r.range AS INT) AS i, q[r.range] AS v
+        FROM qv, range(1, 65) r
+        WHERE vec_id % 7 <> 0
+    ),
+    bd AS MATERIALIZED (
+        SELECT array_agg(lo ORDER BY i) AS lo, array_agg(rng ORDER BY i) AS rng
+        FROM (SELECT i, MIN(v) AS lo, MAX(v) - MIN(v) AS rng
+              FROM el GROUP BY i)
+    ),
+    nb AS (SELECT * FROM qv WHERE vec_id % 7 = 0),
+    cd AS (
+        SELECT vec_id, q,
+               [CASE WHEN bd.rng[i] = 0 THEN 0
+                     ELSE CAST(FLOOR(CAST((q[i] - bd.lo[i]) * 255 AS DOUBLE)
+                                     / bd.rng[i]) AS BIGINT) END
+                for i in generate_series(1, 64)] AS raw
+        FROM nb, bd
+    ),
+    cl AS (
+        SELECT vec_id, q, raw,
+               [GREATEST(CAST(0 AS BIGINT),
+                         LEAST(CAST(255 AS BIGINT), raw[i]))
+                for i in generate_series(1, 64)] AS codes
+        FROM cd
+    ),
+    rc AS (
+        SELECT vec_id, q, raw, codes,
+               [bd.lo[i] + (codes[i] * bd.rng[i]) // 255
+                for i in generate_series(1, 64)] AS recon
+        FROM cl, bd
+    )
+    SELECT vec_id,
+           array_to_string(codes, '-') AS codes_str,
+           CAST(list_reduce([(q[i] - recon[i]) * (q[i] - recon[i])
+                             for i in generate_series(1, 64)],
+                            (a, b) -> a + b) AS BIGINT) AS err2,
+           CAST(len([c for c in raw if c < 0 OR c > 255]) AS BIGINT)
+               AS n_clamped,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   [GREATEST(-c, c - 255, CAST(0 AS BIGINT)) for c in raw]),
+               (a, b) -> GREATEST(a, b)) AS BIGINT) AS max_overshoot
+    FROM rc
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
@@ -12051,7 +12143,7 @@ _ROUND8_FRONT = [
 # wordpiece rewrite, pack refactor) hold r8-fresh evidence tiers that
 # sit behind the r4/r5 debt, so this round they are evidenced by the
 # committed per-query probes + the full-catalog r9 sweeps instead.
-# catalog 247 | ever-attempted 233 | ever-green 233 | never 14
+# catalog 248 | ever-attempted 233 | ever-green 233 | never 15
 # generated by: python tools/build_front.py --window 50 --boost ann_maxsim_rerank,pack_sequences,web_domain_stats,web_url_gate,web_url_dedup,web_hits,text_wordpiece_encode,text_wordpiece_batch
 _ROUND9_FRONT = [
     "text_fim",  # never driver-attempted
@@ -12068,6 +12160,7 @@ _ROUND9_FRONT = [
     "rl_group_advantage",  # never driver-attempted
     "eval_winrate_matrix",  # never driver-attempted
     "eval_judge_agreement",  # never driver-attempted
+    "ann_sq8_drift",  # never driver-attempted
     "dedup_minhash_lsh",  # latest evidence r4
     "dedup_simhash",  # latest evidence r4
     "dedup_simhash_pairs",  # latest evidence r4
@@ -12103,7 +12196,6 @@ _ROUND9_FRONT = [
     "text_fingerprint",  # latest evidence r4
     "ev_kmv_sliding",  # latest evidence r5
     "mix_temperature_sample",  # latest evidence r5
-    "sample_weighted",  # latest evidence r5
 ]
 
 # Each round's front wins the head slots over the one before it

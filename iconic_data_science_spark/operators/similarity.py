@@ -2410,3 +2410,84 @@ def bq_topk(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
     )
+
+
+def sq8_codes_frozen(
+    embeddings: DataFrame,
+    bounds: tuple[list[int], list[int]],
+    scale: int = 1000,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes, err2, n_clamped, max_overshoot) — SQ8 coding of
+    a NEW vector batch against FROZEN bounds: the production
+    index-update shape (the index's (lo, rng) trained once on the base
+    corpus; new arrivals are coded without re-training, so components
+    may fall OUTSIDE the trained range and must clamp to [0, 255]).
+
+    The drift telemetry every SQ store watches before scheduling a
+    re-train rides along: n_clamped counts out-of-range components and
+    max_overshoot is the worst integer distance past either bound
+    (0 when the batch sits inside the trained range — then the output
+    row equals :func:`sq8_codes`' exactly). err2 is the exact
+    distortion INCLUDING clamping loss.
+
+    Pure map with literal bounds — zero exchanges, streamable: the
+    quantize-at-ingest gate (stream == batch pinned)."""
+    lo, rng = bounds
+    lo_lit = F.array(*[F.lit(int(v)) for v in lo])
+    rng_lit = F.array(*[F.lit(int(v)) for v in rng])
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _lattice(F.col(vec_col), scale).alias("_q")
+    )
+    raw = F.transform(
+        F.col("_q"),
+        lambda x, i: F.when(F.element_at(rng_lit, i + 1) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (x - F.element_at(lo_lit, i + 1))
+                * F.lit(int(SQ_LEVELS))
+                / F.element_at(rng_lit, i + 1)
+            )
+        ),
+    )
+    w = base.select("vec_id", "_q", raw.alias("_raw"))
+    codes = F.transform(
+        F.col("_raw"),
+        lambda c: F.greatest(
+            F.lit(0).cast("long"), F.least(F.lit(int(SQ_LEVELS)).cast("long"), c)
+        ),
+    )
+    w = w.select("vec_id", "_q", "_raw", codes.alias("codes"))
+    recon = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(lo_lit, i + 1)
+        + F.floor(c * F.element_at(rng_lit, i + 1) / F.lit(int(SQ_LEVELS))),
+    )
+    w = w.select("vec_id", "_q", "_raw", "codes", recon.alias("recon"))
+    err2 = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("recon"), lambda x, r: (x - r) * (x - r)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_clamped = F.size(
+        F.filter(F.col("_raw"), lambda c: (c < 0) | (c > int(SQ_LEVELS)))
+    ).cast("long")
+    overshoot = F.aggregate(
+        F.transform(
+            F.col("_raw"),
+            lambda c: F.greatest(
+                -c, c - F.lit(int(SQ_LEVELS)).cast("long"), F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return w.select(
+        "vec_id",
+        "codes",
+        err2.alias("err2"),
+        n_clamped.alias("n_clamped"),
+        overshoot.alias("max_overshoot"),
+    )

@@ -200,3 +200,17 @@ def stream_dedup_against_index(
         .select("corpus_id", "new_id", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def read_embedding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (tests/demos; a
+    production embedder points the same pipeline at its output topic).
+    The quantize-at-ingest gates (sq8_codes / sq8_codes_frozen with
+    frozen literal bounds) run unchanged on this stream — pure maps."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )

@@ -567,3 +567,40 @@ def test_bq_topk_recall_and_funnel_invariants(spark, corpora):
         assert 0 <= r.hamming <= DIM
     recall = len({(r.query_id, r.neighbor_id) for r in got} & exact) / len(exact)
     assert recall >= 0.6, f"BQ recall@{K} = {recall}"
+
+
+def test_sq8_frozen_equals_trained_inside_range_and_clamps_outside(spark, corpora):
+    """Frozen-bounds coding on the training corpus itself must equal
+    sq8_codes exactly (zero clamps, zero overshoot); a vector pushed
+    past the trained range must clamp to 0/255 with the exact integer
+    overshoot."""
+    from iconic_data_science_spark.operators.similarity import (
+        sq8_codes,
+        sq8_codes_frozen,
+        sq8_train,
+    )
+
+    corpus, _queries, _exact = corpora
+    bounds = sq8_train(corpus, dim=DIM)
+    a = sorted(
+        (r.vec_id, tuple(r.codes), r.err2)
+        for r in sq8_codes(corpus, bounds=bounds, dim=DIM).collect()
+    )
+    fr = sq8_codes_frozen(corpus, bounds, dim=DIM).collect()
+    b = sorted((r.vec_id, tuple(r.codes), r.err2) for r in fr)
+    assert a == b
+    assert all(r.n_clamped == 0 and r.max_overshoot == 0 for r in fr)
+
+    # an out-of-range probe: 2x the per-dim max pushes every non-
+    # constant dim past hi; codes clamp to 0/255
+    import pyspark.sql.functions as F
+
+    probe = corpus.limit(1).select(
+        F.lit(99_999).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(3.0)).cast("float")
+        ).alias("embedding"),
+    )
+    pr = sq8_codes_frozen(probe, bounds, dim=DIM).collect()[0]
+    assert pr.n_clamped > 0 and pr.max_overshoot > 0
+    assert all(0 <= c <= 255 for c in pr.codes)

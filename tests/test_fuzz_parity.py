@@ -273,6 +273,12 @@ EMB_QUERIES = [
     "ann_sq8_codes",
     "ann_sq8_topk",
     "ann_bq_topk",
+    # frozen-bounds drift coding: fuzzed batches sit OUTSIDE the
+    # base-side trained range by construction (the base is ids%7!=0 of
+    # the same fuzz draw), exercising negative raw codes — where
+    # DuckDB // truncation vs engine floor would diverge without the
+    # oracle's explicit FLOOR — and the clamp/overshoot telemetry
+    "ann_sq8_drift",
 ]
 
 

@@ -554,6 +554,11 @@ EXCHANGE_BUDGET = {
     # single-row cross joins show as broadcast nested loops over
     # literal-sized frames — bounded metadata, not corpus)
     "eval_judge_agreement": 9,
+    # SQ8 drift audit: bounds train eagerly on the base side (plan
+    # literals); the RETURNED plan is a pure in-row code/clamp/
+    # telemetry map over the new batch — zero exchanges (streamable,
+    # the quantize-at-ingest pin)
+    "ann_sq8_drift": 0,
 }
 
 

@@ -666,3 +666,32 @@ def test_streaming_em_f1_equals_batch(spark, sf_dir):
     stream = em_f1(synth_predictions(sd.read_document_stream(spark, sf_dir)))
     got = _run_stream(spark, stream, "t_em_f1", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_sq8_quantize_at_ingest_equals_batch(spark, sf_dir):
+    """Quantize-at-ingest: with the per-dim bounds trained once on the
+    static corpus and baked into the plan as literals, SQ8 coding
+    (frozen-bounds form, clamp telemetry included) is a pure per-row
+    map and admits an append embedding stream; stream == batch row
+    for row."""
+    from iconic_data_science_spark.operators.similarity import (
+        sq8_codes_frozen,
+        sq8_train,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    emb = Catalog(spark, sf_dir).embeddings
+    bounds = sq8_train(emb)
+    flat = lambda df: sq8_codes_frozen(df, bounds).select(  # noqa: E731
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), "-"
+        ).alias("codes_str"),
+        "err2",
+        "n_clamped",
+        "max_overshoot",
+    )
+    batch = flat(emb)
+    stream = flat(sd.read_embedding_stream(spark, sf_dir))
+    got = _run_stream(spark, stream, "t_sq8_ingest", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
