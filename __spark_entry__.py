@@ -11753,6 +11753,118 @@ ORACLES["ann_sq8_drift"] = """
 """
 
 
+def q_pii_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators/privacy.
+    k_anonymity_audit — Sweeney 2002, Machanavajjhala 2007): customers
+    grouped by the (nation, market-segment) quasi-identifier tuple
+    with the account-balance thousand-bucket as the sensitive
+    attribute; per group, the exact size (its "k"), exact distinct
+    sensitive values (its "l"), both gates at k=5 / l=2, and the
+    release blocker at_risk. ONE quasi-grain aggregate (count +
+    distinct, map-side partial) — output bounded by the 125-cell
+    identifier domain, never by records. The bucket divides an IEEE
+    double by 1000 identically on both engines; the oracle replays
+    grouping, distinct-count, and gates."""
+    from iconic_data_science_spark.operators.privacy import k_anonymity_audit
+
+    cat = _cat(spark, sf_dir)
+    cust = cat.customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", k=5, l=2
+    )
+
+
+QUERIES["pii_k_anonymity"] = q_pii_k_anonymity
+
+ORACLES["pii_k_anonymity"] = """
+    WITH a AS (
+        SELECT c_nationkey, c_mktsegment,
+               COALESCE(CAST(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000)
+                                  AS BIGINT) AS VARCHAR), ' null') AS s
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_sensitive
+        FROM a GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, group_size, n_sensitive,
+           CAST(CASE WHEN group_size >= 5 THEN 1 ELSE 0 END AS BIGINT)
+               AS k_anonymous,
+           CAST(CASE WHEN n_sensitive >= 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS l_diverse,
+           CAST(CASE WHEN group_size < 5 OR n_sensitive < 2
+                     THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+    FROM g
+"""
+
+
+def q_pii_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row release decision (operators/privacy.
+    anonymity_summary) over the pii_k_anonymity audit: the dataset's
+    effective k (minimum group size — the number privacy reviews
+    quote), failing-group and failing-record counts, and the at-risk
+    record share per-mille (exact floor). Aggregates the bounded
+    group table — the records are touched exactly once, by the
+    underlying audit."""
+    from iconic_data_science_spark.operators.privacy import (
+        anonymity_summary,
+        k_anonymity_audit,
+    )
+
+    cat = _cat(spark, sf_dir)
+    cust = cat.customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    audit = k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", k=5, l=2
+    )
+    return anonymity_summary(audit, ["c_nationkey", "c_mktsegment"])
+
+
+QUERIES["pii_anonymity_summary"] = q_pii_anonymity_summary
+
+ORACLES["pii_anonymity_summary"] = """
+    WITH a AS (
+        SELECT c_nationkey, c_mktsegment,
+               COALESCE(CAST(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000)
+                                  AS BIGINT) AS VARCHAR), ' null') AS s
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_sensitive
+        FROM a GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT group_size,
+               CASE WHEN group_size < 5 OR n_sensitive < 2
+                    THEN 1 ELSE 0 END AS at_risk
+        FROM g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_records,
+           CAST(MIN(group_size) AS BIGINT) AS min_k,
+           CAST(SUM(at_risk) AS BIGINT) AS n_at_risk_groups,
+           CAST(SUM(at_risk * group_size) AS BIGINT) AS n_at_risk_records,
+           (1000 * CAST(SUM(at_risk * group_size) AS BIGINT))
+           // CAST(SUM(group_size) AS BIGINT) AS risk_milli
+    FROM f
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
@@ -12143,7 +12255,7 @@ _ROUND8_FRONT = [
 # wordpiece rewrite, pack refactor) hold r8-fresh evidence tiers that
 # sit behind the r4/r5 debt, so this round they are evidenced by the
 # committed per-query probes + the full-catalog r9 sweeps instead.
-# catalog 248 | ever-attempted 233 | ever-green 233 | never 15
+# catalog 250 | ever-attempted 233 | ever-green 233 | never 17
 # generated by: python tools/build_front.py --window 50 --boost ann_maxsim_rerank,pack_sequences,web_domain_stats,web_url_gate,web_url_dedup,web_hits,text_wordpiece_encode,text_wordpiece_batch
 _ROUND9_FRONT = [
     "text_fim",  # never driver-attempted
@@ -12161,6 +12273,8 @@ _ROUND9_FRONT = [
     "eval_winrate_matrix",  # never driver-attempted
     "eval_judge_agreement",  # never driver-attempted
     "ann_sq8_drift",  # never driver-attempted
+    "pii_k_anonymity",  # never driver-attempted
+    "pii_anonymity_summary",  # never driver-attempted
     "dedup_minhash_lsh",  # latest evidence r4
     "dedup_simhash",  # latest evidence r4
     "dedup_simhash_pairs",  # latest evidence r4
@@ -12194,8 +12308,6 @@ _ROUND9_FRONT = [
     "text_quality_score",  # latest evidence r4
     "text_token_counts",  # latest evidence r4
     "text_fingerprint",  # latest evidence r4
-    "ev_kmv_sliding",  # latest evidence r5
-    "mix_temperature_sample",  # latest evidence r5
 ]
 
 # Each round's front wins the head slots over the one before it

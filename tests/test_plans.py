@@ -559,6 +559,12 @@ EXCHANGE_BUDGET = {
     # telemetry map over the new batch — zero exchanges (streamable,
     # the quantize-at-ingest pin)
     "ann_sq8_drift": 0,
+    # k-anonymity audit: the quasi-grain count + exact-distinct pair
+    # (distinct adds its two-phase expand exchange); output is the
+    # bounded identifier-domain table
+    "pii_k_anonymity": 2,
+    # release summary: the audit's 2 + the one-row rollup
+    "pii_anonymity_summary": 3,
 }
 
 

@@ -1,0 +1,87 @@
+"""Privacy audit family (operators/privacy.py): k-anonymity /
+l-diversity hand cases and the release-summary arithmetic."""
+
+from __future__ import annotations
+
+from iconic_data_science_spark.operators.privacy import (
+    anonymity_summary,
+    k_anonymity_audit,
+)
+
+
+def _rows(spark):
+    # quasi (nation, seg): g1 = 6 records, 3 sensitive values (passes
+    # both); g2 = 2 records (fails k); g3 = 5 records all one value
+    # (passes k, fails l — the homogeneity attack); g4 = 1 record with
+    # a NULL sensitive value (fails both; null counts as one value)
+    data = []
+    for i in range(6):
+        data.append((1, "A", i % 3))
+    for i in range(2):
+        data.append((1, "B", i))
+    for i in range(5):
+        data.append((2, "A", 7))
+    data.append((2, "B", None))
+    return spark.createDataFrame(
+        data, "nation int, seg string, bal int"
+    )
+
+
+def test_k_anonymity_audit_hand_groups(spark):
+    df = _rows(spark)
+    got = {
+        (r.nation, r.seg): r
+        for r in k_anonymity_audit(df, ["nation", "seg"], "bal", k=5, l=2).collect()
+    }
+    g1 = got[(1, "A")]
+    assert (g1.group_size, g1.n_sensitive) == (6, 3)
+    assert (g1.k_anonymous, g1.l_diverse, g1.at_risk) == (1, 1, 0)
+    g2 = got[(1, "B")]
+    assert (g2.group_size, g2.k_anonymous, g2.at_risk) == (2, 0, 1)
+    g3 = got[(2, "A")]
+    assert (g3.group_size, g3.n_sensitive) == (5, 1)
+    assert (g3.k_anonymous, g3.l_diverse, g3.at_risk) == (1, 0, 1)
+    g4 = got[(2, "B")]
+    assert (g4.group_size, g4.n_sensitive, g4.at_risk) == (1, 1, 1)
+
+
+def test_anonymity_summary_math(spark):
+    df = _rows(spark)
+    audit = k_anonymity_audit(df, ["nation", "seg"], "bal", k=5, l=2)
+    s = anonymity_summary(audit, ["nation", "seg"]).collect()[0]
+    assert s.n_groups == 4 and s.n_records == 14
+    assert s.min_k == 1
+    assert s.n_at_risk_groups == 3
+    assert s.n_at_risk_records == 2 + 5 + 1
+    assert s.risk_milli == (1000 * 8) // 14
+
+
+def test_audit_is_exact_and_partition_invariant(spark, sf_dir):
+    """The audit on the real customer table must be identical under
+    repartitioning (exact counts, exact distinct — no approximation
+    anywhere)."""
+    import pyspark.sql.functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    quasi = ["c_nationkey", "c_mktsegment"]
+    a = sorted(
+        map(tuple, k_anonymity_audit(cust, quasi, "bal_bucket").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            k_anonymity_audit(
+                cust.repartition(13), quasi, "bal_bucket"
+            ).collect(),
+        )
+    )
+    assert a == b
+    # every record is in exactly one group
+    total = sum(r[2] for r in a)
+    assert total == cust.count()
