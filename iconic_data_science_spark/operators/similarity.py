@@ -2291,6 +2291,53 @@ def bq_train(
     return [int(x) for x in row["s"]], int(row["n"])
 
 
+def bq_bands(
+    df: DataFrame,
+    thresholds: tuple[list[int], int],
+    bands: int = BQ_BANDS,
+    scale: int = 1000,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, sq, bands) — the BQ INDEX-BUILD map: sign bits against
+    the trained (sums, n) thresholds (division-free bit test) packed
+    into ``bands`` band words, riding with the float vector and its
+    integer squared norm for downstream rescoring.
+
+    Pure per-row expressions with literal thresholds — zero
+    exchanges, composes with the scan, and admits an APPEND STREAM:
+    the quantize-at-ingest gate for BQ (stream == batch pinned), the
+    1-bit/dim sibling of :func:`sq8_codes_frozen`'s ingest path."""
+    sums, n = thresholds
+    assert int(dim) % int(bands) == 0, "dim must split evenly into bands"
+    width = int(dim) // int(bands)
+    assert width <= 62, "band words must fit in int64"
+    s_lit = F.array(*[F.lit(int(v)) for v in sums])
+    lat = _with_sqnorm(df, id_col, vec_col).select(
+        "id", "v", "sq", _lattice(F.col("v"), scale).alias("_q")
+    )
+    bits = F.transform(
+        F.col("_q"),
+        lambda x, i: F.when(
+            x * F.lit(int(n)) >= F.element_at(s_lit, i + 1),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    wb = lat.select("id", "v", "sq", bits.alias("_bits"))
+    band_cols = []
+    for b in range(int(bands)):
+        word = None
+        for j in range(width):
+            term = (
+                F.element_at(F.col("_bits"), b * width + j + 1)
+                * F.lit(1 << j)
+            )
+            word = term if word is None else word + term
+        band_cols.append(word)
+    return wb.select("id", "v", "sq", F.array(*band_cols).alias("bands"))
+
+
 def bq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -2323,35 +2370,13 @@ def bq_topk(
     banding grain); exchanges are the band join + candidate distinct +
     two id-grain hydration joins + two per-query windows — all at
     candidate grain except the band join. Never all-pairs."""
-    assert int(dim) % int(bands) == 0, "dim must split evenly into bands"
-    width = int(dim) // int(bands)
-    assert width <= 62, "band words must fit in int64"
     sums, n = bq_train(embeddings, scale=scale, dim=dim, vec_col=vec_col)
-    s_lit = F.array(*[F.lit(int(v)) for v in sums])
 
     def prep(df: DataFrame) -> DataFrame:
-        lat = _with_sqnorm(df, id_col, vec_col).select(
-            "id", "v", "sq", _lattice(F.col("v"), scale).alias("_q")
+        return bq_bands(
+            df, (sums, n), bands=bands, scale=scale, dim=dim,
+            id_col=id_col, vec_col=vec_col,
         )
-        bits = F.transform(
-            F.col("_q"),
-            lambda x, i: F.when(
-                x * F.lit(int(n)) >= F.element_at(s_lit, i + 1),
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        wb = lat.select("id", "v", "sq", bits.alias("_bits"))
-        band_cols = []
-        for b in range(int(bands)):
-            word = None
-            for j in range(width):
-                term = (
-                    F.element_at(F.col("_bits"), b * width + j + 1)
-                    * F.lit(1 << j)
-                )
-                word = term if word is None else word + term
-            band_cols.append(word)
-        return wb.select("id", "v", "sq", F.array(*band_cols).alias("bands"))
 
     w = prep(embeddings)
     wq = prep(queries)

@@ -695,3 +695,30 @@ def test_streaming_sq8_quantize_at_ingest_equals_batch(spark, sf_dir):
     stream = flat(sd.read_embedding_stream(spark, sf_dir))
     got = _run_stream(spark, stream, "t_sq8_ingest", output_mode="append")
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
+
+
+def test_streaming_bq_bands_at_ingest_equals_batch(spark, sf_dir):
+    """BQ index build at ingest: with the per-dim sign thresholds
+    trained once on the static corpus (division-free literal sums),
+    the bit/band-word map is a pure per-row expression and admits an
+    append embedding stream — the 1-bit/dim quantize-at-ingest gate;
+    stream == batch row for row."""
+    from iconic_data_science_spark.operators.similarity import (
+        bq_bands,
+        bq_train,
+    )
+    from iconic_data_science_spark.streaming import documents as sd
+
+    emb = Catalog(spark, sf_dir).embeddings
+    th = bq_train(emb)
+    flat = lambda df: bq_bands(df, th).select(  # noqa: E731
+        "id",
+        "sq",
+        F.array_join(
+            F.transform("bands", lambda x: x.cast("string")), "-"
+        ).alias("bands_str"),
+    )
+    batch = flat(emb)
+    stream = flat(sd.read_embedding_stream(spark, sf_dir))
+    got = _run_stream(spark, stream, "t_bq_ingest", output_mode="append")
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(batch))
