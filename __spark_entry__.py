@@ -11650,7 +11650,7 @@ ORACLES["eval_judge_agreement"] = f"""
            FROM m GROUP BY 1),
     r2 AS (SELECT j2 AS k, CAST(SUM(n_pairs) AS BIGINT) AS ck
            FROM m GROUP BY 1),
-    pe AS (SELECT CAST(SUM(rk * ck) AS BIGINT) AS pe_num
+    pe AS (SELECT CAST(COALESCE(SUM(rk * ck), 0) AS BIGINT) AS pe_num
            FROM r1 JOIN r2 USING (k))
     SELECT m.j1, m.j2, m.n_pairs, t.n_total, t.n_agree,
            (1000 * t.n_agree) // t.n_total AS po_milli,

@@ -419,9 +419,18 @@ def judge_agreement(verdicts: DataFrame) -> DataFrame:
     r2 = m.groupBy(F.col("j2").alias("k")).agg(
         F.sum("n_pairs").cast("long").alias("_col")
     )
+    # the marginal join is INNER on the shared verdict class; when the
+    # two judges emit disjoint class sets the join is empty and SUM
+    # over it is NULL — but Σ row_k·col_k over no shared class is 0
+    # (caught by the hypothesis Counter-model test; both engines made
+    # the same NULL mistake, so the hash gate alone couldn't see it)
     pe = (
         r1.join(r2, "k")
-        .agg(F.sum(F.col("_row") * F.col("_col")).cast("long").alias("pe_num"))
+        .agg(
+            F.coalesce(F.sum(F.col("_row") * F.col("_col")), F.lit(0))
+            .cast("long")
+            .alias("pe_num")
+        )
     )
     g = tot.crossJoin(pe)
     return (

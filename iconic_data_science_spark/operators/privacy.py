@@ -52,7 +52,7 @@ def k_anonymity_audit(
     identical everywhere."""
     sens = F.coalesce(
         F.col(sensitive_col).cast("string"), F.lit(" null")
-    )
+    )  # (sentinel: leading space can't collide with cast numerics)
     return (
         records.select(*quasi_cols, sens.alias("_s"))
         .groupBy(*quasi_cols)

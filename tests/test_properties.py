@@ -361,3 +361,122 @@ def test_ego_indicators_matches_model_both_regimes(spark, triples, country):
             for r in ego_indicators(tdf, cdf, single_exchange=single).collect()
         }
         assert got == want, (single, got, want)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda t: t[1] <= t[0] and t[0] >= 1
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(st.integers(1, 12), min_size=1, max_size=4, unique=True),
+)
+def test_pass_at_k_matches_comb_model(spark, ncs, ks):
+    """pass@k over ARBITRARY (n, c) tables equals the math.comb closed
+    form floored per-mille for every k <= n — the falling-factorial
+    fold is exactly C(n-c,k)/C(n,k) on any input, not just the fixed
+    synth."""
+    import math
+
+    from iconic_data_science_spark.operators.evaluation import pass_at_k
+
+    rows = []
+    for t, (n, c) in enumerate(ncs):
+        for s in range(n):
+            rows.append((t, s, 1 if s < c else 0))
+    df = spark.createDataFrame(
+        rows, "task_id bigint, sample_id bigint, correct bigint"
+    )
+    got = {
+        (r.task_id, r.k): r.pass_milli
+        for r in pass_at_k(df, ks=tuple(ks)).collect()
+    }
+    for t, (n, c) in enumerate(ncs):
+        for k in ks:
+            if k > n:
+                assert (t, k) not in got
+                continue
+            want = (
+                1000 - (1000 * math.comb(n - c, k)) // math.comb(n, k)
+                if n - c >= k
+                else 1000
+            )
+            assert got[(t, k)] == want, (n, c, k)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcd"), max_size=6),
+            st.lists(st.sampled_from("abcd"), max_size=6),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_em_f1_matches_counter_model(spark, pairs):
+    """EM/F1 over arbitrary token arrays equals the collections.Counter
+    multiset model with the SQuAD empty conventions."""
+    from collections import Counter
+
+    from iconic_data_science_spark.operators.evaluation import em_f1
+
+    rows = [(i, 0, p, r) for i, (p, r) in enumerate(pairs)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, mode bigint, pred array<string>, ref array<string>",
+    )
+    got = {r.doc_id: r for r in em_f1(df).collect()}
+    for i, (p, r) in enumerate(pairs):
+        ov = sum((Counter(p) & Counter(r)).values())
+        g = got[i]
+        assert g.em == (1 if " ".join(p) == " ".join(r) else 0)
+        assert g.overlap == ov
+        if len(p) == 0 and len(r) == 0:
+            assert g.f1_milli == 1000 and g.precision_milli == 1000
+        else:
+            assert g.precision_milli == (
+                (1000 * ov) // len(p) if p else 0
+            )
+            assert g.recall_milli == ((1000 * ov) // len(r) if r else 0)
+            assert g.f1_milli == (2000 * ov) // (len(p) + len(r))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_judge_agreement_matches_counter_model(spark, verdicts):
+    """Cohen's-kappa integers over arbitrary verdict tables equal the
+    Counter marginal model: pe_num = Σ row_k·col_k, kappa_num/den as
+    defined, po floored per-mille."""
+    from collections import Counter
+
+    from iconic_data_science_spark.operators.evaluation import judge_agreement
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(verdicts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, j1 bigint, j2 bigint")
+    out = judge_agreement(df).collect()
+    n = len(verdicts)
+    agree = sum(1 for a, b in verdicts if a == b)
+    r1 = Counter(a for a, _ in verdicts)
+    r2 = Counter(b for _, b in verdicts)
+    pe = sum(r1[k] * r2[k] for k in set(r1) | set(r2))
+    cells = Counter(verdicts)
+    assert {(r.j1, r.j2, r.n_pairs) for r in out} == {
+        (a, b, c) for (a, b), c in cells.items()
+    }
+    for r in out:
+        assert r.n_total == n and r.n_agree == agree
+        assert r.pe_num == pe
+        assert r.kappa_num == n * agree - pe
+        assert r.kappa_den == n * n - pe
+        assert r.po_milli == (1000 * agree) // n
