@@ -480,3 +480,124 @@ def test_judge_agreement_matches_counter_model(spark, verdicts):
         assert r.kappa_num == n * agree - pe
         assert r.kappa_den == n * n - pe
         assert r.po_milli == (1000 * agree) // n
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 8)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_winrate_matrix_matches_pair_model(spark, rows):
+    """Arena win rates over arbitrary (prompt, variant, score) tables
+    equal the brute pair-enumeration model, including the tie-aware
+    per-mille rate."""
+    from collections import defaultdict
+
+    from iconic_data_science_spark.operators.evaluation import winrate_matrix
+
+    df = spark.createDataFrame(
+        rows, "prompt_id bigint, response_id bigint, score bigint"
+    )
+    got = {
+        (r.variant_a, r.variant_b): r for r in winrate_matrix(df).collect()
+    }
+    by_prompt = defaultdict(dict)
+    for p, v, s in rows:
+        by_prompt[p][v] = s
+    model = defaultdict(lambda: [0, 0, 0])  # wins_a, ties, wins_b
+    for vs in by_prompt.values():
+        ks = sorted(vs)
+        for i, a in enumerate(ks):
+            for b in ks[i + 1:]:
+                w = model[(a, b)]
+                if vs[a] > vs[b]:
+                    w[0] += 1
+                elif vs[a] == vs[b]:
+                    w[1] += 1
+                else:
+                    w[2] += 1
+    assert set(got) == set(model)
+    for ab, (wa, t, wb) in model.items():
+        r = got[ab]
+        n = wa + t + wb
+        assert (r.wins_a, r.ties, r.wins_b, r.n_prompts) == (wa, t, wb, n)
+        assert r.wr_a_milli == (1000 * wa + 500 * t) // n
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_group_advantage_matches_moment_model(spark, rows):
+    """GRPO numerators over arbitrary response tables equal the exact
+    moment model (adv = s·n − Σ; var_num = n·Σs² − (Σs)²) and the
+    rank is the (score desc, id asc) permutation."""
+    from collections import defaultdict
+
+    from iconic_data_science_spark.operators.evaluation import group_advantage
+
+    df = spark.createDataFrame(
+        rows, "prompt_id bigint, response_id bigint, score bigint"
+    )
+    got = {
+        (r.prompt_id, r.response_id): r for r in group_advantage(df).collect()
+    }
+    groups = defaultdict(list)
+    for p, v, s in rows:
+        groups[p].append((v, s))
+    for p, members in groups.items():
+        n = len(members)
+        tot = sum(s for _, s in members)
+        tot2 = sum(s * s for _, s in members)
+        order = sorted(members, key=lambda t: (-t[1], t[0]))
+        for rank0, (v, s) in enumerate(order):
+            r = got[(p, v)]
+            assert r.n_group == n
+            assert r.adv_num == s * n - tot
+            assert r.var_num == n * tot2 - tot * tot
+            assert r.grp_rank == rank0 + 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-4, 4), min_size=8, max_size=8),
+        min_size=3,
+        max_size=20,
+    )
+)
+def test_sq8_codes_match_python_model(spark, vecs):
+    """SQ8 training + coding over arbitrary integer-valued vectors
+    equals the pure-python bounds/floor model (codes, recon, err2)."""
+    from iconic_data_science_spark.operators.similarity import (
+        sq8_codes,
+        sq8_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    lo, rng = sq8_train(df, dim=8)
+    q = [[x * 1000 for x in v] for v in vecs]
+    assert lo == [min(col) for col in zip(*q)]
+    assert rng == [max(col) - min(col) for col in zip(*q)]
+    got = {r.vec_id: r for r in sq8_codes(df, bounds=(lo, rng), dim=8).collect()}
+    for i, v in enumerate(q):
+        codes = [
+            0 if rng[j] == 0 else ((v[j] - lo[j]) * 255) // rng[j]
+            for j in range(8)
+        ]
+        recon = [lo[j] + (codes[j] * rng[j]) // 255 for j in range(8)]
+        err2 = sum((v[j] - recon[j]) ** 2 for j in range(8))
+        r = got[i]
+        assert list(r.codes) == codes and r.err2 == err2
