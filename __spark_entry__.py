@@ -11855,12 +11855,15 @@ ORACLES["pii_anonymity_summary"] = """
         FROM g
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-           CAST(SUM(group_size) AS BIGINT) AS n_records,
+           CAST(COALESCE(SUM(group_size), 0) AS BIGINT) AS n_records,
            CAST(MIN(group_size) AS BIGINT) AS min_k,
-           CAST(SUM(at_risk) AS BIGINT) AS n_at_risk_groups,
-           CAST(SUM(at_risk * group_size) AS BIGINT) AS n_at_risk_records,
-           (1000 * CAST(SUM(at_risk * group_size) AS BIGINT))
-           // CAST(SUM(group_size) AS BIGINT) AS risk_milli
+           CAST(COALESCE(SUM(at_risk), 0) AS BIGINT) AS n_at_risk_groups,
+           CAST(COALESCE(SUM(at_risk * group_size), 0) AS BIGINT)
+               AS n_at_risk_records,
+           CASE WHEN COALESCE(SUM(group_size), 0) > 0
+                THEN (1000 * CAST(SUM(at_risk * group_size) AS BIGINT))
+                     // CAST(SUM(group_size) AS BIGINT)
+                ELSE 0 END AS risk_milli
     FROM f
 """
 

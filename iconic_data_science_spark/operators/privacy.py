@@ -82,12 +82,20 @@ def anonymity_summary(audit: DataFrame, quasi_cols: list[str]) -> DataFrame:
     records sit in failing groups, and the at-risk record share
     per-mille (floor, exact). Aggregates the bounded group table — no
     second pass over the records."""
+    # SUM over an empty audit is NULL; the release decision for an
+    # empty dataset is 0 records / 0 at risk (min_k stays NULL — there
+    # is no group whose size could be quoted). Same NULL-on-empty
+    # class as judge_agreement's pe_num (see NOTES_r9).
     return audit.agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum("group_size").cast("long").alias("n_records"),
+        F.coalesce(F.sum("group_size"), F.lit(0))
+        .cast("long")
+        .alias("n_records"),
         F.min("group_size").cast("long").alias("min_k"),
-        F.sum("at_risk").cast("long").alias("n_at_risk_groups"),
-        F.sum(F.col("at_risk") * F.col("group_size"))
+        F.coalesce(F.sum("at_risk"), F.lit(0))
+        .cast("long")
+        .alias("n_at_risk_groups"),
+        F.coalesce(F.sum(F.col("at_risk") * F.col("group_size")), F.lit(0))
         .cast("long")
         .alias("n_at_risk_records"),
     ).select(
@@ -96,7 +104,11 @@ def anonymity_summary(audit: DataFrame, quasi_cols: list[str]) -> DataFrame:
         "min_k",
         "n_at_risk_groups",
         "n_at_risk_records",
-        F.floor(F.lit(1000) * F.col("n_at_risk_records") / F.col("n_records"))
-        .cast("long")
+        F.when(F.col("n_records") > 0,
+               F.floor(
+                   F.lit(1000) * F.col("n_at_risk_records")
+                   / F.col("n_records")
+               ).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
         .alias("risk_milli"),
     )

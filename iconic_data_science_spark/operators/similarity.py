@@ -2118,6 +2118,8 @@ def sq8_train(
         )
         .collect()[0]
     )
+    if row["lo"][0] is None:
+        raise ValueError("sq8_train: empty corpus (no vectors to bound)")
     lo = [int(x) for x in row["lo"]]
     rng = [int(h) - int(l) for l, h in zip(lo, row["hi"])]
     return lo, rng
@@ -2288,6 +2290,8 @@ def bq_train(
         )
         .collect()[0]
     )
+    if int(row["n"]) == 0:
+        raise ValueError("bq_train: empty corpus (no vectors to threshold)")
     return [int(x) for x in row["s"]], int(row["n"])
 
 

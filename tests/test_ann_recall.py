@@ -604,3 +604,20 @@ def test_sq8_frozen_equals_trained_inside_range_and_clamps_outside(spark, corpor
     pr = sq8_codes_frozen(probe, bounds, dim=DIM).collect()[0]
     assert pr.n_clamped > 0 and pr.max_overshoot > 0
     assert all(0 <= c <= 255 for c in pr.codes)
+
+
+def test_quantizer_training_rejects_empty_corpus(spark):
+    """sq8_train / bq_train on an empty corpus must raise a clear
+    ValueError, not crash on a NULL bound downstream."""
+    import pytest as _pytest
+
+    from iconic_data_science_spark.operators.similarity import (
+        bq_train,
+        sq8_train,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        sq8_train(empty, dim=8)
+    with _pytest.raises(ValueError, match="empty corpus"):
+        bq_train(empty, dim=8)

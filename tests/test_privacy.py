@@ -85,3 +85,15 @@ def test_audit_is_exact_and_partition_invariant(spark, sf_dir):
     # every record is in exactly one group
     total = sum(r[2] for r in a)
     assert total == cust.count()
+
+
+def test_anonymity_summary_empty_dataset(spark):
+    """An empty dataset's release decision is 0 records / 0 at risk /
+    risk 0 (min_k NULL — no group to quote), not a row of NULLs (the
+    judge_agreement NULL-on-empty class)."""
+    df = spark.createDataFrame([], "nation int, seg string, bal int")
+    audit = k_anonymity_audit(df, ["nation", "seg"], "bal", k=5, l=2)
+    s = anonymity_summary(audit, ["nation", "seg"]).collect()[0]
+    assert (s.n_groups, s.n_records, s.n_at_risk_groups,
+            s.n_at_risk_records, s.risk_milli) == (0, 0, 0, 0, 0)
+    assert s.min_k is None
