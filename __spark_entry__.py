@@ -11735,7 +11735,12 @@ ORACLES["ann_sq8_drift"] = """
     rc AS (
         SELECT vec_id, q, raw, codes,
                [bd.lo[i] + (codes[i] * bd.rng[i]) // 255
-                for i in generate_series(1, 64)] AS recon
+                for i in generate_series(1, 64)] AS recon,
+               [CASE WHEN bd.rng[i] = 0
+                     THEN abs(q[i] - bd.lo[i])
+                     ELSE GREATEST(-raw[i], raw[i] - 255, CAST(0 AS BIGINT))
+                END
+                for i in generate_series(1, 64)] AS ov
         FROM cl, bd
     )
     SELECT vec_id,
@@ -11743,11 +11748,9 @@ ORACLES["ann_sq8_drift"] = """
            CAST(list_reduce([(q[i] - recon[i]) * (q[i] - recon[i])
                              for i in generate_series(1, 64)],
                             (a, b) -> a + b) AS BIGINT) AS err2,
-           CAST(len([c for c in raw if c < 0 OR c > 255]) AS BIGINT)
-               AS n_clamped,
+           CAST(len([o for o in ov if o > 0]) AS BIGINT) AS n_clamped,
            CAST(list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   [GREATEST(-c, c - 255, CAST(0 AS BIGINT)) for c in raw]),
+               list_prepend(CAST(0 AS BIGINT), ov),
                (a, b) -> GREATEST(a, b)) AS BIGINT) AS max_overshoot
     FROM rc
 """
@@ -11785,14 +11788,15 @@ QUERIES["pii_k_anonymity"] = q_pii_k_anonymity
 ORACLES["pii_k_anonymity"] = """
     WITH a AS (
         SELECT c_nationkey, c_mktsegment,
-               COALESCE(CAST(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000)
-                                  AS BIGINT) AS VARCHAR), ' null') AS s
+               CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS s
         FROM customer
     ),
     g AS (
         SELECT c_nationkey, c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS group_size,
-               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_sensitive
+               CAST(COUNT(DISTINCT s)
+                    + MAX(CASE WHEN s IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sensitive
         FROM a GROUP BY 1, 2
     )
     SELECT c_nationkey, c_mktsegment, group_size, n_sensitive,
@@ -11838,14 +11842,15 @@ QUERIES["pii_anonymity_summary"] = q_pii_anonymity_summary
 ORACLES["pii_anonymity_summary"] = """
     WITH a AS (
         SELECT c_nationkey, c_mktsegment,
-               COALESCE(CAST(CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000)
-                                  AS BIGINT) AS VARCHAR), ' null') AS s
+               CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS s
         FROM customer
     ),
     g AS (
         SELECT c_nationkey, c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS group_size,
-               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_sensitive
+               CAST(COUNT(DISTINCT s)
+                    + MAX(CASE WHEN s IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sensitive
         FROM a GROUP BY 1, 2
     ),
     f AS (

@@ -6,6 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced to full execution with the noop sink (no driver
 collect — measures the distributed plan, not result transfer).
+
+The stdout line is kept under 2000 chars (2-decimal rounding, streaming
+summarized to totals, flagship rows printed LAST) so the driver's tail
+capture parses it whole; the full-precision record, including the
+per-pipeline streaming detail, lands in BENCH_DETAIL.json next to this
+file. A fixed scan+agg calibration probe is timed first and last each
+session ("calibration_sec": [first, last]) so cross-round deltas can be
+load-normalized against host drift.
 """
 
 from __future__ import annotations
@@ -309,6 +317,41 @@ def _streaming_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+# The five rows VERDICT r9 found missing from every BENCH_r* artifact:
+# the driver keeps only the LAST 2000 stdout chars, so whatever prints
+# first falls off. These print last so the official record always
+# carries the flagship.
+FLAGSHIP_LAST = [
+    "g5_hierarchy_roots",
+    "g7_ego_indicators",
+    "profile_conversion",
+    "q1_pricing_summary",
+    "g3_personal_net",
+]
+
+
+def _calibration(spark, sf_dir: str) -> float:
+    """Fixed synthetic load probe (VERDICT r9 item 4): one scan+agg over
+    lineitem into the noop sink, identical every round — its wall time
+    moves with host load, not with any plan change, so cross-round
+    per-query deltas can be read against the calibration ratio instead
+    of a worktree bisect. Timed FIRST and LAST in every session."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -341,6 +384,9 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    _calibration(spark, sf_dir)  # untimed codegen warm for the probe shape
+    cal_first = _calibration(spark, sf_dir)
+
     # Median of N runs per query: this host shows 2-3x run-to-run noise
     # on short iterative queries (noisy-neighbor VM), and a single sample
     # would grade the noise, not the plan.
@@ -369,8 +415,15 @@ def main() -> None:
     if not only and os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         streaming = _streaming_bench(spark, sf_dir)
 
+    cal_last = _calibration(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
-    payload = {
+
+    # Full-precision record (3 decimals, per-pipeline streaming detail)
+    # goes to a side file; stdout gets ONE compact line that fits the
+    # driver's 2000-char tail capture (VERDICT r9 item 3: the old long
+    # line lost its head — including every flagship row — every round).
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -378,10 +431,53 @@ def main() -> None:
         "sf": sf,
         "iters_per_query": iters,
         "warm": warm,
+        "calibration_sec": [cal_first, cal_last],
+        "wall_clock": round(time.time(), 1),
     }
     if streaming:
-        payload["streaming"] = streaming
-    print(json.dumps(payload))
+        detail["streaming"] = streaming
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        detail_path = None  # read-only checkout: the stdout line stands alone
+
+    ordered = [n for n in names if n not in FLAGSHIP_LAST] + [
+        n for n in FLAGSHIP_LAST if n in names
+    ]
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "iters": iters,
+        "warm": warm,
+        "calibration_sec": [cal_first, cal_last],
+        "trimmed": 0,
+        "queries": {n: round(timings[n], 2) for n in ordered},
+    }
+    if streaming:
+        st_sec = sum(v["sec"] for v in streaming.values())
+        st_rows = sum(v["input_rows"] for v in streaming.values())
+        payload["st_sec"] = round(st_sec, 2)
+        payload["st_rows_per_sec"] = round(st_rows / st_sec, 1) if st_sec else None
+    if detail_path:
+        payload["detail"] = os.path.basename(detail_path)
+
+    # Hard budget: the line must survive the tail capture intact so the
+    # driver's `parsed` field is the real dict, not null. If the catalog
+    # ever grows the headline set past the budget, trim from the HEAD
+    # (the same rows raw truncation would eat — but parseably, counted).
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > 1990 and payload["queries"]:
+        dropped = next(iter(payload["queries"]))
+        del payload["queries"][dropped]
+        payload["trimmed"] += 1
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

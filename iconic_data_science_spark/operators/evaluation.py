@@ -115,9 +115,22 @@ def pass_at_k(
 
     with perm the falling factorial, both products computed as integer
     in-row folds (n-c < k makes the numerator 0 → pass@k = 1). Emitted
-    per-mille with floor division — all operands non-negative and far
-    below 2^53, so both engines agree bit-for-bit. Rows with k > n are
-    dropped (the estimator is undefined there).
+    per-mille with floor division. Rows with k > n are dropped (the
+    estimator is undefined there).
+
+    Exactness envelope (enforced, not assumed — ADVICE r9): the scaled
+    numerator 1000·perm(n, k) <= 1000·n^k must stay inside int64 or
+    Spark's long multiply wraps SILENTLY (DuckDB promotes to HUGEINT —
+    a wrong-result AND cross-engine-divergence hazard). Rows with
+    k·log2(n) > 52 (=> 1000·n^k could pass 2^62) raise at runtime
+    instead of wrapping. The division is integer ``div`` (exactly
+    DuckDB's ``//`` on non-negative operands), never the double ``/``
+    whose 2^-53 quotient error can flip the milli floor; a floating
+    restatement (the product of (n-c-i)/(n-i) terms) was rejected for
+    the same reason — IEEE rounding flips the floor on exact-ratio
+    inputs as small as n=6, c=2, k=2 (true 400, double fold 399) —
+    caught by tests/test_properties.py::test_pass_at_k_matches_comb_
+    model, the pure-python second witness.
 
     Shape: ONE task-grain aggregate (count + sum, map-side partial),
     then an in-row explode of the literal k list and two bounded
@@ -135,7 +148,7 @@ def pass_at_k(
         F.lit(1).cast("long"),
         lambda acc, i: acc * F.greatest(start - i, F.lit(0).cast("long")),
     )
-    return (
+    staged = (
         grp.select(
             "task_id",
             "n_samples",
@@ -150,11 +163,30 @@ def pass_at_k(
             "k",
             "n_samples",
             "n_correct",
-            (
-                F.lit(1000).cast("long")
-                - F.floor(F.lit(1000) * fold(n - c) / fold(n)).cast("long")
-            ).alias("pass_milli"),
+            fold(n - c).alias("_num"),
+            fold(n).alias("_den"),
         )
+    )
+    guarded = F.when(
+        k.cast("double") * F.log2(n.cast("double")) > F.lit(52.0),
+        F.raise_error(
+            F.concat(
+                F.lit("pass_at_k: 1000*perm(n, k) may exceed 2^62 at n="),
+                n.cast("string"),
+                F.lit(", k="),
+                k.cast("string"),
+                F.lit(" — outside the exact int64 envelope (k*log2(n) > 52)"),
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.lit(1000).cast("long") - F.expr("(1000 * _num) div _den")
+    )
+    return staged.select(
+        "task_id",
+        "k",
+        "n_samples",
+        "n_correct",
+        guarded.alias("pass_milli"),
     )
 
 

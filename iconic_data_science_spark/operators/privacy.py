@@ -47,18 +47,24 @@ def k_anonymity_audit(
 
     Null quasi values form their own group (SQL GROUP BY semantics on
     both engines); a null sensitive value counts as one distinct value
-    on both engines only if the caller coalesces — so the operator
-    coalesces nulls to a sentinel, making the count deterministic and
-    identical everywhere."""
-    sens = F.coalesce(
-        F.col(sensitive_col).cast("string"), F.lit(" null")
-    )  # (sentinel: leading space can't collide with cast numerics)
+    — counted WITHOUT a string sentinel (a sentinel like ' null'
+    collides with a genuine string value ' null', merging two distinct
+    values and undercounting n_sensitive): n_sensitive is the exact
+    distinct of the raw column (COUNT DISTINCT skips nulls on both
+    engines) plus 1 iff the group contains a null. Deterministic and
+    collision-free for every column type."""
+    s = F.col(sensitive_col)
     return (
-        records.select(*quasi_cols, sens.alias("_s"))
+        records.select(*quasi_cols, s.alias("_s"))
         .groupBy(*quasi_cols)
         .agg(
             F.count(F.lit(1)).cast("long").alias("group_size"),
-            F.countDistinct("_s").cast("long").alias("n_sensitive"),
+            (
+                F.countDistinct("_s")
+                + F.max(F.when(F.col("_s").isNull(), 1).otherwise(0))
+            )
+            .cast("long")
+            .alias("n_sensitive"),
         )
         .select(
             *quasi_cols,
@@ -81,7 +87,17 @@ def anonymity_summary(audit: DataFrame, quasi_cols: list[str]) -> DataFrame:
     minimum group size — the number privacy reviews quote), how many
     records sit in failing groups, and the at-risk record share
     per-mille (floor, exact). Aggregates the bounded group table — no
-    second pass over the records."""
+    second pass over the records. ``quasi_cols`` declares the audit
+    frame's expected grouping columns and is VALIDATED against it (a
+    summary over the wrong audit frame is a silent release-decision
+    error, so the mismatch raises)."""
+    missing = [c for c in quasi_cols if c not in audit.columns]
+    if missing:
+        raise ValueError(
+            f"anonymity_summary: quasi columns {missing} not in the audit "
+            f"frame (has {audit.columns}) — was this frame produced by "
+            "k_anonymity_audit over the same quasi-identifier tuple?"
+        )
     # SUM over an empty audit is NULL; the release decision for an
     # empty dataset is 0 records / 0 at risk (min_k stays NULL — there
     # is no group whose size could be quoted). Same NULL-on-empty

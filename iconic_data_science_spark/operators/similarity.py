@@ -2460,7 +2460,13 @@ def sq8_codes_frozen(
     max_overshoot is the worst integer distance past either bound
     (0 when the batch sits inside the trained range — then the output
     row equals :func:`sq8_codes`' exactly). err2 is the exact
-    distortion INCLUDING clamping loss.
+    distortion INCLUDING clamping loss. On a CONSTANT trained
+    dimension (rng == 0, a point range) every code is 0 and any
+    deviation from the trained lo is out-of-range by definition — such
+    components count toward n_clamped with overshoot |q - lo|, so
+    drift on constant dims trips the retrain signal instead of hiding
+    behind the zero code (err2 already carried the loss; the telemetry
+    was blind).
 
     Pure map with literal bounds — zero exchanges, streamable: the
     quantize-at-ingest gate (stream == batch pinned)."""
@@ -2500,16 +2506,27 @@ def sq8_codes_frozen(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    n_clamped = F.size(
-        F.filter(F.col("_raw"), lambda c: (c < 0) | (c > int(SQ_LEVELS)))
-    ).cast("long")
-    overshoot = F.aggregate(
-        F.transform(
-            F.col("_raw"),
-            lambda c: F.greatest(
-                -c, c - F.lit(int(SQ_LEVELS)).cast("long"), F.lit(0).cast("long")
-            ),
+    # per-dim out-of-range distance: raw-code overshoot past [0, 255]
+    # on live dims; |q - lo| on constant (rng == 0) dims, where raw is
+    # pinned to 0 and ANY deviation from lo is outside the point range
+    over = F.transform(
+        F.col("_q"),
+        lambda x, i: F.when(
+            F.element_at(rng_lit, i + 1) == 0,
+            F.abs(x - F.element_at(lo_lit, i + 1)).cast("long"),
+        ).otherwise(
+            F.greatest(
+                -F.element_at(F.col("_raw"), i + 1),
+                F.element_at(F.col("_raw"), i + 1)
+                - F.lit(int(SQ_LEVELS)).cast("long"),
+                F.lit(0).cast("long"),
+            )
         ),
+    )
+    w = w.select("vec_id", "_q", "_raw", "codes", "recon", over.alias("_over"))
+    n_clamped = F.size(F.filter(F.col("_over"), lambda o: o > 0)).cast("long")
+    overshoot = F.aggregate(
+        F.col("_over"),
         F.lit(0).cast("long"),
         lambda acc, x: F.greatest(acc, x),
     )

@@ -606,6 +606,35 @@ def test_sq8_frozen_equals_trained_inside_range_and_clamps_outside(spark, corpor
     assert all(0 <= c <= 255 for c in pr.codes)
 
 
+def test_sq8_frozen_flags_constant_dim_drift(spark):
+    """ADVICE r9 regression: a dimension whose trained range is a POINT
+    (rng == 0) codes every value to 0, so drift there used to bypass
+    n_clamped/max_overshoot entirely — the retrain signal was blind.
+    Deviation from the trained lo on a constant dim must count as
+    clamped with overshoot |q - lo| (err2 already carried the loss)."""
+    from iconic_data_science_spark.operators.similarity import (
+        sq8_codes_frozen,
+        sq8_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, [1.0, 0.5, 2.0, 0.0]), (1, [1.0, 0.25, 3.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    lo, rng = sq8_train(train, dim=4)
+    assert rng[0] == 0 and rng[3] == 0  # dims 0 and 3 trained constant
+    batch = spark.createDataFrame(
+        [(7, [1.5, 0.5, 2.5, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    r = sq8_codes_frozen(batch, (lo, rng), dim=4).collect()[0]
+    # dim0 drifts 0.5 off the point range (500 on the x1000 lattice);
+    # dim1/dim2 are in-range live dims; dim3 sits exactly on its point
+    assert r.codes[0] == 0  # constant dim still codes 0
+    assert r.n_clamped == 1
+    assert r.max_overshoot == 500
+    assert r.err2 >= 500 * 500  # the clamping loss stays in err2
+
+
 def test_quantizer_training_rejects_empty_corpus(spark):
     """sq8_train / bq_train on an empty corpus must raise a clear
     ValueError, not crash on a NULL bound downstream."""

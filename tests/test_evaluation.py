@@ -54,6 +54,25 @@ def test_pass_at_k_matches_comb_mirror(spark):
             assert milli == comb_milli, (c, k)
 
 
+def test_pass_at_k_envelope_guard(spark):
+    """ADVICE r9 regression: HumanEval-scale (n, k) pushes perm(n, k)
+    past int64 and Spark's long multiply wraps SILENTLY — the operator
+    must raise on rows outside the exact envelope (k·log2(n) > 52), not
+    return a wrapped pass_milli. Inside the envelope at the same n it
+    still computes exactly."""
+    import pytest
+
+    rows = [(0, s, 1 if s < 3 else 0) for s in range(100)]
+    samples = spark.createDataFrame(
+        rows, "task_id bigint, sample_id bigint, correct bigint"
+    )
+    with pytest.raises(Exception, match="envelope"):
+        pass_at_k(samples, ks=(50,)).collect()
+    # n=100, k=7: 7*log2(100) ~ 46.5 <= 52 — inside, exact
+    got = pass_at_k(samples, ks=(7,)).collect()[0]
+    assert got.pass_milli == _mirror_pass_milli(100, 3, 7)
+
+
 def test_pass_at_k_monotone_and_k_gt_n_dropped(spark, sf_dir):
     """pass@k is nondecreasing in k for fixed (n, c); k > n rows are
     dropped; pass@1 is exactly floor(1000 c / n)."""

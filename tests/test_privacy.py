@@ -87,6 +87,30 @@ def test_audit_is_exact_and_partition_invariant(spark, sf_dir):
     assert total == cust.count()
 
 
+def test_null_and_sentinel_string_stay_distinct(spark):
+    """Regression (ADVICE r9): a genuine string sensitive value ' null'
+    must NOT merge with a NULL sensitive value — the old string-sentinel
+    coalesce undercounted n_sensitive to 1 here; the (distinct + null
+    indicator) arithmetic counts 2."""
+    df = spark.createDataFrame(
+        [(1, "A", None), (1, "A", " null"), (1, "A", " null")],
+        "nation int, seg string, bal string",
+    )
+    r = k_anonymity_audit(df, ["nation", "seg"], "bal", k=1, l=2).collect()[0]
+    assert (r.group_size, r.n_sensitive, r.l_diverse) == (3, 2, 1)
+
+
+def test_anonymity_summary_validates_quasi_cols(spark):
+    """The summary rejects an audit frame missing the declared quasi
+    columns (the wrong-frame release decision fails loudly)."""
+    import pytest
+
+    df = _rows(spark)
+    audit = k_anonymity_audit(df, ["nation", "seg"], "bal", k=5, l=2)
+    with pytest.raises(ValueError, match="quasi columns"):
+        anonymity_summary(audit, ["nation", "zipcode"])
+
+
 def test_anonymity_summary_empty_dataset(spark):
     """An empty dataset's release decision is 0 records / 0 at risk /
     risk 0 (min_k NULL — no group to quote), not a row of NULLs (the
