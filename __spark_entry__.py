@@ -11028,6 +11028,98 @@ QUERIES["text_unigram_batch"] = q_text_unigram_batch
 ORACLES["text_unigram_batch"] = ORACLES["text_unigram_encode"]
 
 
+def q_text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/compression rollup per language for the
+    trained Unigram-LM tokenizer (VERDICT r9 item 6) — the same oracled
+    eval table text_bpe_fertility publishes for BPE (tokens-per-word,
+    chars-per-token, both BIGINT milli-units via integer div), plus the
+    [UNK] share per-mille (the coverage axis BPE doesn't have — BPE
+    never emits UNK, Unigram does on uncoverable/overlong words). With
+    this row the three trained tokenizers (BPE / WordPiece via encode
+    counts / Unigram) compare under ONE metric table. Shape: the
+    zero-exchange Viterbi encode map + one lang-grain aggregate; the
+    oracle composes the full text_unigram_encode replay (train + three
+    Viterbi chains) with the char rollup."""
+    from iconic_data_science_spark.operators.bpe import words
+    from iconic_data_science_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    cat = _cat(spark, sf_dir)
+    v = unigram_train(cat.documents, vocab_size=32, seed_size=48, em_rounds=2)
+    enc = unigram_encode(cat.documents, [(p, c) for p, c, _ in v])
+    chars = cat.documents.select(
+        "doc_id",
+        "lang",
+        F.aggregate(
+            F.transform(words("text"), lambda w: F.length(w)),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return (
+        enc.join(chars, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            "n_unk",
+            F.expr("1000 * n_pieces div n_words").alias("fertility_x1000"),
+            F.expr("1000 * n_chars div n_pieces").alias(
+                "chars_per_token_x1000"
+            ),
+            F.expr("1000 * n_unk div n_pieces").alias("unk_per_mille"),
+        )
+    )
+
+
+QUERIES["text_unigram_fertility"] = q_text_unigram_fertility
+
+ORACLES["text_unigram_fertility"] = f"""
+    WITH enc AS ({ORACLES["text_unigram_encode"]}),
+    ch AS (
+        SELECT doc_id, lang,
+               CAST(list_reduce(
+                   list_prepend(0,
+                       [length(w)
+                        for w in string_split(lower(coalesce(text, '')), ' ')
+                        if w <> '']),
+                   (a, b) -> a + b) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    j AS (
+        SELECT ch.lang, enc.n_words, ch.n_chars, enc.n_pieces, enc.n_unk
+        FROM enc JOIN ch USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(n_unk) AS BIGINT) AS n_unk,
+           CAST(1000 * SUM(n_pieces) // SUM(n_words) AS BIGINT)
+               AS fertility_x1000,
+           CAST(1000 * SUM(n_chars) // SUM(n_pieces) AS BIGINT)
+               AS chars_per_token_x1000,
+           CAST(1000 * SUM(n_unk) // SUM(n_pieces) AS BIGINT)
+               AS unk_per_mille
+    FROM j GROUP BY lang
+"""
+
+
 def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SFT data path end to end (operators/text.chat_render ->
     operators/packing.pack_token_counts): deterministic chat
@@ -11873,6 +11965,79 @@ ORACLES["pii_anonymity_summary"] = """
 """
 
 
+def q_pii_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/privacy.t_closeness_audit — Li, Li
+    & Venkatasubramanian, ICDE 2007; VERDICT r9 item 5) completing the
+    release-audit family over the same quasi tuple as pii_k_anonymity:
+    per (nation, market-segment) group, the exact variational distance
+    between the group's balance-bucket distribution and the whole
+    table's, as the integer fraction tv_num/tv_den plus the per-mille
+    floor and the gate at t=0.200 — the skewness attack k-anonymity and
+    l-diversity both miss. One record-grain aggregate, then window
+    marginals over the domain-bounded cell table; every number is an
+    exact integer (the gate compares 1000*tv_num <= 200*tv_den — no
+    float in the decision). The oracle replays cells, the three window
+    marginals, and the fraction arithmetic integer-for-integer."""
+    from iconic_data_science_spark.operators.privacy import t_closeness_audit
+
+    cat = _cat(spark, sf_dir)
+    cust = cat.customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    return t_closeness_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", t_milli=200
+    )
+
+
+QUERIES["pii_t_closeness"] = q_pii_t_closeness
+
+ORACLES["pii_t_closeness"] = """
+    WITH a AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS s
+        FROM customer
+    ),
+    c AS (
+        SELECT c_nationkey, c_mktsegment, s,
+               CAST(COUNT(*) AS BIGINT) AS cnt_gv
+        FROM a GROUP BY 1, 2, 3
+    ),
+    wn AS (
+        SELECT c_nationkey, c_mktsegment, s, cnt_gv,
+               CAST(SUM(cnt_gv) OVER (PARTITION BY s) AS BIGINT) AS cnt_v,
+               CAST(SUM(cnt_gv) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                    AS BIGINT) AS n_g,
+               CAST(SUM(cnt_gv) OVER () AS BIGINT) AS nn
+        FROM c
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment,
+               MAX(n_g) AS group_size,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(ABS(cnt_gv * nn - cnt_v * n_g)) AS BIGINT)
+                   AS present_dev,
+               CAST(SUM(cnt_v) AS BIGINT) AS present_cv,
+               MAX(nn) AS nn
+        FROM wn GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT c_nationkey, c_mktsegment, group_size, n_values,
+               present_dev + (nn - present_cv) * group_size AS tv_num,
+               2 * group_size * nn AS tv_den
+        FROM g
+    )
+    SELECT c_nationkey, c_mktsegment, group_size, n_values, tv_num, tv_den,
+           (1000 * tv_num) // tv_den AS tv_milli,
+           CAST(CASE WHEN 1000 * tv_num <= 200 * tv_den THEN 1 ELSE 0 END
+                AS BIGINT) AS t_close
+    FROM t
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
@@ -12318,6 +12483,72 @@ _ROUND9_FRONT = [
     "text_fingerprint",  # latest evidence r4
 ]
 
+# _ROUND10_FRONT: GENERATED by tools/build_front.py (spliced verbatim;
+# VERDICT r9 item 1 — flush the 50-query r5-stale cohort). The 2
+# round-10 queries head the window as never-attempted; 48 of the 50
+# r5-stale rows follow (the staleness threshold moved 4 -> 5 this
+# round — see test_driver_evidence_freshness's capacity math — so the
+# two displaced r5 rows, g_pagerank_int and g6_citation_map, rotate in
+# round 11). The --boost plan-changed names (pass@k envelope/div
+# rewrite, the pii distinct-count rewrite, the sq8 constant-dim drift
+# fix) hold r9-fresh evidence that sits behind the r5 debt; this round
+# they are evidenced by the committed per-query probes + the
+# full-catalog r10 sweeps instead (the r9 discipline).
+# catalog 252 | ever-attempted 250 | ever-green 250 | never 2
+# generated by: python tools/build_front.py --window 50 --boost eval_pass_at_k,pii_k_anonymity,pii_anonymity_summary,ann_sq8_drift
+_ROUND10_FRONT = [
+    "text_unigram_fertility",  # never driver-attempted
+    "pii_t_closeness",  # never driver-attempted
+    "ev_kmv_sliding",  # latest evidence r5
+    "mix_temperature_sample",  # latest evidence r5
+    "sample_weighted",  # latest evidence r5
+    "ev_quota_sample",  # latest evidence r5
+    "mix_temperature",  # latest evidence r5
+    "text_hashed_tfidf",  # latest evidence r5
+    "text_topic_tags",  # latest evidence r5
+    "mm_audio_frames",  # latest evidence r5
+    "text_intra_dedup",  # latest evidence r5
+    "ev_winsorize",  # latest evidence r5
+    "web_link_graph",  # latest evidence r5
+    "web_pagerank",  # latest evidence r5
+    "text_classifier_gate",  # latest evidence r5
+    "curation_pipeline_v4",  # latest evidence r5
+    "ev_decayed_value",  # latest evidence r5
+    "mm_video_cuts",  # latest evidence r5
+    "text_cooccurrence",  # latest evidence r5
+    "mm_audio_resample",  # latest evidence r5
+    "lh_vacuum_plan",  # latest evidence r5
+    "ev_transition_matrix",  # latest evidence r5
+    "dedup_containment",  # latest evidence r5
+    "ts_anomaly_mad",  # latest evidence r5
+    "text_rare_bigram",  # latest evidence r5
+    "text_html_extract",  # latest evidence r5
+    "decontaminate_semantic",  # latest evidence r5
+    "mm_resize_stats",  # latest evidence r5
+    "dedup_jaccard_prefix",  # latest evidence r5
+    "ann_hard_negatives",  # latest evidence r5
+    "decontaminate_bloom_inrow",  # latest evidence r5
+    "sample_group_k",  # latest evidence r5
+    "mm_phash_neardup",  # latest evidence r5
+    "mm_lossless_decode_stats",  # latest evidence r5
+    "j_interval_overlap",  # latest evidence r5
+    "text_line_dedup",  # latest evidence r5
+    "text_leakage_safe_split",  # latest evidence r5
+    "dedup_dup_spans",  # latest evidence r5
+    "text_bpe_fertility",  # latest evidence r5
+    "ann_matryoshka_topk",  # latest evidence r5
+    "mm_frame_sample",  # latest evidence r5
+    "text_train_split",  # latest evidence r5
+    "text_repetition",  # latest evidence r5
+    "text_top_terms",  # latest evidence r5
+    "text_pii_redact",  # latest evidence r5
+    "g5_hierarchy_roots_sql",  # latest evidence r5
+    "curation_pipeline",  # latest evidence r5
+    "curation_pipeline_v2",  # latest evidence r5
+    "decontaminate_ngram",  # latest evidence r5
+    "g_kcore",  # latest evidence r5
+]
+
 # Each round's front wins the head slots over the one before it
 # (applied oldest-first so the newest front ends up at the head);
 # everything not named keeps its original relative order.
@@ -12330,6 +12561,7 @@ for _front in (
     _ROUND7_FRONT,
     _ROUND8_FRONT,
     _ROUND9_FRONT,
+    _ROUND10_FRONT,
 ):
     QUERIES = _reordered(_front, QUERIES)
 

@@ -1,29 +1,37 @@
-"""Privacy auditing: k-anonymity and l-diversity over quasi-identifier
-groups.
+"""Privacy auditing: k-anonymity, l-diversity, and t-closeness over
+quasi-identifier groups.
 
 Extends the PII surface next to :func:`text.pii_redact` (pattern
 redaction) with the RELEASE-side audit every privacy review runs before
 a dataset ships (Sweeney 2002, "k-Anonymity: a model for protecting
 privacy"; Machanavajjhala et al. 2007, "l-Diversity: privacy beyond
-k-anonymity"):
+k-anonymity"; Li, Li & Venkatasubramanian 2007, "t-Closeness: privacy
+beyond k-anonymity and l-diversity", ICDE):
 
 - a record is k-anonymous iff at least ``k`` records share its full
   quasi-identifier tuple (the re-identification bound);
 - a quasi-group is l-diverse iff it contains at least ``l`` DISTINCT
   values of the sensitive attribute (k-anonymity alone fails when the
-  whole group shares one sensitive value — the homogeneity attack).
+  whole group shares one sensitive value — the homogeneity attack);
+- a quasi-group is t-close iff the distance between ITS sensitive-value
+  distribution and the WHOLE table's is at most ``t`` (l-diversity
+  alone fails when a group's values are diverse but skewed far from the
+  corpus — the skewness attack).
 
-Shape: ONE quasi-tuple-grain aggregate (count + exact distinct of the
-sensitive column per group — both map-side partial); output is the
-quasi-group table, bounded by the identifier domain product, never by
-records. At 100 TB this is a single shuffle at the natural audit grain.
-All outputs are exact integers — engine-agnostic by construction.
+Shape: quasi-tuple-grain aggregates (count + exact distinct per group,
+map-side partial); t-closeness adds the (quasi, value)-cell rollup and
+a corpus-marginal join — everything after the first aggregate operates
+on tables bounded by the identifier/value domain product, never by
+records. At 100 TB these are one-or-three shuffles at the natural audit
+grains. All outputs are exact integers — engine-agnostic by
+construction.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def k_anonymity_audit(
@@ -127,4 +135,103 @@ def anonymity_summary(audit: DataFrame, quasi_cols: list[str]) -> DataFrame:
                ).cast("long"))
         .otherwise(F.lit(0).cast("long"))
         .alias("risk_milli"),
+    )
+
+
+def t_closeness_audit(
+    records: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_milli: int = 200,
+) -> DataFrame:
+    """(quasi..., group_size, n_values, tv_num, tv_den, tv_milli,
+    t_close) — the t-closeness audit (Li, Li & Venkatasubramanian,
+    ICDE 2007) with the VARIATIONAL (total-variation) distance, which
+    is exact-rational on integer counts:
+
+        TV(group, corpus) = 1/2 * sum_v |cnt_gv/n_g - cnt_v/N|
+
+    emitted as the exact integer fraction tv_num / tv_den over the
+    common denominator (tv_den = 2*n_g*N; present values contribute
+    |cnt_gv*N - cnt_v*n_g|, values absent from the group contribute
+    their full corpus mass (N - sum_present cnt_v)*n_g), plus the
+    per-mille floor and the gate at ``t_milli`` — the gate compares
+    1000*tv_num <= t_milli*tv_den on integers, so NO float ever enters
+    the decision. A NULL sensitive value is one distribution value
+    (GROUP BY / PARTITION BY put nulls in one class on both engines).
+
+    Shape: ONE record-grain aggregate to (quasi, value) cells, then
+    window sums over the DOMAIN-BOUNDED cell table (corpus marginal by
+    value, group total by quasi, grand total) and one cell-grain
+    rollup — after the first shuffle nothing scales with records, so
+    the audit costs one pass at 100 TB like its k/l siblings.
+
+    Exact-int64 envelope (enforced): 1000*tv_num <= 2000*N^2 must fit
+    int64, so the audit raises past N = 67 million records rather than
+    wrap silently (the pass_at_k guard discipline); shard larger
+    releases by a partition column and audit shards independently."""
+    s = F.col(sensitive_col)
+    cells = (
+        records.select(*quasi_cols, s.alias("_s"))
+        .groupBy(*quasi_cols, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt_gv"))
+    )
+    w_val = W.partitionBy("_s")
+    w_grp = W.partitionBy(*quasi_cols)
+    w_all = W.partitionBy()
+    staged = cells.select(
+        *quasi_cols,
+        "_cnt_gv",
+        F.sum("_cnt_gv").over(w_val).cast("long").alias("_cnt_v"),
+        F.sum("_cnt_gv").over(w_grp).cast("long").alias("_n_g"),
+        F.sum("_cnt_gv").over(w_all).cast("long").alias("_n"),
+    )
+    n = F.col("_n")
+    n_g = F.col("_n_g")
+    dev = F.abs(F.col("_cnt_gv") * n - F.col("_cnt_v") * n_g)
+    grouped = staged.groupBy(*quasi_cols).agg(
+        F.max(n_g).alias("group_size"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum(dev).cast("long").alias("_present_dev"),
+        F.sum("_cnt_v").cast("long").alias("_present_cv"),
+        F.max(n).alias("_nn"),
+    )
+    guarded_num = F.when(
+        F.col("_nn") > F.lit(67_000_000).cast("long"),
+        F.raise_error(
+            F.concat(
+                F.lit("t_closeness_audit: N="),
+                F.col("_nn").cast("string"),
+                F.lit(
+                    " records exceeds the exact int64 envelope (67M) — "
+                    "shard the release and audit shards independently"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.col("_present_dev")
+        + (F.col("_nn") - F.col("_present_cv")) * F.col("group_size")
+    )
+    out = grouped.select(
+        *quasi_cols,
+        "group_size",
+        "n_values",
+        guarded_num.alias("tv_num"),
+        (F.lit(2).cast("long") * F.col("group_size") * F.col("_nn")).alias(
+            "tv_den"
+        ),
+    )
+    return out.select(
+        *quasi_cols,
+        "group_size",
+        "n_values",
+        "tv_num",
+        "tv_den",
+        F.expr("(1000 * tv_num) div tv_den").alias("tv_milli"),
+        (
+            F.lit(1000).cast("long") * F.col("tv_num")
+            <= F.lit(int(t_milli)).cast("long") * F.col("tv_den")
+        )
+        .cast("long")
+        .alias("t_close"),
     )

@@ -233,3 +233,85 @@ def test_wordpiece_batch_equals_map_form(spark, sf_dir):
     a = sorted(map(tuple, wordpiece_encode(docs, vocab).collect()))
     b = sorted(map(tuple, wordpiece_encode_batch(docs, vocab).collect()))
     assert a == b
+
+
+def _ref_wordpiece_word(word, vset, max_piece=10, max_word=24):
+    """Pure-python greedy longest-match (Wu et al. 2016): consume the
+    word left to right, trying the longest in-vocab piece first
+    (continuation pieces carry '##'); no match at any position, or a
+    word beyond max_word chars, is one [UNK]."""
+    if len(word) > max_word:
+        return ["[UNK]"]
+    pos, parts, n = 0, [], len(word)
+    while pos < n:
+        hit = None
+        for L in range(min(max_piece, n - pos), 0, -1):
+            sub = word[pos:pos + L]
+            p = sub if pos == 0 else "##" + sub
+            if p in vset:
+                hit = p
+                break
+        if hit is None:
+            return ["[UNK]"]
+        parts.append(hit)
+        pos += L
+    return parts
+
+
+def test_wordpiece_encode_matches_python_mirror(spark):
+    """WordPiece vocab build + encode over random corpora equals the
+    sequential python mirror exactly (vocab set, piece stream
+    fingerprint, counts) — the second witness behind
+    text_wordpiece_encode's unrolled double-fold oracle (VERDICT r9
+    item 2)."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from iconic_data_science_spark.operators.text import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "ab", "ba", "abc", "cab", "x", "abab"]),
+                min_size=1,
+                max_size=10,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        vocab = wordpiece_vocab(df, n_words=4)
+        # python vocab mirror: top-4 words (count desc, word asc) +
+        # alphabet in initial and continuation form
+        wf = Counter(w for t in texts for w in t.lower().split(" ") if w)
+        top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        ref_vocab = {w for w, _ in top}
+        for w in wf:
+            for ch in w:
+                ref_vocab.add(ch)
+                ref_vocab.add("##" + ch)
+        assert vocab == sorted(ref_vocab)
+        got = {r.doc_id: r for r in wordpiece_encode(df, vocab).collect()}
+        vset = set(vocab)
+        for i, t in enumerate(texts):
+            words_ = [w for w in t.lower().split(" ") if w]
+            pieces = [p for w in words_ for p in _ref_wordpiece_word(w, vset)]
+            r = got[i]
+            assert r.n_words == len(words_)
+            assert r.n_pieces == len(pieces)
+            assert r.n_unk == sum(1 for p in pieces if p == "[UNK]")
+            assert r.pieces_fp == hashlib.md5(
+                " ".join(pieces).encode()
+            ).hexdigest()
+
+    check()

@@ -90,6 +90,65 @@ def test_driver_contract_integrity():
         assert needle in qs[name].__doc__, f"{name} lacks twin pointer"
 
 
+# Queries whose DuckDB oracle REPLAYS the engine's own arithmetic
+# (unrolled-CTE training/iteration chains, fixed-round recurrences, or
+# literal-for-literal formula replays). For these, the hash gate proves
+# CROSS-ENGINE AGREEMENT, not correctness — a bug mirrored into the
+# oracle passes the gate (the eval_judge_agreement kappa lesson,
+# 38f4f04). Every entry therefore names its SECOND WITNESS: an
+# independent pure-python model test (module, test function) that
+# exists and re-derives the same numbers from scratch. VERDICT r9
+# item 2 made this a registry-level contract like the rows-only
+# twin-pointer above.
+UNROLLED_ORACLE_MIRRORS = {
+    "text_bpe_vocab": ("tests.test_bpe", "test_bpe_train_matches_reference"),
+    "text_bpe_encode": ("tests.test_bpe", "test_bpe_encode_matches_reference"),
+    "text_bpe_fertility": ("tests.test_bpe", "test_bpe_encode_matches_reference"),
+    "text_wordpiece_encode": ("tests.test_bpe", "test_wordpiece_encode_matches_python_mirror"),
+    "text_wordpiece_batch": ("tests.test_bpe", "test_wordpiece_encode_matches_python_mirror"),
+    "text_unigram_vocab": ("tests.test_unigram", "test_unigram_train_matches_python_em_mirror"),
+    "text_unigram_encode": ("tests.test_unigram", "test_viterbi_matches_bruteforce"),
+    "text_unigram_batch": ("tests.test_unigram", "test_viterbi_matches_bruteforce"),
+    "text_unigram_fertility": ("tests.test_unigram", "test_viterbi_matches_bruteforce"),
+    "web_hits": ("tests.test_graph", "test_hits_int_matches_python_model"),
+    "g_pagerank_int": ("tests.test_graph", "test_pagerank_int_matches_local_integer_recurrence"),
+    "web_pagerank": ("tests.test_graph", "test_pagerank_int_matches_local_integer_recurrence"),
+    "ann_ivf_kmeans_int": ("tests.test_properties", "test_kmeans_int_matches_python_model"),
+    "ann_pq_trained": ("tests.test_properties", "test_pq_trained_codes_match_python_model"),
+    "ann_pq_trained_topk": ("tests.test_properties", "test_pq_trained_codes_match_python_model"),
+    "ann_sq8_codes": ("tests.test_properties", "test_sq8_codes_match_python_model"),
+    "ann_sq8_topk": ("tests.test_properties", "test_sq8_topk_matches_python_model"),
+    "ann_sq8_drift": ("tests.test_properties", "test_sq8_frozen_matches_python_model"),
+    "ann_bq_topk": ("tests.test_properties", "test_bq_topk_matches_python_model"),
+    "eval_pass_at_k": ("tests.test_properties", "test_pass_at_k_matches_comb_model"),
+    "eval_em_f1": ("tests.test_properties", "test_em_f1_matches_counter_model"),
+    "rl_group_advantage": ("tests.test_properties", "test_group_advantage_matches_moment_model"),
+    "eval_winrate_matrix": ("tests.test_properties", "test_winrate_matrix_matches_pair_model"),
+    "eval_judge_agreement": ("tests.test_properties", "test_judge_agreement_matches_counter_model"),
+    "pii_t_closeness": ("tests.test_properties", "test_t_closeness_matches_fraction_model"),
+}
+
+
+def test_unrolled_oracle_queries_have_python_mirrors():
+    """Every unrolled-oracle registry entry names an existing,
+    importable second-witness test (see UNROLLED_ORACLE_MIRRORS). A new
+    replay-style oracle without a python mirror fails here, not in a
+    future judge round."""
+    import importlib
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for qname, (mod, test) in UNROLLED_ORACLE_MIRRORS.items():
+        assert qname in qs, f"{qname}: mirror mapped but not registered"
+        m = importlib.import_module(mod)
+        assert callable(getattr(m, test, None)), (
+            f"{qname}: second-witness test {mod}.{test} is missing — the "
+            "oracle replays engine arithmetic, so it needs an independent "
+            "pure-python model (the kappa lesson)"
+        )
+
+
 def test_a2_hll_tracks_exact_count(spark, sf_dir):
     """The HLL rows-only query's estimates stay within the documented
     relative-error band of the exact per-author distinct counts (the
@@ -189,12 +248,24 @@ def test_build_front_tiering_rules():
 
 def test_driver_evidence_freshness():
     """The build_front rotation can't silently rot (VERDICT r8 item 7):
-    every registered query whose newest green driver row is >= 4 rounds
-    old — and every query never driver-attempted — must sit inside the
-    next 50-slot driver window (the first 50 registration slots), i.e.
-    the imminent driver run WILL refresh it. Computed from the
-    committed CORRECTNESS_r*.json files, so skipping the front
-    regeneration in a future round fails this test."""
+    every registered query whose newest green driver row is >= STALE
+    rounds old — and every query never driver-attempted — must sit
+    inside the next 50-slot driver window (the first 50 registration
+    slots), i.e. the imminent driver run WILL refresh it. Computed from
+    the committed CORRECTNESS_r*.json files, so skipping the front
+    regeneration in a future round fails this test.
+
+    STALE moved 4 -> 5 in round 10, consciously (the threshold this
+    test's own capacity assert demands a decision on): a 50-slot window
+    can cycle at most 4x50 = 200 queries inside a 4-round deadline, and
+    the catalog passed 200 in round 7 and sits at 250+ now — threshold
+    4 is arithmetically unsatisfiable in steady state (the r5 cohort
+    alone fills the whole window, leaving no slot for any new query's
+    first run). 5 rounds x 50 slots = 250+ coverage with oldest-first
+    fronts; VERDICT r9 items 1 and 8 sanctioned exactly this
+    trade ("raise the staleness threshold consciously / raise the
+    front or freeze growth")."""
+    STALE = 5
     import glob
     import json
     import re
@@ -215,7 +286,9 @@ def test_driver_evidence_freshness():
                 latest[name] = max(latest.get(name, 0), rnd)
     names = list(entrymod.queries())
     window = set(names[:50])
-    stale = [n for n in names if n in attempted and cur - latest.get(n, 0) >= 4]
+    stale = [
+        n for n in names if n in attempted and cur - latest.get(n, 0) >= STALE
+    ]
     never = [n for n in names if n not in attempted]
     overdue = [n for n in stale + never if n not in window]
     assert not overdue, (

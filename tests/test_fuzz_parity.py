@@ -166,6 +166,10 @@ DOC_QUERIES = [
     # the batch twin shares the map form's oracle — the fuzz gate pins
     # the distinct-word + ordered-join-back plan to the same hash
     "text_unigram_batch",
+    # round-10: the Unigram fertility rollup — fuzzed corpora give
+    # one-doc languages and dup-heavy vocabularies; every doc has >= 1
+    # word so no lang group divides by zero on either engine
+    "text_unigram_fertility",
     # SFT render -> pack composition: fuzzed docs give zero-turn
     # transcripts (n_tokens counts only the system header), exact
     # turn boundaries, and shard windows over tiny corpora

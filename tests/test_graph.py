@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from hypothesis import given, settings, strategies as st
+
 from iconic_data_science_spark import fixtures
 from iconic_data_science_spark.operators.coauthor import coauthor_edges
 from iconic_data_science_spark.operators.graph import bfs, hierarchy_roots
@@ -436,3 +438,46 @@ def test_hits_int_zero_iterations_rejected(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="iterations"):
         hits_int(edges, iterations=0)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_hits_int_matches_python_model(spark, edges):
+    """Integer HITS over arbitrary small graphs equals the sequential
+    python recurrence (dedup, mutual updates, greatest(Σ,1) normalizer,
+    floor div, absent-side zeros) — the second witness behind
+    web_hits's unrolled-CTE oracle (VERDICT r9 item 2)."""
+    from iconic_data_science_spark.operators.graph import (
+        HITS_INT_SCALE,
+        hits_int,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.hub_i, r.auth_i)
+        for r in hits_int(df, iterations=3).collect()
+    }
+    es = sorted(set(edges))
+    nodes = {u for u, _ in es} | {v for _, v in es}
+    scale = HITS_INT_SCALE
+    h = {n: scale for n in nodes}
+    a: dict = {}
+    for _ in range(3):
+        ra: dict = {}
+        for u, v in es:
+            ra[v] = ra.get(v, 0) + h.get(u, 0)
+        tot = max(sum(ra.values()), 1)
+        a = {v: (s * scale) // tot for v, s in ra.items()}
+        rh: dict = {}
+        for u, v in es:
+            rh[u] = rh.get(u, 0) + a.get(v, 0)
+        tot = max(sum(rh.values()), 1)
+        h = {u: (s * scale) // tot for u, s in rh.items()}
+    want = {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
+    assert got == want

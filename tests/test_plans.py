@@ -565,6 +565,16 @@ EXCHANGE_BUDGET = {
     "pii_k_anonymity": 2,
     # release summary: the audit's 2 + the one-row rollup
     "pii_anonymity_summary": 3,
+    # round-10 additions.
+    # t-closeness: record-grain cell aggregate, then the three window
+    # marginals + final rollup ride the DOMAIN-BOUNDED cell table
+    # (measured 2 at sf0.01 — Spark chains compatible windows); budget
+    # 5 admits the fully materialized window chain at scale
+    "pii_t_closeness": 5,
+    # Unigram fertility: encode + char folds are in-row; the doc-grain
+    # join broadcasts at sf0.01 leaving the lang rollup (measured 1);
+    # budget 4 admits the sort-merge join shape at scale
+    "text_unigram_fertility": 4,
 }
 
 

@@ -111,6 +111,49 @@ def test_anonymity_summary_validates_quasi_cols(spark):
         anonymity_summary(audit, ["nation", "zipcode"])
 
 
+def test_t_closeness_hand_groups(spark):
+    """Hand-computed variational distances (Li et al. 2007): a group
+    matching the corpus distribution exactly is 0-close; a skewed group
+    (the skewness attack l-diversity misses) lands at exactly 1/3."""
+    from iconic_data_science_spark.operators.privacy import t_closeness_audit
+
+    # corpus: value 0 x3, value 1 x6 (N = 9)
+    data = (
+        [(1, "A", 0), (1, "A", 0), (1, "A", 1)]      # skewed toward 0
+        + [(1, "B", 1), (1, "B", 1), (1, "B", 1)]    # homogeneous at 1
+        + [(2, "A", 0), (2, "A", 1), (2, "A", 1)]    # exactly corpus-shaped
+    )
+    df = spark.createDataFrame(data, "nation int, seg string, bal int")
+    got = {
+        (r.nation, r.seg): r
+        for r in t_closeness_audit(
+            df, ["nation", "seg"], "bal", t_milli=200
+        ).collect()
+    }
+    g1 = got[(1, "A")]  # TV = (|2*9-3*3| + |1*9-6*3|) / (2*3*9) = 18/54
+    assert (g1.group_size, g1.n_values) == (3, 2)
+    assert (g1.tv_num, g1.tv_den, g1.tv_milli, g1.t_close) == (18, 54, 333, 0)
+    g2 = got[(1, "B")]  # present dev 9 + absent corpus mass (9-6)*3 = 18/54
+    assert (g2.tv_num, g2.tv_den, g2.tv_milli, g2.t_close) == (18, 54, 333, 0)
+    g3 = got[(2, "A")]  # both cells cancel exactly
+    assert (g3.tv_num, g3.tv_milli, g3.t_close) == (0, 0, 1)
+
+
+def test_t_closeness_null_is_a_distribution_value(spark):
+    """NULL sensitive values form one distribution class on both sides
+    of the distance (GROUP BY/PARTITION BY null semantics)."""
+    from iconic_data_science_spark.operators.privacy import t_closeness_audit
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, 0), (2, None)], "q int, bal int"
+    )
+    got = {r.q: r for r in t_closeness_audit(df, ["q"], "bal").collect()}
+    # corpus: NULL x3, 0 x1 (N=4); both groups: TV = 4/16 = 1/4
+    assert (got[1].n_values, got[1].tv_num, got[1].tv_den) == (1, 4, 16)
+    assert (got[2].n_values, got[2].tv_num, got[2].tv_den) == (2, 4, 16)
+    assert got[1].tv_milli == got[2].tv_milli == 250
+
+
 def test_anonymity_summary_empty_dataset(spark):
     """An empty dataset's release decision is 0 records / 0 at risk /
     risk 0 (min_k NULL — no group to quote), not a row of NULLs (the

@@ -567,6 +567,52 @@ def test_group_advantage_matches_moment_model(spark, rows):
             assert r.grp_rank == rank0 + 1
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(0, 4)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_t_closeness_matches_fraction_model(spark, rows):
+    """t-closeness over arbitrary (quasi, sensitive) tables equals the
+    exact fractions.Fraction total-variation model — numerator,
+    denominator, per-mille floor, and gate (NULL is one distribution
+    value)."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from iconic_data_science_spark.operators.privacy import t_closeness_audit
+
+    df = spark.createDataFrame(rows, "q int, s int")
+    got = {r.q: r for r in t_closeness_audit(df, ["q"], "s", t_milli=200).collect()}
+    corpus = Counter(s for _, s in rows)
+    n = len(rows)
+    groups = defaultdict(Counter)
+    for q, s in rows:
+        groups[q][s] += 1
+    assert set(got) == set(groups)
+    for q, cnt in groups.items():
+        n_g = sum(cnt.values())
+        tv = (
+            sum(
+                abs(Fraction(cnt.get(v, 0), n_g) - Fraction(cv, n))
+                for v, cv in corpus.items()
+            )
+            / 2
+        )
+        r = got[q]
+        assert (r.group_size, r.n_values) == (n_g, len(cnt))
+        assert Fraction(r.tv_num, r.tv_den) == tv
+        assert r.tv_den == 2 * n_g * n
+        assert r.tv_milli == (1000 * r.tv_num) // r.tv_den
+        assert r.t_close == (1 if tv <= Fraction(200, 1000) else 0)
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
@@ -601,3 +647,305 @@ def test_sq8_codes_match_python_model(spark, vecs):
         err2 = sum((v[j] - recon[j]) ** 2 for j in range(8))
         r = got[i]
         assert list(r.codes) == codes and r.err2 == err2
+
+
+# --- second-witness mirrors for unrolled-oracle queries (VERDICT r9
+# item 2: wherever the DuckDB oracle REPLAYS the engine's arithmetic,
+# the hash gate proves cross-engine agreement, not correctness — the
+# kappa lesson. Each mirror below is an independent pure-python model
+# of the same algorithm; the registry-level inventory lives in
+# tests/test_engine_surface.py::test_unrolled_oracle_queries_have_python_mirrors.)
+
+
+def _tdiv(a: int, b: int) -> int:
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _ref_kmeans_int(ids_vecs, k: int, iters: int, scale: int = 1000):
+    """Pure-python integer Lloyd: quantize, k-center greedy seed over
+    the id-sorted sample (n < 10000 => the md5-ordered sample IS the
+    whole corpus re-sorted by id), fixed truncating-div update rounds,
+    final (c_id, d2) assignment with (d2, c_id) tie-break."""
+    q = {i: [x * scale for x in v] for i, v in ids_vecs}
+    sq = [q[i] for i in sorted(q)]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [0]
+    nearest = [d2(v, sq[0]) for v in sq]
+    for _ in range(k - 1):
+        nxt = max(range(len(sq)), key=lambda i: nearest[i])
+        chosen.append(nxt)
+        dn = [d2(v, sq[nxt]) for v in sq]
+        nearest = [min(a, b) for a, b in zip(nearest, dn)]
+    cents = [(cid, list(sq[i])) for cid, i in enumerate(chosen)]
+    for _ in range(iters):
+        sums: dict = {}
+        cnts: dict = {}
+        for v in q.values():
+            cid = min((d2(v, cv), c) for c, cv in cents)[1]
+            cnts[cid] = cnts.get(cid, 0) + 1
+            s = sums.setdefault(cid, [0] * len(v))
+            for j, x in enumerate(v):
+                s[j] += x
+        cents = [
+            (c, [_tdiv(x, cnts[c]) for x in sums[c]] if c in sums else cv)
+            for c, cv in cents
+        ]
+    return {
+        i: min((d2(v, cv), c) for c, cv in cents)[::-1] for i, v in q.items()
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-4, 4), min_size=4, max_size=4),
+        min_size=3,
+        max_size=12,
+    ),
+    st.integers(2, 3),
+)
+def test_kmeans_int_matches_python_model(spark, vecs, k):
+    """Integer k-means (seed + Lloyd rounds + assignment) over arbitrary
+    small corpora equals the sequential python model exactly — the
+    second witness behind ann_ivf_kmeans_int's unrolled-CTE oracle."""
+    from iconic_data_science_spark.operators.similarity import kmeans_int_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.c_id, r.d2)
+        for r in kmeans_int_assign(df, n_cells=k, n_iters=2).collect()
+    }
+    want = _ref_kmeans_int(list(enumerate(vecs)), k, 2)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-4, 4), min_size=4, max_size=4),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_pq_trained_codes_match_python_model(spark, vecs):
+    """Trained PQ = per-subspace integer k-means on slices: the code
+    matrix equals the composed python Lloyd mirror subspace by
+    subspace — the witness behind ann_pq_trained's per-subspace
+    unrolled chains."""
+    from iconic_data_science_spark.operators.similarity import pq_trained_codes
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.sub): (r.c_id, r.d2)
+        for r in pq_trained_codes(
+            df, m=2, n_codes=2, n_iters=1, dim=4
+        ).collect()
+    }
+    want = {}
+    for s in range(2):
+        sl = [(i, v[s * 2:(s + 1) * 2]) for i, v in enumerate(vecs)]
+        for i, cd in _ref_kmeans_int(sl, 2, 1).items():
+            want[(i, s)] = cd
+    assert got == want
+
+
+def _sq8_py(qv, lo, rng):
+    """(codes, recon, err2, n_clamped, max_overshoot) python model of
+    frozen-bounds SQ8 coding incl. the constant-dim drift rule."""
+    codes, over = [], []
+    for x, l, r in zip(qv, lo, rng):
+        if r == 0:
+            codes.append(0)
+            over.append(abs(x - l))
+        else:
+            raw = ((x - l) * 255) // r  # python // floors, like the engine
+            codes.append(max(0, min(255, raw)))
+            over.append(max(-raw, raw - 255, 0))
+    recon = [l + (c * r) // 255 for c, l, r in zip(codes, lo, rng)]
+    err2 = sum((x - rc) * (x - rc) for x, rc in zip(qv, recon))
+    return codes, recon, err2, sum(1 for o in over if o > 0), max(over, default=0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-4, 4), min_size=6, max_size=6),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_sq8_frozen_matches_python_model(spark, vecs):
+    """Frozen-bounds SQ8 over arbitrary splits equals the python model:
+    train on rows where id % 3 != 0, code the held-out rest — codes,
+    distortion, and the drift telemetry including the constant-dim
+    (rng == 0) rule. The witness behind ann_sq8_drift's oracle."""
+    from iconic_data_science_spark.operators.similarity import (
+        sq8_codes_frozen,
+        sq8_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    base = df.filter("vec_id % 3 != 0")
+    if base.count() == 0:
+        return
+    lo, rng = sq8_train(base, dim=6)
+    q = {i: [x * 1000 for x in v] for i, v in enumerate(vecs)}
+    tl = [q[i] for i in q if i % 3 != 0]
+    assert lo == [min(c) for c in zip(*tl)]
+    assert rng == [max(c) - min(c) for c in zip(*tl)]
+    got = {
+        r.vec_id: r
+        for r in sq8_codes_frozen(
+            df.filter("vec_id % 3 = 0"), (lo, rng), dim=6
+        ).collect()
+    }
+    for i in q:
+        if i % 3 != 0:
+            continue
+        codes, _recon, err2, ncl, mov = _sq8_py(q[i], lo, rng)
+        r = got[i]
+        assert list(r.codes) == codes
+        assert (r.err2, r.n_clamped, r.max_overshoot) == (err2, ncl, mov)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-4, 4), min_size=8, max_size=8),
+        min_size=4,
+        max_size=10,
+    )
+)
+def test_sq8_topk_matches_python_model(spark, vecs):
+    """SQ8 asymmetric serving (bucket candidates -> ADC over codes ->
+    rank) equals the python funnel model sharing only the seeded plane
+    coefficients — the witness behind ann_sq8_topk's oracle."""
+    from iconic_data_science_spark.operators.similarity import (
+        _plane_coeffs,
+        sq8_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    K, NP, TBL = 3, 4, 13
+    got = {
+        (r.query_id, r.neighbor_id): (r.approx_d, r.rank)
+        for r in sq8_topk(df, df, k=K, n_planes=NP, table=TBL, dim=8).collect()
+    }
+    q = {i: [x * 1000 for x in v] for i, v in enumerate(vecs)}
+    lo = [min(c) for c in zip(*q.values())]
+    rng = [max(c) - min(c) for c in zip(*(q.values()))]
+    recon = {i: _sq8_py(v, lo, rng)[1] for i, v in q.items()}
+    rows: dict = {}
+    for p, _i, c in _plane_coeffs(NP, 8, table=TBL):
+        rows.setdefault(p, []).append(c)
+    bucket = {
+        i: "".join(
+            "1" if sum(x * c for x, c in zip(v, rows[p])) >= 0 else "0"
+            for p in range(NP)
+        )
+        for i, v in q.items()
+    }
+    want = {}
+    for qi in q:
+        cands = sorted(
+            (
+                (sum((x - r) * (x - r) for x, r in zip(q[qi], recon[ci])), ci)
+                for ci in q
+                if ci != qi and bucket[ci] == bucket[qi]
+            )
+        )
+        for rank0, (d, ci) in enumerate(cands[:K]):
+            want[(qi, ci)] = (d, rank0 + 1)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-4, 4), min_size=8, max_size=8).filter(
+            lambda v: any(v)
+        ),
+        min_size=4,
+        max_size=10,
+    )
+)
+def test_bq_topk_matches_python_model(spark, vecs):
+    """The BQ three-stage funnel (band pigeonhole -> Hamming pre-rank
+    -> exact cosine rescore) equals the python model bit for bit,
+    including the IEEE-identical cosine — the witness behind
+    ann_bq_topk's oracle. (Zero-norm vectors are excluded: cosine is
+    undefined there on any engine.)"""
+    import math
+
+    from iconic_data_science_spark.operators.similarity import bq_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    K, BANDS, OVER = 2, 4, 2
+    got = {
+        (r.query_id, r.neighbor_id): (r.hamming, r.cosine, r.rank)
+        for r in bq_topk(
+            df, df, k=K, bands=BANDS, oversample=OVER, dim=8
+        ).collect()
+    }
+    q = {i: [x * 1000 for x in v] for i, v in enumerate(vecs)}
+    n = len(vecs)
+    sums = [sum(c) for c in zip(*q.values())]
+    width = 8 // BANDS
+    DOT = 1_000_000_000_000.0
+
+    def bands_of(v):
+        bits = [1 if v[i] * n >= sums[i] else 0 for i in range(8)]
+        return [
+            sum(bits[b * width + j] << j for j in range(width))
+            for b in range(BANDS)
+        ]
+
+    bw = {i: bands_of(v) for i, v in q.items()}
+    sq = {
+        i: sum(int(round(x * x * DOT)) for x in v)
+        for i, v in enumerate(vecs)
+    }
+    cand = {
+        (qi, ci)
+        for qi in q
+        for ci in q
+        if qi != ci and any(a == b for a, b in zip(bw[qi], bw[ci]))
+    }
+    ham = {
+        (qi, ci): sum(bin(a ^ b).count("1") for a, b in zip(bw[qi], bw[ci]))
+        for qi, ci in cand
+    }
+    want = {}
+    for qi in q:
+        pre = sorted(
+            ((h, ci) for (qq, ci), h in ham.items() if qq == qi)
+        )[: OVER * K]
+        scored = []
+        for _h, ci in pre:
+            dot = sum(
+                int(round(a * b * DOT)) for a, b in zip(vecs[qi], vecs[ci])
+            )
+            cos = dot / math.sqrt(float(sq[qi]) * float(sq[ci]))
+            scored.append((-cos, ci, ham[(qi, ci)]))
+        for rank0, (negcos, ci, h) in enumerate(sorted(scored)[:K]):
+            want[(qi, ci)] = (h, -negcos, rank0 + 1)
+    assert got == want

@@ -135,3 +135,104 @@ def test_encode_batch_row_identical(spark, sf_dir):
     a = sorted(map(tuple, unigram_encode(docs, vocab).collect()))
     b = sorted(map(tuple, unigram_encode_batch(docs, vocab).collect()))
     assert a == b
+
+
+def test_unigram_fertility_cross_tokenizer(spark, sf_dir):
+    """The Unigram fertility table (round-10) is comparable with the BPE
+    one under ONE metric surface: identical lang/doc/word/char marginals
+    (both tokenizers split the same lowercased whitespace words), and
+    sane ratio axes (every word yields >= 1 piece, every piece >= 1
+    char, unk share a valid per-mille)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    uni = {r.lang: r for r in qs["text_unigram_fertility"](spark, sf_dir).collect()}
+    bpe = {r.lang: r for r in qs["text_bpe_fertility"](spark, sf_dir).collect()}
+    assert set(uni) == set(bpe) and uni
+    for lang, u in uni.items():
+        b = bpe[lang]
+        assert (u.n_docs, u.n_words, u.n_chars) == (b.n_docs, b.n_words, b.n_chars)
+        assert u.n_pieces >= u.n_words           # >= 1 piece per word
+        assert u.n_chars >= u.n_pieces - u.n_unk  # every non-UNK piece >= 1 char
+        assert u.fertility_x1000 >= 1000
+        assert 0 <= u.unk_per_mille <= 1000
+
+
+def _ref_unigram_train(texts, vocab_size, seed_size, em_rounds,
+                       max_piece=6, max_word=24):
+    """Sequential pure-python Viterbi-EM training mirror (Kudo 2018
+    shape): seed top substrings + alphabet, fixed E/M rounds with the
+    brute-force best segmentation (same (cost, pieces, key) tie-break
+    as _brute_best), prune to vocab_size retaining the alphabet."""
+    from collections import Counter
+
+    ilog2 = lambda x: int(x).bit_length() - 1  # noqa: E731
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w and len(w) <= max_word:
+                wf[w] += 1
+    seed = Counter()
+    for w, c in wf.items():
+        for s in range(len(w)):
+            for L in range(1, min(max_piece, len(w) - s) + 1):
+                seed[w[s:s + L]] += c
+    singles = {p for p in seed if len(p) == 1}
+    vocab0 = {p: seed[p] for p in singles}
+    vocab0.update(
+        dict(sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_size])
+    )
+    if not vocab0:
+        return []
+    total0 = sum(vocab0.values())
+    costs = {p: ilog2(total0) - ilog2(f) for p, f in vocab0.items()}
+    usage: Counter = Counter()
+    for _ in range(em_rounds):
+        usage = Counter()
+        for w, c in wf.items():
+            seg = _brute_best(w, costs, max_piece)
+            if seg is None:
+                continue  # infeasible -> [UNK], no training mass
+            for p in seg:
+                usage[p] += c
+        total = sum(usage.values())
+        costs = {p: ilog2(total) - ilog2(u) for p, u in usage.items()}
+    kept = dict(
+        sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    )
+    total = sum(usage.values())
+    default = ilog2(total) + 1 if total else 1
+    return [
+        (p, costs.get(p, default), usage.get(p, 0))
+        for p in sorted(set(kept) | singles)
+    ]
+
+
+def test_unigram_train_matches_python_em_mirror(spark):
+    """Distributed Viterbi-EM training over random corpora equals the
+    sequential python mirror exactly — seed, both EM rounds, prune,
+    default costs (the second witness behind text_unigram_vocab's
+    unrolled-CTE oracle; VERDICT r9 item 2)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "ab", "ba", "abc", "ca", "bb"]),
+                min_size=1,
+                max_size=10,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = unigram_train(df, vocab_size=8, seed_size=12, em_rounds=2)
+        assert got == _ref_unigram_train(texts, 8, 12, 2)
+
+    check()
