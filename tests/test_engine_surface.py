@@ -303,3 +303,18 @@ def test_driver_evidence_freshness():
         "one 50-slot driver window — raise the staleness threshold "
         "consciously or split the rotation across rounds"
     )
+
+
+def test_bench_flagship_rows_ride_the_tail():
+    """bench.py's tail-capture defense (VERDICT r9 item 3): the
+    flagship rows printed last must all be headline queries and
+    registered — otherwise the official perf record goes blind on the
+    flagship again."""
+    import bench
+    import __spark_entry__ as entrymod
+
+    assert set(bench.FLAGSHIP_LAST) <= set(bench.HEADLINE)
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"headline names not in registry: {missing}"
+    assert "g3_personal_net" in bench.FLAGSHIP_LAST
