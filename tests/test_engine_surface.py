@@ -126,6 +126,23 @@ UNROLLED_ORACLE_MIRRORS = {
     "eval_winrate_matrix": ("tests.test_properties", "test_winrate_matrix_matches_pair_model"),
     "eval_judge_agreement": ("tests.test_properties", "test_judge_agreement_matches_counter_model"),
     "pii_t_closeness": ("tests.test_properties", "test_t_closeness_matches_fraction_model"),
+    # beyond the VERDICT-named set: further replay-style oracles whose
+    # independent witnesses already existed (mapped here so the
+    # contract covers them) or were added in round 10 (KMV)
+    "ev_kmv_distinct": ("tests.test_properties", "test_kmv_distinct_matches_python_model"),
+    "ev_kmv_overlap": ("tests.test_properties", "test_kmv_distinct_matches_python_model"),
+    "ev_kmv_sliding": ("tests.test_properties", "test_kmv_distinct_matches_python_model"),
+    "corpus_shuffle": ("tests.test_properties", "test_seeded_shuffle_matches_sorted_md5_model"),
+    "text_bm25_topk": ("tests.test_properties", "test_bm25_matches_pure_python_model"),
+    "text_bm25_rerank": ("tests.test_properties", "test_bm25_matches_pure_python_model"),
+    "mix_dsir_select": ("tests.test_mixing_featurize", "test_dsir_weights_match_python_model"),
+    "lh_zorder_stats": ("tests.test_lakehouse", "test_zorder_value_matches_reference_interleave"),
+    "lh_hilbert_stats": ("tests.test_lakehouse", "test_hilbert_value_matches_reference_walk"),
+    "lh_snapshot_diff": ("tests.test_properties", "test_snapshot_diff_matches_dict_model"),
+    "g_sssp": ("tests.test_graph", "test_sssp_matches_dijkstra_model"),
+    "pack_sequences": ("tests.test_properties", "test_pack_sequences_matches_model"),
+    "dedup_passage": ("tests.test_properties", "test_passage_dedup_matches_model"),
+    "g7_ego_indicators": ("tests.test_properties", "test_ego_indicators_matches_model_both_regimes"),
 }
 
 

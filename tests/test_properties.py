@@ -949,3 +949,45 @@ def test_bq_topk_matches_python_model(spark, vecs):
         for rank0, (negcos, ci, h) in enumerate(sorted(scored)[:K]):
             want[(qi, ci)] = (h, -negcos, rank0 + 1)
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(-50, 50)),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_kmv_distinct_matches_python_model(spark, rows):
+    """The KMV sketch (seeded LCG -> k smallest distinct -> (k-1)M/h_k)
+    over arbitrary key streams equals the sequential python model,
+    small-set exact branch and estimator branch both, negative and NULL
+    keys included — the second witness behind ev_kmv_distinct's
+    replay oracle."""
+    from iconic_data_science_spark.operators.sketch import (
+        KMV_A,
+        KMV_B,
+        kmv_distinct,
+    )
+    from iconic_data_science_spark.operators.sketch import MERSENNE31 as M
+
+    df = spark.createDataFrame(rows, "event_type long, user_id long")
+    got = {
+        r.event_type: r.est_distinct
+        for r in kmv_distinct(df, k=4).collect()
+    }
+    groups: dict = {}
+    for g, key in rows:
+        if key is None:
+            continue
+        h = ((key % M) * KMV_A + KMV_B) % M
+        groups.setdefault(g, set()).add(h)
+    want = {}
+    for g, hs in groups.items():
+        mins = sorted(hs)[:4]
+        want[g] = len(mins) if len(mins) < 4 else (3 * M) // mins[-1]
+    assert got == want
