@@ -10740,6 +10740,98 @@ QUERIES["text_wordpiece_batch"] = q_text_wordpiece_batch
 ORACLES["text_wordpiece_batch"] = ORACLES["text_wordpiece_encode"]
 
 
+def q_text_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/compression rollup per language for
+    WordPiece — the third row of the cross-tokenizer eval table
+    (text_bpe_fertility, text_unigram_fertility, this): per-lang
+    tokens-per-word, chars-per-token, and [UNK] share as BIGINT
+    milli-units over the oracled greedy-longest-match encoder. With
+    this query all three trained tokenizers are literally comparable
+    under one metric surface (identical lang/doc/word/char marginals —
+    all three split the same lowercased whitespace words). Shape: the
+    zero-exchange encode map + the in-row char fold + one lang-grain
+    aggregate; the oracle composes the full wordpiece_encode replay
+    (vocab derivation + double fold) with the char rollup."""
+    from iconic_data_science_spark.operators.bpe import words
+    from iconic_data_science_spark.operators.text import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    cat = _cat(spark, sf_dir)
+    vocab = wordpiece_vocab(cat.documents, n_words=12)
+    enc = wordpiece_encode(cat.documents, vocab)
+    chars = cat.documents.select(
+        "doc_id",
+        "lang",
+        F.aggregate(
+            F.transform(words("text"), lambda w: F.length(w)),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return (
+        enc.join(chars, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            "n_unk",
+            F.expr("1000 * n_pieces div n_words").alias("fertility_x1000"),
+            F.expr("1000 * n_chars div n_pieces").alias(
+                "chars_per_token_x1000"
+            ),
+            F.expr("1000 * n_unk div n_pieces").alias("unk_per_mille"),
+        )
+    )
+
+
+QUERIES["text_wordpiece_fertility"] = q_text_wordpiece_fertility
+
+ORACLES["text_wordpiece_fertility"] = f"""
+    WITH enc AS ({ORACLES["text_wordpiece_encode"]}),
+    ch AS (
+        SELECT doc_id, lang,
+               CAST(list_reduce(
+                   list_prepend(0,
+                       [length(w)
+                        for w in string_split(lower(coalesce(text, '')), ' ')
+                        if w <> '']),
+                   (a, b) -> a + b) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    j AS (
+        SELECT ch.lang, enc.n_words, ch.n_chars, enc.n_pieces, enc.n_unk
+        FROM enc JOIN ch USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(n_unk) AS BIGINT) AS n_unk,
+           CAST(1000 * SUM(n_pieces) // SUM(n_words) AS BIGINT)
+               AS fertility_x1000,
+           CAST(1000 * SUM(n_chars) // SUM(n_pieces) AS BIGINT)
+               AS chars_per_token_x1000,
+           CAST(1000 * SUM(n_unk) // SUM(n_pieces) AS BIGINT)
+               AS unk_per_mille
+    FROM j GROUP BY lang
+"""
+
+
 def q_text_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT chat-template rendering (operators/text.chat_render over
     synth_chat_turns): deterministic user/assistant transcripts from
@@ -12038,6 +12130,62 @@ ORACLES["pii_t_closeness"] = """
 """
 
 
+def q_pii_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-ROW tri-gate release decision (operators/privacy.
+    release_report): k-anonymity, l-diversity, and t-closeness combined
+    over the same customer quasi tuple as the per-group audits —
+    effective min-k, records in k/l-failing groups, t-violating groups
+    and their record mass, the worst per-mille distance, and the final
+    release_ok flag. Rides the t-closeness audit ALONE (its group_size
+    and n_values ARE the k and l counts), so all three gates cost one
+    record-grain aggregate + a bounded-table rollup — never three
+    passes. The oracle composes the full t-closeness replay with the
+    same gate arithmetic; every comparison is on exact integers."""
+    from iconic_data_science_spark.operators.privacy import release_report
+
+    cat = _cat(spark, sf_dir)
+    cust = cat.customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    return release_report(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket",
+        k=5, l=2, t_milli=200,
+    )
+
+
+QUERIES["pii_release_report"] = q_pii_release_report
+
+ORACLES["pii_release_report"] = f"""
+    WITH audit AS ({ORACLES["pii_t_closeness"]})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COALESCE(SUM(group_size), 0) AS BIGINT) AS n_records,
+           CAST(MIN(group_size) AS BIGINT) AS min_k,
+           CAST(COALESCE(SUM(CASE WHEN group_size < 5 OR n_values < 2
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_kl_at_risk_groups,
+           CAST(COALESCE(SUM(CASE WHEN group_size < 5 OR n_values < 2
+                                  THEN group_size ELSE 0 END), 0) AS BIGINT)
+               AS n_kl_at_risk_records,
+           CAST(COALESCE(SUM(CASE WHEN t_close = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_t_violating_groups,
+           CAST(COALESCE(SUM(CASE WHEN t_close = 0 THEN group_size ELSE 0
+                                  END), 0) AS BIGINT)
+               AS n_t_violating_records,
+           CAST(MAX(tv_milli) AS BIGINT) AS max_tv_milli,
+           CAST(CASE WHEN COALESCE(SUM(CASE WHEN group_size < 5 OR
+                                             n_values < 2
+                                        THEN group_size ELSE 0 END), 0) = 0
+                      AND COALESCE(SUM(CASE WHEN t_close = 0 THEN 1 ELSE 0
+                                        END), 0) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS release_ok
+    FROM audit
+"""
+
+
 # Round-6 registration front (VERDICT r5 item 1): flush the ENTIRE
 # r1/r2-stale cohort. Union evidence after r5: 45 queries whose newest
 # driver row is r2 (43 oracled, mostly the TPC-H shapes) or r1 (the two
@@ -12484,21 +12632,23 @@ _ROUND9_FRONT = [
 ]
 
 # _ROUND10_FRONT: GENERATED by tools/build_front.py (spliced verbatim;
-# VERDICT r9 item 1 — flush the 50-query r5-stale cohort). The 2
-# round-10 queries head the window as never-attempted; 48 of the 50
+# VERDICT r9 item 1 — flush the 50-query r5-stale cohort). The 4
+# round-10 queries head the window as never-attempted; 46 of the 50
 # r5-stale rows follow (the staleness threshold moved 4 -> 5 this
 # round — see test_driver_evidence_freshness's capacity math — so the
-# two displaced r5 rows, g_pagerank_int and g6_citation_map, rotate in
-# round 11). The --boost plan-changed names (pass@k envelope/div
+# four displaced r5 rows, g_pagerank_int, g6_citation_map,
+# decontaminate_ngram, and g_kcore, rotate in round 11). The --boost plan-changed names (pass@k envelope/div
 # rewrite, the pii distinct-count rewrite, the sq8 constant-dim drift
 # fix) hold r9-fresh evidence that sits behind the r5 debt; this round
 # they are evidenced by the committed per-query probes + the
 # full-catalog r10 sweeps instead (the r9 discipline).
-# catalog 252 | ever-attempted 250 | ever-green 250 | never 2
+# catalog 254 | ever-attempted 250 | ever-green 250 | never 4
 # generated by: python tools/build_front.py --window 50 --boost eval_pass_at_k,pii_k_anonymity,pii_anonymity_summary,ann_sq8_drift
 _ROUND10_FRONT = [
     "text_unigram_fertility",  # never driver-attempted
     "pii_t_closeness",  # never driver-attempted
+    "text_wordpiece_fertility",  # never driver-attempted
+    "pii_release_report",  # never driver-attempted
     "ev_kmv_sliding",  # latest evidence r5
     "mix_temperature_sample",  # latest evidence r5
     "sample_weighted",  # latest evidence r5
@@ -12545,8 +12695,6 @@ _ROUND10_FRONT = [
     "g5_hierarchy_roots_sql",  # latest evidence r5
     "curation_pipeline",  # latest evidence r5
     "curation_pipeline_v2",  # latest evidence r5
-    "decontaminate_ngram",  # latest evidence r5
-    "g_kcore",  # latest evidence r5
 ]
 
 # Each round's front wins the head slots over the one before it

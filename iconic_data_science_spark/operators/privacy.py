@@ -235,3 +235,65 @@ def t_closeness_audit(
         .cast("long")
         .alias("t_close"),
     )
+
+
+def release_report(
+    records: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+    t_milli: int = 200,
+) -> DataFrame:
+    """(n_groups, n_records, min_k, n_kl_at_risk_groups,
+    n_kl_at_risk_records, n_t_violating_groups, n_t_violating_records,
+    max_tv_milli, release_ok) — the ONE-ROW release decision over all
+    three privacy gates (k-anonymity, l-diversity, t-closeness).
+
+    Rides :func:`t_closeness_audit` ALONE: that audit's ``group_size``
+    is exactly k-anonymity's group size, and its ``n_values`` (distinct
+    sensitive values with NULL as one class) is exactly the audit
+    l-count — so the whole tri-gate report costs ONE record-grain
+    aggregate plus bounded-table arithmetic, not three passes over the
+    records. release_ok = no record sits in a group failing k or l AND
+    no group violates t (the skewness gate) — all compared on exact
+    integers.
+
+    Empty-dataset convention (the anonymity_summary NULL-on-empty
+    class): 0 groups / 0 records / release_ok = 1 (nothing to leak),
+    with min_k and max_tv_milli NULL — there is no group to quote."""
+    audit = t_closeness_audit(
+        records, quasi_cols, sensitive_col, t_milli=t_milli
+    )
+    kl_risk = (F.col("group_size") < int(k)) | (F.col("n_values") < int(l))
+    t_viol = F.col("t_close") == 0
+    zsum = lambda c: F.coalesce(F.sum(c), F.lit(0)).cast("long")  # noqa: E731
+    return audit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        zsum(F.col("group_size")).alias("n_records"),
+        F.min("group_size").cast("long").alias("min_k"),
+        zsum(kl_risk.cast("long")).alias("n_kl_at_risk_groups"),
+        zsum(F.when(kl_risk, F.col("group_size")).otherwise(0)).alias(
+            "n_kl_at_risk_records"
+        ),
+        zsum(t_viol.cast("long")).alias("n_t_violating_groups"),
+        zsum(F.when(t_viol, F.col("group_size")).otherwise(0)).alias(
+            "n_t_violating_records"
+        ),
+        F.max("tv_milli").cast("long").alias("max_tv_milli"),
+    ).select(
+        "n_groups",
+        "n_records",
+        "min_k",
+        "n_kl_at_risk_groups",
+        "n_kl_at_risk_records",
+        "n_t_violating_groups",
+        "n_t_violating_records",
+        "max_tv_milli",
+        (
+            (F.col("n_kl_at_risk_records") == 0)
+            & (F.col("n_t_violating_groups") == 0)
+        )
+        .cast("long")
+        .alias("release_ok"),
+    )

@@ -106,6 +106,7 @@ UNROLLED_ORACLE_MIRRORS = {
     "text_bpe_fertility": ("tests.test_bpe", "test_bpe_encode_matches_reference"),
     "text_wordpiece_encode": ("tests.test_bpe", "test_wordpiece_encode_matches_python_mirror"),
     "text_wordpiece_batch": ("tests.test_bpe", "test_wordpiece_encode_matches_python_mirror"),
+    "text_wordpiece_fertility": ("tests.test_bpe", "test_wordpiece_encode_matches_python_mirror"),
     "text_unigram_vocab": ("tests.test_unigram", "test_unigram_train_matches_python_em_mirror"),
     "text_unigram_encode": ("tests.test_unigram", "test_viterbi_matches_bruteforce"),
     "text_unigram_batch": ("tests.test_unigram", "test_viterbi_matches_bruteforce"),
@@ -126,6 +127,7 @@ UNROLLED_ORACLE_MIRRORS = {
     "eval_winrate_matrix": ("tests.test_properties", "test_winrate_matrix_matches_pair_model"),
     "eval_judge_agreement": ("tests.test_properties", "test_judge_agreement_matches_counter_model"),
     "pii_t_closeness": ("tests.test_properties", "test_t_closeness_matches_fraction_model"),
+    "pii_release_report": ("tests.test_properties", "test_t_closeness_matches_fraction_model"),
     # beyond the VERDICT-named set: further replay-style oracles whose
     # independent witnesses already existed (mapped here so the
     # contract covers them) or were added in round 10 (KMV)

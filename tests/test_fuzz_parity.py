@@ -170,6 +170,9 @@ DOC_QUERIES = [
     # one-doc languages and dup-heavy vocabularies; every doc has >= 1
     # word so no lang group divides by zero on either engine
     "text_unigram_fertility",
+    # the WordPiece twin: same rollup over the greedy-match encoder
+    # (tiny fuzzed vocabularies drive whole-word and 1-char folds)
+    "text_wordpiece_fertility",
     # SFT render -> pack composition: fuzzed docs give zero-turn
     # transcripts (n_tokens counts only the system header), exact
     # turn boundaries, and shard windows over tiny corpora

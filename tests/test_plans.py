@@ -575,6 +575,11 @@ EXCHANGE_BUDGET = {
     # join broadcasts at sf0.01 leaving the lang rollup (measured 1);
     # budget 4 admits the sort-merge join shape at scale
     "text_unigram_fertility": 4,
+    # WordPiece fertility: identical shape to the unigram twin
+    "text_wordpiece_fertility": 4,
+    # tri-gate release report: the t-closeness chain (measured 2,
+    # budget 5) + the one-row rollup
+    "pii_release_report": 6,
 }
 
 

@@ -154,6 +154,47 @@ def test_t_closeness_null_is_a_distribution_value(spark):
     assert got[1].tv_milli == got[2].tv_milli == 250
 
 
+def test_release_report_tri_gate_hand_case(spark):
+    """The one-row tri-gate decision over the t-closeness hand fixture:
+    k/l failures and t violations counted exactly; release_ok only when
+    both record-mass and distance gates clear."""
+    from iconic_data_science_spark.operators.privacy import release_report
+
+    data = (
+        [(1, "A", 0), (1, "A", 0), (1, "A", 1)]      # size 3 < k, tv 1/3
+        + [(1, "B", 1), (1, "B", 1), (1, "B", 1)]    # size 3 < k, 1 value < l
+        + [(2, "A", 0), (2, "A", 1), (2, "A", 1)]    # size 3 < k, tv 0
+    )
+    df = spark.createDataFrame(data, "nation int, seg string, bal int")
+    r = release_report(
+        df, ["nation", "seg"], "bal", k=5, l=2, t_milli=200
+    ).collect()[0]
+    assert (r.n_groups, r.n_records, r.min_k) == (3, 9, 3)
+    assert (r.n_kl_at_risk_groups, r.n_kl_at_risk_records) == (3, 9)
+    assert (r.n_t_violating_groups, r.n_t_violating_records) == (2, 6)
+    assert r.max_tv_milli == 333
+    assert r.release_ok == 0
+    # and a clean release: one big diverse corpus-shaped group
+    ok = spark.createDataFrame(
+        [(1, "A", i % 3) for i in range(12)], "nation int, seg string, bal int"
+    )
+    r2 = release_report(ok, ["nation", "seg"], "bal", k=5, l=2).collect()[0]
+    assert (r2.n_kl_at_risk_records, r2.n_t_violating_groups) == (0, 0)
+    assert r2.max_tv_milli == 0 and r2.release_ok == 1
+
+
+def test_release_report_empty_dataset(spark):
+    """Empty release: 0 groups / 0 records / release_ok = 1 (nothing to
+    leak), min_k and max_tv_milli NULL — the NULL-on-empty class."""
+    from iconic_data_science_spark.operators.privacy import release_report
+
+    df = spark.createDataFrame([], "nation int, seg string, bal int")
+    r = release_report(df, ["nation", "seg"], "bal").collect()[0]
+    assert (r.n_groups, r.n_records, r.n_kl_at_risk_records,
+            r.n_t_violating_groups, r.release_ok) == (0, 0, 0, 0, 1)
+    assert r.min_k is None and r.max_tv_milli is None
+
+
 def test_anonymity_summary_empty_dataset(spark):
     """An empty dataset's release decision is 0 records / 0 at risk /
     risk 0 (min_k NULL — no group to quote), not a row of NULLs (the

@@ -138,24 +138,28 @@ def test_encode_batch_row_identical(spark, sf_dir):
 
 
 def test_unigram_fertility_cross_tokenizer(spark, sf_dir):
-    """The Unigram fertility table (round-10) is comparable with the BPE
-    one under ONE metric surface: identical lang/doc/word/char marginals
-    (both tokenizers split the same lowercased whitespace words), and
-    sane ratio axes (every word yields >= 1 piece, every piece >= 1
-    char, unk share a valid per-mille)."""
+    """The three trained tokenizers are comparable under ONE metric
+    surface: the Unigram and WordPiece fertility tables carry marginals
+    identical to the BPE one (all three split the same lowercased
+    whitespace words), and every table's ratio axes are sane (every
+    word yields >= 1 piece, every non-UNK piece >= 1 char, unk share a
+    valid per-mille)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    uni = {r.lang: r for r in qs["text_unigram_fertility"](spark, sf_dir).collect()}
     bpe = {r.lang: r for r in qs["text_bpe_fertility"](spark, sf_dir).collect()}
-    assert set(uni) == set(bpe) and uni
-    for lang, u in uni.items():
-        b = bpe[lang]
-        assert (u.n_docs, u.n_words, u.n_chars) == (b.n_docs, b.n_words, b.n_chars)
-        assert u.n_pieces >= u.n_words           # >= 1 piece per word
-        assert u.n_chars >= u.n_pieces - u.n_unk  # every non-UNK piece >= 1 char
-        assert u.fertility_x1000 >= 1000
-        assert 0 <= u.unk_per_mille <= 1000
+    for twin in ("text_unigram_fertility", "text_wordpiece_fertility"):
+        tab = {r.lang: r for r in qs[twin](spark, sf_dir).collect()}
+        assert set(tab) == set(bpe) and tab, twin
+        for lang, u in tab.items():
+            b = bpe[lang]
+            assert (u.n_docs, u.n_words, u.n_chars) == (
+                b.n_docs, b.n_words, b.n_chars,
+            ), (twin, lang)
+            assert u.n_pieces >= u.n_words           # >= 1 piece per word
+            assert u.n_chars >= u.n_pieces - u.n_unk  # non-UNK pieces >= 1 char
+            assert u.fertility_x1000 >= 1000
+            assert 0 <= u.unk_per_mille <= 1000
 
 
 def _ref_unigram_train(texts, vocab_size, seed_size, em_rounds,
