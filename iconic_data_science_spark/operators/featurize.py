@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lits import lit_longs
+
 
 def _fold(col) -> "F.Column":
     """48-bit md5-prefix fold — the engine's portable content hash
@@ -150,7 +152,7 @@ def linear_classifier_gate(
     Integer micro-units end to end, so any engine replays it
     bit-for-bit."""
     dim = len(weights_micro)
-    w_arr = F.array(*[F.lit(int(w)) for w in weights_micro])
+    w_arr = lit_longs(weights_micro)
     # NULL text scores like empty text (n_tokens 0, logit = bias) —
     # without the coalesce the whole row would null out while a SQL
     # twin's LEFT-JOIN shape emits 0s.
@@ -713,7 +715,7 @@ def dsir_scores(
     batch rescoring (the classifier/temperature/quality-gate
     pattern)."""
     dim = len(weights)
-    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+    w_arr = lit_longs(weights)
     base = documents.select(
         F.col(id_col).alias("doc_id"),
         tokens_array(F.col(text_col)).alias("_toks"),
@@ -799,7 +801,7 @@ def dsir_pipeline(
         // ((c_s.get(b, 0) + 1) * (n_t + dim))
         for b in range(dim)
     ]
-    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+    w_arr = lit_longs(weights)
     score = F.aggregate(
         F.col("_bs"),
         F.lit(0).cast("long"),

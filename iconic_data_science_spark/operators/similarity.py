@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .dedup import DOT_SCALE
+from ..functions.lits import lit_doubles, lit_longs
 
 N_PLANES = 8
 _DIM = 64
@@ -263,7 +264,7 @@ def kmeans_centroids(
         sims = []
         for cid, cv in cents:
             cn = math.sqrt(sum(x * x for x in cv))
-            lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+            lit_cv = lit_doubles(cv)
             dot = F.aggregate(
                 F.zip_with(F.col("v"), lit_cv, lambda x, y: x * y),
                 F.lit(0.0),
@@ -280,9 +281,12 @@ def kmeans_centroids(
         assign = e.select((-best["negc"]).cast("int").alias("c_id"), "v")
         agg = assign.groupBy("c_id").agg(
             F.count("*").alias("n"),
-            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+            # one parsed array-of-sums expression (lits.py discipline)
+            F.expr(
+                "array(" + ",".join(f"sum(v[{i}])" for i in range(dim)) + ")"
+            ).alias("s"),
         ).collect()
-        updated = {r["c_id"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in agg}
+        updated = {r["c_id"]: [r["s"][i] / r["n"] for i in range(dim)] for r in agg}
         # empty cells keep their previous centroid
         cents = [(cid, updated.get(cid, v)) for cid, v in cents]
     return spark.createDataFrame(cents, "c_id int, c_v array<double>")
@@ -1049,7 +1053,7 @@ def _kmeans_int_argmin(cs, q_col: str = "q"):
     the smallest c_id because array_min orders structs field-wise."""
     structs = []
     for cid, cv in cs:
-        lit_cv = F.array(*[F.lit(int(x)) for x in cv])
+        lit_cv = lit_longs(cv)
         d2 = F.aggregate(
             F.zip_with(F.col(q_col), lit_cv, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
@@ -1074,10 +1078,12 @@ def _kmeans_int_update_plan(e: DataFrame, cs, dim: int) -> DataFrame:
         .groupBy("c_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("q", i + 1)).cast("long").alias(f"s{i}")
-                for i in range(dim)
-            ],
+            # one parsed array-of-sums expression (lits.py discipline):
+            # dim py4j-built agg columns cost ~0.3 s of driver time per
+            # Lloyd round
+            F.expr(
+                "array(" + ",".join(f"sum(q[{i}])" for i in range(dim)) + ")"
+            ).alias("s"),
         )
     )
 
@@ -1125,43 +1131,48 @@ def kmeans_int_centroids(
     planner blow-up chained iterative DataFrames hit — see
     featurize.train_linear_classifier.)
     """
+    import numpy as np
+
     q = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
     )
-    e = embeddings.select(F.col(id_col).alias("id"), q.alias("q")).localCheckpoint(
-        eager=True
-    )
+    base = embeddings.select(F.col(id_col).alias("id"), q.alias("q"))
     k = int(n_cells)
     seed_sample = max(10_000, 100 * k)
     h = F.conv(
         F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10
     ).cast("long")
+    # +1 probe row tells us whether the corpus fits inside the sample
+    # without a separate count() job (the kmeans_centroids trick)
     samp = (
-        e.select("id", "q", h.alias("_h"))
+        base.select("id", "q", h.alias("_h"))
         .orderBy("_h", "id")
-        .limit(seed_sample)
+        .limit(seed_sample + 1)
         .collect()
     )
+    corpus_fits_sample = len(samp) <= seed_sample
+    samp = samp[:seed_sample]  # TakeOrdered is sorted → prefix == limit(seed_sample)
     samp.sort(key=lambda r: r["id"])
-    sq = [[int(x) for x in r["q"]] for r in samp]
-
-    def _d2(a, b):
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
+    # int64 lattice throughout: |q| ≤ scale·max|x| (~16k here), so d²
+    # sums stay ≤ dim·(2·|q|)² ≪ 2^63 and numpy int64 is EXACT — the
+    # vectorized greedy is value-identical to the scalar python loop
+    V = np.array([[int(x) for x in r["q"]] for r in samp], dtype=np.int64)
 
     # greedy k-center on the lattice: start at the smallest sampled id,
     # then repeatedly take the point FARTHEST from its nearest chosen
-    # seed (ties → smallest id; python max is stable → first max wins
-    # on the id-sorted sample)
+    # seed (ties → smallest id; np.argmax takes the first max on the
+    # id-sorted sample)
     chosen = [0]
-    nearest = [_d2(v, sq[0]) for v in sq]
+    d0 = V - V[0]
+    nearest = (d0 * d0).sum(axis=1)
     for _ in range(k - 1):
-        nxt = max(range(len(sq)), key=lambda i: nearest[i])
+        nxt = int(np.argmax(nearest))
         chosen.append(nxt)
-        dn = [_d2(v, sq[nxt]) for v in sq]
-        nearest = [min(a, b) for a, b in zip(nearest, dn)]
+        dn = V - V[nxt]
+        nearest = np.minimum(nearest, (dn * dn).sum(axis=1))
     cents: list[tuple[int, list[int]]] = [
-        (cid, list(sq[i])) for cid, i in enumerate(chosen)
+        (cid, [int(x) for x in V[i]]) for cid, i in enumerate(chosen)
     ]
     dim = len(cents[0][1])
 
@@ -1169,10 +1180,35 @@ def kmeans_int_centroids(
         qq = abs(a) // b
         return qq if a >= 0 else -qq
 
+    # Local tier (optimization round 10): when the WHOLE corpus sits in
+    # the sample — every test fixture and the driver/bench scales — the
+    # Lloyd rounds run on the already-collected int64 matrix: same
+    # argmin (np.argmin → first min = smallest c_id on tie), same
+    # trunc-div update, same empty-cell carry, all integer-EXACT, so
+    # the centroids are bit-identical to the distributed rounds while
+    # n_iters collect jobs (plus the corpus checkpoint) drop to zero.
+    # Above the sample threshold the distributed loop below is
+    # unchanged — training still sees the full corpus.
+    if corpus_fits_sample:
+        C = np.array([cv for _, cv in cents], dtype=np.int64)
+        for _ in range(int(n_iters)):
+            diff = V[:, None, :] - C[None, :, :]
+            best = np.argmin((diff * diff).sum(axis=2), axis=1)
+            for cid in range(k):
+                mask = best == cid
+                if mask.any():
+                    s = V[mask].sum(axis=0)
+                    n = int(mask.sum())
+                    C[cid] = np.array(
+                        [_tdiv(int(x), n) for x in s], dtype=np.int64
+                    )
+        return [(cid, [int(x) for x in C[cid]]) for cid in range(k)]
+
+    e = base.localCheckpoint(eager=True)
     for _ in range(int(n_iters)):
         agg = _kmeans_int_update_plan(e, cents, dim).collect()
         upd = {
-            int(r["c_id"]): [_tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)]
+            int(r["c_id"]): [_tdiv(int(r["s"][i]), int(r["n"])) for i in range(dim)]
             for r in agg
         }
         cents = [(cid, upd.get(cid, cv)) for cid, cv in cents]
@@ -1198,7 +1234,7 @@ def kmeans_int_assign_against(
     )
     structs = []
     for cid, cv in cents:
-        lit_cv = F.array(*[F.lit(int(x)) for x in cv])
+        lit_cv = lit_longs(cv)
         d2 = F.aggregate(
             F.zip_with(F.col("_q"), lit_cv, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
@@ -1538,7 +1574,7 @@ def pq_trained_topk(
         )
         ds = []
         for cid, cv in cents:
-            lit_cv = F.array(*[F.lit(int(x)) for x in cv])
+            lit_cv = lit_longs(cv)
             d2 = F.aggregate(
                 F.zip_with(F.col("_q"), lit_cv, lambda x, y: (x - y) * (x - y)),
                 F.lit(0).cast("long"),
@@ -1746,7 +1782,7 @@ def random_projection(
     base = embeddings.select(F.col(id_col).alias("vec_id"), q.alias("_q"))
     comps = []
     for j in range(int(out_dim)):
-        srow = F.array(*[F.lit(s) for s in signs[j]])
+        srow = lit_longs(signs[j])
         yj = F.aggregate(
             F.zip_with(F.col("_q"), srow, lambda x, s: x * s),
             F.lit(0).cast("long"),
@@ -1818,7 +1854,7 @@ def rp_lsh_topk(
         w = base.select("id", "v", "sq", lat.alias("_y"))
         bits = []
         for p in range(int(n_planes)):
-            crow = F.array(*[F.lit(c) for c in rows[p]])
+            crow = lit_longs(rows[p])
             dot = F.aggregate(
                 F.zip_with(F.col("_y"), crow, lambda x, c: x * c),
                 F.lit(0).cast("long"),
@@ -2051,7 +2087,7 @@ def maxsim_lsh_candidates(
         rows.setdefault(p, []).append(c)
     bits = []
     for p in range(int(n_planes)):
-        crow = F.array(*[F.lit(c) for c in rows[p]])
+        crow = lit_longs(rows[p])
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), crow, _scaled_prod),
             F.lit(0).cast("long"),
@@ -2113,8 +2149,14 @@ def sq8_train(
     row = (
         embeddings.select(q.alias("_q"))
         .agg(
-            F.array(*[F.min(F.col("_q")[i]) for i in range(int(dim))]).alias("lo"),
-            F.array(*[F.max(F.col("_q")[i]) for i in range(int(dim))]).alias("hi"),
+            # one parsed expression per array (the lits.py discipline):
+            # 2*dim py4j-built agg columns cost ~0.5 s of driver time
+            F.expr(
+                "array(" + ",".join(f"min(_q[{i}])" for i in range(int(dim))) + ")"
+            ).alias("lo"),
+            F.expr(
+                "array(" + ",".join(f"max(_q[{i}])" for i in range(int(dim))) + ")"
+            ).alias("hi"),
         )
         .collect()[0]
     )
@@ -2152,8 +2194,8 @@ def sq8_codes(
     lo, rng = bounds if bounds is not None else sq8_train(
         embeddings, scale=scale, dim=dim, vec_col=vec_col
     )
-    lo_lit = F.array(*[F.lit(int(v)) for v in lo])
-    rng_lit = F.array(*[F.lit(int(v)) for v in rng])
+    lo_lit = lit_longs(lo)
+    rng_lit = lit_longs(rng)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _lattice(F.col(vec_col), scale).alias("_q")
     )
@@ -2219,7 +2261,7 @@ def sq8_topk(
     def bucket_col() -> Column:
         bits = []
         for p in range(int(n_planes)):
-            crow = F.array(*[F.lit(c) for c in rows[p]])
+            crow = lit_longs(rows[p])
             dot = F.aggregate(
                 F.zip_with(F.col("_q"), crow, lambda x, c: x * c),
                 F.lit(0).cast("long"),
@@ -2285,7 +2327,9 @@ def bq_train(
     row = (
         embeddings.select(q.alias("_q"))
         .agg(
-            F.array(*[F.sum(F.col("_q")[i]) for i in range(int(dim))]).alias("s"),
+            F.expr(
+                "array(" + ",".join(f"sum(_q[{i}])" for i in range(int(dim))) + ")"
+            ).alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
         .collect()[0]
@@ -2317,7 +2361,7 @@ def bq_bands(
     assert int(dim) % int(bands) == 0, "dim must split evenly into bands"
     width = int(dim) // int(bands)
     assert width <= 62, "band words must fit in int64"
-    s_lit = F.array(*[F.lit(int(v)) for v in sums])
+    s_lit = lit_longs(sums)
     lat = _with_sqnorm(df, id_col, vec_col).select(
         "id", "v", "sq", _lattice(F.col("v"), scale).alias("_q")
     )
@@ -2329,17 +2373,13 @@ def bq_bands(
         ).otherwise(F.lit(0).cast("long")),
     )
     wb = lat.select("id", "v", "sq", bits.alias("_bits"))
-    band_cols = []
-    for b in range(int(bands)):
-        word = None
-        for j in range(width):
-            term = (
-                F.element_at(F.col("_bits"), b * width + j + 1)
-                * F.lit(1 << j)
-            )
-            word = term if word is None else word + term
-        band_cols.append(word)
-    return wb.select("id", "v", "sq", F.array(*band_cols).alias("bands"))
+    # one parsed expression for all band words (the lits.py discipline:
+    # the dim-term py4j-built sum chain cost ~0.5 s of driver time)
+    band_sql = ",".join(
+        "(" + "+".join(f"_bits[{b * width + j}]*{1 << j}L" for j in range(width)) + ")"
+        for b in range(int(bands))
+    )
+    return wb.select("id", "v", "sq", F.expr(f"array({band_sql})").alias("bands"))
 
 
 def bq_topk(
@@ -2471,8 +2511,8 @@ def sq8_codes_frozen(
     Pure map with literal bounds — zero exchanges, streamable: the
     quantize-at-ingest gate (stream == batch pinned)."""
     lo, rng = bounds
-    lo_lit = F.array(*[F.lit(int(v)) for v in lo])
-    rng_lit = F.array(*[F.lit(int(v)) for v in rng])
+    lo_lit = lit_longs(lo)
+    rng_lit = lit_longs(rng)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _lattice(F.col(vec_col), scale).alias("_q")
     )

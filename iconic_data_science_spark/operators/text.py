@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import MERSENNE31, words
+from ..functions.lits import lit_str_long_map, lit_strings
 
 # Tiny per-language stopword lists for the heuristic language ID.
 # Deterministic tie-break: highest hit count, then language name asc.
@@ -101,7 +102,7 @@ def quality_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = 
     n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
     avg_word_len = (n_chars - (n_words - 1)) / n_words
     alpha_ratio = n_alpha / n_chars
-    sw = F.array(*[F.lit(w) for w in all_stopwords()])
+    sw = lit_strings(all_stopwords())
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long")
     score = F.least(n_words, F.lit(100)).cast("double") / F.lit(100.0) * alpha_ratio
     return documents.select(
@@ -1200,7 +1201,7 @@ def gopher_quality_flags(
     alpha_words = F.size(
         F.filter(toks, lambda x: x.rlike("[a-z]"))
     ).cast("long")
-    sw = F.array(*[F.lit(w) for w in all_stopwords()])
+    sw = lit_strings(all_stopwords())
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long")
 
     f_word_count = ((n_words < 50) | (n_words > 100_000)).cast("long")
@@ -1301,7 +1302,7 @@ def c4_line_filter(
     f_lorem = (F.instr(F.lower(t), "lorem ipsum") > 0).cast("long")
     f_brace = (F.instr(t, "{") > 0).cast("long")
     if bad_words:
-        bw = F.array(*[F.lit(w) for w in sorted(set(bad_words))])
+        bw = lit_strings(sorted(set(bad_words)))
         toks = F.filter(F.split(F.lower(t), "[ \n]"), lambda x: x != "")
         f_bad = F.arrays_overlap(toks, bw).cast("long")
     else:
@@ -1592,11 +1593,13 @@ def bigram_surprisal_gate(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
         lambda x: x != "",
     )
-    kv: list[Column] = []
-    for w1, w2, s in lm:
-        kv.append(F.lit(f"{w1} {w2}"))
-        kv.append(F.lit(int(s)))
-    lm_map = F.create_map(*kv) if kv else F.create_map()
+    # one parsed map literal (the lits.py discipline); the probe below
+    # casts the looked-up value to long either way
+    lm_map = (
+        lit_str_long_map((f"{w1} {w2}", int(s)) for w1, w2, s in lm)
+        if lm
+        else F.create_map()
+    )
     base = documents.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
     # guard the sequence: Spark's sequence(1, 0) DESCENDS ([1, 0]) and
     # element_at(_t, 0) throws — <2-token docs get an empty key array
@@ -1996,11 +1999,9 @@ def _wordpiece_word_encoder(
     shared by the streamable map form (:func:`wordpiece_encode`) and
     the Zipf-leveraged batch form (:func:`wordpiece_encode_batch`)."""
     vset = sorted(set(vocab))
-    kv: list[Column] = []
-    for v in vset:
-        kv.append(F.lit(v))
-        kv.append(F.lit(1))
-    vmap = F.create_map(*kv)
+    # one parsed map literal (the lits.py discipline): only membership
+    # is tested downstream, so the value type is immaterial
+    vmap = lit_str_long_map((v, 1) for v in vset)
 
     def piece(w: Column, pos: Column, L: Column) -> Column:
         sub = F.substring(w, pos + 1, L)
