@@ -215,6 +215,7 @@ def pagerank_int(
     edges: DataFrame,
     damping_pct: int = 85,
     iterations: int = 10,
+    broadcast_threshold_rows: int = 5_000_000,
 ) -> DataFrame:
     """Integer-lattice PageRank: the power iteration defined *as* integer
     arithmetic so the result hashes identically across engines (the
@@ -234,30 +235,42 @@ def pagerank_int(
     beyond that, shard the sum or lower SCALE.
 
     Same scale shape as `pagerank`: one shuffle per iteration (contribs
-    keyed on dst) + a broadcast-able outdeg dim; ranks localCheckpoint
-    every round (the lineage lesson); edges and outdeg materialize ONCE
-    before the loop (the loop-invariant-input rule — see `pagerank`).
+    keyed on dst); ranks localCheckpoint every round (the lineage
+    lesson); loop-invariant inputs materialize ONCE before the loop —
+    since optimization round 10 the out-degree is FOLDED INTO the edge
+    table up front (8 bytes/row buys back one join per round at every
+    scale), and while the node count stays under
+    ``broadcast_threshold_rows`` (known exactly from one pre-loop count,
+    the bfs/dedup_clusters three-tier discipline) the rank table
+    broadcasts into both per-round joins, so the edge table is never
+    shuffled inside the loop and the only per-round exchange is the
+    contribution groupBy. Above the threshold the loop falls back to
+    shuffle joins unchanged. Measured 6.9 → 3.1-3.9 s (bench medians) on
+    the sf0.1 web graph (10 rounds), hash-identical.
     """
-    edges = edges.repartition("src").localCheckpoint()
+    ed = edges.repartition("src")
+    deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = ed.join(deg, "src").localCheckpoint()
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        edges_deg.select(F.col("src").alias("node"))
+        .unionByName(edges_deg.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    small = nodes.count() <= broadcast_threshold_rows
     base = (100 - damping_pct) * PAGERANK_INT_SCALE // 100
     ranks = nodes.withColumn("rank_i", F.lit(PAGERANK_INT_SCALE).cast("long")).localCheckpoint()
     for _ in range(iterations):
+        r = F.broadcast(ranks) if small else ranks
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(out_deg, "src")
+            edges_deg.join(r, edges_deg["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), F.expr("rank_i div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("recv"))
         )
+        cb = F.broadcast(contribs) if small else contribs
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(cb, "node", "left")
             .select(
                 "node",
                 (
@@ -267,7 +280,6 @@ def pagerank_int(
             )
             .localCheckpoint()
         )
-    nodes.unpersist()
     return ranks
 
 
@@ -541,6 +553,7 @@ def sssp(
     edges: DataFrame,
     rounds: int = 6,
     source: int | None = None,
+    broadcast_threshold_rows: int = 5_000_000,
 ) -> DataFrame:
     """Bounded single-source shortest paths (Bellman-Ford): (author,
     dist) — minimum total edge cost over paths of at most ``rounds``
@@ -567,8 +580,16 @@ def sssp(
         spark = edges.sparkSession
         dist = spark.createDataFrame([(source, 0)], "author long, dist long")
     prev_sig = None
+    # the dist table starts at 1 row and is counted every round by the
+    # convergence signature, so the broadcast decision (the
+    # pagerank_int/bfs three-tier discipline: never shuffle the edge
+    # table inside the loop while the node-grain frame is bounded)
+    # rides the previous round's count for free
+    n_dist = 1
     for _ in range(rounds):
         d = dist.alias("d")
+        if n_dist <= broadcast_threshold_rows:
+            d = F.broadcast(d)
         relaxed = d.join(e.alias("e"), F.col("d.author") == F.col("e.src")).select(
             F.col("e.dst").alias("author"),
             (F.col("d.dist") + F.col("e.cost")).alias("dist"),
@@ -580,6 +601,7 @@ def sssp(
             .localCheckpoint()
         )
         sig = tuple(dist.agg(F.count("*"), F.sum("dist")).first())
+        n_dist = int(sig[0])
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -589,6 +611,7 @@ def sssp(
 def label_propagation(
     edges: DataFrame,
     rounds: int = 5,
+    broadcast_threshold_rows: int = 5_000_000,
 ) -> DataFrame:
     """Synchronous label-propagation communities (Raghavan et al. 2007,
     "Near linear time algorithm to detect community structures in
@@ -618,11 +641,17 @@ def label_propagation(
     once or K times.
     """
     edges = edges.repartition("dst").localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # broadcast the node-grain label frame into the per-round joins
+    # while the node count (one pre-loop job on the checkpointed set)
+    # stays bounded — the pagerank_int/bfs three-tier discipline; the
+    # edge table is then never shuffled inside the loop
+    small = nodes.count() <= broadcast_threshold_rows
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(rounds):
+        lb = labels.withColumnRenamed("node", "dst")
         votes = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            edges.join(F.broadcast(lb) if small else lb, "dst")
             .groupBy(F.col("src").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
@@ -632,11 +661,10 @@ def label_propagation(
             .select("node", F.col("b.l").alias("nlabel"))
         )
         labels = (
-            labels.join(best, "node", "left")
+            labels.join(F.broadcast(best) if small else best, "node", "left")
             .select("node", F.coalesce("nlabel", "label").alias("label"))
             .localCheckpoint()
         )
-    nodes.unpersist()
     return labels.select("node", "label")
 
 
@@ -687,6 +715,13 @@ def hits_int(
         .distinct()
         .persist()
     )
+    # NOTE (optimization round 10): per-round F.broadcast of the score
+    # frames was tried here (the pagerank_int move) and MEASURED SLOWER
+    # (3.25 → 3.95 s at sf0.1, 7-iter median): unlike pagerank's
+    # checkpointed ranks, `a` is a derived frame (raw ⋈ 1-row
+    # normalizer), so each explicit broadcast adds a serial blocking
+    # driver collect that the pipelined shuffle joins don't pay.
+    # Shuffle joins kept deliberately.
     h = nodes.select("node", F.lit(int(scale)).cast("long").alias("s"))
     a = None
 
