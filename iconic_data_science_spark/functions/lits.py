@@ -82,6 +82,62 @@ def lit_strings(values) -> Column:
     return F.expr("array(" + ",".join(_string_sql(v) for v in vals) + ")")
 
 
+def _longs_arr_sql(values) -> str:
+    return "array(" + ",".join(_long_sql(v) for v in values) + ")"
+
+
+def dot_fold_longs(col_sql: str, weights) -> Column:
+    """``aggregate(zip_with(col, <literal array>, (x, c) -> x * c), 0L,
+    (acc, x) -> acc + x)`` rendered as ONE server-parsed expression.
+
+    The ``F.aggregate(F.zip_with(..., lambda), ..., lambda)`` form costs
+    ~85 ms of py4j lambda-conversion chatter per column on this driver;
+    loops building one such column per plane/centroid/output-dim spend
+    seconds before Spark sees the query.  The parsed string builds the
+    identical ArrayAggregate/ZipWith tree (lambda variable ids aside), so
+    plans, results, and oracle hashes are unchanged.
+
+    ``col_sql`` is a SQL fragment naming the input array column — a plain
+    column name, backquoted if needed."""
+    return F.expr(
+        f"aggregate(zip_with({col_sql}, {_longs_arr_sql(weights)}, "
+        "(x, c) -> x * c), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def d2_fold_longs(col_sql: str, center) -> Column:
+    """Squared-L2 fold ``aggregate(zip_with(col, <center>, (x, y) ->
+    (x - y) * (x - y)), 0L, (acc, x) -> acc + x)`` as one parsed
+    expression — the integer-lattice distance used by every kmeans/PQ
+    argmin loop (one column per centroid: the loop is where the py4j
+    cost multiplies)."""
+    return F.expr(
+        f"aggregate(zip_with({col_sql}, {_longs_arr_sql(center)}, "
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def dot_fold_doubles(col_sql: str, weights) -> Column:
+    """Float dot-product fold against a literal double array, one parsed
+    expression — same shape as :func:`dot_fold_longs` on the double
+    lattice (init ``0.0D``, identical IEEE fold order)."""
+    arr = "array(" + ",".join(_double_sql(v) for v in weights) + ")"
+    return F.expr(
+        f"aggregate(zip_with({col_sql}, {arr}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def lattice_longs(col_sql: str, scale: int) -> Column:
+    """``transform(col, x -> CAST(round(CAST(x AS double) * scale) AS
+    bigint))`` as one parsed expression — the float→integer lattice
+    quantization used at the head of every ANN operator."""
+    return F.expr(
+        f"transform({col_sql}, x -> CAST(round(CAST(x AS double) * {int(scale)}) "
+        "AS bigint))"
+    )
+
+
 def lit_str_long_map(pairs) -> Column:
     """map<string,bigint> literal column from (key, value) pairs."""
     items = list(pairs)

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .dedup import DOT_SCALE
-from ..functions.lits import lit_doubles, lit_longs
+from ..functions.lits import (
+    d2_fold_longs,
+    dot_fold_doubles,
+    dot_fold_longs,
+    lattice_longs,
+    lit_longs,
+)
 
 N_PLANES = 8
 _DIM = 64
@@ -62,12 +68,18 @@ def _scaled_prod(x: Column, y: Column) -> Column:
     return F.round(x.cast("double") * y.cast("double") * F.lit(DOT_SCALE)).cast("long")
 
 
-def _with_sqnorm(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    sq = F.aggregate(
-        F.transform(F.col(vec_col), lambda x: _scaled_prod(x, x)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _sqnorm_expr(col_sql: str) -> Column:
+    # _scaled_prod(x, x) summed from 0L, one parsed expression (the
+    # lits.py discipline) — identical tree to the lambda form
+    return F.expr(
+        f"aggregate(transform({col_sql}, x -> "
+        f"CAST(round(CAST(x AS double) * CAST(x AS double) * {DOT_SCALE!r}D) "
+        "AS bigint)), 0L, (acc, x) -> acc + x)"
     )
+
+
+def _with_sqnorm(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    sq = _sqnorm_expr(f"`{vec_col}`")
     return embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sq.alias("sq"))
 
 
@@ -264,12 +276,8 @@ def kmeans_centroids(
         sims = []
         for cid, cv in cents:
             cn = math.sqrt(sum(x * x for x in cv))
-            lit_cv = lit_doubles(cv)
-            dot = F.aggregate(
-                F.zip_with(F.col("v"), lit_cv, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            # one parsed fold per centroid (lits.py discipline)
+            dot = dot_fold_doubles("v", cv)
             sims.append(
                 F.struct(
                     (dot / (vnorm * F.lit(cn))).alias("sim"),
@@ -1053,12 +1061,8 @@ def _kmeans_int_argmin(cs, q_col: str = "q"):
     the smallest c_id because array_min orders structs field-wise."""
     structs = []
     for cid, cv in cs:
-        lit_cv = lit_longs(cv)
-        d2 = F.aggregate(
-            F.zip_with(F.col(q_col), lit_cv, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+        # one parsed fold per centroid (lits.py discipline)
+        d2 = d2_fold_longs(f"`{q_col}`", cv)
         structs.append(F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("c_id")))
     return F.array_min(F.array(*structs))
 
@@ -1133,10 +1137,7 @@ def kmeans_int_centroids(
     """
     import numpy as np
 
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
-    )
+    q = lattice_longs(f"`{vec_col}`", int(scale))
     base = embeddings.select(F.col(id_col).alias("id"), q.alias("q"))
     k = int(n_cells)
     seed_sample = max(10_000, 100 * k)
@@ -1228,18 +1229,11 @@ def kmeans_int_assign_against(
     aggregation), so ``embeddings`` may be an APPEND STREAM: the
     embed-at-ingest cell router (shard incoming vectors into IVF cells
     as they arrive), stream == batch row for row."""
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
-    )
+    q = lattice_longs(f"`{vec_col}`", int(scale))
     structs = []
     for cid, cv in cents:
-        lit_cv = lit_longs(cv)
-        d2 = F.aggregate(
-            F.zip_with(F.col("_q"), lit_cv, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+        # one parsed fold per centroid (lits.py discipline)
+        d2 = d2_fold_longs("_q", cv)
         structs.append(F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("c_id")))
     best = F.array_min(F.array(*structs))
     return embeddings.select(
@@ -1574,12 +1568,8 @@ def pq_trained_topk(
         )
         ds = []
         for cid, cv in cents:
-            lit_cv = lit_longs(cv)
-            d2 = F.aggregate(
-                F.zip_with(F.col("_q"), lit_cv, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
+            # one parsed fold per centroid (lits.py discipline)
+            d2 = d2_fold_longs("_q", cv)
             ds.append(
                 F.struct(F.lit(cid).cast("long").alias("c_id"), d2.alias("qd2"))
             )
@@ -1705,10 +1695,7 @@ def embedding_audit(
     shuffle: the 100 TB gate is one map pass that composes with the
     scan, and ``embeddings`` may be an APPEND STREAM (validate at
     ingest — the classifier/quality/temperature-gate pattern)."""
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
-    )
+    q = lattice_longs(f"`{vec_col}`", int(scale))
     base = embeddings.select(F.col(id_col).alias("vec_id"), q.alias("_q"))
     n_dims = F.size(F.col("_q")).cast("long")
     norm2 = F.aggregate(
@@ -1775,21 +1762,19 @@ def random_projection(
         ]
         for j in range(int(out_dim))
     ]
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
-    )
+    q = lattice_longs(f"`{vec_col}`", int(scale))
     base = embeddings.select(F.col(id_col).alias("vec_id"), q.alias("_q"))
-    comps = []
-    for j in range(int(out_dim)):
-        srow = lit_longs(signs[j])
-        yj = F.aggregate(
-            F.zip_with(F.col("_q"), srow, lambda x, s: x * s),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        comps.append((yj.cast("double") / F.lit(float(scale))).cast("float"))
-    return base.select("vec_id", F.array(*comps).alias("embedding"))
+    # the WHOLE projected array as one parsed expression (lits.py
+    # discipline, batched: out_dim separate folds cost one py4j
+    # round-trip each; the single array costs one total)
+    folds = ",".join(
+        "CAST(CAST(aggregate(zip_with(_q, array("
+        + ",".join(f"{int(c)}L" for c in signs[j])
+        + "), (x, c) -> x * c), 0L, (acc, x) -> acc + x) AS double)"
+        + f" / {float(scale)!r}D AS float)"
+        for j in range(int(out_dim))
+    )
+    return base.select("vec_id", F.expr(f"array({folds})").alias("embedding"))
 
 
 RP_LSH_TABLE = 7  # independent seed stream from the 64-dim tables 0..3
@@ -1847,21 +1832,18 @@ def rp_lsh_topk(
             id_col=id_col, vec_col=vec_col,
         )
         base = _with_sqnorm(proj, "vec_id", "embedding")
-        lat = F.transform(
-            F.col("v"),
-            lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
-        )
+        lat = lattice_longs("v", int(scale))
         w = base.select("id", "v", "sq", lat.alias("_y"))
-        bits = []
-        for p in range(int(n_planes)):
-            crow = lit_longs(rows[p])
-            dot = F.aggregate(
-                F.zip_with(F.col("_y"), crow, lambda x, c: x * c),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return w.select("id", "v", "sq", F.concat(*bits).alias("bucket"))
+        # the WHOLE bucket signature as one parsed expression (lits.py
+        # discipline, batched)
+        bits = ",".join(
+            "CASE WHEN aggregate(zip_with(_y, array("
+            + ",".join(f"{int(c)}L" for c in rows[p])
+            + "), (x, c) -> x * c), 0L, (acc, x) -> acc + x) >= 0"
+            " THEN '1' ELSE '0' END"
+            for p in range(int(n_planes))
+        )
+        return w.select("id", "v", "sq", F.expr(f"concat({bits})").alias("bucket"))
 
     corpus = prep(embeddings).alias("c")
     qs = prep(queries).alias("q")
@@ -1911,11 +1893,7 @@ def multivector_docs(
     inside each doc is an in-row ``array_sort`` over ≤ m structs, keyed
     on the unique token slot, so the array order (and every downstream
     MaxSim fold) is deterministic."""
-    sq = F.aggregate(
-        F.transform(F.col(vec_col), lambda x: _scaled_prod(x, x)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    sq = _sqnorm_expr(f"`{vec_col}`")
     toks = embeddings.select(
         F.expr(f"{id_col} div {int(m)}").alias("tdoc"),
         (F.col(id_col) % int(m)).alias("tok"),
@@ -1975,24 +1953,18 @@ def maxsim_topk(
         )
         pairs = cand.join(q, "q_tdoc").join(c, "c_tdoc")
 
-    def _tok_best(qv: Column, qsq: Column) -> Column:
-        return F.array_max(
-            F.zip_with(
-                F.col("c_vecs"),
-                F.col("c_sqs"),
-                lambda cv, csq: F.aggregate(
-                    F.zip_with(qv, cv, _scaled_prod),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                / F.sqrt(qsq.cast("double") * csq.cast("double")),
-            )
-        )
-
-    maxsim = F.aggregate(
-        F.zip_with(F.col("q_vecs"), F.col("q_sqs"), _tok_best),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # the whole late-interaction score as ONE parsed expression (lits.py
+    # discipline): per query token (zip q_vecs/q_sqs), the max over
+    # candidate tokens of the lattice cosine, summed from 0.0 in token
+    # order — identical tree to the nested-lambda form
+    maxsim = F.expr(
+        "aggregate(zip_with(q_vecs, q_sqs, (qv, qsq) -> "
+        "array_max(zip_with(c_vecs, c_sqs, (cv, csq) -> "
+        "CAST(aggregate(zip_with(qv, cv, (x, y) -> "
+        f"CAST(round(CAST(x AS double) * CAST(y AS double) * {DOT_SCALE!r}D) "
+        "AS bigint)), 0L, (acc, x) -> acc + x) AS double) "
+        "/ sqrt(CAST(qsq AS double) * CAST(csq AS double))))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
     scored = pairs.select(
         F.col("q_tdoc").alias("query_id"),
@@ -2085,18 +2057,19 @@ def maxsim_lsh_candidates(
     rows: dict[int, list[int]] = {}
     for p, _i, c in coeffs:
         rows.setdefault(p, []).append(c)
-    bits = []
-    for p in range(int(n_planes)):
-        crow = lit_longs(rows[p])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), crow, _scaled_prod),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    # the WHOLE bucket signature as one parsed expression (lits.py
+    # discipline, batched); the fold body is _scaled_prod rendered as SQL
+    bits = ",".join(
+        "CASE WHEN aggregate(zip_with(`" + vec_col + "`, array("
+        + ",".join(f"{int(c)}L" for c in rows[p])
+        + "), (x, y) -> CAST(round(CAST(x AS double) * CAST(y AS double) * "
+        + f"{DOT_SCALE!r}D) AS bigint)), 0L, (acc, x) -> acc + x) >= 0"
+        " THEN '1' ELSE '0' END"
+        for p in range(int(n_planes))
+    )
     sig = embeddings.select(
         F.expr(f"{id_col} div {int(m)}").alias("tdoc"),
-        F.concat(*bits).alias("bucket"),
+        F.expr(f"concat({bits})").alias("bucket"),
     )
     qt = sig.filter(query_pred).select(
         F.col("tdoc").alias("query_id"), "bucket"
@@ -2125,10 +2098,10 @@ SQ8_LSH_TABLE = 13  # independent seeded plane stream for the candidate bucketer
 BQ_BANDS = 8  # 64 bits -> 8 bands x 8 bits (multi-index pigeonhole)
 
 
-def _lattice(col: Column, scale: int) -> Column:
-    return F.transform(
-        col, lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long")
-    )
+def _lattice(col_sql: str, scale: int) -> Column:
+    # one parsed expression (the lits.py discipline) — identical tree to
+    # the F.transform(..., round-lambda) form
+    return lattice_longs(f"`{col_sql}`", int(scale))
 
 
 def sq8_train(
@@ -2145,7 +2118,7 @@ def sq8_train(
     a full scan but the shuffle carries 2*dim longs per partition);
     the bounds become plan literals, exactly the kmeans_int centroid
     discipline. rng==0 marks constant dimensions (code 0, exact)."""
-    q = _lattice(F.col(vec_col), scale)
+    q = _lattice(vec_col, scale)
     row = (
         embeddings.select(q.alias("_q"))
         .agg(
@@ -2197,7 +2170,7 @@ def sq8_codes(
     lo_lit = lit_longs(lo)
     rng_lit = lit_longs(rng)
     base = embeddings.select(
-        F.col(id_col).alias("vec_id"), _lattice(F.col(vec_col), scale).alias("_q")
+        F.col(id_col).alias("vec_id"), _lattice(vec_col, scale).alias("_q")
     )
     code = F.transform(
         F.col("_q"),
@@ -2259,16 +2232,16 @@ def sq8_topk(
         rows.setdefault(p, []).append(c)
 
     def bucket_col() -> Column:
-        bits = []
-        for p in range(int(n_planes)):
-            crow = lit_longs(rows[p])
-            dot = F.aggregate(
-                F.zip_with(F.col("_q"), crow, lambda x, c: x * c),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+        # the WHOLE bucket signature as one parsed expression (lits.py
+        # discipline, batched)
+        bits = ",".join(
+            "CASE WHEN aggregate(zip_with(_q, array("
+            + ",".join(f"{int(c)}L" for c in rows[p])
+            + "), (x, c) -> x * c), 0L, (acc, x) -> acc + x) >= 0"
+            " THEN '1' ELSE '0' END"
+            for p in range(int(n_planes))
+        )
+        return F.expr(f"concat({bits})")
 
     coded = sq8_codes(
         embeddings, bounds=(lo, rng), scale=scale, dim=dim,
@@ -2277,7 +2250,7 @@ def sq8_topk(
     corpus = (
         embeddings.select(
             F.col(id_col).alias("vec_id"),
-            _lattice(F.col(vec_col), scale).alias("_q"),
+            _lattice(vec_col, scale).alias("_q"),
         )
         .select("vec_id", bucket_col().alias("bucket"))
         .join(coded, "vec_id")
@@ -2286,7 +2259,7 @@ def sq8_topk(
         )
     )
     qs = queries.select(
-        F.col(id_col).alias("qid"), _lattice(F.col(vec_col), scale).alias("_q")
+        F.col(id_col).alias("qid"), _lattice(vec_col, scale).alias("_q")
     ).select("qid", "_q", bucket_col().alias("qbucket")).select(
         "qid", F.col("_q").alias("qv"), "qbucket"
     )
@@ -2323,7 +2296,7 @@ def bq_train(
     exact on any engine, no floor-vs-truncate hazard). One bounded
     reduce, same discipline as :func:`sq8_train`. The product q_i*n
     stays in int64 for corpora up to ~10^15 rows at |q| <= 10^4."""
-    q = _lattice(F.col(vec_col), scale)
+    q = _lattice(vec_col, scale)
     row = (
         embeddings.select(q.alias("_q"))
         .agg(
@@ -2363,7 +2336,7 @@ def bq_bands(
     assert width <= 62, "band words must fit in int64"
     s_lit = lit_longs(sums)
     lat = _with_sqnorm(df, id_col, vec_col).select(
-        "id", "v", "sq", _lattice(F.col("v"), scale).alias("_q")
+        "id", "v", "sq", _lattice("v", scale).alias("_q")
     )
     bits = F.transform(
         F.col("_q"),
@@ -2514,7 +2487,7 @@ def sq8_codes_frozen(
     lo_lit = lit_longs(lo)
     rng_lit = lit_longs(rng)
     base = embeddings.select(
-        F.col(id_col).alias("vec_id"), _lattice(F.col(vec_col), scale).alias("_q")
+        F.col(id_col).alias("vec_id"), _lattice(vec_col, scale).alias("_q")
     )
     raw = F.transform(
         F.col("_q"),
