@@ -19,6 +19,7 @@ cache only multi-consumer intermediates inside pipelines).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +36,21 @@ TPCH_TABLES = (
     "events",
     "documents",
     "embeddings",
+)
+
+
+# Per-session memo of base-table RELATIONS (query-plan objects, not
+# data): ``spark.read.parquet`` re-lists the directory and re-reads
+# parquet footers on every call, a blocking driver-side cost of
+# ~50-200 ms per table that recurs on EVERY query construction (each
+# one builds a fresh Catalog).  DataFrames are immutable plans, so
+# reusing the relation changes nothing about execution — every action
+# still scans the parquet files; no rows or results are cached (guide
+# §1.2: construction is serial driver time).  Keyed weakly by session
+# (a stopped session's entries vanish with it) and only for the named
+# base tables, whose files are immutable for a session's lifetime.
+_RELATIONS: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
 )
 
 
@@ -63,11 +79,16 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         """DataFrame for a base table (lazy; no job until an action)."""
         if name not in self._tables:
-            df = self.spark.read.parquet(self.path(name))
-            if name == "events":
-                from .streaming.events import normalize_ts
+            per_session = _RELATIONS.setdefault(self.spark, {})
+            path = self.path(name)
+            df = per_session.get(path)
+            if df is None:
+                df = self.spark.read.parquet(path)
+                if name == "events":
+                    from .streaming.events import normalize_ts
 
-                df = normalize_ts(df)
+                    df = normalize_ts(df)
+                per_session[path] = df
             self._tables[name] = df
         return self._tables[name]
 
