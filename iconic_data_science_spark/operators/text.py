@@ -688,11 +688,24 @@ def cdc_chunks(
             F.md5(F.expr("substring(_t, col.s, col.e - col.s + 1)")).alias("chunk_md5"),
         )
     )
-    sharing = chunks.groupBy("chunk_md5").agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs_sharing")
-    )
-    return chunks.join(sharing, "chunk_md5").select(
-        "doc_id", "chunk_idx", "start", "chunk_len", "chunk_md5", "n_docs_sharing"
+    # n_docs_sharing as ONE window over the chunk table instead of a
+    # groupBy + self-join back: the join form evaluates the per-position
+    # Horner-hash Generate subtree TWICE (once per branch — the two scans
+    # are different subtrees, so no exchange reuse), while the window
+    # form hashes each document once and pays a single chunk_md5 exchange
+    # (2 exchanges + double compute -> 1 exchange; the join concentrated
+    # per-key rows on one task anyway, so the skew posture is unchanged).
+    from pyspark.sql import Window as W
+
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        "chunk_len",
+        "chunk_md5",
+        F.size(F.collect_set("doc_id").over(W.partitionBy("chunk_md5")))
+        .cast("long")
+        .alias("n_docs_sharing"),
     )
 
 

@@ -233,12 +233,15 @@ EXCHANGE_BUDGET = {
     "q21_waiting_suppliers": 7,
     # round-3 additions: KMV = (group,hash) distinct + per-group rank;
     # z-order = map-side arithmetic + ONE per-chunk partial agg;
-    # CDC = in-row HOF chunking + the chunk-hash dedup groupBy/join
+    # CDC = in-row HOF chunking + ONE chunk_md5 window for n_docs_sharing
+    # (r10: the groupBy+join-back form re-evaluated the per-position
+    # Horner-hash Generate subtree twice — 2 Exchange + BroadcastExchange
+    # -> 1 Exchange, sf0.1 bench 3.9 -> 1.9 s)
     "ev_kmv_distinct": 2,
     "lh_zorder_stats": 1,
     "lh_hilbert_stats": 1,
     "lh_compaction_plan": 2,  # inventory agg + applyInPandas group
-    "text_cdc_chunks": 2,
+    "text_cdc_chunks": 1,
     # round-4 additions (budgeted in round 5): IVFPQ = centroid assign
     # + PQ-code agg + cell-pruned candidate join + topk; curation v3 is
     # the full exact→gates→fuzzy composition (deliberately the most
