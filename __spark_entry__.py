@@ -10156,14 +10156,21 @@ def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the SAME integer formula against one 10-plane
     literal table (plane-coefficient draws are sequential, so every B
     is a prefix). Subset property + recall vs ``ann_maxsim_topk``
-    pinned in test_llm_ops."""
+    pinned in test_llm_ops.
+
+    Compute-dense (r10): the candidate-pair rescore runs ~1k FP ops
+    per sub-KB row, so the AQE byte floor would coalesce it to 1-2
+    serial tasks — opt into the dense floor (session.mark_compute_dense;
+    sf0.1 execution 3.8 → 1.1 s)."""
     from iconic_data_science_spark.operators.similarity import (
         maxsim_lsh_candidates,
         maxsim_topk,
         multivector_docs,
     )
+    from iconic_data_science_spark.session import mark_compute_dense
 
     cat = _cat(spark, sf_dir)
+    mark_compute_dense(spark)
     docs = multivector_docs(cat.embeddings, m=4)
     cand = maxsim_lsh_candidates(
         cat.embeddings, query_pred=F.col("tdoc") % 10 == 0, m=4, n_planes=None
@@ -10626,7 +10633,13 @@ def q_curation_pipeline_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the URL synth, the canonicalization rules, the min-id keeper rule,
     the paging, every C4 rule, the LM tie-break, and the fold with
     defaults. The cleaned frame localCheckpoints (feeds the LM job and
-    the gate plan — the r7 cross-branch rule)."""
+    the gate plan — the r7 cross-branch rule).
+
+    Compute-dense (r10): the C4 rules + LM surprisal fold are heavy
+    per-row work over a byte-small frame, and the checkpoint freezes
+    whatever partitioning AQE coalesced to — opt into the dense floor
+    BEFORE the checkpoint materializes (session.mark_compute_dense;
+    sf0.1 execution 3.2 → 0.3 s)."""
     from iconic_data_science_spark.operators.text import (
         bigram_lm_topk,
         bigram_surprisal_gate,
@@ -10634,8 +10647,10 @@ def q_curation_pipeline_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_urls_noisy,
         url_dedup,
     )
+    from iconic_data_science_spark.session import mark_compute_dense
 
     cat = _cat(spark, sf_dir)
+    mark_compute_dense(spark)
     keepers = url_dedup(synth_urls_noisy(cat.documents)).select(
         F.col("keep_doc_id").alias("doc_id")
     )

@@ -160,6 +160,10 @@ HEADLINE = [
 def _streaming_bench(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
+    from iconic_data_science_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)  # reset any query's compute-dense AQE floor
+
     from iconic_data_science_spark.catalog import Catalog
     from iconic_data_science_spark.streaming import documents as sdoc
     from iconic_data_science_spark.streaming import events as sev
@@ -337,6 +341,10 @@ def _calibration(spark, sf_dir: str) -> float:
     per-query deltas can be read against the calibration ratio instead
     of a worktree bisect. Timed FIRST and LAST in every session."""
     from pyspark.sql import functions as F
+
+    from iconic_data_science_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)  # reset any query's compute-dense AQE floor
 
     t0 = time.perf_counter()
     (

@@ -61,6 +61,41 @@ def get_spark(
     return spark
 
 
+# AQE's partition coalescing targets BYTES: with parallelismFirst (default
+# true) the post-shuffle target size is max(totalBytes / defaultParallelism,
+# minPartitionSize), with minPartitionSize defaulting to 1 MB.  For
+# expression-dense stages — the MaxSim late-interaction fold (~1k FP ops per
+# sub-KB candidate row), the pruned-bigram-LM gate fold — the byte heuristic
+# under-parallelizes AT ANY SCALE: a few-MB shuffle output collapses to 1-2
+# tasks and the dense fold runs serially while the rest of the machine idles
+# (measured at sf0.1/local[32]: ann_maxsim_rerank 3.8 -> 1.1 s,
+# curation_pipeline_v10 execution 3.2 -> 0.3 s).  Queries whose hot stage is
+# compute-dense opt in to a smaller floor via mark_compute_dense() at
+# construction; ensure_engine_conf() resets the floor, so the opt-in lasts
+# exactly from that query's construction to the next query's.  The floor
+# stays scale-adaptive: once totalBytes/defaultParallelism exceeds it (every
+# large shuffle), the conf is a no-op.
+AQE_MIN_PARTITION_SIZE_DEFAULT = "1m"  # Spark's own default, restated
+DENSE_MIN_PARTITION_SIZE = os.environ.get(
+    "SPARK_GRAFT_DENSE_MIN_PARTITION_SIZE", "4k"
+)
+
+
+def mark_compute_dense(spark: SparkSession) -> SparkSession:
+    """Lower the AQE coalescing floor for a compute-dense query (see the
+    comment above).  Call AFTER ensure_engine_conf / catalog construction,
+    before any eager job (localCheckpoint partitioning is decided when the
+    checkpoint materializes)."""
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            DENSE_MIN_PARTITION_SIZE,
+        )
+    except Exception:
+        pass  # restricted conf — keep the default floor
+    return spark
+
+
 def configure_object_store(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
     """S13: cloud-storage credential/endpoint passthrough.
 
@@ -90,6 +125,12 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.shuffle.partitions", str(default_parallelism())),
+        # reset the compute-dense floor a previous query may have opted
+        # into (mark_compute_dense)
+        (
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            AQE_MIN_PARTITION_SIZE_DEFAULT,
+        ),
     ):
         try:
             spark.conf.set(k, v)

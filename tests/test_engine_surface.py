@@ -337,3 +337,21 @@ def test_bench_flagship_rows_ride_the_tail():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"headline names not in registry: {missing}"
     assert "g3_personal_net" in bench.FLAGSHIP_LAST
+
+
+def test_compute_dense_floor_opt_in_and_reset(spark):
+    """mark_compute_dense lowers the AQE coalescing floor for one query's
+    lifetime; ensure_engine_conf (run by every query's catalog
+    construction) restores Spark's default, so the opt-in can never leak
+    into the next query's execution."""
+    from iconic_data_science_spark.session import (
+        DENSE_MIN_PARTITION_SIZE,
+        ensure_engine_conf,
+        mark_compute_dense,
+    )
+
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    mark_compute_dense(spark)
+    assert spark.conf.get(key) == DENSE_MIN_PARTITION_SIZE
+    ensure_engine_conf(spark)
+    assert spark.conf.get(key) == "1m"
