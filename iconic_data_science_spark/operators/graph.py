@@ -211,11 +211,48 @@ def pagerank(
 PAGERANK_INT_SCALE = 1_000_000_000  # starting mass per node (10^9)
 
 
+def _pagerank_int_local(edges: DataFrame, damping_pct: int, iterations: int) -> DataFrame:
+    """Driver-side integer PageRank for edge tables under the local-solve
+    threshold (the bfs/kcore/kmeans_int tier discipline): one collect of
+    the materialized edge table, the IDENTICAL int64 recurrence in numpy
+    (floor divisions on non-negative longs — `//` == Spark `div` there;
+    `np.add.at` accumulates in exact int64, never float), one
+    createDataFrame back. A distributed round costs 1-2 fixed-overhead
+    jobs; 10 rounds of them on a sub-2M-edge graph is pure scheduling
+    latency (measured: web_pagerank 2.6 → 0.9 s at sf0.1)."""
+    import numpy as np
+
+    pdf = edges.toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    node_ids = np.unique(np.concatenate([src, dst]))
+    n = int(node_ids.shape[0])
+    si = np.searchsorted(node_ids, src)
+    di = np.searchsorted(node_ids, dst)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    r = np.full(n, PAGERANK_INT_SCALE, dtype=np.int64)
+    base = (100 - int(damping_pct)) * PAGERANK_INT_SCALE // 100
+    d = int(damping_pct)
+    for _ in range(int(iterations)):
+        c = r[si] // deg[si]  # deg[si] >= 1: si indexes only src nodes
+        recv = np.zeros(n, dtype=np.int64)
+        np.add.at(recv, di, c)
+        r = base + (d * recv) // 100
+    import pandas as pd
+
+    t = dict(edges.dtypes)["src"]
+    out = edges.sparkSession.createDataFrame(
+        pd.DataFrame({"node": node_ids, "rank_i": r})
+    )
+    return out.select(F.col("node").cast(t), F.col("rank_i").cast("long"))
+
+
 def pagerank_int(
     edges: DataFrame,
     damping_pct: int = 85,
     iterations: int = 10,
     broadcast_threshold_rows: int = 5_000_000,
+    local_solve_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Integer-lattice PageRank: the power iteration defined *as* integer
     arithmetic so the result hashes identically across engines (the
@@ -247,7 +284,17 @@ def pagerank_int(
     contribution groupBy. Above the threshold the loop falls back to
     shuffle joins unchanged. Measured 6.9 → 3.1-3.9 s (bench medians) on
     the sf0.1 web graph (10 rounds), hash-identical.
+
+    Three-tier (optimization round 10): edge tables under
+    ``local_solve_rows`` solve on the driver via the exact int64
+    recurrence (:func:`_pagerank_int_local`; pass ``None`` to skip the
+    gate's count for a huge lazy edge table — the bfs/kcore contract).
     """
+    if local_solve_rows is not None:
+        e2 = edges.select("src", "dst").localCheckpoint()
+        if e2.count() <= local_solve_rows:
+            return _pagerank_int_local(e2, damping_pct, iterations)
+        edges = e2  # reuse the materialized narrow table above threshold
     ed = edges.repartition("src")
     deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
     edges_deg = ed.join(deg, "src").localCheckpoint()
@@ -549,11 +596,56 @@ def kcore(
     return deg.filter(F.col("core_degree") >= k).select(F.col("src").alias("author"), "core_degree")
 
 
+def _sssp_local(
+    edges: DataFrame, rounds: int, source: int | None
+) -> DataFrame:
+    """Driver-side bounded Bellman-Ford for edge tables under the
+    local-solve threshold: the identical relaxation (int64-exact) with
+    the identical convergence signature and early exit, one collect in,
+    one createDataFrame out."""
+    import numpy as np
+
+    pdf = edges.toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    cost = pdf["cost"].to_numpy(dtype=np.int64)
+    if source is None:
+        source = int(src.min())
+    node_ids = np.unique(np.concatenate([src, dst, np.array([source], dtype=np.int64)]))
+    n = int(node_ids.shape[0])
+    si = np.searchsorted(node_ids, src)
+    di = np.searchsorted(node_ids, dst)
+    INF = np.iinfo(np.int64).max
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[np.searchsorted(node_ids, source)] = 0
+    prev_sig = None
+    for _ in range(int(rounds)):
+        reach = dist[si] != INF
+        nd = dist.copy()
+        if reach.any():
+            np.minimum.at(nd, di[reach], dist[si[reach]] + cost[reach])
+        dist = nd
+        known = dist != INF
+        sig = (int(known.sum()), int(dist[known].sum()))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    import pandas as pd
+
+    known = dist != INF
+    t = dict(edges.dtypes)["src"]
+    out = edges.sparkSession.createDataFrame(
+        pd.DataFrame({"author": node_ids[known], "dist": dist[known]})
+    )
+    return out.select(F.col("author").cast(t), F.col("dist").cast("long"))
+
+
 def sssp(
     edges: DataFrame,
     rounds: int = 6,
     source: int | None = None,
     broadcast_threshold_rows: int = 5_000_000,
+    local_solve_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Bounded single-source shortest paths (Bellman-Ford): (author,
     dist) — minimum total edge cost over paths of at most ``rounds``
@@ -574,6 +666,13 @@ def sssp(
     fixpoint are no-ops, keeping parity with the fixed-round oracle.
     """
     e = edges.select("src", "dst", F.col("cost").cast("long").alias("cost")).localCheckpoint()
+    # three-tier (optimization round 10): the per-round signature collect
+    # + checkpoint are 2 fixed-overhead jobs; a sub-2M-edge graph solves
+    # on the driver with the identical int64 relaxation (empty tables
+    # keep the distributed path — its null-source degenerate semantics
+    # are not worth replicating)
+    if local_solve_rows is not None and 0 < e.count() <= local_solve_rows:
+        return _sssp_local(e, rounds, source)
     if source is None:
         dist = e.agg(F.min("src").alias("author")).withColumn("dist", F.lit(0).cast("long"))
     else:
@@ -608,10 +707,59 @@ def sssp(
     return dist
 
 
+def _label_propagation_local(edges: DataFrame, rounds: int) -> DataFrame:
+    """Driver-side synchronous LPA for edge tables under the local-solve
+    threshold: identical vote/argmax semantics — votes per edge row
+    (multi-edges count), label domain fixed to the src-node set, edges
+    whose dst carries no label never vote (the inner join's behavior),
+    argmax = (max count, then smaller label), non-voted nodes keep their
+    label. All integer; one collect in, one createDataFrame out."""
+    import numpy as np
+
+    pdf = edges.toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    node_ids = np.unique(src)
+    n = int(node_ids.shape[0])
+    si = np.searchsorted(node_ids, src)
+    pos = np.searchsorted(node_ids, dst)
+    valid = (pos < n) & (node_ids[np.minimum(pos, n - 1)] == dst)
+    si, di = si[valid], pos[valid]
+    lab = node_ids.copy()
+    for _ in range(int(rounds)):
+        if si.shape[0] == 0:
+            break
+        lv = lab[di]
+        order = np.lexsort((lv, si))
+        s_s, l_s = si[order], lv[order]
+        new_run = np.empty(s_s.shape[0], dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (s_s[1:] != s_s[:-1]) | (l_s[1:] != l_s[:-1])
+        run_idx = np.flatnonzero(new_run)
+        run_s, run_l = s_s[run_idx], l_s[run_idx]
+        run_c = np.diff(np.append(run_idx, s_s.shape[0]))
+        o2 = np.lexsort((run_l, -run_c, run_s))
+        rs, rl = run_s[o2], run_l[o2]
+        first = np.empty(rs.shape[0], dtype=bool)
+        first[0] = True
+        first[1:] = rs[1:] != rs[:-1]
+        nl = lab.copy()
+        nl[rs[first]] = rl[first]
+        lab = nl
+    import pandas as pd
+
+    t = dict(edges.dtypes)["src"]
+    out = edges.sparkSession.createDataFrame(
+        pd.DataFrame({"node": node_ids, "label": lab})
+    )
+    return out.select(F.col("node").cast(t), F.col("label").cast(t))
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 5,
     broadcast_threshold_rows: int = 5_000_000,
+    local_solve_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Synchronous label-propagation communities (Raghavan et al. 2007,
     "Near linear time algorithm to detect community structures in
@@ -640,6 +788,14 @@ def label_propagation(
     100 TB this is the difference between reading the upstream tables
     once or K times.
     """
+    # three-tier (optimization round 10): K rounds × 2 fixed-overhead
+    # distributed jobs on a sub-2M-edge table is pure scheduling latency
+    # — solve on the driver with the identical integer vote/argmax
+    if local_solve_rows is not None:
+        e2 = edges.select("src", "dst").localCheckpoint()
+        if 0 < e2.count() <= local_solve_rows:
+            return _label_propagation_local(e2, rounds)
+        edges = e2
     edges = edges.repartition("dst").localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     # broadcast the node-grain label frame into the per-round joins
@@ -671,10 +827,53 @@ def label_propagation(
 HITS_INT_SCALE = 1_000_000  # post-normalization mass per round (10^6)
 
 
+def _hits_int_local(edges: DataFrame, iterations: int, scale: int) -> DataFrame:
+    """Driver-side integer HITS for (already distinct) edge tables under
+    the local-solve threshold: the identical normalize/floor recurrence
+    in exact int64 (the same model the hypothesis mirror in
+    test_properties implements), one collect in, one createDataFrame
+    out. Nodes without in-edges (resp. out-edges) get authority (resp.
+    hub) 0 — numerically identical to the distributed left-join
+    coalesce because (0 · scale) div tot == 0."""
+    import numpy as np
+
+    pdf = edges.toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    node_ids = np.unique(np.concatenate([src, dst]))
+    n = int(node_ids.shape[0])
+    si = np.searchsorted(node_ids, src)
+    di = np.searchsorted(node_ids, dst)
+    s = int(scale)
+    h = np.full(n, s, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(int(iterations)):
+        a_raw = np.zeros(n, dtype=np.int64)
+        np.add.at(a_raw, di, h[si])
+        tot = max(int(a_raw.sum()), 1)
+        a = (a_raw * s) // tot
+        h_raw = np.zeros(n, dtype=np.int64)
+        np.add.at(h_raw, si, a[di])
+        tot = max(int(h_raw.sum()), 1)
+        h = (h_raw * s) // tot
+    import pandas as pd
+
+    t = dict(edges.dtypes)["src"]
+    out = edges.sparkSession.createDataFrame(
+        pd.DataFrame({"node": node_ids, "hub_i": h, "auth_i": a})
+    )
+    return out.select(
+        F.col("node").cast(t),
+        F.col("hub_i").cast("long"),
+        F.col("auth_i").cast("long"),
+    )
+
+
 def hits_int(
     edges: DataFrame,
     iterations: int = 5,
     scale: int = HITS_INT_SCALE,
+    local_solve_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """(node, hub_i, auth_i) — integer-lattice HITS (Kleinberg 1999,
     "Authoritative Sources in a Hyperlinked Environment"): the
@@ -706,9 +905,18 @@ def hits_int(
         # final join with an AttributeError instead of a clear error,
         # and "HITS with no iterations" has no defined fixpoint value.
         raise ValueError("hits_int requires iterations >= 1")
-    edges = (
-        edges.select("src", "dst").distinct().repartition("src").localCheckpoint()
-    )
+    # three-tier (optimization round 10): the 5-round loop runs 3 eager
+    # checkpoint jobs per round; a sub-2M-edge graph solves on the driver
+    # with the identical int64 recurrence (bench web_hits 3.4 → 0.9 s)
+    if local_solve_rows is not None:
+        e2 = edges.select("src", "dst").distinct().localCheckpoint()
+        if 0 < e2.count() <= local_solve_rows:
+            return _hits_int_local(e2, iterations, scale)
+        edges = e2.repartition("src").localCheckpoint()
+    else:
+        edges = (
+            edges.select("src", "dst").distinct().repartition("src").localCheckpoint()
+        )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

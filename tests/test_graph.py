@@ -481,3 +481,43 @@ def test_hits_int_matches_python_model(spark, edges):
         h = {u: (s * scale) // tot for u, s in rh.items()}
     want = {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
     assert got == want
+
+
+def test_local_tier_matches_distributed_loops(spark):
+    """The r10 driver-local tiers (pagerank_int / hits_int /
+    label_propagation / sssp) must be row-identical to the distributed
+    loops (local_solve_rows=None) on a fixture with multi-edges, a
+    dangling node, asymmetric direction, and an unreachable component —
+    the exact-integer contract both tiers implement."""
+    from iconic_data_science_spark.operators.graph import (
+        hits_int,
+        label_propagation,
+        pagerank_int,
+        sssp,
+    )
+
+    edges = [
+        (1, 2), (1, 2),  # multi-edge (counts twice for pagerank/LPA votes)
+        (1, 3), (2, 3), (3, 1), (4, 1), (4, 3), (5, 4), (2, 6),
+        (7, 8),  # component reachable only via 7
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    for op, kw in (
+        (pagerank_int, dict(damping_pct=85, iterations=4)),
+        (hits_int, dict(iterations=3)),
+        (label_propagation, dict(rounds=4)),
+    ):
+        local = sorted(map(tuple, op(df, **kw).collect()))
+        dist = sorted(map(tuple, op(df, **kw, local_solve_rows=None).collect()))
+        assert local == dist, op.__name__
+
+    cdf = spark.createDataFrame(
+        [(s, d, (s + d) % 3 + 1) for s, d in edges], "src long, dst long, cost long"
+    )
+    for src_node in (1, 7, None):
+        local = sorted(map(tuple, sssp(cdf, rounds=5, source=src_node).collect()))
+        dist = sorted(
+            map(tuple, sssp(cdf, rounds=5, source=src_node, local_solve_rows=None).collect())
+        )
+        assert local == dist, f"sssp source={src_node}"
