@@ -221,6 +221,81 @@ def unigram_usage(
     )
 
 
+def _viterbi_best_local(word: str, costs: dict[str, int], max_piece: int):
+    """Best segmentation of one word by the engine's (cost, n_pieces,
+    space-joined key) rule — the python DP twin of
+    ``_unigram_word_encoder`` (prefix-exchange safe for exactly the
+    reason the in-row DP is). None == infeasible ([UNK])."""
+    n = len(word)
+    dp: list = [None] * (n + 1)
+    dp[0] = (0, 0, "")
+    for i in range(1, n + 1):
+        best = None
+        for L in range(1, min(int(max_piece), i) + 1):
+            prev = dp[i - L]
+            if prev is None:
+                continue
+            p = word[i - L : i]
+            c = costs.get(p)
+            if c is None:
+                continue
+            cand = (prev[0] + c, prev[1] + 1, p if prev[1] == 0 else prev[2] + " " + p)
+            if best is None or cand < best:
+                best = cand
+        dp[i] = best
+    return None if dp[n] is None else dp[n][2].split(" ")
+
+
+def _unigram_train_local(
+    pairs: list[tuple[str, int]],
+    vocab_size: int,
+    seed_size: int,
+    em_rounds: int,
+    max_piece: int,
+) -> list[tuple[str, int, int]]:
+    """Driver-side Viterbi-EM training from a collected (word, cnt)
+    table — value-identical to the distributed rounds (the sequential
+    model `tests/test_unigram._ref_unigram_train` proves equal by
+    hypothesis; this is that model minus the word counting, which the
+    engine already did)."""
+    from collections import Counter
+
+    wf = dict(pairs)
+    seed: Counter = Counter()
+    for w, c in wf.items():
+        for s in range(len(w)):
+            for L in range(1, min(int(max_piece), len(w) - s) + 1):
+                seed[w[s : s + L]] += c
+    singles = {p for p in seed if len(p) == 1}
+    vocab0 = {p: seed[p] for p in singles}
+    vocab0.update(
+        dict(sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))[: int(seed_size)])
+    )
+    if not vocab0:
+        return []
+    total0 = sum(vocab0.values())
+    costs = {p: _ilog2(total0) - _ilog2(f) for p, f in vocab0.items()}
+    usage: dict[str, int] = {}
+    for _ in range(int(em_rounds)):
+        u: Counter = Counter()
+        for w, c in wf.items():
+            seg = _viterbi_best_local(w, costs, max_piece)
+            if seg is None:
+                continue
+            for p in seg:
+                u[p] += c
+        usage = dict(u)
+        total = sum(usage.values())
+        costs = {p: _ilog2(total) - _ilog2(x) for p, x in usage.items()}
+    kept = dict(sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[: int(vocab_size)])
+    total = sum(usage.values())
+    default_cost = _ilog2(total) + 1 if total else 1
+    return [
+        (p, costs.get(p, default_cost), usage.get(p, 0))
+        for p in sorted(set(kept) | singles)
+    ]
+
+
 def unigram_train(
     documents: DataFrame,
     vocab_size: int = 32,
@@ -229,6 +304,7 @@ def unigram_train(
     max_piece: int = UNIGRAM_MAX_PIECE,
     max_word: int = UNIGRAM_MAX_WORD,
     text_col: str = "text",
+    local_train_words: int | None = 5_000,
 ) -> list[tuple[str, int, int]]:
     """Train the unigram vocabulary; returns the sorted list of
     (piece, cost, usage).
@@ -250,6 +326,23 @@ def unigram_train(
     unrolled MATERIALIZED CTEs in the DuckDB oracle (the text_bpe_vocab
     discipline)."""
     wf = word_counts(documents, max_word=max_word, text_col=text_col)
+    # local tier (optimization round 10, the kmeans_int discipline): the
+    # entire training state is the distinct-word table; when it fits in
+    # ``local_train_words`` (+1 probe row), collect it once and run the
+    # identical seed/EM/prune sequentially — the distributed path runs
+    # 5 serial jobs over a table that is tiny whenever the corpus is
+    # Zipf-shaped (31 distinct words at bench sf0.1). ``None`` skips the
+    # probe for corpora known to be word-diverse.
+    if local_train_words is not None:
+        probe = wf.limit(int(local_train_words) + 1).collect()
+        if len(probe) <= int(local_train_words):
+            return _unigram_train_local(
+                [(r["word"], r["cnt"]) for r in probe],
+                vocab_size,
+                seed_size,
+                em_rounds,
+                max_piece,
+            )
     wf = wf.localCheckpoint()  # consumed by the seed AND every EM round
     seed = seed_frequencies(wf, max_piece=max_piece)
     singles_rows = seed.filter(F.length("piece") == 1).collect()

@@ -240,3 +240,22 @@ def test_unigram_train_matches_python_em_mirror(spark):
         assert got == _ref_unigram_train(texts, 8, 12, 2)
 
     check()
+
+
+def test_local_training_tier_matches_distributed(spark):
+    """The r10 driver-local training tier must equal the distributed
+    EM rounds (local_train_words=None) — seed ties, viterbi ties,
+    prune, default costs — on corpora exercising all of them."""
+    corpora = [
+        ["ab ab ba abc", "ca bb ab a b", "abc abc ca"],
+        ["aaaa aaab aab", "ba ab aaaa"],
+        ["zzz", "z zz zzz zzzz"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        local = unigram_train(df, vocab_size=8, seed_size=12, em_rounds=2)
+        dist = unigram_train(
+            df, vocab_size=8, seed_size=12, em_rounds=2, local_train_words=None
+        )
+        assert local == dist
+        assert local == _ref_unigram_train(texts, 8, 12, 2)
