@@ -466,7 +466,15 @@ def _local_union_find(pairs: DataFrame) -> DataFrame:
     on the driver — the broadcast-join decision — one collect beats a
     multi-round distributed fixpoint of fixed per-job overhead.
     """
-    pdf = pairs.toPandas()
+    rows = pairs.select("id1", "id2").collect()
+    return _union_find_rows(
+        rows, pairs.sparkSession, pairs.schema["id1"].dataType.simpleString()
+    )
+
+
+def _union_find_rows(rows, spark, id_type: str) -> DataFrame:
+    """Union-find over already-collected (id1, id2) rows (shared by the
+    direct entry point and dedup_clusters' single-collect probe)."""
     up: dict = {}
 
     def find(x):
@@ -477,16 +485,15 @@ def _local_union_find(pairs: DataFrame) -> DataFrame:
             up[x], x = r, up[x]
         return r
 
-    for a, b in zip(pdf["id1"], pdf["id2"]):
+    nodes = set()
+    for a, b in rows:
+        nodes.add(a)
+        nodes.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             up[max(ra, rb)] = min(ra, rb)
-    nodes = sorted(set(pdf["id1"]) | set(pdf["id2"]))
-    out = [(n, find(n)) for n in nodes]
-    id_type = pairs.schema["id1"].dataType.simpleString()
-    return pairs.sparkSession.createDataFrame(
-        out, f"doc_id {id_type}, cluster_id {id_type}"
-    )
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(out, f"doc_id {id_type}, cluster_id {id_type}")
 
 
 def dedup_clusters(
@@ -510,16 +517,26 @@ def dedup_clusters(
     2-3 rounds); the loop caps at ``max_iters`` regardless.
 
     Three-tier strategy: a pair table ≤ ``local_solve_rows`` is solved
-    on the driver with path-compressed union-find (one collect, no loop
-    — ``_local_union_find``); larger sets run the distributed fixpoint,
-    broadcast-hash per round under ``broadcast_threshold_rows`` and
-    shuffle joins at web scale.
+    on the driver with path-compressed union-find; larger sets run the
+    distributed fixpoint, broadcast-hash per round under
+    ``broadcast_threshold_rows`` and shuffle joins at web scale.
+
+    The pair subtree — usually an expensive similarity join — is
+    ``localCheckpoint``ed ONCE up front: the tier gate's count, the
+    local tier's collect, and the distributed tier's both-directions
+    union all read the materialized table instead of re-evaluating the
+    join (the old count()-then-collect shape paid the join twice; a
+    limit(threshold+1) probe was tried and is worse — CollectLimit runs
+    serial incremental partition rounds when the limit is never hit).
     """
-    if pairs.count() <= local_solve_rows:
-        return _local_union_find(pairs)
+    p2 = pairs.select("id1", "id2").localCheckpoint()
+    if p2.count() <= local_solve_rows:
+        return _union_find_rows(
+            p2.collect(), pairs.sparkSession, pairs.schema["id1"].dataType.simpleString()
+        )
     edges = (
-        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        p2.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionByName(p2.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
         .distinct()
         .persist()
     )
