@@ -573,37 +573,59 @@ def build_inverted_index(
 
     Positions are 0-based token offsets; map keys sort ascending so the
     serialization is deterministic (MAG's own key order is arbitrary).
-    Scale shape: one doc-keyed shuffle (the posexplode fan-out groups
-    straight back to doc_id); everything else is map-side built-ins.
+
+    Scale shape: ZERO exchanges. doc_id is the row grain of the input,
+    so the old posexplode → groupBy(doc_id, word) → groupBy(doc_id)
+    pipeline (two shuffles of the exploded posting table) merely
+    reassembled rows that one in-row pass builds directly: sort the
+    (word, pos) pairs, find the run starts, emit one map entry per run
+    — O(n log n) per document, embarrassingly parallel at any corpus
+    size. NULL-text rows are dropped, matching the old posexplode
+    semantics (a NULL token array generates no rows).
     """
     toks = words(F.col(text_col))
-    base = documents.select(
+    base = documents.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("long").alias("index_length"),
-        F.posexplode(toks).alias("pos", "word"),
+        toks.alias("_t"),
     )
-    per_word = base.groupBy("doc_id", "word").agg(
-        F.max("index_length").alias("index_length"),
-        F.array_sort(F.collect_list("pos")).alias("poss"),
+    # named intermediates: composing HOFs inline re-evaluates the whole
+    # upstream expression per element (the hashed_shingle_arrays lesson)
+    paired = base.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("index_length"),
+        F.expr("array_sort(transform(_t, (w, i) -> struct(w AS word, i AS pos)))").alias(
+            "_s"
+        ),
     )
-    return (
-        per_word.groupBy("doc_id")
-        .agg(
-            F.max("index_length").alias("index_length"),
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("word", "poss")))
-            ).alias("inv"),
-        )
-        .select(
-            "doc_id",
-            "index_length",
-            F.to_json(
-                F.struct(
-                    F.col("index_length").cast("int").alias("IndexLength"),
-                    F.col("inv").alias("InvertedIndex"),
-                )
-            ).alias("inverted_index_json"),
-        )
+    runs = paired.select(
+        "doc_id",
+        "index_length",
+        "_s",
+        # 0-based indices where a new word's run begins (index 0 always;
+        # sequence starts at 1 so _s[i-1] never goes negative under ANSI;
+        # the single-token guard matters because sequence(1, 0) is the
+        # DESCENDING [1, 0], not empty)
+        F.expr(
+            "CASE WHEN size(_s) < 2 THEN array(0)"
+            " ELSE concat(array(0), filter(sequence(1, size(_s) - 1),"
+            " i -> _s[i].word != _s[i - 1].word)) END"
+        ).alias("_starts"),
+    )
+    inv = F.expr(
+        "map_from_entries(transform(_starts, (s, si) -> struct("
+        " _s[s].word AS word,"
+        " transform(sequence(s, coalesce(try_element_at(_starts, si + 2), size(_s)) - 1),"
+        "           j -> _s[j].pos) AS poss)))"
+    )
+    return runs.select(
+        "doc_id",
+        "index_length",
+        F.to_json(
+            F.struct(
+                F.col("index_length").cast("int").alias("IndexLength"),
+                inv.alias("InvertedIndex"),
+            )
+        ).alias("inverted_index_json"),
     )
 
 

@@ -222,6 +222,11 @@ EXCHANGE_BUDGET = {
     "dedup_minhash_lsh": 18,
     "dedup_ngram_jaccard": 3,
     "dedup_clusters": 0,
+    # r10: posexplode -> groupBy(doc,word) -> groupBy(doc) (2 shuffles of
+    # the posting table) rewritten as one in-row run-grouping pass over
+    # the sorted (word,pos) pairs — doc_id is the input row grain, so the
+    # regroup only reassembled rows. 2 Exchange -> 0.
+    "text_inverted_index": 0,
     "decontaminate_ngram": 2,
     "text_bm25_topk": 5,
     "semdedup_prune": 9,
