@@ -2001,15 +2001,14 @@ def wordpiece_vocab(
         lambda x: x != "",
     )
     words = documents.select(F.explode(t).alias("w"))
-    top = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.col("c").desc(), "w")
-        .limit(int(n_words))
-        .collect()
-    )
+    # ONE corpus pass: the distinct-word count table is checkpointed and
+    # feeds both the top-k job and the alphabet job (distinct chars of
+    # distinct words == distinct chars of all occurrences — the old char
+    # pass re-tokenized and exploded EVERY corpus token occurrence)
+    wf = words.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
+    top = wf.orderBy(F.col("c").desc(), "w").limit(int(n_words)).collect()
     chars = (
-        words.select(
+        wf.select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.length("w")),
