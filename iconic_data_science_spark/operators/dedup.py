@@ -432,8 +432,13 @@ def minhash_lsh_pairs(
         # Array-native fast path: hash every token once into the
         # per-doc shingle array (checkpointed — the md5 work happens
         # exactly once), compute band signatures map-side with no
-        # explode/groupBy, and explode only for the candidate-restricted
-        # verify. First exchange in the pipeline = the bucket join.
+        # explode/groupBy. First exchange in the pipeline = the bucket
+        # join. The verify is array-native too (optimization round 10):
+        # the candidate pair joins its two DISTINCT shingle arrays and
+        # computes |A∩B| in-row — same Jaccard as the exploded
+        # self-join + three aggregate/join steps it replaces (the
+        # posting-list verify re-shuffled the exploded table per
+        # candidate side; this joins only |candidates| rows).
         arrays = hashed_shingle_arrays(documents, n=n).localCheckpoint()
         band_sigs = minhash_band_sigs_from_arrays(
             arrays, num_perm=num_perm, rows_per_band=rows_per_band
@@ -446,8 +451,23 @@ def minhash_lsh_pairs(
             .select("id1", "id2")
             .distinct()
         )
-        sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
-        return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
+        a1 = arrays.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("_sh1"))
+        a2 = arrays.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("_sh2"))
+        inter = (
+            cands.join(a1, "id1")
+            .join(a2, "id2")
+            .withColumn("_i", F.size(F.array_intersect("_sh1", "_sh2")))
+        )
+        return (
+            inter.select(
+                "id1",
+                "id2",
+                (
+                    F.col("_i") / (F.size("_sh1") + F.size("_sh2") - F.col("_i"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     # df-capped path: the cap is a global document-frequency filter, so
     # it runs over the posting lists (the exploded table feeds both the
     # signature aggregation and the verify)

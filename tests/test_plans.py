@@ -219,7 +219,13 @@ EXCHANGE_BUDGET = {
     # collect_list-distinct for n_alter_countries (no Expand): pair
     # self-join's 2 + the one ego repartition
     "g7_ego_indicators": 3,
-    "dedup_minhash_lsh": 18,
+    # r10: array-native verify (candidate pair joins its two shingle
+    # arrays, |A∩B| in-row) replaced the exploded posting self-join +
+    # three aggregate/join steps: measured 1 shuffle (the candidate
+    # distinct; everything else broadcasts at test scale); budget 8
+    # admits the all-SMJ shape at scale (bucket join 2 + distinct 1 +
+    # two array joins 4 + sizes stay in-row)
+    "dedup_minhash_lsh": 8,
     "dedup_ngram_jaccard": 3,
     "dedup_clusters": 0,
     # r10: posexplode -> groupBy(doc,word) -> groupBy(doc) (2 shuffles of
