@@ -1011,35 +1011,27 @@ def minhash_lsh_incremental(
     ns = minhash_band_sigs_from_arrays(na, num_perm=num_perm, rows_per_band=rows_per_band).select(
         F.col("doc_id").alias("new_id"), "band", "band_sig"
     )
-    # pair-id-grain candidates feed BOTH side restrictions and the
-    # final semi-join — checkpoint them or the band-bucket join +
-    # distinct re-executes three times in the one plan (no cross-branch
-    # CSE, the trainer-margins lesson r7)
-    cands = (
-        cs.join(ns, ["band", "band_sig"]).select("corpus_id", "new_id").distinct()
-        .localCheckpoint()
-    )
-    shc = ca.join(
-        cands.select(F.col("corpus_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
-    ).select(F.col("doc_id").alias("corpus_id"), F.explode("shingles").alias("shingle"))
-    shn = na.join(
-        cands.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
-    ).select(F.col("doc_id").alias("new_id"), F.explode("shingles").alias("shingle"))
+    # array-native verify (optimization round 10, same as
+    # minhash_lsh_pairs): each candidate pair joins its two DISTINCT
+    # shingle arrays and computes |A∩B| in-row — the exploded
+    # cross-side posting join + groupBy + semi-join + two size joins it
+    # replaces shuffled the posting table per side. cands now has ONE
+    # consumer, so the r7 anti-CSE checkpoint is gone too.
+    cands = cs.join(ns, ["band", "band_sig"]).select("corpus_id", "new_id").distinct()
+    a1 = ca.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("_sh1"))
+    a2 = na.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("_sh2"))
     inter = (
-        shc.join(shn, "shingle")
-        .groupBy("corpus_id", "new_id")
-        .agg(F.count("*").alias("inter"))
-        .join(cands, ["corpus_id", "new_id"], "left_semi")
+        cands.join(a1, "corpus_id")
+        .join(a2, "new_id")
+        .withColumn("_i", F.size(F.array_intersect("_sh1", "_sh2")))
     )
-    szc = ca.select(F.col("doc_id").alias("corpus_id"), F.size("shingles").alias("sz1"))
-    szn = na.select(F.col("doc_id").alias("new_id"), F.size("shingles").alias("sz2"))
     return (
-        inter.join(szc, "corpus_id")
-        .join(szn, "new_id")
-        .select(
+        inter.select(
             "corpus_id",
             "new_id",
-            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
+            (
+                F.col("_i") / (F.size("_sh1") + F.size("_sh2") - F.col("_i"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

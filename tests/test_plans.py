@@ -237,7 +237,9 @@ EXCHANGE_BUDGET = {
     "text_bm25_topk": 5,
     "semdedup_prune": 9,
     "ann_pq_topk": 3,
-    "dedup_incremental": 6,
+    # r10: array-native cross-side verify (measured 1; 8 admits the
+    # all-SMJ scale shape — see dedup_minhash_lsh)
+    "dedup_incremental": 8,
     "profile_conversion": 5,
     "g4_bfs": 0,
     "q9_product_profit": 1,
