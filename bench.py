@@ -18,6 +18,7 @@ load-normalized against host drift.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -416,6 +417,14 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # Between-queries hygiene, OUTSIDE every timed region: drop the
+        # last query's python-side frame references and collect, so the
+        # JVM blocks behind earlier queries' localCheckpoints are
+        # eligible for py4j/ContextCleaner release before the next query
+        # is timed, instead of piling up across a 59-query session.
+        # Standard interference reduction; the timed work is unchanged.
+        df = None
+        gc.collect()
 
     # Streaming rows ride along unless a query subset was requested or
     # SPARK_GRAFT_BENCH_STREAMING=0.
