@@ -11144,18 +11144,21 @@ def q_text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     never emits UNK, Unigram does on uncoverable/overlong words). With
     this row the three trained tokenizers (BPE / WordPiece via encode
     counts / Unigram) compare under ONE metric table. Shape: the
-    zero-exchange Viterbi encode map + one lang-grain aggregate; the
-    oracle composes the full text_unigram_encode replay (train + three
-    Viterbi chains) with the char rollup."""
+    BATCH Viterbi encode (row-identical twin of the map form — the DP
+    runs once per DISTINCT word, the Zipf lever; this is a backfill
+    rollup, not an ingest gate, so full-corpus lookahead is free) + one
+    lang-grain aggregate; the oracle composes the full
+    text_unigram_encode replay (train + three Viterbi chains) with the
+    char rollup."""
     from iconic_data_science_spark.operators.bpe import words
     from iconic_data_science_spark.operators.unigram import (
-        unigram_encode,
+        unigram_encode_batch,
         unigram_train,
     )
 
     cat = _cat(spark, sf_dir)
     v = unigram_train(cat.documents, vocab_size=32, seed_size=48, em_rounds=2)
-    enc = unigram_encode(cat.documents, [(p, c) for p, c, _ in v])
+    enc = unigram_encode_batch(cat.documents, [(p, c) for p, c, _ in v])
     chars = cat.documents.select(
         "doc_id",
         "lang",
