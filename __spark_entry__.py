@@ -10764,18 +10764,20 @@ def q_text_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query all three trained tokenizers are literally comparable
     under one metric surface (identical lang/doc/word/char marginals —
     all three split the same lowercased whitespace words). Shape: the
-    zero-exchange encode map + the in-row char fold + one lang-grain
-    aggregate; the oracle composes the full wordpiece_encode replay
-    (vocab derivation + double fold) with the char rollup."""
+    BATCH greedy encode (row-identical twin — fold once per DISTINCT
+    word, the Zipf lever; a backfill rollup, not an ingest gate) + the
+    in-row char fold + one lang-grain aggregate; the oracle composes
+    the full wordpiece_encode replay (vocab derivation + double fold)
+    with the char rollup."""
     from iconic_data_science_spark.operators.bpe import words
     from iconic_data_science_spark.operators.text import (
-        wordpiece_encode,
+        wordpiece_encode_batch,
         wordpiece_vocab,
     )
 
     cat = _cat(spark, sf_dir)
     vocab = wordpiece_vocab(cat.documents, n_words=12)
-    enc = wordpiece_encode(cat.documents, vocab)
+    enc = wordpiece_encode_batch(cat.documents, vocab)
     chars = cat.documents.select(
         "doc_id",
         "lang",
