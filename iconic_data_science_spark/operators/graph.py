@@ -126,8 +126,19 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Canonicalize to a<b, then the standard two-join motif: (a<b) ⋈ (b<c)
     ⋈ (a,c) — each triangle counted exactly once. The closure shape of
     G3, as a whole-graph statistic.
+
+    The canonical edge set feeds THREE join sides; materialize it once
+    (no cross-branch CSE — the upstream edge derivation, e.g. the
+    coauthor pairing self-join, would otherwise execute three times;
+    the r10 plan audit found the whole subtree triplicated with no
+    ReusedExchange because each side re-partitions on a different key).
     """
-    canon = edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    canon = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
     e1 = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
