@@ -1713,7 +1713,15 @@ def surprisal_buckets(
     langs = documents.select(
         F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
     )
-    sl = scored.join(langs, "doc_id").select("doc_id", "lang", "surprisal_milli")
+    # the scored table feeds BOTH the histogram and the final bucket
+    # assignment — materialize it once or the whole bigram-LM scoring
+    # pass (tokenize + in-row surprisal fold) executes twice (the
+    # multi-consumer rule; r10 plan audit: 16 parquet scans → 8)
+    sl = (
+        scored.join(langs, "doc_id")
+        .select("doc_id", "lang", "surprisal_milli")
+        .localCheckpoint()
+    )
     hist = sl.groupBy("lang", "surprisal_milli").agg(F.count("*").alias("_c"))
     wcum = (
         W.partitionBy("lang")
