@@ -565,29 +565,40 @@ def pq_codes(
       codes    — (id, sub, c_id): m rows per corpus vector.
     """
     dim_over_m = F.floor(F.size(F.col(vec_col)) / m).cast("int")
-    subs = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.slice(
-                    F.col(vec_col), s * dim_over_m + 1, dim_over_m
-                ),
-            )
-        ).alias("sub", "sv"),
-    ).withColumn(
-        "sv_sq",
-        F.aggregate(
-            F.transform("sv", lambda x: _scaled_prod(x, x)),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ),
-    )
+
+    def _sub_explode(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(
+                        F.col(vec_col), s * dim_over_m + 1, dim_over_m
+                    ),
+                )
+            ).alias("sub", "sv"),
+        ).withColumn(
+            "sv_sq",
+            F.aggregate(
+                F.transform("sv", lambda x: _scaled_prod(x, x)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+
+    subs = _sub_explode(embeddings)
     # ids are the table key (unique by contract), so no distinct — this
     # plans as a shuffle-free TakeOrderedAndProject
     lowest_ids = embeddings.select(F.col(id_col).alias("id")).orderBy("id").limit(n_codes)
+    # semi-join the RAW rows before slicing: a semi join cannot push
+    # below the posexplode projection, so filtering `subs` would slice
+    # the whole corpus just to keep n_codes seed vectors (r10 plan
+    # audit) — restrict first, slice n_codes rows
+    seed_rows = embeddings.join(
+        F.broadcast(lowest_ids), embeddings[id_col] == lowest_ids["id"], "left_semi"
+    )
     codebook = (
-        subs.join(F.broadcast(lowest_ids), "id", "left_semi")
+        _sub_explode(seed_rows)
         .select(
             "sub",
             F.col("id").alias("c_id"),
