@@ -332,7 +332,15 @@ def ivf_assign(
             F.col("c_id"), F.col("c_v").cast("array<float>").alias("c_v"), csq.alias("c_sq")
         )
     else:
-        centroids = e.orderBy("id").limit(n_cells).select(
+        # restrict the RAW rows before the sqnorm projection: the fold
+        # in _with_sqnorm sits below the TakeOrdered otherwise and runs
+        # corpus-wide just to seed n_cells pseudo-centroids (the
+        # pq_codes r10 lesson)
+        lowest = embeddings.select(F.col(id_col).alias("id")).orderBy("id").limit(n_cells)
+        seed = embeddings.join(
+            F.broadcast(lowest), embeddings[id_col] == lowest["id"], "left_semi"
+        )
+        centroids = _with_sqnorm(seed, id_col, vec_col).select(
             F.col("id").alias("c_id"), F.col("v").alias("c_v"), F.col("sq").alias("c_sq")
         )
     dot = F.aggregate(
