@@ -49,9 +49,26 @@ TPCH_TABLES = (
 # §1.2: construction is serial driver time).  Keyed weakly by session
 # (a stopped session's entries vanish with it) and only for the named
 # base tables, whose files are immutable for a session's lifetime.
-_RELATIONS: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+_RELATIONS: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _path_signature(path: str) -> tuple:
+    """(mtime_ns, size) fingerprint of a parquet file or directory-of-
+    files; any rewrite changes it.  os.stat is microseconds against the
+    50-200 ms directory listing + footer read the memo saves."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        parts = []
+        for entry in sorted(os.listdir(path)):
+            s = os.stat(os.path.join(path, entry))
+            parts.append((entry, s.st_mtime_ns, s.st_size))
+        return tuple(parts)
+    except OSError:
+        return ("missing",)
 
 
 class Catalog:
@@ -81,14 +98,23 @@ class Catalog:
         if name not in self._tables:
             per_session = _RELATIONS.setdefault(self.spark, {})
             path = self.path(name)
-            df = per_session.get(path)
+            # The memo entry is only valid while the underlying file is
+            # byte-identical to the one the relation captured: the
+            # relation pins the parquet schema (and possibly file
+            # listing) at creation.  Key on (mtime_ns, size) so a
+            # caller that rewrites a table in place — the fuzz gates do
+            # this between hypothesis examples — always gets a fresh
+            # relation instead of one with a stale footer snapshot.
+            sig = _path_signature(path)
+            hit = per_session.get(path)
+            df = hit[1] if hit is not None and hit[0] == sig else None
             if df is None:
                 df = self.spark.read.parquet(path)
                 if name == "events":
                     from .streaming.events import normalize_ts
 
                     df = normalize_ts(df)
-                per_session[path] = df
+                per_session[path] = (sig, df)
             self._tables[name] = df
         return self._tables[name]
 

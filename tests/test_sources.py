@@ -278,3 +278,36 @@ def test_compact_parquet_target_sizing(spark, tmp_path):
     stats = compact_parquet(spark, p, target_file_bytes=50_000)
     import math
     assert stats["files_after"] == max(1, math.ceil(stats["bytes"] / 50_000))
+
+
+def test_catalog_memo_invalidates_on_rewrite(spark, tmp_path):
+    """The per-session relation memo must never serve a stale relation
+    after a base table is rewritten in place (the fuzz gates overwrite
+    <dir>/<table>.parquet between hypothesis examples)."""
+    import duckdb
+    from iconic_data_science_spark.catalog import Catalog
+
+    d = str(tmp_path)
+
+    def write(n):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+        con.executemany(
+            "INSERT INTO e VALUES (?, ?, ?)",
+            [(i, [float(i % 5)] * 8, i % 3) for i in range(n)],
+        )
+        con.execute(f"COPY e TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+        con.close()
+
+    write(10)
+    df1 = Catalog(spark, d).embeddings
+    assert df1.count() == 10
+    write(29)
+    df2 = Catalog(spark, d).embeddings
+    # a rewrite must yield a FRESH relation (stale footer snapshots in
+    # a reused relation are how a 29-row corpus can read as 0 rows)
+    assert df2 is not df1
+    assert df2.count() == 29
+    # unchanged file: the memo hit is the same relation object
+    df3 = Catalog(spark, d).embeddings
+    assert df3 is df2
