@@ -303,7 +303,11 @@ def pagerank_int(
     """
     if local_solve_rows is not None:
         e2 = edges.select("src", "dst").localCheckpoint()
-        if e2.count() <= local_solve_rows:
+        # 0 <: empty edge tables keep the distributed path (its joins
+        # yield the empty result with the right schema; the local tier's
+        # schema-less createDataFrame cannot represent an empty frame) —
+        # the same guard sssp/label_propagation/hits_int carry
+        if 0 < e2.count() <= local_solve_rows:
             return _pagerank_int_local(e2, damping_pct, iterations)
         edges = e2  # reuse the materialized narrow table above threshold
     ed = edges.repartition("src")

@@ -521,3 +521,25 @@ def test_local_tier_matches_distributed_loops(spark):
             map(tuple, sssp(cdf, rounds=5, source=src_node, local_solve_rows=None).collect())
         )
         assert local == dist, f"sssp source={src_node}"
+
+
+def test_iterative_loops_empty_edges_route_distributed(spark):
+    """An EMPTY edge table must route to the distributed path in every
+    local-tiered loop operator (the local tiers' schema-less
+    createDataFrame cannot represent an empty frame — found by the
+    graph fuzz gate: a fuzzed year filter left pagerank_int zero edges
+    and the local tier raised CANNOT_INFER_EMPTY_SCHEMA)."""
+    from iconic_data_science_spark.operators.graph import (
+        hits_int,
+        label_propagation,
+        pagerank_int,
+        sssp,
+    )
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank_int(empty, damping_pct=85, iterations=3).collect() == []
+    assert hits_int(empty, iterations=2).collect() == []
+    assert label_propagation(empty, rounds=2).collect() == []
+    empty_costed = spark.createDataFrame([], "src bigint, dst bigint, cost bigint")
+    # the source itself is reachable at distance 0 even with no edges
+    assert [tuple(r) for r in sssp(empty_costed, rounds=2, source=1).collect()] == [(1, 0)]
