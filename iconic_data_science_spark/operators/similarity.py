@@ -129,6 +129,45 @@ def brute_force_topk(
     return _topk(pairs, k)
 
 
+def _lsh_bucket_expr(
+    vec_col: str, table: int = 0, n_planes: int = N_PLANES, dim: int = _DIM
+) -> Column:
+    """The B-bit hyperplane signature as ONE in-row parsed expression.
+
+    Value-identical to the historical posexplode → join(planes) →
+    groupBy-SUM → collect form: each per-element product rounds to the
+    int64 lattice exactly as ``_scaled_prod`` does, and int64 addition is
+    order-independent, so the per-plane dot — and every sign bit — is
+    bit-for-bit the same.  SUM's skip-NULLs semantics are replayed by
+    ``coalesce(x, 0L)`` in the fold (a zip_with pad past either array's
+    end also folds as 0, matching the inner join on element index).
+    Callers must keep the explode-drop contract themselves: filter
+    NULL/empty vectors, which the old form dropped by never emitting an
+    exploded row for them.
+    """
+    coeffs = _plane_coeffs(n_planes=n_planes, dim=dim, table=table)
+    rows: dict[int, list[int]] = {}
+    for p, _i, c in coeffs:
+        rows.setdefault(p, []).append(c)
+    v = f"`{vec_col}`"
+    bits = ",".join(
+        f"CASE WHEN aggregate(zip_with({v}, array("
+        + ",".join(str(int(c)) for c in rows[p])
+        + "), (x, c) -> CAST(round(CAST(x AS double) * CAST(c AS double) * "
+        + f"{DOT_SCALE!r}D) AS bigint)), 0L, (acc, x) -> acc + coalesce(x, 0L)) >= 0"
+        " THEN '1' ELSE '0' END"
+        for p in range(int(n_planes))
+    )
+    return F.expr(f"concat({bits})")
+
+
+def _non_empty_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """The explode-drop contract of the historical signature: a NULL or
+    empty vector never produced an exploded element, so its id carried
+    no signature row and inner joins on id dropped it."""
+    return df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+
+
 def lsh_signature(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -136,35 +175,17 @@ def lsh_signature(
     table: int = 0,
     n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """(id, bucket) — B-bit random-hyperplane signature as a string key."""
-    spark = embeddings.sparkSession
-    planes = spark.createDataFrame(
-        _plane_coeffs(n_planes=n_planes, table=table), "plane int, i int, coeff int"
-    )
-    elems = embeddings.select(
+    """(id, bucket) — B-bit random-hyperplane signature as a string key.
+
+    Computed in-row off the vector column (``_lsh_bucket_expr``): the
+    whole signature composes with the scan as a pure map — zero
+    exchanges, where the posexplode + plane-join + two-aggregation form
+    this replaced paid two shuffles of the exploded element table per
+    call (guide §2.1; values bit-identical, see ``_lsh_bucket_expr``).
+    """
+    return _non_empty_vectors(embeddings, vec_col).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    ).select("id", (F.col("pos") + 1).alias("i"), "x")
-    dots = (
-        elems.join(F.broadcast(planes), "i")
-        .groupBy("id", "plane")
-        .agg(F.sum(_scaled_prod(F.col("x"), F.col("coeff"))).alias("dot"))
-    )
-    return (
-        dots.select(
-            "id",
-            "plane",
-            F.when(F.col("dot") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-        )
-        .groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("plane", "bit"))), lambda s: s["bit"]
-                ),
-                "",
-            ).alias("bucket")
-        )
+        _lsh_bucket_expr(vec_col, table=table, n_planes=n_planes).alias("bucket"),
     )
 
 
@@ -435,8 +456,15 @@ def lsh_topk(
     corpus = _with_sqnorm(embeddings, id_col, vec_col)
     qs0 = _with_sqnorm(queries, id_col, vec_col)
     if n_tables == 1:
-        corpus_b = corpus.join(lsh_signature(embeddings, id_col, vec_col), "id").alias("c")
-        qs = qs0.join(lsh_signature(queries, id_col, vec_col), "id").alias("q")
+        # bucket attached IN the sqnorm projection (one map over the
+        # scan) — the join-the-signature-back-on-id form re-read each
+        # side and paid the signature aggregation's exchanges
+        corpus_b = _with_sqnorm(
+            _non_empty_vectors(embeddings, vec_col), id_col, vec_col
+        ).withColumn("bucket", _lsh_bucket_expr("v")).alias("c")
+        qs = _with_sqnorm(
+            _non_empty_vectors(queries, vec_col), id_col, vec_col
+        ).withColumn("bucket", _lsh_bucket_expr("v")).alias("q")
         dot = F.aggregate(
             F.zip_with(F.col("q.v"), F.col("c.v"), _scaled_prod),
             F.lit(0).cast("long"),
@@ -506,8 +534,14 @@ def semdedup_prune(
     partitions the self-join; skewed cells fall back to raising B
     (more planes → smaller cells).
     """
-    sig = lsh_signature(embeddings, id_col, vec_col, table=table)
-    e = _with_sqnorm(embeddings, id_col, vec_col).join(sig, "id")
+    # bucket attached in the sqnorm projection (one map over the scan;
+    # values bit-identical to the historical signature join — see
+    # _lsh_bucket_expr): e is a pure map of the corpus, so its three
+    # consumers (both pair sides + the final keep join) re-run a scan +
+    # project instead of a triplicated two-exchange aggregation subtree
+    e = _with_sqnorm(
+        _non_empty_vectors(embeddings, vec_col), id_col, vec_col
+    ).withColumn("bucket", _lsh_bucket_expr("v", table=table))
     lo = e.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"),
         F.col("sq").alias("sq1"), F.col("bucket"),
