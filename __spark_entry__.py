@@ -4038,27 +4038,43 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate"
     )
     base = cat.lineitem.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
-    all_pairs = base.select("l_orderkey", "l_suppkey").distinct()
-    late_pairs = (
-        base.filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    # r10 restructure (guide §2.1/§2.4, oracle-proven equivalent): the
+    # EXISTS/NOT EXISTS pair used to be a semi + anti join of THREE
+    # distinct-pair aggregations of base — the lineitem⋈orders subtree
+    # triplicated in the plan, 6 exchanges + 2 sort-merge joins.  At
+    # pair grain the two predicates are order-level counts:
+    #   EXISTS another supplier        ⇔ n_supp  > 1
+    #   NOT EXISTS another LATE suppl. ⇔ n_late == 1 (the pair itself)
+    # so ONE pass builds the (order, supplier, is_late) pair table and a
+    # same-key window attaches both counts.  The explicit repartition on
+    # l_orderkey satisfies the pair aggregate AND the window (hash(ok)
+    # clusters (ok, sk)), so the whole middle runs on a single exchange;
+    # per-order supplier fan-out is bounded (an order has few lineitems),
+    # so the coarser key adds no skew.
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    pairs = (
+        base.select("l_orderkey", "l_suppkey", late.alias("_late"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late").alias("is_late"))
     )
-    w = late_pairs.select(
-        F.col("l_orderkey").alias("w_ok"), F.col("l_suppkey").alias("w_sk")
-    )
-    has_other = w.join(
-        all_pairs,
-        (F.col("l_orderkey") == F.col("w_ok")) & (F.col("l_suppkey") != F.col("w_sk")),
-        "left_semi",
-    )
-    sole_late = has_other.join(
-        late_pairs,
-        (F.col("l_orderkey") == F.col("w_ok")) & (F.col("l_suppkey") != F.col("w_sk")),
-        "left_anti",
+    wspec = W.partitionBy("l_orderkey")
+    sole_late = (
+        pairs.select(
+            "l_suppkey",
+            "is_late",
+            F.count("*").over(wspec).alias("n_supp"),
+            F.sum("is_late").over(wspec).alias("n_late"),
+        )
+        .filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
     )
     return (
-        sole_late.groupBy("w_sk")
+        sole_late.groupBy(F.col("l_suppkey").alias("w_sk"))
         .agg(F.count("*").alias("numwait"))
         .join(F.broadcast(cat.supplier), F.col("w_sk") == F.col("s_suppkey"))
         .select("s_name", "numwait")

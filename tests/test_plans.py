@@ -235,7 +235,13 @@ EXCHANGE_BUDGET = {
     "text_inverted_index": 0,
     "decontaminate_ngram": 2,
     "text_bm25_topk": 5,
-    "semdedup_prune": 9,
+    # r10: signature computed in-row (_lsh_bucket_expr) — the
+    # posexplode+plane-join+two-aggregation subtree (2 exchanges per
+    # call, triplicated by the three consumers of e) is gone; what
+    # remains is the pair join + the pruned-id distinct + the final
+    # keep join (measured 2 real + 1 broadcast at sf0.1; 4 admits the
+    # all-SMJ scale shape)
+    "semdedup_prune": 4,
     "ann_pq_topk": 3,
     # r10: array-native cross-side verify (measured 1; 8 admits the
     # all-SMJ scale shape — see dedup_minhash_lsh)
@@ -243,7 +249,10 @@ EXCHANGE_BUDGET = {
     "profile_conversion": 5,
     "g4_bfs": 0,
     "q9_product_profit": 1,
-    "q21_waiting_suppliers": 7,
+    # r10: EXISTS/NOT EXISTS as order-level window counts over ONE
+    # pair-grain pass — 6 exchanges + 2 SMJs + 3 lineitem scans became
+    # the repartition(l_orderkey) + the final per-supplier groupBy
+    "q21_waiting_suppliers": 2,
     # round-3 additions: KMV = (group,hash) distinct + per-group rank;
     # z-order = map-side arithmetic + ONE per-chunk partial agg;
     # CDC = in-row HOF chunking + ONE chunk_md5 window for n_docs_sharing
