@@ -536,12 +536,17 @@ def semdedup_prune(
     """
     # bucket attached in the sqnorm projection (one map over the scan;
     # values bit-identical to the historical signature join — see
-    # _lsh_bucket_expr): e is a pure map of the corpus, so its three
-    # consumers (both pair sides + the final keep join) re-run a scan +
-    # project instead of a triplicated two-exchange aggregation subtree
-    e = _with_sqnorm(
-        _non_empty_vectors(embeddings, vec_col), id_col, vec_col
-    ).withColumn("bucket", _lsh_bucket_expr("v", table=table))
+    # _lsh_bucket_expr), then materialized ONCE: e feeds three consumers
+    # (both pair sides + the final keep join), so without the checkpoint
+    # each re-runs the scan + the B×dim signature fold (the historical
+    # form instead triplicated a two-exchange aggregation subtree —
+    # 30 Exchange nodes; interleaved sf0.1 A/B: unmaterialized map
+    # 2.56 s, checkpointed 1.80 s, historical 2.32 s)
+    e = (
+        _with_sqnorm(_non_empty_vectors(embeddings, vec_col), id_col, vec_col)
+        .withColumn("bucket", _lsh_bucket_expr("v", table=table))
+        .localCheckpoint()
+    )
     lo = e.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"),
         F.col("sq").alias("sq1"), F.col("bucket"),
