@@ -216,6 +216,100 @@ def hashed_features(
     )
 
 
+def _train_linear_local(
+    spark, pairs_pdf, labels_pdf, d: int, ep: int, lr_milli: int
+):
+    """Driver-side replica of the distributed pocket-perceptron epochs —
+    bit-exact by construction:
+
+    - margins accumulate with ``np.add.at`` in int64 (exact integer
+      adds, like the pagerank local tier) at UNIQUE-doc grain, then map
+      back to label rows, so duplicate doc ids see the distributed
+      semantics (dup labels share the merged doc's margin; a doc id
+      appearing k times in the misclassified set contributes its pairs
+      k times to the gradient — the join multiplicity);
+    - a NULL label row is never misclassified, never an error, and
+      contributes nothing to either gradient (SUM/COUNT skip NULLs);
+      NULL labels route to the ``nan``-free masked arrays below;
+    - the harmonic step uses truncation toward zero (`div`), and a
+      feature with no misclassified pair rows keeps its weight — which
+      equals applying a zero step, so no presence mask is needed;
+    - every epoch proves its int64 envelope with exact python-int
+      bounds (max |x| · max |w| · max pairs-per-doc, and the gradient /
+      next-weight bounds); if the data could overflow, return ``None``
+      and let the caller run the overflow-safe distributed path (Spark
+      longs there stay within range for the same reason the bound
+      holds, and the oracle is the witness).
+    """
+    import numpy as np
+
+    ld = labels_pdf["doc_id"].to_numpy(dtype=np.int64)
+    y_raw = labels_pdf["y"]
+    if y_raw.isna().any():
+        y_valid = ~y_raw.isna().to_numpy()
+    else:
+        y_valid = np.ones(ld.shape[0], dtype=bool)
+    y = np.where(y_valid, y_raw.fillna(0).to_numpy(dtype=np.int64), 0)
+    pdoc = pairs_pdf["doc_id"].to_numpy(dtype=np.int64)
+    pf = pairs_pdf["feature"].to_numpy(dtype=np.int64)
+    px = pairs_pdf["x"].to_numpy(dtype=np.int64)
+    uniq = np.unique(np.concatenate([ld, pdoc])) if ld.size or pdoc.size else ld
+    li = np.searchsorted(uniq, ld)  # label row -> unique doc slot
+    pi = np.searchsorted(uniq, pdoc)  # pair row -> unique doc slot
+    nu = int(uniq.shape[0])
+    xmax = int(np.abs(px).max(initial=0))
+    nnz_doc = int(np.bincount(pi, minlength=max(nu, 1)).max(initial=0)) if px.size else 0
+    n_pairs = int(px.size)
+    dups_max = int(np.bincount(li, minlength=max(nu, 1)).max(initial=0)) if ld.size else 0
+
+    ymax = int(np.abs(y).max(initial=0))
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    LIM = 2**62
+    w = np.zeros(d, dtype=np.int64)
+    b = 0
+    best_w, best_b, best_err = w.copy(), 0, None
+    for t in range(ep + 1):
+        wmax = int(np.abs(w).max(initial=0))
+        # exact python-int bounds for every int64 expression this epoch
+        # (labels are not guaranteed ±1 — ymax scales the gradient and
+        # the y*m product)
+        margin_bound = xmax * wmax * max(nnz_doc, 1) + abs(b)
+        grad_bound = xmax * n_pairs * max(dups_max, 1) * max(ymax, 1)
+        next_w_bound = wmax + _tdiv(grad_bound * lr_milli, 1)
+        if max(margin_bound * max(ymax, 1), grad_bound, next_w_bound) >= LIM:
+            return None  # envelope at risk: distributed path decides
+        mu = np.zeros(max(nu, 1), dtype=np.int64)
+        if px.size:
+            np.add.at(mu, pi, px * w[pf])
+        m = mu[li] + b if ld.size else np.zeros(0, dtype=np.int64)
+        err = int(np.count_nonzero(y_valid & ((m > 0) != (y == 1))))
+        if best_err is None or err < best_err:
+            best_w, best_b, best_err = w.copy(), b, err
+        if t == ep:
+            break
+        mis = y_valid & ((y * m) <= 0)
+        # per-unique-doc sum of misclassified label-row y (join multiplicity)
+        s = np.zeros(max(nu, 1), dtype=np.int64)
+        if ld.size:
+            np.add.at(s, li[mis], y[mis])
+        if px.size:
+            g = np.zeros(d, dtype=np.int64)
+            np.add.at(g, pf, px * s[pi])
+        else:
+            g = np.zeros(d, dtype=np.int64)
+        bias_g = int(y[mis].sum()) if ld.size else 0
+        lr = int(lr_milli)
+        gq = np.abs(g) * lr // (t + 1)
+        w = w + np.where(g >= 0, gq, -gq)
+        b = b + _tdiv(bias_g * lr, t + 1)
+    out = [(-1, int(best_b))] + [(f, int(best_w[f])) for f in range(d)]
+    return spark.createDataFrame(sorted(out), "feature long, weight_micro long")
+
+
 def train_linear_classifier(
     documents: DataFrame,
     label_col,
@@ -224,6 +318,7 @@ def train_linear_classifier(
     lr_milli: int = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    local_train_pairs: int | None = 2_000_000,
 ) -> DataFrame:
     """(feature, weight_micro) — a DISTRIBUTED pocket-perceptron trainer
     for :func:`linear_classifier_gate`, closing the train half of the
@@ -284,6 +379,20 @@ def train_linear_classifier(
         .repartition("doc_id")
         .localCheckpoint(eager=True)
     )
+    # Driver-local tier (optimization round 10 — the kmeans_int/unigram/
+    # graph-loop discipline): the whole training state is the checkpointed
+    # (doc, feature, x) table; when it fits under ``local_train_pairs``
+    # (one cheap count on the materialized blocks), the IDENTICAL integer
+    # recurrence runs in numpy instead of paying (epochs+1) x 2 serial
+    # Spark jobs.  ``None`` skips the gate.  The replica covers the full
+    # distributed semantics (duplicate doc ids, NULL labels, int64
+    # envelope) or falls back — see _train_linear_local.
+    if local_train_pairs is not None and pairs.count() <= int(local_train_pairs):
+        local = _train_linear_local(
+            spark, pairs.toPandas(), labels.toPandas(), d, ep, int(lr_milli)
+        )
+        if local is not None:
+            return local
 
     def _tdiv(a: int, b: int) -> int:
         # truncation toward zero — Spark `div` / DuckDB `//` semantics

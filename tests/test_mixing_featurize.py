@@ -959,3 +959,42 @@ def test_unimax_and_temperature_nondefault_id_col(spark, sf_dir):
         )
     )
     assert t_base == t_ren and t_base
+
+
+def test_trainer_local_tier_matches_distributed(spark):
+    """The r10 driver-local trainer tier must be row-identical to the
+    distributed epochs (local_train_pairs=None) on corpora exercising
+    the replica's hard cases: duplicate doc ids (dup labels share the
+    merged doc's margin and multiply the gradient), NULL labels (never
+    misclassified, never an error), a doc with no tokens (margin = bias
+    only), and non-±1 label values."""
+    from iconic_data_science_spark.operators.featurize import train_linear_classifier
+
+    rows = []
+    for i in range(60):
+        base = ["alpha", "beta", "gamma"][i % 3]
+        rows.append((i, " ".join([base] * 3 + (["zebra"] if i % 4 == 0 else []))))
+    rows.append((7, "zebra zebra alpha"))     # duplicate doc_id 7
+    rows.append((61, ""))                     # no tokens: margin = bias
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = [
+        F.when(F.col("doc_id") % 4 == 0, 1).otherwise(-1),
+        # NULL labels for one residue class
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long")).otherwise(
+            F.when(F.col("doc_id") % 4 == 0, 1).otherwise(-1)
+        ),
+        # non-±1 magnitudes
+        F.when(F.col("doc_id") % 4 == 0, 3).otherwise(-2),
+    ]
+    for lbl in labels:
+        a = sorted(
+            tuple(r)
+            for r in train_linear_classifier(df, lbl, dim=32, epochs=6).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in train_linear_classifier(
+                df, lbl, dim=32, epochs=6, local_train_pairs=None
+            ).collect()
+        )
+        assert a == b
