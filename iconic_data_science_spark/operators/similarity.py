@@ -353,14 +353,12 @@ def ivf_assign(
             F.col("c_id"), F.col("c_v").cast("array<float>").alias("c_v"), csq.alias("c_sq")
         )
     else:
-        # restrict the RAW rows before the sqnorm projection: the fold
-        # in _with_sqnorm sits below the TakeOrdered otherwise and runs
-        # corpus-wide just to seed n_cells pseudo-centroids (the
-        # pq_codes r10 lesson)
-        lowest = embeddings.select(F.col(id_col).alias("id")).orderBy("id").limit(n_cells)
-        seed = embeddings.join(
-            F.broadcast(lowest), embeddings[id_col] == lowest["id"], "left_semi"
-        )
+        # seed BEFORE the sqnorm projection: the fold in _with_sqnorm
+        # sits below the TakeOrdered otherwise and runs corpus-wide
+        # just to seed n_cells pseudo-centroids (the pq_codes r10
+        # lesson); one TakeOrderedAndProject over the full row beats
+        # the id-restrict + broadcast-semi form's second corpus scan
+        seed = embeddings.orderBy(id_col).limit(n_cells)
         centroids = _with_sqnorm(seed, id_col, vec_col).select(
             F.col("id").alias("c_id"), F.col("v").alias("c_v"), F.col("sq").alias("c_sq")
         )
@@ -399,7 +397,10 @@ def ivf_topk(
     ``kmeans_centroids``) switches to learned cells."""
     if centroids is None:
         # pin the default pseudo-centroids to the CORPUS here, so query
-        # vectors outside the corpus still assign against corpus cells
+        # vectors outside the corpus still assign against corpus cells;
+        # localCheckpoint the n_cells rows once — they feed BOTH assign
+        # calls (corpus + queries), each of which would otherwise
+        # re-run the corpus TakeOrdered (the multi-consumer rule)
         centroids = (
             embeddings.select(
                 F.col(id_col).alias("c_id"),
@@ -407,6 +408,7 @@ def ivf_topk(
             )
             .orderBy("c_id")
             .limit(n_cells)
+            .localCheckpoint()
         )
     assign = ivf_assign(embeddings, n_cells, id_col, vec_col, centroids=centroids)
     corpus = _with_sqnorm(embeddings, id_col, vec_col).join(assign, "id").alias("c")
@@ -600,9 +602,9 @@ def pq_codes(
 
     Codebook discipline: the subvectors of the ``n_codes`` lowest-id
     corpus vectors, selected with a true order-by-id/limit (a
-    TakeOrderedAndProject over the id column, so the rule holds on any
-    id space — not just one starting at 0) and broadcast-semi-joined
-    back; the same deterministic seeding the IVF oracle path uses.  A
+    TakeOrderedAndProject over the full row, so the rule holds on any
+    id space — not just one starting at 0); the same deterministic
+    seeding the IVF oracle path uses.  A
     production deployment would swap in per-subspace k-means —
     ``kmeans_centroids`` — at the cost of float centroids and a
     rows-only check.
@@ -634,16 +636,18 @@ def pq_codes(
         )
 
     subs = _sub_explode(embeddings)
-    # ids are the table key (unique by contract), so no distinct — this
-    # plans as a shuffle-free TakeOrderedAndProject
-    lowest_ids = embeddings.select(F.col(id_col).alias("id")).orderBy("id").limit(n_codes)
-    # semi-join the RAW rows before slicing: a semi join cannot push
-    # below the posexplode projection, so filtering `subs` would slice
-    # the whole corpus just to keep n_codes seed vectors (r10 plan
-    # audit) — restrict first, slice n_codes rows
-    seed_rows = embeddings.join(
-        F.broadcast(lowest_ids), embeddings[id_col] == lowest_ids["id"], "left_semi"
-    )
+    # ids are the table key (unique by contract), so the n_codes seed
+    # rows come from ONE TakeOrderedAndProject carrying the vector —
+    # the r10 audit's semi-join form (restrict ids, broadcast-semi the
+    # raw rows) read the corpus twice for the same 16 rows; the heap
+    # only ever holds n_codes (id, vec) pairs per partition, so
+    # carrying the vector through the ordering is free.
+    seed_rows = embeddings.orderBy(id_col).limit(n_codes)
+    # the codebook feeds TWO broadcast consumers (the assignment join
+    # below and the caller's ADC distance table); localCheckpoint the
+    # m*n_codes rows once so each consumer reads the materialized seed
+    # table instead of re-running the corpus TakeOrdered (the
+    # multi-consumer rule).
     codebook = (
         _sub_explode(seed_rows)
         .select(
@@ -652,6 +656,7 @@ def pq_codes(
             F.col("sv").alias("c_v"),
             F.col("sv_sq").alias("c_sq"),
         )
+        .localCheckpoint()
     )
     dot = F.aggregate(
         F.zip_with("sv", "c_v", _scaled_prod), F.lit(0).cast("long"), lambda a, x: a + x
@@ -722,6 +727,9 @@ def ivfpq_topk(
     replays the identical pipeline. Smaller-is-nearer; ties on
     neighbor id.
     """
+    # the pseudo-centroids feed both assign calls: materialize the
+    # n_cells rows once instead of re-running the corpus TakeOrdered
+    # per consumer (the multi-consumer rule)
     centroids = (
         embeddings.select(
             F.col(id_col).alias("c_id"),
@@ -729,6 +737,7 @@ def ivfpq_topk(
         )
         .orderBy("c_id")
         .limit(n_cells)
+        .localCheckpoint()
     )
     corpus_cells = ivf_assign(
         embeddings, n_cells, id_col, vec_col, centroids=centroids
