@@ -1208,6 +1208,43 @@ def kmeans_int_centroids(
     base = embeddings.select(F.col(id_col).alias("id"), q.alias("q"))
     k = int(n_cells)
     seed_sample = max(10_000, 100 * k)
+    V, corpus_fits_sample = _kmeans_int_sample_matrix(base, seed_sample)
+    cents = _kmeans_int_greedy_seed(V, k)
+    dim = len(cents[0][1])
+
+    # Local tier (optimization round 10): when the WHOLE corpus sits in
+    # the sample — every test fixture and the driver/bench scales — the
+    # Lloyd rounds run on the already-collected int64 matrix: same
+    # argmin (np.argmin → first min = smallest c_id on tie), same
+    # trunc-div update, same empty-cell carry, all integer-EXACT, so
+    # the centroids are bit-identical to the distributed rounds while
+    # n_iters collect jobs (plus the corpus checkpoint) drop to zero.
+    # Above the sample threshold the distributed loop below is
+    # unchanged — training still sees the full corpus.
+    if corpus_fits_sample:
+        return _kmeans_int_lloyd_local(V, cents, int(n_iters))
+
+    e = base.localCheckpoint(eager=True)
+    for _ in range(int(n_iters)):
+        agg = _kmeans_int_update_plan(e, cents, dim).collect()
+        upd = {
+            int(r["c_id"]): [_kmeans_tdiv(int(r["s"][i]), int(r["n"])) for i in range(dim)]
+            for r in agg
+        }
+        cents = [(cid, upd.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def _kmeans_int_sample_matrix(base: DataFrame, seed_sample: int):
+    """Collect the deterministic md5-ordered training sample of ``base``
+    (columns ``id``, ``q``) as an id-sorted int64 matrix, plus the
+    +1-probe-row verdict on whether the WHOLE corpus fit in the sample.
+    The md5 order depends only on ids, so a full-dim sample sliced
+    per subspace is row-identical to sampling each sliced frame —
+    the trained-PQ trainer exploits that to pay ONE sample job for all
+    m subspaces."""
+    import numpy as np
+
     h = F.conv(
         F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10
     ).cast("long")
@@ -1226,11 +1263,16 @@ def kmeans_int_centroids(
     # sums stay ≤ dim·(2·|q|)² ≪ 2^63 and numpy int64 is EXACT — the
     # vectorized greedy is value-identical to the scalar python loop
     V = np.array([[int(x) for x in r["q"]] for r in samp], dtype=np.int64)
+    return V, corpus_fits_sample
 
-    # greedy k-center on the lattice: start at the smallest sampled id,
-    # then repeatedly take the point FARTHEST from its nearest chosen
-    # seed (ties → smallest id; np.argmax takes the first max on the
-    # id-sorted sample)
+
+def _kmeans_int_greedy_seed(V, k: int) -> list:
+    """Greedy k-center on the lattice: start at the smallest sampled id,
+    then repeatedly take the point FARTHEST from its nearest chosen
+    seed (ties → smallest id; np.argmax takes the first max on the
+    id-sorted sample)."""
+    import numpy as np
+
     chosen = [0]
     d0 = V - V[0]
     nearest = (d0 * d0).sum(axis=1)
@@ -1239,48 +1281,34 @@ def kmeans_int_centroids(
         chosen.append(nxt)
         dn = V - V[nxt]
         nearest = np.minimum(nearest, (dn * dn).sum(axis=1))
-    cents: list[tuple[int, list[int]]] = [
-        (cid, [int(x) for x in V[i]]) for cid, i in enumerate(chosen)
-    ]
-    dim = len(cents[0][1])
+    return [(cid, [int(x) for x in V[i]]) for cid, i in enumerate(chosen)]
 
-    def _tdiv(a: int, b: int) -> int:
-        qq = abs(a) // b
-        return qq if a >= 0 else -qq
 
-    # Local tier (optimization round 10): when the WHOLE corpus sits in
-    # the sample — every test fixture and the driver/bench scales — the
-    # Lloyd rounds run on the already-collected int64 matrix: same
-    # argmin (np.argmin → first min = smallest c_id on tie), same
-    # trunc-div update, same empty-cell carry, all integer-EXACT, so
-    # the centroids are bit-identical to the distributed rounds while
-    # n_iters collect jobs (plus the corpus checkpoint) drop to zero.
-    # Above the sample threshold the distributed loop below is
-    # unchanged — training still sees the full corpus.
-    if corpus_fits_sample:
-        C = np.array([cv for _, cv in cents], dtype=np.int64)
-        for _ in range(int(n_iters)):
-            diff = V[:, None, :] - C[None, :, :]
-            best = np.argmin((diff * diff).sum(axis=2), axis=1)
-            for cid in range(k):
-                mask = best == cid
-                if mask.any():
-                    s = V[mask].sum(axis=0)
-                    n = int(mask.sum())
-                    C[cid] = np.array(
-                        [_tdiv(int(x), n) for x in s], dtype=np.int64
-                    )
-        return [(cid, [int(x) for x in C[cid]]) for cid in range(k)]
+def _kmeans_tdiv(a: int, b: int) -> int:
+    qq = abs(a) // b
+    return qq if a >= 0 else -qq
 
-    e = base.localCheckpoint(eager=True)
-    for _ in range(int(n_iters)):
-        agg = _kmeans_int_update_plan(e, cents, dim).collect()
-        upd = {
-            int(r["c_id"]): [_tdiv(int(r["s"][i]), int(r["n"])) for i in range(dim)]
-            for r in agg
-        }
-        cents = [(cid, upd.get(cid, cv)) for cid, cv in cents]
-    return cents
+
+def _kmeans_int_lloyd_local(V, cents: list, n_iters: int) -> list:
+    """The driver-local Lloyd tier over the already-collected sample
+    matrix — bit-identical to the distributed rounds (np.argmin → first
+    min = smallest c_id on tie, trunc-div update, empty-cell carry)."""
+    import numpy as np
+
+    k = len(cents)
+    C = np.array([cv for _, cv in cents], dtype=np.int64)
+    for _ in range(n_iters):
+        diff = V[:, None, :] - C[None, :, :]
+        best = np.argmin((diff * diff).sum(axis=2), axis=1)
+        for cid in range(k):
+            mask = best == cid
+            if mask.any():
+                s = V[mask].sum(axis=0)
+                n = int(mask.sum())
+                C[cid] = np.array(
+                    [_kmeans_tdiv(int(x), n) for x in s], dtype=np.int64
+                )
+    return [(cid, [int(x) for x in C[cid]]) for cid in range(k)]
 
 
 def kmeans_int_assign_against(
@@ -1511,31 +1539,100 @@ def pq_trained_codes(
     quantization error (Σ over subs of d2 = the vector's total
     distortion, the quantity PQ recall arguments are written in).
 
-    Scale shape: per subspace, training is the kmeans_int discipline
-    (bounded seed sample, centroids as plan literals, ONE
-    K×(dim/m+1)-row exchange per Lloyd round, join-free); assignment
-    is a pure map, so the m assignment passes fuse with the scan and
-    union map-side — the corpus is scanned, never shuffled. Codebook
-    metadata totals m·n_codes·(dim/m) integers on the driver."""
+    Scale shape: training pays ONE bounded sample job for ALL m
+    subspaces (the md5 sample order depends only on ids, so the
+    full-dim sample sliced per subspace is row-identical to sampling
+    each sliced frame — ``_pq_trained_cents``); assignment is a pure
+    map computing every subspace's argmin in the SAME projection and
+    exploding m (sub, c_id, d2) structs, so the corpus is scanned ONCE
+    (the r10 audit found the per-subspace union form re-scanning it m
+    times) and never shuffled. Codebook metadata totals
+    m·n_codes·(dim/m) integers on the driver."""
     assert dim % m == 0, "dim must split evenly into m subspaces"
     w = dim // m
-    out = None
-    for s in range(int(m)):
+    cents_per_sub = _pq_trained_cents(
+        embeddings, int(m), w, n_codes, n_iters, scale, id_col, vec_col
+    )
+    return _pq_trained_assign_fused(
+        embeddings, cents_per_sub, w, scale, id_col, vec_col, with_d2=True
+    )
+
+
+def _pq_trained_cents(
+    embeddings: DataFrame,
+    m: int,
+    w: int,
+    n_codes: int,
+    n_iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> list:
+    """Per-subspace trained codebooks with ONE sample job: collect the
+    full-dim md5-ordered sample once and train each subspace's greedy
+    seed + local Lloyd on its column slice (the lattice quantization is
+    per-component, so slice-then-quantize == quantize-then-slice and
+    the result is bit-identical to per-subspace sampling). Above the
+    sample threshold the unchanged per-subspace distributed trainer
+    runs (bounded sample per subspace + distributed Lloyd rounds)."""
+    q = lattice_longs(f"`{vec_col}`", int(scale))
+    base = embeddings.select(F.col(id_col).alias("id"), q.alias("q"))
+    seed_sample = max(10_000, 100 * int(n_codes))
+    V, fits = _kmeans_int_sample_matrix(base, seed_sample)
+    if fits:
+        out = []
+        for s in range(m):
+            Vs = V[:, s * w : (s + 1) * w]
+            seeds = _kmeans_int_greedy_seed(Vs, int(n_codes))
+            out.append(_kmeans_int_lloyd_local(Vs, seeds, int(n_iters)))
+        return out
+    out = []
+    for s in range(m):
         sub = embeddings.select(
             F.col(id_col).alias("vec_id"),
             F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
         )
-        cents = kmeans_int_centroids(
-            sub, n_cells=n_codes, n_iters=n_iters, scale=scale
+        out.append(
+            kmeans_int_centroids(sub, n_cells=n_codes, n_iters=n_iters, scale=scale)
         )
-        assigned = kmeans_int_assign_against(sub, cents, scale=scale).select(
-            "vec_id",
-            F.lit(s).cast("long").alias("sub"),
-            "c_id",
-            "d2",
-        )
-        out = assigned if out is None else out.unionByName(assigned)
     return out
+
+
+def _pq_trained_assign_fused(
+    embeddings: DataFrame,
+    cents_per_sub: list,
+    w: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+    with_d2: bool,
+) -> DataFrame:
+    """All m subspace code assignments in ONE corpus scan: quantize the
+    full vector once, compute each subspace's argmin over its centroid
+    literals on the lattice slice, explode the m (sub, c_id[, d2])
+    structs — the same multiset of rows the per-subspace union form
+    produced from m scans."""
+    q = lattice_longs(f"`{vec_col}`", int(scale))
+    entries = []
+    for s, cents in enumerate(cents_per_sub):
+        structs = [
+            F.struct(
+                d2_fold_longs(f"slice(_q, {s * w + 1}, {w})", cv).alias("d2"),
+                F.lit(cid).cast("long").alias("c_id"),
+            )
+            for cid, cv in cents
+        ]
+        best = F.array_min(F.array(*structs))
+        fields = [F.lit(s).cast("long").alias("sub"), best["c_id"].alias("c_id")]
+        if with_d2:
+            fields.append(best["d2"].alias("d2"))
+        entries.append(F.struct(*fields))
+    cols = ["vec_id", "_e.sub", "_e.c_id"] + (["_e.d2"] if with_d2 else [])
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), q.alias("_q"))
+        .select("vec_id", F.explode(F.array(*entries)).alias("_e"))
+        .select(*cols)
+    )
 
 
 def pq_trained_oracle_sql(
@@ -1600,52 +1697,41 @@ def pq_trained_topk(
     approx_d(q, v) = Σ_s d2(q_s, codebook_s[code_s(v)]) — the query
     touches each corpus vector only through its m one-byte codes.
 
-    Scale shape: training is the bounded kmeans_int discipline (per
-    subspace); corpus codes are m map passes unioned map-side (the
-    corpus never shuffles to be CODED); the query distance table is
-    queries × m × n_codes rows — tiny — and BROADCASTS onto the code
-    matrix, so the only exchange is the (query, vector) partial-sum
-    rollup, exactly ann_pq_topk's shape. Ranking ties break
-    (approx_d asc, neighbor_id asc); the query's own row is excluded."""
+    Scale shape: training pays ONE bounded sample job for all m
+    subspaces (``_pq_trained_cents``); corpus codes are ONE map pass
+    computing every subspace's argmin in the same projection (the
+    corpus is scanned once, never shuffled, to be CODED — the r10
+    audit found the per-subspace union form re-scanning it m times);
+    the query distance table is queries × m × n_codes rows — tiny,
+    built by ONE query scan exploding the m·n_codes struct lattice —
+    and BROADCASTS onto the code matrix, so the only exchange is the
+    (query, vector) partial-sum rollup, exactly ann_pq_topk's shape.
+    Ranking ties break (approx_d asc, neighbor_id asc); the query's
+    own row is excluded."""
     assert dim % m == 0
     w = dim // m
-    codes = None
-    dtab = None
-    for s in range(int(m)):
-        sub = embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
-        )
-        cents = kmeans_int_centroids(
-            sub, n_cells=n_codes, n_iters=n_iters, scale=scale
-        )
-        assigned = kmeans_int_assign_against(sub, cents, scale=scale).select(
-            "vec_id", F.lit(s).cast("long").alias("sub"), "c_id"
-        )
-        codes = assigned if codes is None else codes.unionByName(assigned)
-
-        qsub = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.transform(
-                F.slice(F.col(vec_col), s * w + 1, w),
-                lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast(
-                    "long"
-                ),
-            ).alias("_q"),
-        )
-        ds = []
-        for cid, cv in cents:
-            # one parsed fold per centroid (lits.py discipline)
-            d2 = d2_fold_longs("_q", cv)
-            ds.append(
-                F.struct(F.lit(cid).cast("long").alias("c_id"), d2.alias("qd2"))
-            )
-        qrows = qsub.select(
-            "query_id",
+    cents_per_sub = _pq_trained_cents(
+        embeddings, int(m), w, n_codes, n_iters, scale, id_col, vec_col
+    )
+    codes = _pq_trained_assign_fused(
+        embeddings, cents_per_sub, w, scale, id_col, vec_col, with_d2=False
+    )
+    qlat = lattice_longs(f"`{vec_col}`", int(scale))
+    dstructs = [
+        F.struct(
             F.lit(s).cast("long").alias("sub"),
-            F.explode(F.array(*ds)).alias("_e"),
-        ).select("query_id", "sub", F.col("_e.c_id"), F.col("_e.qd2"))
-        dtab = qrows if dtab is None else dtab.unionByName(qrows)
+            F.lit(cid).cast("long").alias("c_id"),
+            # one parsed fold per (sub, centroid) pair (lits.py discipline)
+            d2_fold_longs(f"slice(_q, {s * w + 1}, {w})", cv).alias("qd2"),
+        )
+        for s, cents in enumerate(cents_per_sub)
+        for cid, cv in cents
+    ]
+    dtab = (
+        queries.select(F.col(id_col).alias("query_id"), qlat.alias("_q"))
+        .select("query_id", F.explode(F.array(*dstructs)).alias("_e"))
+        .select("query_id", "_e.sub", "_e.c_id", "_e.qd2")
+    )
 
     from pyspark.sql import Window as W
 
