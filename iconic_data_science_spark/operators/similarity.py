@@ -484,16 +484,34 @@ def lsh_topk(
             )
         )
         return _topk(pairs, k)
-    cand = None
-    for t in range(n_tables):
-        cs = lsh_signature(embeddings, id_col, vec_col, table=t).alias("cs")
-        qsig = lsh_signature(queries, id_col, vec_col, table=t).alias("qs")
-        p = qsig.join(
+    # multi-table candidates: ALL T signatures computed in ONE
+    # projection per side and posexploded to (id, table, bucket) rows,
+    # so the union over tables is a single (table, bucket) equi-join —
+    # the per-table loop re-scanned each side T times (r10 audit:
+    # 3 corpus + 3 query scans → 1 + 1); the exploded rows are narrow
+    # (id + B-char key) next to the vectors the scans carried
+    def _sigs(df: DataFrame) -> DataFrame:
+        return _non_empty_vectors(df, vec_col).select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.array(
+                    *[_lsh_bucket_expr(vec_col, table=t) for t in range(n_tables)]
+                )
+            ).alias("t", "bucket"),
+        )
+
+    cs = _sigs(embeddings).alias("cs")
+    qsig = _sigs(queries).alias("qs")
+    cand = (
+        qsig.join(
             cs,
-            (F.col("qs.bucket") == F.col("cs.bucket")) & (F.col("qs.id") != F.col("cs.id")),
-        ).select(F.col("qs.id").alias("query_id"), F.col("cs.id").alias("neighbor_id"))
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+            (F.col("qs.t") == F.col("cs.t"))
+            & (F.col("qs.bucket") == F.col("cs.bucket"))
+            & (F.col("qs.id") != F.col("cs.id")),
+        )
+        .select(F.col("qs.id").alias("query_id"), F.col("cs.id").alias("neighbor_id"))
+        .distinct()
+    )
     qv = qs0.select(F.col("id").alias("query_id"), F.col("v").alias("q_v"), F.col("sq").alias("q_sq"))
     cv = corpus.select(F.col("id").alias("neighbor_id"), F.col("v").alias("c_v"), F.col("sq").alias("c_sq"))
     dot = F.aggregate(
