@@ -1360,10 +1360,11 @@ def minhash_recall_eval(
     1 by construction — cand_precision_ppm measures the WASTED verify
     work instead (candidates that fail the threshold).
 
-    Plan: the shingle table builds ONCE (checkpointed) and feeds the
-    exact join, the signatures, and the verify; the three counts are
-    1-row aggregates broadcast-crossed into the single output row —
-    audit cost ≈ one exact join + one LSH pass, nothing new. At 100 TB
+    Plan: the shingle arrays build ONCE (checkpointed) and feed the
+    exploded exact join, the signatures, and the array-native verify;
+    the three counts are 1-row aggregates broadcast-crossed into the
+    single output row — audit cost ≈ one exact join + one LSH pass,
+    nothing new. At 100 TB
     run it on a stratified sample (`sampling.stratified_hash_sample`)
     — the banding recall is a per-pair property, so a content-hash
     sample estimates it unbiasedly; the full exact join stays a
@@ -1386,7 +1387,22 @@ def minhash_recall_eval(
         .distinct()
         .localCheckpoint()
     )
-    found = _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
+    # array-native verify (the minhash_lsh_pairs r10 form): each
+    # candidate pair joins its two DISTINCT shingle arrays and computes
+    # |A∩B| in-row — same Jaccard as the posting-list verify, which
+    # re-shuffled the exploded table per candidate side; zero-overlap
+    # candidates score 0 and fail the (positive) threshold exactly as
+    # the posting join's share-a-shingle contract dropped them
+    a1 = arrays.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("_sh1"))
+    a2 = arrays.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("_sh2"))
+    fi = (
+        cands.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn("_i", F.size(F.array_intersect("_sh1", "_sh2")))
+    )
+    found = fi.select(
+        (F.col("_i") / (F.size("_sh1") + F.size("_sh2") - F.col("_i"))).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
     n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
     n_cand = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     n_found = found.agg(F.count(F.lit(1)).cast("long").alias("n_found_pairs"))
