@@ -466,7 +466,10 @@ def q_g8_gexf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = _cat(spark, sf_dir)
     years = magmap.paper_years(cat).filter(F.col("year") == 1995)
-    edges = coauthor_edges(magmap.paa(cat), years, min_papers_together=2)
+    # materialize the pairing join once — the edge fragments and the
+    # distinct node set are two consumers of the same expensive
+    # self-join subtree (the triangle_count r10 lesson)
+    edges = coauthor_edges(magmap.paa(cat), years, min_papers_together=2).localCheckpoint()
     und = edges.filter(F.col("ego") < F.col("alter_id"))
     nodes = edges.select(F.col("ego").alias("id")).distinct()
     return gexf.to_gexf(
