@@ -50,6 +50,18 @@ def shuffle_count(df: DataFrame) -> int:
     )
 
 
+def scan_count(df: DataFrame) -> int:
+    """Number of parquet scan operators in the physical plan — each one
+    is a full pass over its input at scale, so single-pass shapes
+    (fused subspace assignment, checkpointed multi-consumer subtrees)
+    pin their scan budget like the exchange budget."""
+    return sum(
+        1
+        for line in formatted_plan(df).splitlines()
+        if line.strip().startswith("(") and "Scan parquet" in line
+    )
+
+
 def codegen_stages(df: DataFrame) -> int:
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
     # header: "Found N WholeStageCodegen subtrees."

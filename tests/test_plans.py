@@ -608,6 +608,35 @@ EXCHANGE_BUDGET = {
 }
 
 
+# Parquet-scan budgets (r10 optimization round): every scan is a full
+# input pass at scale, so the single-pass shapes adopted this round are
+# pinned like the exchange budgets. The trained-PQ queries fuse all m
+# subspace assignments into one corpus scan; the PQ/IVF seed tables and
+# the g8 edge set are localCheckpointed once (their consumers read the
+# materialized table, not the parquet input); multitable LSH computes
+# all T signatures in one projection per side.
+SCAN_BUDGET = {
+    "ann_pq_trained": 1,       # one fused assignment pass
+    "ann_pq_trained_topk": 2,  # corpus codes + query distance lattice
+    "ann_pq_topk": 2,          # subs explode + query subvectors
+    "ann_ivfpq_topk": 4,       # corpus/query x (sqnorm assign, coding)
+    "ann_ivf_topk": 4,
+    "ann_lsh_multitable": 4,   # corpus/query x (signatures, verify)
+    "g8_gexf": 0,              # both branches read the checkpointed edges
+    "dedup_minhash_eval": 0,   # everything reads the checkpointed arrays
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BUDGET))
+def test_scan_count_within_budget(spark, sf01, name):
+    df = entrymod.queries()[name](spark, sf01)
+    got = inspect.scan_count(df)
+    assert got <= SCAN_BUDGET[name], (
+        f"{name}: {got} parquet scans > budget {SCAN_BUDGET[name]} — an input "
+        "re-scan crept into this plan; fix it or consciously raise the budget"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
 def test_exchange_count_within_budget(spark, sf01, name):
     df = entrymod.queries()[name](spark, sf01)
