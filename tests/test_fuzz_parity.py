@@ -5,6 +5,10 @@ The fixed sf* corpora can't contain every edge shape (single-token
 docs, repeated separators, all-duplicate corpora, adversarial token
 collisions); here the corpus itself is the fuzz input. Any mismatch is
 a real cross-engine semantics bug, not a flaky fixture.
+
+Long gate: skipped unless SPARK_GRAFT_FULL_GATES=1 (VERDICT r10 item 2 —
+the hypothesis soak pushed the default ``pytest tests/`` run past the
+verify window; the builder's round-close sets the flag).
 """
 
 from __future__ import annotations
@@ -13,6 +17,13 @@ import os
 import shutil
 
 import pytest
+
+if not os.environ.get("SPARK_GRAFT_FULL_GATES"):
+    pytest.skip(
+        "long gate suite; set SPARK_GRAFT_FULL_GATES=1 to run",
+        allow_module_level=True,
+    )
+
 from hypothesis import given, settings, strategies as st
 
 import __spark_entry__ as entrymod

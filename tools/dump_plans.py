@@ -26,7 +26,7 @@ from iconic_data_science_spark.session import get_spark
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join("/root/repo", "plans", "r10")
+    out_dir = os.path.join("/root/repo", "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"ids-plan-dump-{tag}")
 
