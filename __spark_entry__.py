@@ -588,7 +588,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iconic_data_science_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
 
     cat = _cat(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5).select("id1", "id2").localCheckpoint()
+    # no entry-level localCheckpoint: dedup_clusters materializes the
+    # pair subtree itself (one eager job, not two — r11)
+    pairs = ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5).select("id1", "id2")
     return dedup_clusters(pairs)
 
 
@@ -718,11 +720,8 @@ def q_text_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iconic_data_science_spark.operators.text import leakage_safe_split
 
     cat = _cat(spark, sf_dir)
-    pairs = (
-        ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5)
-        .select("id1", "id2")
-        .localCheckpoint()
-    )
+    # dedup_clusters materializes the pair subtree itself (r11)
+    pairs = ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5).select("id1", "id2")
     return leakage_safe_split(cat.documents, dedup_clusters(pairs))
 
 
@@ -9158,11 +9157,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iconic_data_science_spark.operators.text import quality_score_milli
 
     cat = _cat(spark, sf_dir)
-    pairs = (
-        ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5)
-        .select("id1", "id2")
-        .localCheckpoint()
-    )
+    # dedup_clusters materializes the pair subtree itself (r11)
+    pairs = ngram_jaccard_pairs(cat.documents, n=3, threshold=0.5).select("id1", "id2")
     clusters = dedup_clusters(pairs)
     scored = quality_score_milli(cat.documents)
     return keep_best_per_cluster(scored, clusters)
@@ -12736,6 +12732,65 @@ _ROUND10_FRONT = [
     "curation_pipeline_v2",  # latest evidence r5
 ]
 
+# _ROUND11_FRONT: GENERATED by tools/build_front.py (spliced verbatim;
+# the four r5 rows displaced by the round-10 window rotate in first,
+# then the oldest r6 tier). Regenerated at round-11 close with --boost
+# for any plan-changed names.
+# catalog 254 | ever-attempted 254 | ever-green 254 | never 0
+# generated by: python tools/build_front.py --window 50
+_ROUND11_FRONT = [
+    "decontaminate_ngram",  # latest evidence r5
+    "g_kcore",  # latest evidence r5
+    "g_pagerank_int",  # latest evidence r5
+    "g6_citation_map",  # latest evidence r5
+    "ann_ivf_kmeans_int",  # latest evidence r6
+    "text_classifier_train",  # latest evidence r6
+    "curation_pipeline_v5",  # latest evidence r6
+    "g3_personal_net_salted",  # latest evidence r6
+    "text_classifier_eval",  # latest evidence r6
+    "dedup_minhash_eval",  # latest evidence r6
+    "dedup_span_strip",  # latest evidence r6
+    "ev_retention",  # latest evidence r6
+    "ev_funnel",  # latest evidence r6
+    "ann_lsh_multitable",  # latest evidence r6
+    "asof_signup_value",  # latest evidence r6
+    "range_join_price_tiers",  # latest evidence r6
+    "st_tumbling_hour",  # latest evidence r6
+    "st_sliding_hour_15m",  # latest evidence r6
+    "st_session_5m",  # latest evidence r6
+    "st_stream_stream_join",  # latest evidence r6
+    "lh_merge_upsert",  # latest evidence r6
+    "lh_scd2_priority",  # latest evidence r6
+    "text_vocab_oov",  # latest evidence r6
+    "g6_edge_citation_series",  # latest evidence r6
+    "g9_year_keyed_network",  # latest evidence r6
+    "a_rollup_orders",  # latest evidence r6
+    "a_cube_orders",  # latest evidence r6
+    "a_pivot_returnflag",  # latest evidence r6
+    "a_median_papers",  # latest evidence r6
+    "a6_flatten_distinct",  # latest evidence r6
+    "j8_element_join",  # latest evidence r6
+    "p5_p6_filters",  # latest evidence r6
+    "w_top_supplier_per_nation",  # latest evidence r6
+    "w_lag_citation_delta",  # latest evidence r6
+    "q3_shipping_priority",  # latest evidence r6
+    "q4_order_priority",  # latest evidence r6
+    "q5_nation_revenue",  # latest evidence r6
+    "q6_forecast_revenue",  # latest evidence r6
+    "q7_volume_shipping",  # latest evidence r6
+    "q8_market_share",  # latest evidence r6
+    "q9_product_profit",  # latest evidence r6
+    "q10_returned_items",  # latest evidence r6
+    "q11_important_parts",  # latest evidence r6
+    "q12_late_lines",  # latest evidence r6
+    "q13_order_distribution",  # latest evidence r6
+    "q14_promo_revenue",  # latest evidence r6
+    "q15_top_supplier",  # latest evidence r6
+    "q16_part_supplier_counts",  # latest evidence r6
+    "q17_small_quantity_revenue",  # latest evidence r6
+    "q18_large_volume_orders",  # latest evidence r6
+]
+
 # Each round's front wins the head slots over the one before it
 # (applied oldest-first so the newest front ends up at the head);
 # everything not named keeps its original relative order.
@@ -12749,6 +12804,7 @@ for _front in (
     _ROUND8_FRONT,
     _ROUND9_FRONT,
     _ROUND10_FRONT,
+    _ROUND11_FRONT,
 ):
     QUERIES = _reordered(_front, QUERIES)
 

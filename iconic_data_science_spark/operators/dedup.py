@@ -225,6 +225,63 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _pair_jaccard_arrays(witharr: DataFrame, threshold: float | None = None) -> DataFrame:
+    """(id1, id2, jaccard) for id1<id2 pairs sharing ≥1 shingle, generated
+    from the per-document DISTINCT shingle arrays ``(doc_id, _arr)`` —
+    the array-native twin of :func:`_pair_jaccard` (optimization r11).
+
+    Shape: sizes ride IN-ROW (``sz = size(_arr)``, exact because the
+    array is the distinct shingle set), the postings group ONCE by
+    shingle, and each group emits its id1<id2 pairs with both sizes
+    attached via a two-level generate (posexplode × slice — per-row
+    state stays O(df), never O(df²)). The old posting-list form paid a
+    posting self-join (two exchanges + sorts), a separate size
+    aggregate, and re-joined the Σdf²-row pair table against the sizes
+    twice; this is one postings exchange + one pair exchange, no joins.
+
+    ``threshold`` (when positive) enables the LOSSLESS length-ratio
+    prefilter before the pair exchange: jaccard ≤ min(sz)/max(sz)
+    exactly, and double rounding is monotone, so RN(min/max) < t ⇒
+    RN(jaccard) ≤ RN(min/max) < t — a pair dropped here could never
+    survive the caller's ``jaccard >= threshold`` filter. At t=0.5 this
+    deletes every pair whose sizes differ by more than 2× from the
+    shuffle.
+    """
+    p = witharr.select(
+        "doc_id", F.size("_arr").alias("sz"), F.explode("_arr").alias("shingle")
+    )
+    g = (
+        p.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id").alias("i"), F.col("sz").alias("s")))
+            ).alias("_ds")
+        )
+        .filter(F.size("_ds") >= 2)
+    )
+    pe = g.select("_ds", F.posexplode("_ds").alias("_p", "_x"))
+    pairs = pe.select(
+        F.col("_x.i").alias("id1"),
+        F.col("_x.s").alias("sz1"),
+        F.explode(F.slice("_ds", F.col("_p") + 2, F.size("_ds"))).alias("_y"),
+    ).select("id1", "sz1", F.col("_y.i").alias("id2"), F.col("_y.s").alias("sz2"))
+    if threshold is not None and threshold > 0:
+        # same double division + comparison semantics as the final
+        # jaccard filter (see docstring for the monotonicity argument)
+        pairs = pairs.filter(
+            (F.least("sz1", "sz2") / F.greatest("sz1", "sz2")) >= F.lit(float(threshold))
+        )
+    return (
+        pairs.groupBy("id1", "id2", "sz1", "sz2")
+        .agg(F.count("*").alias("_i"))
+        .select(
+            "id1",
+            "id2",
+            (F.col("_i") / (F.col("sz1") + F.col("sz2") - F.col("_i"))).alias("jaccard"),
+        )
+    )
+
+
 def _pair_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """(id1, id2, jaccard) for id1<id2 pairs sharing ≥1 shingle (optionally
     restricted to a candidate ``pairs`` frame)."""
@@ -293,17 +350,65 @@ def ngram_jaccard_pairs(
     delta on a boilerplate corpus). Pass ``max_shingle_freq=None`` to
     opt into the uncapped Σdf² join.
 
-    Runs on the hashed shingle table (``hashed_shingle_table`` — faster
-    to build, narrow 8-byte join keys; the DuckDB oracle composes the
-    identical hashes). The shingle table feeds three consumers (both
-    join sides + the size dim); materialize it once instead of
-    re-running explode per consumer (the multi-consumer rule, SURVEY §4
-    caching row). The string-shingle ``shingle_table`` is kept for
-    callers needing human-readable shingles; the fixture test proves
-    both key types produce the same pair set.
+    Runs on the hashed shingles (md5-fold integers — the DuckDB oracle
+    composes the identical hashes), in the array-native pair-generation
+    shape (optimization r11, :func:`_pair_jaccard_arrays`): per-doc
+    distinct shingle arrays carry their own size, the postings group
+    once by shingle and emit id1<id2 pairs in-row with both sizes
+    attached — one postings exchange + one pair exchange, no posting
+    self-join, no size joins. The df cap removes the over-cap ("hot")
+    shingle set — ≤ |postings|/cap distinct values, boilerplate — in a
+    three-tier strategy: an EMPTY hot set costs nothing (the common
+    production case at the default cap), a small one collects to a
+    literal array and ``array_except`` strips it in-row (zero extra
+    exchanges; bounded because Spark's ArrayExcept rebuilds its lookup
+    set per row — measured 160 s at 26k hot × 50k docs, which is why
+    big sets do NOT take this tier), and a large one broadcast-anti-
+    joins the exploded postings and regroups per doc (one extra
+    postings exchange, O(postings) total work at any hot size). All
+    three tiers produce the identical capped shingle universe. The
+    string-shingle ``shingle_table`` is kept for callers needing
+    human-readable shingles; the fixture test proves both key types
+    produce the same pair set.
     """
-    sh = hashed_shingle_table(documents, n=n, max_shingle_freq=max_shingle_freq)
-    return _pair_jaccard(sh.localCheckpoint()).filter(F.col("jaccard") >= threshold)
+    base = _token_hash_base(documents, "doc_id", "text").filter(F.col("_nt") >= n)
+    arr = base.select(
+        "doc_id", F.array_distinct(_horner_shingles(n)).alias("_arr")
+    )
+    if max_shingle_freq is None:
+        return _pair_jaccard_arrays(arr, threshold).filter(F.col("jaccard") >= threshold)
+    # the df count and the pair pass both read the tokenized arrays:
+    # materialize them once (one corpus tokenize at any scale)
+    arr = arr.localCheckpoint()
+    hot_df = (
+        arr.select(F.explode("_arr").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_shingle_freq)
+        .select("shingle")
+    )
+    hot_literal_limit = 512
+    hot_rows = hot_df.limit(hot_literal_limit + 1).collect()
+    if len(hot_rows) > hot_literal_limit:
+        # big hot set: anti-join the exploded postings (broadcast-sized
+        # build side in practice; the planner picks SMJ past that) and
+        # regroup per doc so sizes stay exact over the capped universe
+        witharr = (
+            arr.select("doc_id", F.explode("_arr").alias("shingle"))
+            .join(hot_df, "shingle", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("_arr"))
+        )
+        return _pair_jaccard_arrays(witharr, threshold).filter(
+            F.col("jaccard") >= threshold
+        )
+    if hot_rows:
+        from ..functions.lits import lit_longs
+
+        arr = arr.select(
+            "doc_id", F.array_except("_arr", lit_longs(r[0] for r in hot_rows)).alias("_arr")
+        )
+    return _pair_jaccard_arrays(arr, threshold).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
