@@ -214,19 +214,23 @@ def kmv_distinct(
     already in [0, M) the value is unchanged.
     """
     hashed = kmv_hashes(events, key_col=key_col, group_col=group_col)
-    d = kmv_partial_minima(hashed, k=k).distinct()  # ≤ k·P rows per group
-    w = W.partitionBy("grp").orderBy("h")
-    topk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    return (
-        topk.groupBy("grp")
-        .agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
-        .select(
-            F.col("grp").alias(group_col),
-            F.when(F.col("n_seen") < k, F.col("n_seen"))
-            .otherwise(F.expr(f"CAST({(k - 1) * MERSENNE31} AS BIGINT) div h_k"))
-            .cast("long")
-            .alias("est_distinct"),
+    # ≤ k·P rows per group after the bounded partial; ONE exchange:
+    # distinct + rank-window + count/max (3 passes over the shuffled
+    # rows) collapse into slice(array_sort(collect_set), 1, k) — the
+    # same k smallest distinct hashes, held in-row (r11, guide §2.4)
+    topk = (
+        kmv_partial_minima(hashed, k=k)
+        .groupBy("grp")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs"))
+    )
+    return topk.select(
+        F.col("grp").alias(group_col),
+        F.when(F.size("_hs") < k, F.size("_hs").cast("long"))
+        .otherwise(
+            F.expr(f"CAST({(k - 1) * MERSENNE31} AS BIGINT) div element_at(_hs, -1)")
         )
+        .cast("long")
+        .alias("est_distinct"),
     )
 
 
@@ -286,58 +290,48 @@ def kmv_overlap(
     estimates bit-for-bit.
     """
     hashed = kmv_hashes(events, key_col=key_col, group_col=group_col)
+    # one exchange builds the per-group sketch as ONE ROW holding its
+    # sorted k-minima array (r11: the distinct + rank-window + per-pair
+    # re-join-by-h + second window all collapse — the union sketch of a
+    # pair is an IN-ROW merge of two arrays, which is the mergeability
+    # rule itself). ≤ |groups| rows thereafter; checkpointed once.
     sk = (
         kmv_partial_minima(hashed, k=k)
-        .distinct()
-        .withColumn("rn", F.row_number().over(W.partitionBy("grp").orderBy("h")))
-        .filter(F.col("rn") <= k)
-        .select("grp", "h")
-        .localCheckpoint()  # ≤ k rows per group; reused by every pair
+        .groupBy("grp")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs"))
+        .localCheckpoint()
     )
 
-    def est(n_seen, h_k):
+    def est_sql(c: str) -> str:
+        # exact BIGINT div, same literals as the oracle
         return (
-            F.when(n_seen < k, n_seen)
-            .otherwise(F.expr(f"CAST({(k - 1) * MERSENNE31} AS BIGINT) div {h_k}"))
-            .cast("long")
+            f"CAST(CASE WHEN size({c}) < {k} THEN size({c}) "
+            f"ELSE {(k - 1) * MERSENNE31} div element_at({c}, -1) END AS BIGINT)"
         )
-
-    per_group = sk.groupBy("grp").agg(
-        F.count("*").alias("n_seen"), F.max("h").alias("h_k")
-    ).select("grp", est(F.col("n_seen"), "h_k").alias("est"))
 
     pairs = (
-        sk.select("grp").distinct().alias("a")
-        .crossJoin(sk.select("grp").distinct().alias("b"))
-        .filter(F.col("a.grp") < F.col("b.grp"))
-        .select(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"))
-    )
-    merged = (
-        pairs.join(sk, (F.col("grp") == F.col("ga")) | (F.col("grp") == F.col("gb")))
-        .select("ga", "gb", "h")
-        .distinct()
-        .withColumn("rn", F.row_number().over(W.partitionBy("ga", "gb").orderBy("h")))
-        .filter(F.col("rn") <= k)
-        .groupBy("ga", "gb")
-        .agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
-        .select("ga", "gb", est(F.col("n_seen"), "h_k").alias("est_union"))
-    )
-    ea = per_group.select(F.col("grp").alias("ga"), F.col("est").alias("est_a"))
-    eb = per_group.select(F.col("grp").alias("gb"), F.col("est").alias("est_b"))
-    return (
-        merged.join(ea, "ga")
-        .join(eb, "gb")
-        .select(
-            F.col("ga").alias("type_a"),
-            F.col("gb").alias("type_b"),
-            "est_a",
-            "est_b",
-            "est_union",
-            F.greatest(
-                F.lit(0).cast("long"),
-                (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long"),
-            ).alias("est_inter"),
+        sk.select(F.col("grp").alias("ga"), F.col("_hs").alias("_ha"))
+        .crossJoin(
+            sk.select(F.col("grp").alias("gb"), F.col("_hs").alias("_hb"))
         )
+        .filter(F.col("ga") < F.col("gb"))
+        .withColumn(
+            "_hu",
+            F.slice(F.array_sort(F.array_distinct(F.concat("_ha", "_hb"))), 1, k),
+        )
+    )
+    return pairs.selectExpr(
+        "ga AS type_a",
+        "gb AS type_b",
+        est_sql("_ha") + " AS est_a",
+        est_sql("_hb") + " AS est_b",
+        est_sql("_hu") + " AS est_union",
+    ).withColumn(
+        "est_inter",
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long"),
+        ),
     )
 
 
@@ -483,65 +477,56 @@ def kmv_sliding_distinct(
             + F.lit(KMV_B)
         ).cast("long").__mod__(MERSENNE31).alias("h"),
     )
-    # bounded map-side partial, then the exact per-pane k-minima
-    pane_rows = kmv_partial_minima(
-        hashed, k=k, group_cols=("event_type", "pane_hour")
-    ).distinct()
-    w_pane = W.partitionBy("event_type", "pane_hour").orderBy("h")
+    # bounded map-side partial, then ONE exchange builds each pane's
+    # sketch as ONE ROW holding its sorted k-minima array (r11: the
+    # distinct + rank-window pair collapsed into
+    # slice(array_sort(collect_set), 1, k), same k smallest distinct
+    # hashes). The pane table — one row per pane — is pinned: the
+    # fan-out, the observed-hours semi-join build side, and the window
+    # merge all read it instead of re-running the raw scan + partial.
+    # This is the "build the sketch ONCE" half of the mergeability
+    # contract.
     panes = (
-        pane_rows.withColumn("rn", F.row_number().over(w_pane))
-        .filter(F.col("rn") <= k)
-        .select("event_type", "pane_hour", "h")
-        # ≤ k rows per pane — pin them: four frames derive from the
-        # pane table (fan-out, observed hours, window minima, pane
-        # counts) and each would otherwise re-run the raw scan + the
-        # map-side partial. This is the "build the sketch ONCE" half
-        # of the mergeability contract.
+        kmv_partial_minima(hashed, k=k, group_cols=("event_type", "pane_hour"))
+        .groupBy("event_type", "pane_hour")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs"))
         .localCheckpoint(eager=True)
     )
-    # fan each pane's ≤k sketch rows into the window_hours windows it
-    # serves — sketch-row-sized data, not raw data
+    # fan each pane's sketch ROW into the window_hours windows it
+    # serves — sketch-sized data, not raw data
     fanned = panes.select(
         "event_type",
         F.explode(
             F.sequence(F.col("pane_hour"), F.col("pane_hour") + (window_hours - 1))
         ).alias("win_end_hour"),
-        F.col("pane_hour"),
-        "h",
+        "_hs",
     )
-    observed = panes.select("event_type", F.col("pane_hour").alias("win_end_hour")).distinct()
-    merged = (
-        fanned.join(observed, ["event_type", "win_end_hour"], "left_semi")
-        .select(
-            "event_type",
-            "win_end_hour",
-            "pane_hour",
-            "h",
+    observed = panes.select("event_type", F.col("pane_hour").alias("win_end_hour"))
+    merged = fanned.join(observed, ["event_type", "win_end_hour"], "left_semi")
+    # ONE aggregate per window (r11: was distinct + window + two
+    # aggregations + a final join): the window's k-minima are the k
+    # smallest distinct values across its panes' arrays — an in-row
+    # merge — and n_panes is the row count (one row per pane by
+    # construction).
+    return (
+        merged.groupBy("event_type", "win_end_hour")
+        .agg(
+            F.count("*").cast("long").alias("n_panes"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("_hs")))), 1, k
+            ).alias("_top"),
         )
-    )
-    w_win = W.partitionBy("event_type", "win_end_hour").orderBy("h")
-    top = (
-        merged.select("event_type", "win_end_hour", "h").distinct()
-        .withColumn("rn", F.row_number().over(w_win))
-        .filter(F.col("rn") <= k)
-    )
-    n_panes = merged.groupBy("event_type", "win_end_hour").agg(
-        F.countDistinct("pane_hour").cast("long").alias("n_panes")
-    )
-    est = (
-        top.groupBy("event_type", "win_end_hour")
-        .agg(F.count("*").alias("n_seen"), F.max("h").alias("h_k"))
         .select(
             "event_type",
             "win_end_hour",
-            F.when(F.col("n_seen") < k, F.col("n_seen"))
-            .otherwise(F.expr(f"CAST({(k - 1) * MERSENNE31} AS BIGINT) div h_k"))
+            "n_panes",
+            F.when(F.size("_top") < k, F.size("_top").cast("long"))
+            .otherwise(
+                F.expr(f"CAST({(k - 1) * MERSENNE31} AS BIGINT) div element_at(_top, -1)")
+            )
             .cast("long")
             .alias("est_distinct"),
         )
-    )
-    return est.join(n_panes, ["event_type", "win_end_hour"]).select(
-        "event_type", "win_end_hour", "n_panes", "est_distinct"
     )
 
 
