@@ -925,7 +925,11 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     same as dedup_passage)."""
     from iconic_data_science_spark.operators.dedup import minhash_lsh_pairs
 
-    v2 = q_curation_pipeline_v2(spark, sf_dir)
+    # v2 feeds TWO consumers (the survivor semi-join under the fuzzy
+    # stage's eager shingle checkpoint, and the final anti-join) —
+    # materialize it once instead of running the whole gate chain twice
+    # (the multi-consumer rule; r11, guide §1.2)
+    v2 = q_curation_pipeline_v2(spark, sf_dir).localCheckpoint()
     cat = _cat(spark, sf_dir)
     survivors = cat.documents.join(v2.select("doc_id"), "doc_id", "left_semi")
     pairs = minhash_lsh_pairs(
