@@ -7905,7 +7905,13 @@ def q_dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = _cat(spark, sf_dir)
     docs = cat.documents
-    index = minhash_index_build(docs.filter(F.col("doc_id") % 2 == 0))
+    # materialize the index once: the upsert reads it THREE times (the
+    # candidate join, the id anti-join, the final union), and the
+    # production shape IS a persisted table — the lazy form re-ran the
+    # even-half tokenize pipeline per consumer (r11, multi-consumer
+    # rule; the streaming bench's doc_dedup side already pins the same
+    # localCheckpoint shape)
+    index = minhash_index_build(docs.filter(F.col("doc_id") % 2 == 0)).localCheckpoint()
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return minhash_index_upsert(index, batch).select(
         "doc_id", F.col("band").cast("long").alias("band"), "band_sig", "origin"
